@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** ETL operator family (SURVEY.md §2.2/§2.3) re-targeted onto the testdata
+  * tables so the DuckDB oracle can check it end-to-end: `events` plays the
+  * transaction stream, `customer` the join dimension (inner = referential
+  * drop, hybridjoin.py:342-362), `part` the enrichment dimension (left +
+  * default fill, hybridjoin.py:399-404).
+  */
+object EtlQueries {
+  private val Money = DecimalType(18, 2)
+
+  /** E1/F-family analog: the full batch fact build. The product key is
+    * parsed out of the JSON-ish props payload (F2 key-cast tolerance),
+    * quantity is `value` (F4), sales_amount = round(qty*price, 2) in exact
+    * decimal (F5), date_id is the deterministic yyyyMMdd surrogate (F8).
+    * Dims are broadcast: the fact side never shuffles.
+    */
+  val factBuild = QueryDef(
+    "etl_fact_build",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val cust = broadcast(customer(s, dir).select("c_custkey", "c_mktsegment"))
+      val prod = broadcast(part(s, dir).select("p_partkey", "p_retailprice"))
+      ev
+        .withColumn("part_key",
+          expr("try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT)"))
+        .join(cust, col("user_id") === col("c_custkey"), "inner")
+        .join(prod, col("part_key") === col("p_partkey"), "left")
+        .select(
+          col("event_id"), col("user_id").as("cust_key"), col("c_mktsegment"),
+          col("part_key"),
+          (year(col("ts")) * 10000 + month(col("ts")) * 100
+            + dayofmonth(col("ts"))).cast(IntegerType).as("date_id"),
+          col("value").cast(Money).as("quantity"),
+          coalesce(col("p_retailprice").cast(Money), lit(0).cast(Money))
+            .as("price"),
+          round(col("value").cast(Money) *
+            coalesce(col("p_retailprice").cast(Money), lit(0).cast(Money)), 2)
+            .cast(Money).as("sales_amount"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id AS cust_key, c.c_mktsegment,
+             TRY_CAST(regexp_extract(e.props, '[0-9]+') AS BIGINT) AS part_key,
+             CAST(year(e.ts)*10000 + month(e.ts)*100 + day(e.ts) AS INTEGER) AS date_id,
+             CAST(e.value AS DECIMAL(18,2)) AS quantity,
+             COALESCE(CAST(p.p_retailprice AS DECIMAL(18,2)),
+                      CAST(0 AS DECIMAL(18,2))) AS price,
+             CAST(ROUND(CAST(e.value AS DECIMAL(18,2)) *
+               COALESCE(CAST(p.p_retailprice AS DECIMAL(18,2)),
+                        CAST(0 AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sales_amount
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      LEFT JOIN part p
+        ON TRY_CAST(regexp_extract(e.props, '[0-9]+') AS BIGINT) = p.p_partkey
+      ORDER BY event_id"""))
+
+  /** S5/O4 analog: deterministic dimension dedup of a denormalized source —
+    * groupBy + min/count instead of dropDuplicates so the survivor is stable
+    * under any partitioning (master_data.ipynb cells bfa480a3–168be966).
+    */
+  val dimBuild = QueryDef(
+    "etl_dim_dedup",
+    (s, dir) => {
+      part(s, dir)
+        .groupBy("p_brand", "p_type")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          min(col("p_partkey")).as("sample_key"),
+          min(col("p_retailprice").cast(Money)).as("min_price"))
+        .orderBy("p_brand", "p_type")
+    },
+    Some("""
+      SELECT p_brand, p_type, COUNT(*) AS n_parts,
+             MIN(p_partkey) AS sample_key,
+             MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS min_price
+      FROM part GROUP BY 1,2 ORDER BY p_brand, p_type"""))
+
+  /** F7/F8 analog: the derived date dimension over the distinct order dates —
+    * deterministic surrogate key, calendar attributes, weekend flag
+    * (hybridjoin.py:170-205 replaced by pure column derivations).
+    */
+  val dateDim = QueryDef(
+    "etl_date_dim",
+    (s, dir) => {
+      val d = col("transaction_date")
+      orders(s, dir)
+        .select(col("o_orderdate").cast(DateType).as("transaction_date"))
+        .distinct()
+        .select(
+          (year(d) * 10000 + month(d) * 100 + dayofmonth(d))
+            .cast(IntegerType).as("date_id"),
+          d,
+          dayofmonth(d).as("day_num"),
+          month(d).as("month_num"),
+          year(d).as("year_num"),
+          date_format(d, "EEEE").as("day_of_week"),
+          quarter(d).as("quarter_num"),
+          dayofweek(d).isin(1, 7).as("is_weekend"))
+        .orderBy("date_id")
+    },
+    Some("""
+      SELECT CAST(year(d)*10000 + month(d)*100 + day(d) AS INTEGER) AS date_id,
+             d AS transaction_date,
+             CAST(day(d) AS INTEGER) AS day_num,
+             CAST(month(d) AS INTEGER) AS month_num,
+             CAST(year(d) AS INTEGER) AS year_num,
+             dayname(d) AS day_of_week,
+             CAST(quarter(d) AS INTEGER) AS quarter_num,
+             isodow(d) IN (6,7) AS is_weekend
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+      ORDER BY date_id"""))
+
+  val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim)
+}

@@ -1,0 +1,680 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** One query definition: the Spark plan plus (when SQL-expressible) the ANSI
+  * SQL a DuckDB oracle runs over the same parquet tables. Column names and
+  * types must line up exactly between the two — the driver sorts columns by
+  * name and hashes values.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The 20-query analytics workload of the reference
+  * (/root/reference/queries.sql:6-313), re-targeted onto the driver's
+  * TPC-H-ish testdata star schema (TESTDATA.md). Operator semantics are
+  * preserved one-for-one (star joins, top-k per group, LAG growth, ROLLUP,
+  * basket self-join, H1/H2 pivot, scalar-subquery filters, range join, view);
+  * the tables and column names are the testdata's.
+  *
+  * Determinism discipline (oracle hash-match):
+  *  - money is summed as DECIMAL(18,2) (exact, order-independent), final-cast
+  *    back to DECIMAL(18,2) so Spark and DuckDB agree on scale;
+  *  - ratios (avg, growth%) are computed in DOUBLE from decimal-exact inputs
+  *    — IEEE ops on bit-identical inputs are bit-identical;
+  *  - every ORDER BY carries full tie-breaker keys;
+  *  - window ORDER BY for row_number carries tie-breakers too.
+  */
+object Workload {
+  private val Money = DecimalType(18, 2)
+
+  private def money(c: Column): Column = c.cast(Money)
+  /** Exact, order-independent revenue sum with a stable output scale. */
+  private def decSum(c: Column): Column = sum(money(c)).cast(Money)
+  /** Weekend test; Spark dayofweek: 1=Sunday .. 7=Saturday. */
+  private def isWeekend(c: Column): Column = dayofweek(c).isin(1, 7)
+
+  import Tables._
+
+  // Shared oracle fragments (DuckDB dialect).
+  private val RevSum = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+  private val QtySum = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+
+  /** Q1 analog (/root/reference/queries.sql:6-12): top revenue parts split by
+    * weekday/weekend with monthly drill-down for one year; global top-5 after
+    * a multi-key sort.
+    */
+  val q01 = QueryDef(
+    "q01_top_parts_month_weekend",
+    (s, dir) => {
+      val li = lineitem(s, dir).filter(year(col("l_shipdate")) === 2000)
+      li.join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(
+          col("l_partkey").as("part_key"), col("p_brand"),
+          month(col("l_shipdate")).as("mnth"),
+          isWeekend(col("l_shipdate")).as("is_weekend"),
+          money(col("l_extendedprice")).as("amt"))
+        .groupBy("part_key", "p_brand", "mnth", "is_weekend")
+        .agg(sum(col("amt")).cast(Money).as("total_revenue"))
+        .orderBy(col("mnth"), col("is_weekend"),
+          col("total_revenue").desc, col("part_key"))
+        .limit(5)
+    },
+    Some(s"""
+      SELECT l_partkey AS part_key, p_brand,
+             CAST(month(l_shipdate) AS INTEGER) AS mnth,
+             isodow(l_shipdate) IN (6,7) AS is_weekend,
+             $RevSum AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 2000
+      GROUP BY 1,2,3,4
+      ORDER BY mnth, is_weekend, total_revenue DESC, part_key
+      LIMIT 5"""))
+
+  /** Q2 analog (queries.sql:17-20): demographics → revenue + units by
+    * market segment and customer nation.
+    */
+  val q02 = QueryDef(
+    "q02_revenue_by_segment_nation",
+    (s, dir) => {
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+          decSum(col("l_extendedprice")).as("total_revenue"),
+          decSum(col("l_quantity")).as("units_sold"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+    Some(s"""
+      SELECT c_mktsegment, c_nationkey,
+             $RevSum AS total_revenue, $QtySum AS units_sold
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1,2 ORDER BY c_mktsegment, c_nationkey"""))
+
+  /** Q3 analog (queries.sql:24-28): category sales by order priority. */
+  val q03 = QueryDef(
+    "q03_type_by_priority",
+    (s, dir) => {
+      lineitem(s, dir)
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("p_type", "o_orderpriority")
+        .agg(
+          decSum(col("l_extendedprice")).as("total_revenue"),
+          decSum(col("l_quantity")).as("units_sold"))
+        .orderBy(col("p_type"), col("total_revenue").desc, col("o_orderpriority"))
+    },
+    Some(s"""
+      SELECT p_type, o_orderpriority,
+             $RevSum AS total_revenue, $QtySum AS units_sold
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1,2 ORDER BY p_type, total_revenue DESC, o_orderpriority"""))
+
+  /** Q4 analog (queries.sql:32-40): quarterly trend for the latest year —
+    * scalar-subquery-as-filter realized as a broadcast 1-row cross join so no
+    * data leaves the cluster.
+    */
+  val q04 = QueryDef(
+    "q04_quarterly_latest_year",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(maxYr))
+        .filter(year(col("o_orderdate")) === col("max_yr"))
+        .groupBy(quarter(col("o_orderdate")).as("quarter_num"), col("c_mktsegment"))
+        .agg(
+          decSum(col("l_extendedprice")).as("total_revenue"),
+          decSum(col("l_quantity")).as("units_sold"))
+        .orderBy("quarter_num", "c_mktsegment")
+    },
+    Some(s"""
+      SELECT CAST(quarter(o_orderdate) AS INTEGER) AS quarter_num, c_mktsegment,
+             $RevSum AS total_revenue, $QtySum AS units_sold
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+      GROUP BY 1,2 ORDER BY quarter_num, c_mktsegment"""))
+
+  /** Q5 analog (queries.sql:45-57): top-5 market segments per part type —
+    * aggregate CTE then ROW_NUMBER per group with tie-breaker.
+    */
+  val q05 = QueryDef(
+    "q05_top_segments_per_type",
+    (s, dir) => {
+      val base = lineitem(s, dir)
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("p_type", "c_mktsegment")
+        .agg(decSum(col("l_extendedprice")).as("total_revenue"))
+      val w = Window.partitionBy(col("p_type"))
+        .orderBy(col("total_revenue").desc, col("c_mktsegment"))
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("p_type", "rn")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT p_type, c_mktsegment, $RevSum AS total_revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1,2)
+      SELECT * FROM (
+        SELECT p_type, c_mktsegment, total_revenue,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p_type
+                 ORDER BY total_revenue DESC, c_mktsegment) AS INTEGER) AS rn
+        FROM base) t
+      WHERE rn <= 5 ORDER BY p_type, rn"""))
+
+  /** Q6 analog (queries.sql:61-70): activity in the 6 months up to the max
+    * order date — range join against a 1-row scalar via broadcast cross join.
+    */
+  val q06 = QueryDef(
+    "q06_last_six_months",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val maxD = o.agg(max(col("o_orderdate")).as("latest"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(maxD))
+        .filter(col("o_orderdate")
+          .between(expr("latest - INTERVAL '6' MONTH"), col("latest")))
+        .groupBy(
+          col("c_mktsegment"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mnth"))
+        .agg(
+          decSum(col("l_extendedprice")).as("total_revenue"),
+          decSum(col("l_quantity")).as("units_sold"))
+        .orderBy("yr", "mnth", "c_mktsegment")
+    },
+    Some(s"""
+      SELECT c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS mnth,
+             $RevSum AS total_revenue, $QtySum AS units_sold
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate BETWEEN
+            (SELECT max(o_orderdate) FROM orders) - INTERVAL 6 MONTH
+        AND (SELECT max(o_orderdate) FROM orders)
+      GROUP BY 1,2,3 ORDER BY yr, mnth, c_mktsegment"""))
+
+  /** Q7 analog (queries.sql:75-78): average purchase amount by two low-card
+    * dims. Average = exact decimal sum cast to double / count — bit-stable.
+    */
+  val q07 = QueryDef(
+    "q07_avg_by_size_flag",
+    (s, dir) => {
+      lineitem(s, dir)
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_size", "l_returnflag")
+        .agg(
+          (sum(money(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_purchase_amount"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_size", "l_returnflag")
+    },
+    Some("""
+      SELECT p_size, l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_purchase_amount,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1,2 ORDER BY p_size, l_returnflag"""))
+
+  /** Q8 analog (queries.sql:83-97): top-5 customer nations per part type. */
+  val q08 = QueryDef(
+    "q08_top_nations_per_type",
+    (s, dir) => {
+      val base = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type", "n_name")
+        .agg(decSum(col("l_extendedprice")).as("total_revenue"))
+      val w = Window.partitionBy(col("p_type"))
+        .orderBy(col("total_revenue").desc, col("n_name"))
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("p_type", "rn")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT p_type, n_name, $RevSum AS total_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY 1,2)
+      SELECT * FROM (
+        SELECT p_type, n_name, total_revenue,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p_type
+                 ORDER BY total_revenue DESC, n_name) AS INTEGER) AS rn
+        FROM base) t
+      WHERE rn <= 5 ORDER BY p_type, rn"""))
+
+  /** Growth% shared shape (queries.sql:113-119 et al.): LAG then
+    * ((rev - prev) / NULLIF(prev,0)) * 100, computed in double from
+    * decimal-exact inputs, unrounded for bit-stability.
+    */
+  private def growthPct(revD: Column, prevD: Column): Column =
+    (revD - prevD) / when(prevD === 0.0, lit(null)).otherwise(prevD) * 100
+
+  /** Q9 analog (queries.sql:102-121): month-over-month revenue growth per
+    * brand in the latest year.
+    */
+  val q09 = QueryDef(
+    "q09_monthly_growth_by_brand",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
+      val monthly = lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .crossJoin(broadcast(maxYr))
+        .filter(year(col("o_orderdate")) === col("max_yr"))
+        .groupBy(col("p_brand"), month(col("o_orderdate")).as("mnth"))
+        .agg(decSum(col("l_extendedprice")).as("revenue"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("mnth"))
+      monthly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("growth_pct",
+          growthPct(col("revenue").cast(DoubleType),
+            col("prev_revenue").cast(DoubleType)))
+        .orderBy("p_brand", "mnth")
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT p_brand, CAST(month(o_orderdate) AS INTEGER) AS mnth,
+               $RevSum AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+        GROUP BY 1,2)
+      SELECT p_brand, mnth, revenue,
+             LAG(revenue) OVER (PARTITION BY p_brand ORDER BY mnth) AS prev_revenue,
+             (CAST(revenue AS DOUBLE)
+               - CAST(LAG(revenue) OVER (PARTITION BY p_brand ORDER BY mnth) AS DOUBLE))
+               / NULLIF(CAST(LAG(revenue) OVER (PARTITION BY p_brand ORDER BY mnth) AS DOUBLE), 0)
+               * 100 AS growth_pct
+      FROM monthly ORDER BY p_brand, mnth"""))
+
+  /** Q10 analog (queries.sql:125-132): weekend vs weekday revenue by segment
+    * for the latest year (scalar-subquery filter).
+    */
+  val q10 = QueryDef(
+    "q10_weekend_by_segment",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .crossJoin(broadcast(maxYr))
+        .filter(year(col("o_orderdate")) === col("max_yr"))
+        .groupBy(col("c_mktsegment"), isWeekend(col("l_shipdate")).as("is_weekend"))
+        .agg(decSum(col("l_extendedprice")).as("total_revenue"))
+        .orderBy("c_mktsegment", "is_weekend")
+    },
+    Some(s"""
+      SELECT c_mktsegment, isodow(l_shipdate) IN (6,7) AS is_weekend,
+             $RevSum AS total_revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+      GROUP BY 1,2 ORDER BY c_mktsegment, is_weekend"""))
+
+  /** Q11 analog (queries.sql:137-154): top-5 parts per (month, weekend) cell
+    * for one year — the dashboard's headline query.
+    */
+  val q11 = QueryDef(
+    "q11_top_parts_per_month_weekend",
+    (s, dir) => {
+      val li = lineitem(s, dir).filter(year(col("l_shipdate")) === 2000)
+      val base = li.join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(
+          col("l_partkey").as("part_key"), col("p_brand"),
+          month(col("l_shipdate")).as("mnth"),
+          isWeekend(col("l_shipdate")).as("is_weekend"),
+          money(col("l_extendedprice")).as("amt"))
+        .groupBy("part_key", "p_brand", "mnth", "is_weekend")
+        .agg(sum(col("amt")).cast(Money).as("revenue"))
+      val w = Window.partitionBy(col("mnth"), col("is_weekend"))
+        .orderBy(col("revenue").desc, col("part_key"))
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("mnth", "is_weekend", "rn")
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT l_partkey AS part_key, p_brand,
+               CAST(month(l_shipdate) AS INTEGER) AS mnth,
+               isodow(l_shipdate) IN (6,7) AS is_weekend,
+               $RevSum AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) = 2000
+        GROUP BY 1,2,3,4)
+      SELECT * FROM (
+        SELECT part_key, p_brand, mnth, is_weekend, revenue,
+               CAST(ROW_NUMBER() OVER (PARTITION BY mnth, is_weekend
+                 ORDER BY revenue DESC, part_key) AS INTEGER) AS rn
+        FROM base) t
+      WHERE rn <= 5 ORDER BY mnth, is_weekend, rn"""))
+
+  /** Q12 analog (queries.sql:159-171): quarterly revenue growth per customer
+    * nation for one year.
+    */
+  val q12 = QueryDef(
+    "q12_quarterly_growth_by_nation",
+    (s, dir) => {
+      val quarterly = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .filter(year(col("o_orderdate")) === 2000)
+        .groupBy(col("c_nationkey"), quarter(col("o_orderdate")).as("quarter_num"))
+        .agg(decSum(col("l_extendedprice")).as("revenue"))
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("quarter_num"))
+      quarterly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("growth_rate_pct",
+          growthPct(col("revenue").cast(DoubleType),
+            col("prev_revenue").cast(DoubleType)))
+        .orderBy("c_nationkey", "quarter_num")
+    },
+    Some(s"""
+      WITH quarterly AS (
+        SELECT c_nationkey, CAST(quarter(o_orderdate) AS INTEGER) AS quarter_num,
+               $RevSum AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE year(o_orderdate) = 2000
+        GROUP BY 1,2)
+      SELECT c_nationkey, quarter_num, revenue,
+             LAG(revenue) OVER (PARTITION BY c_nationkey ORDER BY quarter_num) AS prev_revenue,
+             (CAST(revenue AS DOUBLE)
+               - CAST(LAG(revenue) OVER (PARTITION BY c_nationkey ORDER BY quarter_num) AS DOUBLE))
+               / NULLIF(CAST(LAG(revenue) OVER (PARTITION BY c_nationkey ORDER BY quarter_num) AS DOUBLE), 0)
+               * 100 AS growth_rate_pct
+      FROM quarterly ORDER BY c_nationkey, quarter_num"""))
+
+  /** Q13 analog (queries.sql:176-181): supplier-side star join — supplier
+    * nation × brand revenue contribution.
+    */
+  val q13 = QueryDef(
+    "q13_supplier_nation_brand",
+    (s, dir) => {
+      lineitem(s, dir)
+        .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(decSum(col("l_extendedprice")).as("total_revenue"))
+        .orderBy(col("n_name"), col("total_revenue").desc, col("p_brand"))
+    },
+    Some(s"""
+      SELECT n_name, p_brand, $RevSum AS total_revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY 1,2 ORDER BY n_name, total_revenue DESC, p_brand"""))
+
+  /** Q14 analog (queries.sql:186-197): seasonal bucketing via searched CASE
+    * in both SELECT and GROUP BY.
+    */
+  val q14 = QueryDef(
+    "q14_seasonal_by_brand",
+    (s, dir) => {
+      val season = when(month(col("l_shipdate")).isin(3, 4, 5), "Spring")
+        .when(month(col("l_shipdate")).isin(6, 7, 8), "Summer")
+        .when(month(col("l_shipdate")).isin(9, 10, 11), "Fall")
+        .otherwise("Winter")
+      lineitem(s, dir)
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), season.as("season"))
+        .agg(decSum(col("l_extendedprice")).as("total_revenue"))
+        .orderBy("p_brand", "season")
+    },
+    Some(s"""
+      SELECT p_brand,
+             CASE WHEN month(l_shipdate) IN (3,4,5) THEN 'Spring'
+                  WHEN month(l_shipdate) IN (6,7,8) THEN 'Summer'
+                  WHEN month(l_shipdate) IN (9,10,11) THEN 'Fall'
+                  ELSE 'Winter' END AS season,
+             $RevSum AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1,2 ORDER BY p_brand, season"""))
+
+  /** Q15 analog (queries.sql:203-230): month-to-month revenue volatility per
+    * supplier — LAG with two-column ordering.
+    */
+  val q15 = QueryDef(
+    "q15_supplier_monthly_volatility",
+    (s, dir) => {
+      val monthly = lineitem(s, dir)
+        .groupBy(
+          col("l_suppkey"),
+          year(col("l_shipdate")).as("yr"),
+          month(col("l_shipdate")).as("mnth"))
+        .agg(decSum(col("l_extendedprice")).as("revenue"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("yr"), col("mnth"))
+      monthly
+        .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+        .withColumn("volatility_pct",
+          growthPct(col("revenue").cast(DoubleType),
+            col("prev_revenue").cast(DoubleType)))
+        .orderBy("l_suppkey", "yr", "mnth")
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT l_suppkey, CAST(year(l_shipdate) AS INTEGER) AS yr,
+               CAST(month(l_shipdate) AS INTEGER) AS mnth,
+               $RevSum AS revenue
+        FROM lineitem GROUP BY 1,2,3)
+      SELECT l_suppkey, yr, mnth, revenue,
+             LAG(revenue) OVER (PARTITION BY l_suppkey ORDER BY yr, mnth) AS prev_revenue,
+             (CAST(revenue AS DOUBLE)
+               - CAST(LAG(revenue) OVER (PARTITION BY l_suppkey ORDER BY yr, mnth) AS DOUBLE))
+               / NULLIF(CAST(LAG(revenue) OVER (PARTITION BY l_suppkey ORDER BY yr, mnth) AS DOUBLE), 0)
+               * 100 AS volatility_pct
+      FROM monthly ORDER BY l_suppkey, yr, mnth"""))
+
+  /** Q16 analog (queries.sql:236-243): market-basket pairs — self-join on the
+    * order key with a `<` residual (equi-keyed hash join, never a cartesian),
+    * then global top-5.
+    */
+  val q16 = QueryDef(
+    "q16_basket_pairs",
+    (s, dir) => {
+      val li = lineitem(s, dir)
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("product_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("product_b"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("product_a") < col("product_b"))
+        .groupBy("product_a", "product_b")
+        .agg(count(lit(1)).as("times_bought_together"))
+        .orderBy(col("times_bought_together").desc,
+          col("product_a"), col("product_b"))
+        .limit(5)
+    },
+    Some("""
+      SELECT a.l_partkey AS product_a, b.l_partkey AS product_b,
+             COUNT(*) AS times_bought_together
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1,2
+      ORDER BY times_bought_together DESC, product_a, product_b
+      LIMIT 5"""))
+
+  /** Q17 analog (queries.sql:250-257): ROLLUP over (region, nation, segment,
+    * year) for the latest year — hierarchical subtotal rows with NULL markers.
+    */
+  val q17 = QueryDef(
+    "q17_rollup_region_nation_segment",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .crossJoin(broadcast(maxYr))
+        .filter(year(col("o_orderdate")) === col("max_yr"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .rollup(col("r_name"), col("n_name"), col("c_mktsegment"), col("yr"))
+        .agg(decSum(col("l_extendedprice")).as("yearly_revenue"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first, col("yr").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT r_name, n_name, c_mktsegment, CAST(year(o_orderdate) AS INTEGER) AS yr,
+             $RevSum AS yearly_revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+      GROUP BY ROLLUP (r_name, n_name, c_mktsegment, yr)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST,
+               c_mktsegment ASC NULLS FIRST, yr ASC NULLS FIRST"""))
+
+  /** Q18 analog (queries.sql:263-275): H1/H2 pivot-by-CASE with reference
+    * NULL semantics — SUM(CASE WHEN … END) with no ELSE stays NULL for an
+    * empty bucket (`when` without `otherwise`).
+    */
+  val q18 = QueryDef(
+    "q18_h1_h2_pivot",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
+      val m = month(col("o_orderdate"))
+      val amt = money(col("l_extendedprice"))
+      val qty = money(col("l_quantity"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .crossJoin(broadcast(maxYr))
+        .filter(year(col("o_orderdate")) === col("max_yr"))
+        .groupBy("p_brand")
+        .agg(
+          sum(when(m.between(1, 6), amt)).cast(Money).as("h1_revenue"),
+          sum(when(m.between(7, 12), amt)).cast(Money).as("h2_revenue"),
+          sum(amt).cast(Money).as("total_revenue"),
+          sum(when(m.between(1, 6), qty)).cast(Money).as("h1_quantity"),
+          sum(when(m.between(7, 12), qty)).cast(Money).as("h2_quantity"),
+          sum(qty).cast(Money).as("total_quantity"))
+        .orderBy(col("total_revenue").desc, col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand,
+        CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 1 AND 6
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS h1_revenue,
+        CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 7 AND 12
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS h2_revenue,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+        CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 1 AND 6
+          THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS h1_quantity,
+        CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 7 AND 12
+          THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS h2_quantity,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_quantity
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)
+      GROUP BY 1 ORDER BY total_revenue DESC, p_brand"""))
+
+  /** Q19 analog (queries.sql:281-300): daily revenue spikes — join-back of a
+    * per-part average onto per-part-per-day totals, keeping only spike rows.
+    */
+  val q19 = QueryDef(
+    "q19_daily_spikes",
+    (s, dir) => {
+      val daily = lineitem(s, dir)
+        .groupBy(col("l_partkey").as("part_key"),
+          col("l_shipdate").cast(DateType).as("ship_day"))
+        .agg(decSum(col("l_extendedprice")).as("daily_total"))
+      val avg = daily.groupBy("part_key")
+        .agg((sum(col("daily_total")).cast(DoubleType) / count(lit(1)))
+          .as("avg_daily_sales"))
+      daily.join(avg, Seq("part_key"))
+        .filter(col("daily_total").cast(DoubleType) > col("avg_daily_sales") * 2)
+        .withColumn("status", lit("SPIKE"))
+        .orderBy("part_key", "ship_day")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS ship_day,
+               $RevSum AS daily_total
+        FROM lineitem GROUP BY 1,2),
+      pavg AS (
+        SELECT part_key,
+               CAST(SUM(daily_total) AS DOUBLE) / COUNT(*) AS avg_daily_sales
+        FROM daily GROUP BY 1)
+      SELECT d.part_key, d.ship_day, d.daily_total, pavg.avg_daily_sales,
+             'SPIKE' AS status
+      FROM daily d JOIN pavg USING (part_key)
+      WHERE CAST(d.daily_total AS DOUBLE) > pavg.avg_daily_sales * 2
+      ORDER BY part_key, ship_day"""))
+
+  /** Q20 analog (queries.sql:306-313): a named reusable view of quarterly
+    * revenue per nation, then a full scan of it.
+    */
+  val q20 = QueryDef(
+    "q20_nation_quarterly_view",
+    (s, dir) => {
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(
+          col("n_nationkey"), col("n_name"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("quarter_num"))
+        .agg(decSum(col("l_extendedprice")).as("total_quarterly_sales"))
+        .createOrReplaceTempView("nation_quarterly_sales")
+      s.table("nation_quarterly_sales")
+        .orderBy("n_name", "yr", "quarter_num", "n_nationkey")
+    },
+    Some(s"""
+      WITH nation_quarterly_sales AS (
+        SELECT n_nationkey, n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(quarter(o_orderdate) AS INTEGER) AS quarter_num,
+               $RevSum AS total_quarterly_sales
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1,2,3,4)
+      SELECT * FROM nation_quarterly_sales
+      ORDER BY n_name, yr, quarter_num, n_nationkey"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+}
