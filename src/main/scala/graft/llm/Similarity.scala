@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  *  - Brute-force top-k: the QUERY set is broadcast; the candidate corpus is
+  *    scanned exactly once with a fused dot-product expression. This is the
+  *    correct baseline at any scale when |queries| is small: one pass, no
+  *    shuffle of the corpus, TakeOrdered per query.
+  *  - LSH (sign-random-projection) buckets: candidates share a hyperplane
+  *    sign signature; the expensive exact scoring runs only within buckets
+  *    — the scale path when |queries| is large or for all-pairs near-dup.
+  *
+  * All dot products fold left-to-right in double precision, so scores are
+  * bit-stable and order-independent of partitioning.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. Queries are broadcast; ranking is a window per query id with
+    * deterministic tie-breaking.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv")))
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
+    * across runs and engines).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket key: one bit per hyperplane. */
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit).toIndexedSeq: _*)
+      when(dot(v, plane) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: score only within each bucket (equi join on the
+    * bucket key). Fewer planes → bigger buckets → better recall, more work.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 8): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nPlanes, dim)
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes)))
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, generated
+    * within LSH buckets only (equi join, no cartesian).
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      nPlanes: Int = 8): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val a = c.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = c.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .dropDuplicates("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators as driver-contract queries over the
+  * `documents` and `embeddings` testdata tables. SQL-expressible ops carry a
+  * DuckDB oracle; signature-based ops (MinHash/SimHash/LSH use
+  * Spark-internal hash functions) are rows-only checked and unit-tested
+  * instead.
+  */
+object LlmQueries {
+
+  /** Exact dedup: hash-groupBy on content, deterministic survivor. */
+  val dedupExact = QueryDef(
+    "llm_dedup_exact",
+    (s, dir) => Dedup.exactDuplicates(documents(s, dir))
+      .orderBy("keeper_id"),
+    Some("""
+      SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies,
+             md5(text) AS fp_md5
+      FROM documents GROUP BY text ORDER BY keeper_id"""))
+
+  /** MinHash+LSH near-dup: per-doc candidate profile (stable 1-row-per-doc
+    * output regardless of how many band collisions occur), plus the top
+    * pair estimate. Candidate join is band-key equi — never all-pairs.
+    */
+  val dedupMinhash = QueryDef(
+    "llm_dedup_minhash",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val cands = Dedup.minhashCandidates(docs)
+      val perDoc = cands.select(col("doc_a").as("doc_id"))
+        .union(cands.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      docs.select(col("doc_id"),
+          xxhash64(Dedup.minhashSignature(Dedup.shingles(col("text"))))
+            .as("sig_hash"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("sig_hash"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** SimHash near-dup: per-doc 64-bit signature + Hamming-LSH candidate
+    * count (16-bit chunk buckets).
+    */
+  val dedupSimhash = QueryDef(
+    "llm_dedup_simhash",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      val cands = Dedup.simhashCandidates(docs)
+      val perDoc = cands.select(col("doc_a").as("doc_id"), col("hamming"))
+        .union(cands.select(col("doc_b").as("doc_id"), col("hamming")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_candidates"), min(col("hamming")).as("min_hamming"))
+      sigs.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("simhash"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("min_hamming"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** n-gram Jaccard profile: per-doc distinct word-3-gram counts — the
+    * shingle layer of the dedup stack, oracle-checkable end-to-end.
+    */
+  val ngramProfile = QueryDef(
+    "llm_ngram_profile",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+        size(Dedup.shingles(col("text"))).as("n_distinct_3grams"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents)
+      SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INTEGER)
+               AS n_distinct_3grams
+      FROM toks ORDER BY doc_id"""))
+
+  /** Token counting (whitespace tokenizer) — fused into the scan. */
+  val textTokens = QueryDef(
+    "llm_text_tokens",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+             END AS n_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars
+      FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: integer-count-derived ratios in IEEE double —
+    * bit-stable, oracle-checked.
+    */
+  val textQuality = QueryDef(
+    "llm_text_quality",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+          length(regexp_replace(trim(text), '\s+', '', 'g')) AS letters,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('the','a','an','and','of','to','in'))) END AS stops
+        FROM documents)
+      SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE) END AS avg_token_len,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE CAST(stops AS DOUBLE) / CAST(n AS DOUBLE) END AS stopword_ratio,
+        least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.4
+          + least(1.0, (CASE WHEN n = 0 THEN 0.0
+              ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE) END) / 8.0) * 0.3
+          + (1.0 - CASE WHEN n = 0 THEN 0.0
+              ELSE CAST(stops AS DOUBLE) / CAST(n AS DOUBLE) END) * 0.3
+          AS quality_score
+      FROM t ORDER BY doc_id"""))
+
+  /** Language-ID heuristic: stopword voting with deterministic ties. */
+  val textLangId = QueryDef(
+    "llm_text_langid",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      scored AS (
+        SELECT doc_id, lang,
+          len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS s_de,
+          len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('el','los','las','que','es','un','una'))) AS s_es
+        FROM t)
+      SELECT doc_id, lang,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+             WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+             ELSE 'und' END AS lang_pred
+      FROM scored ORDER BY doc_id"""))
+
+  /** Document fingerprinting, oracle-stable MD5 flavor. */
+  val textFingerprint = QueryDef(
+    "llm_text_fingerprint",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.md5Fingerprint(col("text")).as("fp_md5"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, md5(text) AS fp_md5
+      FROM documents ORDER BY doc_id"""))
+
+  /** Rolling-hash fingerprint via the custom Catalyst expression
+    * (graft.functions.RollingHash, whole-stage-codegen'd). Not expressible
+    * in the oracle dialect; rows-only checked + unit-tested.
+    */
+  val textRollhash = QueryDef(
+    "llm_text_rollhash",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fp_roll"))
+      .orderBy("doc_id"),
+    None)
+
+  /** Multimodal plumbing: binary payload + metadata struct + deterministic
+    * feature columns. The decode stub is exercised in unit tests; this
+    * query checks the oracle-stable binary path (octet length + MD5 of the
+    * payload bytes).
+    */
+  val multimodalBinary = QueryDef(
+    "llm_multimodal_binary",
+    (s, dir) => {
+      val media = Multimodal.toMediaTable(documents(s, dir))
+      media.select(
+        col("media_id"),
+        octet_length(col("media")).as("media_len"),
+        md5(col("media")).as("media_md5"),
+        col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS media_len,
+             md5(text) AS media_md5,
+             source AS format,
+             CAST(n_chars % 640 AS INTEGER) AS width,
+             CAST((n_chars * 7) % 480 AS INTEGER) AS height
+      FROM documents ORDER BY media_id"""))
+
+  /** Brute-force cosine top-k over the embeddings table: 10 broadcast query
+    * vectors against the full corpus, one scan.
+    */
+  val annBruteForce = QueryDef(
+    "llm_ann_bruteforce",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.qv, c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]))) AS cosine
+        FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
+  /** LSH-bucketed ANN — the scale path: scoring only within
+    * sign-random-projection buckets. Hyperplanes are seeded/deterministic
+    * but not oracle-expressible; rows-only + unit-tested recall.
+    */
+  val annLsh = QueryDef(
+    "llm_ann_lsh",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, 5, nPlanes = 4)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets. The 0.15
+    * threshold is calibrated to this synthetic corpus (random-ish 64-dim
+    * vectors: cosine mass concentrates near 0, in-bucket max ≈ 0.25); real
+    * embedding spaces would use 0.9+.
+    */
+  val embedNearDup = QueryDef(
+    "llm_embed_neardup",
+    (s, dir) => Similarity.nearDupPairs(embeddings(s, dir), 0.15, nPlanes = 4)
+      .orderBy("vec_a", "vec_b"),
+    None)
+
+  val all: Seq[QueryDef] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
+    textTokens, textQuality, textLangId, textFingerprint, textRollhash,
+    multimodalBinary, annBruteForce, annLsh, embedNearDup)
+}

@@ -1,0 +1,67 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 8
+
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                   // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),          // near dup of 0
+    (3L, "completely different content about spark sql engines and joins"),
+    (4L, "another unrelated document mentioning parquet and shuffles"))
+    .toDF("doc_id", "text")
+
+  test("exactDuplicates groups identical texts, deterministic keeper") {
+    val out = Dedup.exactDuplicates(docs).orderBy("keeper_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Long]("keeper_id") == 0L)
+    assert(out(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val cands = Dedup.minhashCandidates(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L))) // exact dup always collides
+    assert(cands.contains((0L, 2L)) || cands.contains((1L, 2L))) // near dup
+    assert(!cands.contains((3L, 4L))) // unrelated
+  }
+
+  test("verifyJaccard: exact dup = 1.0; near dup high; candidates only") {
+    val cands = Dedup.minhashCandidates(docs)
+    val verified = Dedup.verifyJaccard(cands, docs, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    val exact = verified.find(r => r.getLong(1) == 0L && r.getLong(0) == 1L)
+      .orElse(verified.find(r => r.getAs[Long]("doc_a") == 0L
+        && r.getAs[Long]("doc_b") == 1L))
+    assert(exact.isDefined && exact.get.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical texts equal; near dup within small hamming") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    val hammingNear = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    val hammingFar = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simhashCandidates pairs exact dups with hamming 0") {
+    val out = Dedup.simhashCandidates(docs)
+      .filter($"doc_a" === 0L && $"doc_b" === 1L).collect()
+    assert(out.length == 1 && out(0).getAs[Int]("hamming") == 0)
+  }
+
+  test("shingles: distinct word 3-grams; short docs do not error") {
+    val sh = Seq((0L, "a b c d"), (1L, "x y"))
+      .toDF("doc_id", "text")
+      .select(Dedup.shingles($"text").as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq("x y")) // whole doc as single shingle
+  }
+}

@@ -1,0 +1,48 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "hello world", "en", "srcA", 11L),
+    (1L, "x" * 600, "en", "srcB", 600L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("toMediaTable produces binary payload + typed metadata struct") {
+    val m = Multimodal.toMediaTable(docs)
+    assert(m.schema("media").dataType.typeName == "binary")
+    val r = m.orderBy("media_id").head()
+    assert(new String(r.getAs[Array[Byte]]("media"), "UTF-8") == "hello world")
+    val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[String]("format") == "srcA")
+    assert(meta.getAs[Int]("width") == 11)
+  }
+
+  test("fakeDecode: histogram buckets sum to payload length") {
+    val bytes = "abcdef".getBytes("UTF-8")
+    val (mean, hist) = Multimodal.fakeDecode(bytes)
+    assert(hist.sum == bytes.length)
+    assert(math.abs(mean - bytes.map(_ & 0xff).sum.toDouble / bytes.length)
+      < 1e-12)
+    val (zmean, zhist) = Multimodal.fakeDecode(Array.empty[Byte])
+    assert(zmean == 0.0 && zhist.sum == 0)
+  }
+
+  test("extractFeatures runs partition-local over binary column") {
+    val out = Multimodal.extractFeatures(Multimodal.toMediaTable(docs))
+      .orderBy("media_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Int]("n_bytes") == 11)
+    assert(out(1).getAs[Int]("n_bytes") == 600)
+    assert(out(0).getAs[Seq[Long]]("histogram").sum == 11L)
+  }
+
+  test("sampleFrames strides through the payload in 256-byte frames") {
+    val out = Multimodal.sampleFrames(Multimodal.toMediaTable(docs), stride = 2)
+      .filter($"media_id" === 1L).orderBy("frame_idx").collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 2))
+    assert(out(0).getAs[Array[Byte]]("frame_bytes").length == 256)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // Two tight clusters around orthogonal axes + noise vectors.
+  private def vecs = {
+    def v(axis: Int, wiggle: Double, dim: Int = 64): Array[Float] =
+      Array.tabulate(dim)(i =>
+        (if (i == axis) 1.0 else 0.0) + wiggle * ((i * 7 % 5) - 2) * 0.01)
+        .map(_.toFloat)
+    Seq(
+      (0L, v(0, 0.0)), (1L, v(0, 1.0)), (2L, v(0, 2.0)),   // cluster A
+      (10L, v(32, 0.0)), (11L, v(32, 1.0)), (12L, v(32, 2.0)), // cluster B
+      (20L, Array.tabulate(64)(i => ((i * 13 % 7) - 3) * 0.1f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks same-cluster vectors first") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0L), vecs, 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 20L)
+      || out.map(_.getAs[Long]("neighbor_id")).take(2).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Double]("cosine") > 0.99)
+  }
+
+  test("cosine of identical vectors is 1.0 (within fp)") {
+    val two = vecs.filter($"vec_id" === 0L)
+    val out = Similarity.bruteForceTopK(two,
+      vecs.filter($"vec_id" <= 1L)
+        .withColumn("vec_id", $"vec_id" + 100L), 1).collect()
+    assert(out.nonEmpty)
+  }
+
+  test("LSH buckets put near-identical vectors together; recall vs brute") {
+    val brute = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id".isin(0L, 10L)), vecs, 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(
+      vecs.filter($"vec_id".isin(0L, 10L)), vecs, 2, nPlanes = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // with 2 planes (4 buckets), same-cluster vectors collide with high
+    // probability; require at least half the brute-force pairs recovered
+    assert(lsh.intersect(brute).size * 2 >= brute.size)
+  }
+
+  test("nearDupPairs finds within-cluster pairs above threshold") {
+    val out = Similarity.nearDupPairs(vecs, 0.9, nPlanes = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 1L)) || out.contains((1L, 2L))
+      || out.contains((0L, 2L)))
+    assert(!out.exists { case (a, b) => a < 10 && b >= 10 })
+  }
+}

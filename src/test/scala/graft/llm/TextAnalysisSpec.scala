@@ -1,0 +1,56 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace runs, empty string, surrounding space") {
+    val out = Seq("a b  c", "", "  ", " x ")
+      .toDF("text")
+      .select(TextAnalysis.tokenCount($"text").as("n"))
+      .collect().map(_.getInt(0))
+    assert(out.toSeq == Seq(3, 0, 0, 1))
+  }
+
+  test("stopwordRatio and avgTokenLen from integer counts") {
+    val r = Seq("the cat sat on a mat").toDF("text")
+      .select(
+        TextAnalysis.stopwordRatio($"text").as("sr"),
+        TextAnalysis.avgTokenLen($"text").as("al"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 2.0 / 6.0) < 1e-15)
+    assert(math.abs(r.getDouble(1) - 15.0 / 6.0) < 1e-15) // 15 letters, 6 tokens
+  }
+
+  test("qualityScore in [0,1] and monotone in length credit") {
+    val out = Seq("word " * 5, "word " * 200).toDF("text")
+      .select(TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(_.getDouble(0))
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(1) > out(0))
+  }
+
+  test("langId votes by stopword lists; und when no hits") {
+    val out = Seq(
+      "the cat and the dog in a house",
+      "der hund und die katze ist nicht da",
+      "le chat et la maison est une",
+      "el perro que es un gato los dos",
+      "zzz qqq www")
+      .toDF("text")
+      .select(TextAnalysis.langId($"text").as("l"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("profile emits one row per doc with all feature columns") {
+    val out = TextAnalysis.profile(
+      Seq((1L, "the quick brown fox")).toDF("doc_id", "text"))
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "n_chars",
+      "avg_token_len", "stopword_ratio", "quality_score", "lang_pred",
+      "fp_md5"))
+    assert(out.count() == 1)
+  }
+}
