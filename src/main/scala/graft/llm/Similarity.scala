@@ -36,13 +36,18 @@ object Similarity {
     * deterministic tie-breaking.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    // Pre-compute norms on each side so the per-pair work is one dot product
+    // — the query norm would otherwise be re-folded for every corpus row.
     val q = broadcast(queries.select(
-      col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv")))
+      col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qnorm", norm(col("qv"))))
     val c = corpus.select(
       col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine",
+        dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored

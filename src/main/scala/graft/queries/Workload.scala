@@ -42,6 +42,27 @@ object Workload {
 
   import Tables._
 
+  /** Literal-year range predicate: same semantics as year(c) === y but
+    * sargable — it reaches the parquet scan as a min/max-prunable filter,
+    * where year(c) = y (a function of the column) cannot.
+    */
+  private def inYear(c: Column, y: Int): Column =
+    c >= lit(s"$y-01-01").cast(TimestampType) &&
+      c < lit(s"${y + 1}-01-01").cast(TimestampType)
+
+  /** Orders restricted to the latest order year — the scalar MAX(year)
+    * subquery realized as a broadcast 1-row cross join applied BEFORE any
+    * fact-side join, so the year filter prunes the orders side first
+    * instead of filtering a fully-joined fact.
+    */
+  private def ordersLatestYear(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
+    o.crossJoin(broadcast(maxYr))
+      .filter(year(col("o_orderdate")) === col("max_yr"))
+      .drop("max_yr")
+  }
+
   // Shared oracle fragments (DuckDB dialect).
   private val RevSum = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
   private val QtySum = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))"
@@ -53,7 +74,7 @@ object Workload {
   val q01 = QueryDef(
     "q01_top_parts_month_weekend",
     (s, dir) => {
-      val li = lineitem(s, dir).filter(year(col("l_shipdate")) === 2000)
+      val li = lineitem(s, dir).filter(inYear(col("l_shipdate"), 2000))
       li.join(part(s, dir), col("l_partkey") === col("p_partkey"))
         .select(
           col("l_partkey").as("part_key"), col("p_brand"),
@@ -128,13 +149,9 @@ object Workload {
   val q04 = QueryDef(
     "q04_quarterly_latest_year",
     (s, dir) => {
-      val o = orders(s, dir)
-      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
       lineitem(s, dir)
-        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(ordersLatestYear(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .crossJoin(broadcast(maxYr))
-        .filter(year(col("o_orderdate")) === col("max_yr"))
         .groupBy(quarter(col("o_orderdate")).as("quarter_num"), col("c_mktsegment"))
         .agg(
           decSum(col("l_extendedprice")).as("total_revenue"),
@@ -191,12 +208,13 @@ object Workload {
     (s, dir) => {
       val o = orders(s, dir)
       val maxD = o.agg(max(col("o_orderdate")).as("latest"))
-      lineitem(s, dir)
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .crossJoin(broadcast(maxD))
+      val oRecent = o.crossJoin(broadcast(maxD))
         .filter(col("o_orderdate")
           .between(expr("latest - INTERVAL '6' MONTH"), col("latest")))
+        .drop("latest")
+      lineitem(s, dir)
+        .join(oRecent, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy(
           col("c_mktsegment"),
           year(col("o_orderdate")).as("yr"),
@@ -287,13 +305,9 @@ object Workload {
   val q09 = QueryDef(
     "q09_monthly_growth_by_brand",
     (s, dir) => {
-      val o = orders(s, dir)
-      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
       val monthly = lineitem(s, dir)
-        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(ordersLatestYear(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(part(s, dir), col("l_partkey") === col("p_partkey"))
-        .crossJoin(broadcast(maxYr))
-        .filter(year(col("o_orderdate")) === col("max_yr"))
         .groupBy(col("p_brand"), month(col("o_orderdate")).as("mnth"))
         .agg(decSum(col("l_extendedprice")).as("revenue"))
       val w = Window.partitionBy(col("p_brand")).orderBy(col("mnth"))
@@ -327,13 +341,9 @@ object Workload {
   val q10 = QueryDef(
     "q10_weekend_by_segment",
     (s, dir) => {
-      val o = orders(s, dir)
-      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
       lineitem(s, dir)
-        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(ordersLatestYear(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .crossJoin(broadcast(maxYr))
-        .filter(year(col("o_orderdate")) === col("max_yr"))
         .groupBy(col("c_mktsegment"), isWeekend(col("l_shipdate")).as("is_weekend"))
         .agg(decSum(col("l_extendedprice")).as("total_revenue"))
         .orderBy("c_mktsegment", "is_weekend")
@@ -353,7 +363,7 @@ object Workload {
   val q11 = QueryDef(
     "q11_top_parts_per_month_weekend",
     (s, dir) => {
-      val li = lineitem(s, dir).filter(year(col("l_shipdate")) === 2000)
+      val li = lineitem(s, dir).filter(inYear(col("l_shipdate"), 2000))
       val base = li.join(part(s, dir), col("l_partkey") === col("p_partkey"))
         .select(
           col("l_partkey").as("part_key"), col("p_brand"),
@@ -391,9 +401,9 @@ object Workload {
     "q12_quarterly_growth_by_nation",
     (s, dir) => {
       val quarterly = lineitem(s, dir)
-        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(orders(s, dir).filter(inYear(col("o_orderdate"), 2000)),
+          col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .filter(year(col("o_orderdate")) === 2000)
         .groupBy(col("c_nationkey"), quarter(col("o_orderdate")).as("quarter_num"))
         .agg(decSum(col("l_extendedprice")).as("revenue"))
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("quarter_num"))
@@ -536,15 +546,11 @@ object Workload {
   val q17 = QueryDef(
     "q17_rollup_region_nation_segment",
     (s, dir) => {
-      val o = orders(s, dir)
-      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
       lineitem(s, dir)
-        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(ordersLatestYear(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
         .join(region(s, dir), col("n_regionkey") === col("r_regionkey"))
-        .crossJoin(broadcast(maxYr))
-        .filter(year(col("o_orderdate")) === col("max_yr"))
         .withColumn("yr", year(col("o_orderdate")))
         .rollup(col("r_name"), col("n_name"), col("c_mktsegment"), col("yr"))
         .agg(decSum(col("l_extendedprice")).as("yearly_revenue"))
@@ -571,16 +577,12 @@ object Workload {
   val q18 = QueryDef(
     "q18_h1_h2_pivot",
     (s, dir) => {
-      val o = orders(s, dir)
-      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
       val m = month(col("o_orderdate"))
       val amt = money(col("l_extendedprice"))
       val qty = money(col("l_quantity"))
       lineitem(s, dir)
-        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(ordersLatestYear(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(part(s, dir), col("l_partkey") === col("p_partkey"))
-        .crossJoin(broadcast(maxYr))
-        .filter(year(col("o_orderdate")) === col("max_yr"))
         .groupBy("p_brand")
         .agg(
           sum(when(m.between(1, 6), amt)).cast(Money).as("h1_revenue"),
