@@ -13,6 +13,24 @@ import org.apache.spark.sql.types._
 object Dimensions {
   private val Price = DecimalType(12, 2)
 
+  /** CSV master-data source (S2): header'd, quoted fields (categories carry
+    * embedded commas), leading unnamed pandas index column dropped — the
+    * reference CSVs' exact shape (FIXTURES.md §B1/§B2).
+    */
+  def readMasterCsv(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
+    // pandas' to_csv writes the index as an unnamed first column
+    val first = raw.columns.head
+    if (first.isEmpty || first.startsWith("_c0") || first == "Unnamed: 0")
+      raw.drop(first)
+    else raw
+  }
+
   /** Dedup a denormalized master frame into a dimension on `keyCols`.
     * Uses groupBy + min instead of dropDuplicates so the surviving row is
     * deterministic under any partitioning (dropDuplicates keeps an arbitrary
