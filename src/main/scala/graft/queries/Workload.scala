@@ -200,6 +200,35 @@ object Workload {
         FROM base) t
       WHERE rn <= 5 ORDER BY p_type, rn"""))
 
+  /** Q5 again through the custom TypedImperativeAggregate
+    * (graft.functions.TopKAggregate) instead of the window operator: the
+    * bounded-heap aggregate shuffles at most k rows per group (map-side
+    * combine), where the window realization sorts every row of every
+    * group. Shares q05's oracle — the two plans must agree exactly.
+    */
+  val q05b = QueryDef(
+    "q05_top_segments_topk_agg",
+    (s, dir) => {
+      val base = lineitem(s, dir)
+        .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("p_type", "c_mktsegment")
+        .agg(decSum(col("l_extendedprice")).as("total_revenue"))
+      val tops = base.groupBy("p_type")
+        .agg(graft.functions.TopKAggregate.top_k(
+          col("total_revenue").cast(DoubleType), col("c_mktsegment"), 5)
+          .as("top"))
+        .select(col("p_type"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("p_type"), col("t.tag").as("c_mktsegment"),
+          (col("pos") + 1).cast(IntegerType).as("rn"))
+      tops.join(base, Seq("p_type", "c_mktsegment"))
+        .select(col("p_type"), col("c_mktsegment"), col("total_revenue"),
+          col("rn"))
+        .orderBy("p_type", "rn")
+    },
+    q05.oracle)
+
   /** Q6 analog (queries.sql:61-70): activity in the 6 months up to the max
     * order date — range join against a 1-row scalar via broadcast cross join.
     */
@@ -677,6 +706,6 @@ object Workload {
       ORDER BY n_name, yr, quarter_num, n_nationkey"""))
 
   val all: Seq[QueryDef] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
 }
