@@ -26,6 +26,16 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(filter(tokens(text), t => t.isin(words: _*))))
 
+  /** BPE-ish pre-tokenization count: letter runs, digit runs, and single
+    * punctuation marks — the segmentation BPE vocabularies split on before
+    * merges. A cheap, deterministic proxy for "how many tokens will the
+    * tokenizer emit", good for corpus budgeting without a vocab file.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** English-ish stopwords used by the quality score. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in")
 

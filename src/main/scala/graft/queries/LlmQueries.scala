@@ -87,12 +87,16 @@ object LlmQueries {
                AS n_distinct_3grams
       FROM toks ORDER BY doc_id"""))
 
-  /** Token counting (whitespace tokenizer) — fused into the scan. */
+  /** Token counting — whitespace tokenizer plus a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single punctuation, the pre-tokenization
+    * shape BPE vocabularies split on) — both fused into the scan.
+    */
   val textTokens = QueryDef(
     "llm_text_tokens",
     (s, dir) => documents(s, dir)
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).as("n_chars"))
       .orderBy("doc_id"),
     Some("""
@@ -100,6 +104,8 @@ object LlmQueries {
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
              END AS n_tokens,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
              CAST(length(text) AS INTEGER) AS n_chars
       FROM documents ORDER BY doc_id"""))
 

