@@ -97,6 +97,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF-style ANN: the corpus is partitioned into nlist inverted lists by
+    * nearest centroid; a query scores only the lists of its nprobe nearest
+    * centroids. Centroids are deterministic (the nlist lowest-id vectors —
+    * a seed-free stand-in for k-means that keeps runs reproducible).
+    *
+    * Scale shape: assignment is one corpus scan against a broadcast
+    * centroid table (nlist small); candidate generation is an equi join on
+    * centroid_id — the corpus is never compared all-pairs, and increasing
+    * nlist shrinks per-list work linearly.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = broadcast(corpus.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id").as("centroid_id"),
+        asDouble(col("embedding")).as("centv")))
+
+    def nearestCentroids(df: DataFrame, idCol: String, vCol: String,
+        keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("aff").desc, col("centroid_id"))
+      df.crossJoin(cents)
+        .withColumn("aff", dot(col(vCol), col("centv")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centv", "aff", "crank")
+    }
+
+    val corpusLists = nearestCentroids(
+      corpus.select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("cv")), "neighbor_id", "cv", 1)
+    val queryProbes = nearestCentroids(
+      queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv")), "query_id", "qv", nprobe)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    corpusLists.join(queryProbes, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, generated
     * within LSH buckets only (equi join, no cartesian).
     */

@@ -115,5 +115,52 @@ object EtlQueries {
       FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
       ORDER BY date_id"""))
 
-  val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim)
+  /** Gap-based sessionization over the events stream table — the batch
+    * twin of StreamOps.sessionize (10-minute gap), fully oracle-checked:
+    * LAG-gap boundary detection, running session ids, per-session
+    * aggregates with exact decimal sums.
+    */
+  val sessionsBatch = QueryDef(
+    "stream_sessions_batch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            (unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 600000L))
+            .cast("int"))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(Money)).cast(Money).as("total_value"))
+        .drop("session_id")
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, CAST(value AS DECIMAL(18,2)) AS v,
+               LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events),
+      y AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+          OR (epoch_ms(ts) - epoch_ms(prev_ts)) > 600000 THEN 1 ELSE 0 END AS ns
+        FROM x),
+      z AS (
+        SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM y)
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(v) AS DECIMAL(18,2)) AS total_value
+      FROM z GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch)
 }

@@ -262,6 +262,19 @@ object LlmQueries {
     },
     None)
 
+  /** IVF-bucketed ANN — inverted-list scale path (deterministic centroid
+    * seeding, equi join on centroid assignment). Rows-only + recall test.
+    */
+  val annIvf = QueryDef(
+    "llm_ann_ivf",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, 5,
+        nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    },
+    None)
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. The 0.15
     * threshold is calibrated to this synthetic corpus (random-ish 64-dim
     * vectors: cosine mass concentrates near 0, in-bucket max ≈ 0.25); real
@@ -276,5 +289,5 @@ object LlmQueries {
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
     textTokens, textQuality, textLangId, textFingerprint, textRollhash,
-    multimodalBinary, annBruteForce, annLsh, embedNearDup)
+    multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup)
 }

@@ -48,6 +48,21 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.intersect(brute).size * 2 >= brute.size)
   }
 
+  test("ivfTopK recovers brute-force neighbors when probing enough lists") {
+    val brute = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id".isin(0L, 10L)), vecs, 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(
+      vecs.filter($"vec_id".isin(0L, 10L)), vecs, 2, nlist = 3, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // probing all lists = exhaustive search: must equal brute force
+    assert(ivf == brute)
+    val ivfPartial = Similarity.ivfTopK(
+      vecs.filter($"vec_id".isin(0L, 10L)), vecs, 2, nlist = 3, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfPartial.intersect(brute).size * 2 >= brute.size)
+  }
+
   test("nearDupPairs finds within-cluster pairs above threshold") {
     val out = Similarity.nearDupPairs(vecs, 0.9, nPlanes = 2)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
