@@ -705,7 +705,95 @@ object Workload {
       SELECT * FROM nation_quarterly_sales
       ORDER BY n_name, yr, quarter_num, n_nationkey"""))
 
+  // ---- Capabilities beyond the reference workload (SURVEY.md §2.4 notes
+  // these "come free with Spark" — demonstrated and oracle-checked here) ----
+
+  /** Running-total window frame (ROWS BETWEEN — the reference uses only
+    * default frames): cumulative revenue per nation across months.
+    */
+  val q21 = QueryDef(
+    "q21_cumulative_revenue",
+    (s, dir) => {
+      val monthly = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mnth"))
+        .agg(decSum(col("l_extendedprice")).as("revenue"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("yr"), col("mnth"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .withColumn("cumulative_revenue", sum(col("revenue")).over(w).cast(Money))
+        .orderBy("n_name", "yr", "mnth")
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mnth,
+               $RevSum AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1,2,3)
+      SELECT n_name, yr, mnth, revenue,
+             CAST(SUM(revenue) OVER (PARTITION BY n_name ORDER BY yr, mnth
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,2)) AS cumulative_revenue
+      FROM monthly ORDER BY n_name, yr, mnth"""))
+
+  /** CUBE with grouping_id disambiguation (reference has only ROLLUP). */
+  val q22 = QueryDef(
+    "q22_cube_region_year",
+    (s, dir) => {
+      lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .cube(col("n_name"), col("yr"))
+        .agg(decSum(col("l_extendedprice")).as("total_revenue"),
+          grouping_id().cast(IntegerType).as("gid"))
+        .orderBy(col("gid"), col("n_name").asc_nulls_first,
+          col("yr").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+             $RevSum AS total_revenue,
+             CAST(GROUPING_ID(n_name, CAST(year(o_orderdate) AS INTEGER))
+               AS INTEGER) AS gid
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY CUBE (n_name, CAST(year(o_orderdate) AS INTEGER))
+      ORDER BY gid, n_name ASC NULLS FIRST, yr ASC NULLS FIRST"""))
+
+  /** Exact DISTINCT aggregates (absent from the reference workload). */
+  val q23 = QueryDef(
+    "q23_distinct_customers",
+    (s, dir) => {
+      orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("total_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment,
+             COUNT(DISTINCT o_custkey) AS n_customers,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total_value
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY c_mktsegment"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20)
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23)
 }
