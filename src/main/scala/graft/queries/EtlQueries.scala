@@ -162,5 +162,32 @@ object EtlQueries {
       FROM z GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
-  val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch)
+  /** Semi-structured payload parsing: the JSON props column through a real
+    * JSON parser (from_json with a declared schema — not the regex
+    * fallback), plus a per-key aggregate. The shape every event pipeline
+    * needs at ingest.
+    */
+  val jsonProps = QueryDef(
+    "etl_json_props",
+    (s, dir) => {
+      val parsed = events(s, dir)
+        .withColumn("p", from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType)))))
+        .select(col("event_id"), col("event_type"), col("p.k").as("k"),
+          col("value").cast(Money).as("v"))
+      parsed.groupBy("event_type", "k")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("v")).cast(Money).as("total_value"))
+        .orderBy("event_type", "k")
+    },
+    Some("""
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total_value
+      FROM events GROUP BY 1,2 ORDER BY event_type, k"""))
+
+  val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
+    jsonProps)
 }
