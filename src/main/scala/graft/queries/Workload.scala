@@ -792,8 +792,109 @@ object Workload {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1 ORDER BY c_mktsegment"""))
 
+  /** Exact median composed identically in both engines (middle-element
+    * selection + explicit double average), sidestepping engine-specific
+    * percentile interpolation — order-value median per market segment.
+    */
+  val q24 = QueryDef(
+    "q24_median_order_value",
+    (s, dir) => {
+      val o = orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), money(col("o_totalprice")).as("v"))
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("v"))
+      val ranked = o
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+      ranked
+        .filter(col("rn") === expr("(n + 1) div 2")
+          || col("rn") === expr("(n + 2) div 2"))
+        .groupBy("c_mktsegment")
+        .agg((sum(col("v")).cast(DoubleType) / count(lit(1))).as("median_order_value"),
+          max(col("n")).as("n_orders"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                 ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      SELECT c_mktsegment,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS median_order_value,
+             MAX(n) AS n_orders
+      FROM ranked
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      GROUP BY 1 ORDER BY c_mktsegment"""))
+
+  /** Left-anti join — NOT EXISTS (absent from the reference; J-family
+    * completion): customers who never ordered.
+    */
+  val q25 = QueryDef(
+    "q25_customers_without_orders",
+    (s, dir) => {
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  /** Full-outer join with null-coalesced keys (absent from the reference):
+    * nation activity union across customer-side and supplier-side revenue.
+    */
+  val q26 = QueryDef(
+    "q26_full_outer_nation_activity",
+    (s, dir) => {
+      val custSide = orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation_key"))
+        .agg(decSum(col("o_totalprice")).as("customer_revenue"))
+      val suppSide = lineitem(s, dir)
+        .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nation_key"))
+        .agg(decSum(col("l_extendedprice")).as("supplier_revenue"))
+      custSide.join(suppSide, Seq("nation_key"), "full_outer")
+        .orderBy("nation_key")
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_nationkey AS nation_key,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS customer_revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      supp AS (
+        SELECT s_nationkey AS nation_key,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS supplier_revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1)
+      SELECT COALESCE(cust.nation_key, supp.nation_key) AS nation_key,
+             customer_revenue, supplier_revenue
+      FROM cust FULL OUTER JOIN supp ON cust.nation_key = supp.nation_key
+      ORDER BY nation_key"""))
+
+  /** HLL sketch next to the exact count (approx side is rows-only
+    * territory, so the oracle checks only the deterministic columns via
+    * the exact query q23; this entry demonstrates the sketch path).
+    */
+  val q27 = QueryDef(
+    "q27_approx_distinct",
+    (s, dir) => {
+      orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+        .orderBy("o_orderpriority")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23)
+    q21, q22, q23, q24, q25, q26, q27)
 }
