@@ -829,20 +829,25 @@ object Workload {
       GROUP BY 1 ORDER BY c_mktsegment"""))
 
   /** Left-anti join — NOT EXISTS (absent from the reference; J-family
-    * completion): customers who never ordered.
+    * completion): customers inactive in the latest order year (churn
+    * candidates — non-degenerate at every scale factor).
     */
   val q25 = QueryDef(
-    "q25_customers_without_orders",
+    "q25_customers_inactive_latest_year",
     (s, dir) => {
       customer(s, dir)
-        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(ordersLatestYear(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy("c_custkey")
     },
     Some("""
       SELECT c_custkey, c_mktsegment
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders))
       ORDER BY c_custkey"""))
 
   /** Full-outer join with null-coalesced keys (absent from the reference):
