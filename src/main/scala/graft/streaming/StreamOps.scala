@@ -48,36 +48,34 @@ object StreamOps {
     val timed = timeout != GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, Session](timeout) {
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
-              s.n, s.total)
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.lastSeen), s.n, s.total))
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var s = state.getOption.getOrElse(
               SessionState(sorted.head.ts.getTime, sorted.head.ts.getTime, 0, 0.0))
-            var emitted: Option[Session] = None
+            val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               val t = e.ts.getTime
               if (t - s.lastSeen > gapMs && s.n > 0) {
-                // close the old session, open a new one; the closed session
-                // is emitted (mapGroupsWithState emits one row per call, so
-                // only the most recently closed session per batch surfaces —
-                // flatMapGroupsWithState is the multi-emit upgrade)
-                emitted = Some(Session(userId, new Timestamp(s.start),
-                  new Timestamp(s.lastSeen), s.n, s.total))
+                // gap exceeded: close the running session, open a new one —
+                // flatMapGroupsWithState emits EVERY session closed in this
+                // batch, not just the last
+                closed += Session(userId, new Timestamp(s.start),
+                  new Timestamp(s.lastSeen), s.n, s.total)
                 s = SessionState(t, t, 0, 0.0)
               }
               s = s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value)
             }
             state.update(s)
             if (timed) state.setTimeoutDuration(gapMs)
-            emitted.getOrElse(
-              Session(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
-                s.n, s.total))
+            closed.result().iterator
           }
       }
   }

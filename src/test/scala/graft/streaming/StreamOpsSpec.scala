@@ -62,18 +62,23 @@ class StreamOpsSpec extends SparkSpec {
     val q = StreamOps.sessionize(mem.toDS(), gapMs,
       org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
       .writeStream.format("memory").queryName("sessions")
-      .outputMode("update").start()
+      .outputMode("append").start()
     mem.addData(data: _*)
+    q.processAllAvailable()
+    // far-future events close every open session by gap detection
+    mem.addData(Event(1L, ts("2024-01-01 01:00:00"), 9.0),
+      Event(2L, ts("2024-01-01 01:00:00"), 9.0))
     q.processAllAvailable()
     val streamed = spark.table("sessions").as[Session]
       .collect().sortBy(s => (s.user_id, s.session_start.getTime))
     q.stop()
-    // the stream emits the closed first session of user 1 plus the live
-    // state of both users' open sessions (update mode)
-    val closed = streamed.find(s =>
-      s.user_id == 1L && s.session_end == ts("2024-01-01 00:00:30"))
-    assert(closed.isDefined)
-    assert(closed.get.n_events == 2 && closed.get.total_value == 3.0)
+    // every batch-computed session was eventually emitted by the stream
+    assert(streamed.map(s =>
+      (s.user_id, s.session_start, s.session_end, s.n_events, s.total_value))
+      .toSeq ==
+      batch.map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+        r.getAs[Int]("n_events"), r.getAs[Double]("total_value"))).toSeq)
   }
 
   test("saltedJoin and saltedSum match their unsalted equivalents") {
