@@ -138,6 +138,16 @@ class WalmartEndToEndSpec extends SparkSpec {
     assert(WalmartWorkload.q6LastSixMonths(star).count() > 0)
   }
 
+  test("dashboard panels: all six year-parameterized queries run non-empty") {
+    val panels = Dashboard.allPanels(star, 2017)
+    assert(panels.size == 6)
+    panels.foreach { case (name, df) =>
+      assert(df.count() > 0, s"panel $name empty for 2017")
+    }
+    // year scoping: 2019 has no fixture data -> all panels empty
+    assert(Dashboard.demographics(star, 2019).isEmpty)
+  }
+
   test("default-fill: unknown product gets price 0, supplier 1, store 1") {
     val r = star.sales.filter($"order_id" === 8L).head()
     assert(r.getAs[Int]("supplier_id") == 1 && r.getAs[Int]("store_id") == 1)
