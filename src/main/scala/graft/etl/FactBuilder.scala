@@ -78,6 +78,10 @@ object FactBuilder {
       mode: String = "append"): Unit =
     fact
       .withColumn("month_id", expr("date_id div 100"))
+      // cluster rows inside each file by the secondary filter axes so
+      // parquet row-group min/max statistics skip data on
+      // date_id/customer_id predicates (poor-man's z-order)
+      .sortWithinPartitions("date_id", "customer_id")
       .write.mode(mode)
       .partitionBy("month_id")
       .parquet(path)
