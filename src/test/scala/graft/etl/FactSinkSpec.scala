@@ -33,6 +33,22 @@ class FactSinkSpec extends SparkSpec {
     assert(planStr.contains("PartitionFilters"))
   }
 
+  test("fact round-trips through ORC and schema'd JSON unchanged") {
+    val base = fact.orderBy("order_id")
+    val expected = base.collect().toSeq
+    val dir = Files.createTempDirectory("graft_formats").toString
+
+    base.write.mode("overwrite").orc(s"$dir/fact_orc")
+    val fromOrc = spark.read.orc(s"$dir/fact_orc").orderBy("order_id")
+    assert(fromOrc.collect().toSeq == expected)
+    assert(fromOrc.schema == base.schema) // ORC preserves decimal types
+
+    base.write.mode("overwrite").json(s"$dir/fact_json")
+    val fromJson = spark.read.schema(base.schema).json(s"$dir/fact_json")
+      .orderBy("order_id")
+    assert(fromJson.collect().toSeq == expected)
+  }
+
   test("buildFactTyped returns a Dataset[Sale] with exact decimal amounts") {
     val ds = {
       val customers = Seq(1001).toDF("customer_id")

@@ -45,6 +45,16 @@ class NormalizeSpec extends SparkSpec {
     assert(!out.isNullAt(0)) // reference behavior: today(), never null
   }
 
+  test("parseDateMultiFormat: format-shaped but invalid dates don't throw (ANSI)") {
+    // 2020-13-45 matches the yyyy-MM-dd shape but is not a real date;
+    // try_to_timestamp must yield null (not an ANSI error) and the ladder
+    // falls through to the current_date fallback
+    val rows = Seq("2020-13-45", "99-99-9999", "31-12-2020").toDF("d")
+      .select(Normalize.parseDateMultiFormat("d").as("p")).collect()
+    assert(rows.forall(!_.isNullAt(0)))
+    assert(rows(2).getDate(0).toString == "2020-12-31") // valid dd-MM-yyyy
+  }
+
   test("normalizeTransactions end-to-end drops invalid rows, keeps valid") {
     val raw = Seq(
       ("1", "1001", "P1", "2", "2020-01-02"),   // valid
