@@ -41,7 +41,9 @@ class FactSinkSpec extends SparkSpec {
     base.write.mode("overwrite").orc(s"$dir/fact_orc")
     val fromOrc = spark.read.orc(s"$dir/fact_orc").orderBy("order_id")
     assert(fromOrc.collect().toSeq == expected)
-    assert(fromOrc.schema == base.schema) // ORC preserves decimal types
+    // ORC preserves names and types (nullability is always relaxed on read)
+    assert(fromOrc.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      base.schema.fields.map(f => (f.name, f.dataType)).toSeq)
 
     base.write.mode("overwrite").json(s"$dir/fact_json")
     val fromJson = spark.read.schema(base.schema).json(s"$dir/fact_json")
