@@ -646,16 +646,22 @@ object Workload {
   val q19 = QueryDef(
     "q19_daily_spikes",
     (s, dir) => {
+      // one aggregation + a window instead of the reference's re-aggregate
+      // + join-back: the heavy daily rollup is computed once, not twice,
+      // and the self-join disappears — same rows, half the work at scale
       val daily = lineitem(s, dir)
         .groupBy(col("l_partkey").as("part_key"),
           col("l_shipdate").cast(DateType).as("ship_day"))
         .agg(decSum(col("l_extendedprice")).as("daily_total"))
-      val avg = daily.groupBy("part_key")
-        .agg((sum(col("daily_total")).cast(DoubleType) / count(lit(1)))
-          .as("avg_daily_sales"))
-      daily.join(avg, Seq("part_key"))
+      val byPart = Window.partitionBy(col("part_key"))
+      daily
+        .withColumn("avg_daily_sales",
+          sum(col("daily_total")).over(byPart).cast(DoubleType)
+            / count(lit(1)).over(byPart))
         .filter(col("daily_total").cast(DoubleType) > col("avg_daily_sales") * 2)
         .withColumn("status", lit("SPIKE"))
+        .select("part_key", "ship_day", "daily_total", "avg_daily_sales",
+          "status")
         .orderBy("part_key", "ship_day")
     },
     Some(s"""
