@@ -31,9 +31,10 @@ object LlmQueries {
     "llm_dedup_minhash",
     (s, dir) => {
       val docs = documents(s, dir)
-      val cands = Dedup.minhashCandidates(docs)
-      val perDoc = cands.select(col("doc_a").as("doc_id"))
-        .union(cands.select(col("doc_b").as("doc_id")))
+      // explode both pair sides from ONE pass over the candidate join — a
+      // union of two projections would execute the LSH join twice
+      val perDoc = Dedup.minhashCandidates(docs)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
       docs.select(col("doc_id"),
           xxhash64(Dedup.minhashSignature(Dedup.shingles(col("text"))))
@@ -53,9 +54,9 @@ object LlmQueries {
     (s, dir) => {
       val docs = documents(s, dir)
       val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
-      val cands = Dedup.simhashCandidates(docs)
-      val perDoc = cands.select(col("doc_a").as("doc_id"), col("hamming"))
-        .union(cands.select(col("doc_b").as("doc_id"), col("hamming")))
+      val perDoc = Dedup.simhashCandidates(docs)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
+          col("hamming"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_candidates"), min(col("hamming")).as("min_hamming"))
       sigs.join(perDoc, Seq("doc_id"), "left")
