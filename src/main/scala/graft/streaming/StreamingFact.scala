@@ -35,10 +35,17 @@ object StreamingFact {
     FactBuilder.buildFact(
       Normalize.normalizeTransactions(txStream), customerDim, productDim)
 
-  /** End-to-end: CSV directory stream → normalized → joined → parquet fact,
-    * exactly-once via checkpoint. Trigger.AvailableNow drains the existing
-    * backlog then stops — the analog of the reference's
-    * finite-stream-then-drain termination (hybridjoin.py:301-315).
+  /** End-to-end: CSV directory stream → normalized → joined → parquet fact.
+    * Trigger.AvailableNow drains the existing backlog then stops — the
+    * analog of the reference's finite-stream-then-drain termination
+    * (hybridjoin.py:301-315).
+    *
+    * Exactly-once, properly: each micro-batch OVERWRITES its own
+    * `batch_id=N` directory. A blind `append` is only at-least-once — a
+    * crash between the write and the checkpoint commit would duplicate the
+    * batch on replay; overwrite-by-batch-id makes replays idempotent, the
+    * file-sink equivalent of the reference's commit cadence
+    * (hybridjoin.py:460-464) with strictly stronger semantics.
     */
   def runCsvToParquet(spark: SparkSession, sourceDir: String,
       sourceSchema: StructType, customerDim: DataFrame, productDim: DataFrame,
@@ -52,8 +59,8 @@ object StreamingFact {
     plan(raw, customerDim, productDim).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
       }
       .start()
   }

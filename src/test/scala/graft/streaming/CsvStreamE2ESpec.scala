@@ -53,6 +53,8 @@ class CsvStreamE2ESpec extends SparkSpec {
       == Seq(1L, 2L, 4L, 5L)) // 9999 dropped by the referential inner join
     assert(fact.filter($"order_id" === 5L).head().getAs[Int]("date_id")
       == 20200305) // dd-MM-yyyy parsed
+    // two micro-batches (maxFilesPerTrigger=1) -> two batch_id partitions
+    assert(fact.select("batch_id").distinct().count() == 2)
     // restart with same checkpoint: nothing new to process, no duplicates
     val q2 = StreamingFact.runCsvToParquet(spark, dir, txSchema,
       customers, products, out, ckpt, maxFilesPerTrigger = 1)
