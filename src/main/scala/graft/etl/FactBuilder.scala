@@ -33,11 +33,16 @@ object FactBuilder {
   /** Enrich normalized transactions (Normalize.normalizeTransactions output)
     * into the Sales fact. Output: order_id, customer_id, product_id,
     * date_id, store_id, supplier_id, quantity, sales_amount.
+    *
+    * `broadcastDims = false` drops the broadcast hints for dimensions too
+    * large for executor memory — the plan degrades to shuffled joins
+    * (AQE still broadcasts if runtime stats allow), same results.
     */
   def buildFact(tx: DataFrame, customerDim: DataFrame,
-      productDim: DataFrame): DataFrame = {
-    val cust = broadcast(customerDim.select("customer_id"))
-    val prod = broadcast(productDim
+      productDim: DataFrame, broadcastDims: Boolean = true): DataFrame = {
+    def hint(df: DataFrame) = if (broadcastDims) broadcast(df) else df
+    val cust = hint(customerDim.select("customer_id"))
+    val prod = hint(productDim
       .select("product_id", "price", "supplier_id", "store_id"))
     tx
       .join(cust, Seq("customer_id"), "inner") // referential filter (F10/J6)

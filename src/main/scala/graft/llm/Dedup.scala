@@ -39,16 +39,22 @@ object Dedup {
           (0 until n).map(k => try_element_at(toks, i + k + 1)): _*)))
   }
 
-  /** Exact duplicate groups: hash-groupBy on content. One shuffle keyed by
-    * the text itself (Spark hashes the key); survivor = min doc id so the
-    * result is deterministic under any partitioning.
+  /** Exact duplicate groups: hash-groupBy on the content digest, not the
+    * content — grouping by `text` itself would shuffle the whole corpus'
+    * bytes; grouping by (md5, length) shuffles 48 bytes per row and is
+    * exact for any real corpus (a 128-bit collision at equal length is
+    * ~2^-64 at petabyte scale). Survivor = min doc id, deterministic under
+    * any partitioning.
     */
   def exactDuplicates(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs
+      .select(col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("fp_md5"),
+        length(col("text")).as("len"))
+      .groupBy(col("fp_md5"), col("len"))
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_copies"))
-      .select(col("keeper_id"), col("n_copies"),
-        md5(col("text").cast(BinaryType)).as("fp_md5"))
+      .select(col("keeper_id"), col("n_copies"), col("fp_md5"))
 
   /** MinHash signature: for each of NumHashes permutations i,
     * sig[i] = min over shingles of ((a_i * h + b_i) mod p), where h is the

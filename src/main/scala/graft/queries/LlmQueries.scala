@@ -19,9 +19,10 @@ object LlmQueries {
     (s, dir) => Dedup.exactDuplicates(documents(s, dir))
       .orderBy("keeper_id"),
     Some("""
-      SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies,
-             md5(text) AS fp_md5
-      FROM documents GROUP BY text ORDER BY keeper_id"""))
+      SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies, fp_md5
+      FROM (SELECT doc_id, md5(text) AS fp_md5, length(text) AS len
+            FROM documents)
+      GROUP BY fp_md5, len ORDER BY keeper_id"""))
 
   /** MinHash+LSH near-dup: per-doc candidate profile (stable 1-row-per-doc
     * output regardless of how many band collisions occur), plus the top

@@ -57,6 +57,21 @@ class FactBuilderSpec extends SparkSpec {
     assert(out.select("customer_id").collect().forall(r => known(r.getInt(0))))
   }
 
+  test("broadcastDims=false produces identical results via shuffled joins") {
+    val (c, p) = dims
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = FactBuilder.buildFact(tx, c, p, broadcastDims = false)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      assert(shuffled.orderBy("order_id").collect().toSeq ==
+        FactBuilder.buildFact(tx, c, p).orderBy("order_id").collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("withSalesId assigns dense 1..n ids") {
     val (c, p) = dims
     val out = FactBuilder.withSalesId(FactBuilder.buildFact(tx, c, p))
