@@ -188,6 +188,34 @@ object EtlQueries {
                AS total_value
       FROM events GROUP BY 1,2 ORDER BY event_type, k"""))
 
+  /** As-of enrichment (operators.AsOfJoin): every click picks up the
+    * user's most recent purchase value at or before the click — checked
+    * against DuckDB's native ASOF LEFT JOIN. The Spark side is the
+    * union+window composition (one shuffle, works at any right-side size).
+    */
+  val asofEnrich = QueryDef(
+    "etl_asof_enrich",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("value").cast(Money).as("purchase_value"))
+      graft.operators.AsOfJoin.asofJoin(clicks, purchases,
+        "user_id", "ts", "pts", Seq("purchase_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+      FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+            WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS pts,
+                      CAST(value AS DECIMAL(18,2)) AS purchase_value
+                      FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.pts
+      ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
-    jsonProps)
+    jsonProps, asofEnrich)
 }
