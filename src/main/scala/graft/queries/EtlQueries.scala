@@ -216,6 +216,53 @@ object EtlQueries {
         ON c.user_id = p.user_id AND c.ts >= p.pts
       ORDER BY event_id"""))
 
+  /** Constraint validation report (star_schema.sql:16-67 CHECKs + one FK,
+    * re-expressed as set-oriented scans): per-constraint violation counts
+    * over the testdata, plus the orphan-fact FK count. All zeros on clean
+    * data — the point is the report shape is stable and oracle-checkable.
+    */
+  val constraintReport = QueryDef(
+    "etl_constraint_report",
+    (s, dir) => {
+      import graft.etl.Constraints
+      val li = lineitem(s, dir)
+      val checks = Constraints.checkReport(li, Seq(
+        Constraints.Check("quantity_nonneg", col("l_quantity") >= 0),
+        Constraints.Check("price_positive", col("l_extendedprice") > 0),
+        Constraints.Check("discount_in_range",
+          col("l_discount").between(0.0, 1.0)),
+        Constraints.Check("returnflag_domain",
+          col("l_returnflag").isin("A", "N", "R"))))
+      val orphans = Constraints.fkViolations(
+        li, orders(s, dir), "l_orderkey", "o_orderkey")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orderkey_fk").as("constraint_name"), col("n_violations"))
+      checks.union(orphans).orderBy("constraint_name")
+    },
+    Some("""
+      SELECT 'discount_in_range' AS constraint_name,
+             COUNT(*) FILTER (WHERE l_discount NOT BETWEEN 0.0 AND 1.0
+                              OR l_discount IS NULL) AS n_violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'orderkey_fk', COUNT(*) FROM lineitem
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      UNION ALL
+      SELECT 'price_positive',
+             COUNT(*) FILTER (WHERE l_extendedprice <= 0
+                              OR l_extendedprice IS NULL)
+      FROM lineitem
+      UNION ALL
+      SELECT 'quantity_nonneg',
+             COUNT(*) FILTER (WHERE l_quantity < 0 OR l_quantity IS NULL)
+      FROM lineitem
+      UNION ALL
+      SELECT 'returnflag_domain',
+             COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')
+                              OR l_returnflag IS NULL)
+      FROM lineitem
+      ORDER BY constraint_name"""))
+
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
-    jsonProps, asofEnrich)
+    jsonProps, asofEnrich, constraintReport)
 }
