@@ -27,17 +27,21 @@ object Dedup {
 
   private val Prime = 2147483647L // 2^31 - 1
 
-  /** Word n-gram shingles as a distinct array. Documents shorter than n
-    * tokens yield their whole token sequence as the single shingle
-    * (try_element_at keeps out-of-range slots null; concat_ws drops them).
+  /** Word n-gram shingles as a distinct array, from a pre-projected token
+    * column (same per-element re-evaluation caveat as
+    * shingleHashSetFromTokens). Documents shorter than n tokens yield
+    * their whole token sequence as the single shingle (try_element_at
+    * keeps out-of-range slots null; concat_ws drops them).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(trim(text), "\\s+")
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ",
           (0 until n).map(k => try_element_at(toks, i + k + 1)): _*)))
-  }
+
+  /** Convenience single-expression form — small/test inputs only. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(split(trim(text), "\\s+"), n)
 
   /** Exact duplicate groups: hash-groupBy on the content digest, not the
     * content — grouping by `text` itself would shuffle the whole corpus'
@@ -56,21 +60,71 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"), col("fp_md5"))
 
-  /** MinHash signature: for each of NumHashes permutations i,
-    * sig[i] = min over shingles of ((a_i * h + b_i) mod p), where h is the
-    * shingle's 32-bit murmur hash. Computed per-row over the shingle array
-    * (no explode, no shuffle) — the whole signature stage fuses into the
-    * document scan.
+  /** Shingle murmur hashes, mod p — stage this as its OWN projection. */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s => pmod(hash(s).cast(LongType), lit(Prime)))
+
+  /** Distinct hashed word-n-gram shingles from a PRE-PROJECTED token-array
+    * column: multi-argument murmur over the n token slots — no shingle
+    * strings, and array_distinct compares longs.
+    *
+    * `toks` must be a plain column reference: expressions captured inside
+    * a transform lambda re-evaluate PER ELEMENT, so an inlined
+    * split(trim(text)) here would tokenize the document ~3× per shingle
+    * slot (measured: the whole signature stage tripled when the split was
+    * inlined). Stage tokens → shingle hashes → signature as separate
+    * projections; CollapseProject keeps non-cheap multi-referenced
+    * expressions apart.
     */
-  def minhashSignature(sh: Column): Column = {
-    val hashes = transform(sh, s => pmod(hash(s).cast(LongType), lit(Prime)))
+  def shingleHashSetFromTokens(toks: Column, n: Int = 3): Column =
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => pmod(hash((0 until n).map(k =>
+          try_element_at(toks, i + k + 1)): _*).cast(LongType), lit(Prime))))
+
+  /** Convenience single-expression form — small/test inputs only (inlines
+    * tokenization into the per-element lambda; see above).
+    */
+  def shingleHashSet(text: Column, n: Int = 3): Column =
+    shingleHashSetFromTokens(split(trim(text), "\\s+"), n)
+
+  /** MinHash signature over a pre-projected hash array: for permutation i,
+    * sig[i] = min over hashes h of ((a_i * h + b_i) mod p).
+    *
+    * `hs` MUST be a plain column reference to an already-projected hash
+    * array: this expression references its input 64 times, and Catalyst
+    * inlines (rather than shares) a non-trivial argument expression into
+    * every reference — passing `shingleHashes(shingles(text))` directly
+    * recomputes the shingling + hashing 64× per row (measured: ~400×
+    * slow-down at sf0.1; CollapseProject keeps staged projections apart
+    * precisely because duplicating non-cheap expressions is a known trap).
+    */
+  def minhashSignatureFromHashes(hs: Column): Column = {
     val perms = (0 until NumHashes).map { i =>
       val a = 2L * i + 1 // odd multipliers
       val b = 40503L * (i + 1) % Prime
-      array_min(transform(hashes, h => pmod(h * a + b, lit(Prime))))
+      array_min(transform(hs, h => pmod(h * a + b, lit(Prime))))
     }
     array(perms: _*)
   }
+
+  /** Per-doc signatures: hashed shingles staged as their own projection,
+    * then the codegen'd one-pass signature expression
+    * (graft.functions.MinHashSignature — same math as
+    * minhashSignatureFromHashes, two orders of magnitude less overhead;
+    * equivalence is pinned in MinHashSignatureSpec).
+    */
+  def docSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .select(col("doc_id"), shingleHashSetFromTokens(col("__toks")).as("__hs"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature
+          .minhash_signature(col("__hs"), NumHashes).as("sig"))
+  // note: no isNotNull filter on sig — a pushed-down filter would inline
+  // (and thus re-evaluate) the whole signature expression below the staged
+  // projections; downstream explode(bandKeys(sig)) already drops null
+  // signatures (explode of null emits no rows)
 
   /** Banded LSH keys from a signature: one 'band:hash' key per band. */
   def bandKeys(sig: Column): Column =
@@ -81,30 +135,39 @@ object Dedup {
   /** Candidate near-duplicate pairs via the banded bucket join, with
     * signature-agreement estimate of Jaccard. The only join is equi on the
     * band key; oversized buckets are dropped (skew control).
+    *
+    * Scale discipline: the band join and the bucket-size window move ONLY
+    * (band, doc_id) rows — signatures (64 longs each) are re-attached to
+    * the DEDUPED pairs afterwards. Carrying signatures through the join
+    * multiplies the Σ bucket² intermediate by ~1 KB/row and turns a
+    * duplicate-heavy corpus into a shuffle explosion (measured: 10×
+    * replicated docs hung the naive version; see graft.ScaleProbe).
     */
   def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
+    val sigs = docSignatures(docs)
     val banded = sigs
-      .select(col("doc_id"), col("sig"), explode(bandKeys(col("sig"))).as("band"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
     val smallBuckets = banded
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("band"))))
       .filter(col("bucket_size") <= MaxBucket)
-      .select(col("doc_id"), col("sig"), col("band"))
-    val a = smallBuckets
-      .select(col("band"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = smallBuckets
-      .select(col("band"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band"))
+      .select(col("doc_id"), col("band"))
+    val pairs = smallBuckets.select(col("band"), col("doc_id").as("doc_a"))
+      .join(smallBuckets.select(col("band"), col("doc_id").as("doc_b")),
+        Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           (x === y).cast(IntegerType)), v => v === 1)).cast(DoubleType)
           / NumHashes.toDouble)
-      .drop("sig_a", "sig_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard verification of candidate pairs — the expensive
@@ -112,7 +175,9 @@ object Dedup {
     */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame,
       threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sh = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("__toks")).as("sh"))
     candidates
       .join(sh.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
@@ -126,25 +191,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of each
-    * token's xxhash64. Bit b of the signature is 1 iff more token hashes
-    * have bit b set than unset. Pure column expressions, no shuffle.
+  /** Token xxhash64 array — stage as its own projection (see
+    * minhashSignatureFromHashes for why).
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
+  def tokenHashes(text: Column): Column =
+    transform(split(trim(text), "\\s+"), t => xxhash64(t))
+
+  /** 64-bit SimHash from a pre-projected token-hash array: per-bit
+    * majority vote; bit b is 1 iff more token hashes have bit b set than
+    * unset. Pure column expressions, no shuffle.
+    */
+  def simhashFromHashes(hs: Column): Column = {
     val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L), (acc, h) =>
+      val votes = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Convenience single-expression form — inlines the tokenization into
+    * all 64 bit votes, so only for small/test inputs; production paths go
+    * through docSimhashes.
+    */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  /** Per-doc SimHash with staged projections. */
+  def docSimhashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokenHashes(col("text")).as("__hs"))
+      .select(col("doc_id"), simhashFromHashes(col("__hs")).as("simhash"))
+
   /** Hamming-LSH candidates: docs sharing any 16-bit chunk of the SimHash
     * are candidates (guaranteed to catch pairs within Hamming distance 3).
     */
   def simhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+    val sigs = docSimhashes(docs)
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         concat_ws(":", lit(c),

@@ -150,13 +150,21 @@ object Similarity {
     val planes = hyperplanes(nPlanes, 64)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
-    val a = c.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = c.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"))
-    a.join(b, Seq("bucket"))
+    // bucket join on slim (bucket, id) rows; vectors re-attached to the
+    // DEDUPED pairs — carrying 64-double arrays through the Σ bucket²
+    // intermediate is the same shuffle explosion Dedup.minhashCandidates
+    // documents. nPlanes is the bucket-size knob: more planes at scale.
+    val slim = c.select(col("bucket"), col("vec_id"))
+    val pairs = slim.select(col("bucket"), col("vec_id").as("vec_a"))
+      .join(slim.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .dropDuplicates("vec_a", "vec_b")
+    pairs
+      .join(c.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(c.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
-      .dropDuplicates("vec_a", "vec_b")
   }
 }

@@ -37,9 +37,8 @@ object LlmQueries {
       val perDoc = Dedup.minhashCandidates(docs)
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-      docs.select(col("doc_id"),
-          xxhash64(Dedup.minhashSignature(Dedup.shingles(col("text"))))
-            .as("sig_hash"))
+      Dedup.docSignatures(docs)
+        .select(col("doc_id"), xxhash64(col("sig")).as("sig_hash"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("sig_hash"),
           coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
@@ -54,7 +53,7 @@ object LlmQueries {
     "llm_dedup_simhash",
     (s, dir) => {
       val docs = documents(s, dir)
-      val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      val sigs = Dedup.docSimhashes(docs)
       val perDoc = Dedup.simhashCandidates(docs)
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
           col("hamming"))
@@ -74,9 +73,10 @@ object LlmQueries {
   val ngramProfile = QueryDef(
     "llm_ngram_profile",
     (s, dir) => documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-        size(Dedup.shingles(col("text"))).as("n_distinct_3grams"))
+        size(col("__toks")).as("n_tokens"),
+        size(Dedup.shinglesFromTokens(col("__toks"))).as("n_distinct_3grams"))
       .orderBy("doc_id"),
     Some("""
       WITH toks AS (
