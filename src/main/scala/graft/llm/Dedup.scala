@@ -216,11 +216,16 @@ object Dedup {
     */
   def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
-  /** Per-doc SimHash with staged projections. */
+  /** Per-doc SimHash: staged token-hash projection, then the codegen'd
+    * one-pass expression (graft.functions.SimHash64; equivalence to the
+    * composed simhashFromHashes is spec-pinned). Null signatures (empty
+    * docs) are dropped.
+    */
   def docSimhashes(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokenHashes(col("text")).as("__hs"))
-      .select(col("doc_id"), simhashFromHashes(col("__hs")).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("__hs")).as("simhash"))
 
   /** Hamming-LSH candidates: docs sharing any 16-bit chunk of the SimHash
     * are candidates (guaranteed to catch pairs within Hamming distance 3).

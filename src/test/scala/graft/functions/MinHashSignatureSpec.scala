@@ -39,6 +39,18 @@ class MinHashSignatureSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(2).isNullAt(1))
   }
 
+  test("SimHash64 codegen equals the composed simhashFromHashes") {
+    val staged = docs
+      .select(col("doc_id"), Dedup.tokenHashes(col("text")).as("hs"))
+    val viaExpr = staged.select(
+      SimHash64.simhash64(col("hs")).as("s"))
+      .collect().map(_.getLong(0))
+    val viaComposed = staged.select(
+      Dedup.simhashFromHashes(col("hs")).as("s"))
+      .collect().map(_.getLong(0))
+    assert(viaExpr.toSeq == viaComposed.toSeq)
+  }
+
   test("runs inside whole-stage codegen") {
     val df = spark.range(4).select(
       MinHashSignature.minhash_signature(
