@@ -20,12 +20,16 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product — the codegen'd expression
+    * (graft.functions.DotProduct): identical left-to-right IEEE fold as
+    * the composed aggregate(zip_with(...)) form and DuckDB's
+    * list_dot_product (the ANN oracle hash-checks this), without boxed
+    * per-element lambdas.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot_product(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
