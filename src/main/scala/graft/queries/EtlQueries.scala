@@ -35,24 +35,25 @@ object EtlQueries {
           col("part_key"),
           (year(col("ts")) * 10000 + month(col("ts")) * 100
             + dayofmonth(col("ts"))).cast(IntegerType).as("date_id"),
-          col("value").cast(Money).as("quantity"),
+          col("value").cast(Money).cast(DoubleType).as("quantity"),
           coalesce(col("p_retailprice").cast(Money), lit(0).cast(Money))
-            .as("price"),
+            .cast(DoubleType).as("price"),
           round(col("value").cast(Money) *
             coalesce(col("p_retailprice").cast(Money), lit(0).cast(Money)), 2)
-            .cast(Money).as("sales_amount"))
+            .cast(Money).cast(DoubleType).as("sales_amount"))
         .orderBy("event_id")
     },
     Some("""
       SELECT e.event_id, e.user_id AS cust_key, c.c_mktsegment,
              TRY_CAST(regexp_extract(e.props, '[0-9]+') AS BIGINT) AS part_key,
              CAST(year(e.ts)*10000 + month(e.ts)*100 + day(e.ts) AS INTEGER) AS date_id,
-             CAST(e.value AS DECIMAL(18,2)) AS quantity,
-             COALESCE(CAST(p.p_retailprice AS DECIMAL(18,2)),
-                      CAST(0 AS DECIMAL(18,2))) AS price,
-             CAST(ROUND(CAST(e.value AS DECIMAL(18,2)) *
+             CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS quantity,
+             CAST(COALESCE(CAST(p.p_retailprice AS DECIMAL(18,2)),
+                      CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS price,
+             CAST(CAST(ROUND(CAST(e.value AS DECIMAL(18,2)) *
                COALESCE(CAST(p.p_retailprice AS DECIMAL(18,2)),
-                        CAST(0 AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS sales_amount
+                        CAST(0 AS DECIMAL(18,2))), 2) AS DECIMAL(18,2))
+               AS DOUBLE) AS sales_amount
       FROM events e
       JOIN customer c ON e.user_id = c.c_custkey
       LEFT JOIN part p
@@ -71,13 +72,13 @@ object EtlQueries {
         .agg(
           count(lit(1)).as("n_parts"),
           min(col("p_partkey")).as("sample_key"),
-          min(col("p_retailprice").cast(Money)).as("min_price"))
+          min(col("p_retailprice").cast(Money)).cast(DoubleType).as("min_price"))
         .orderBy("p_brand", "p_type")
     },
     Some("""
       SELECT p_brand, p_type, COUNT(*) AS n_parts,
              MIN(p_partkey) AS sample_key,
-             MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS min_price
+             CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
       FROM part GROUP BY 1,2 ORDER BY p_brand, p_type"""))
 
   /** F7/F8 analog: the derived date dimension over the distinct order dates —
@@ -139,7 +140,7 @@ object EtlQueries {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(Money)).cast(Money).as("total_value"))
+          sum(col("value").cast(Money)).cast(DoubleType).as("total_value"))
         .drop("session_id")
         .orderBy("user_id", "session_start")
     },
@@ -158,7 +159,7 @@ object EtlQueries {
         FROM y)
       SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
              COUNT(*) AS n_events,
-             CAST(SUM(v) AS DECIMAL(18,2)) AS total_value
+             CAST(SUM(v) AS DOUBLE) AS total_value
       FROM z GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
@@ -177,14 +178,14 @@ object EtlQueries {
           col("value").cast(Money).as("v"))
       parsed.groupBy("event_type", "k")
         .agg(count(lit(1)).as("n_events"),
-          sum(col("v")).cast(Money).as("total_value"))
+          sum(col("v")).cast(DoubleType).as("total_value"))
         .orderBy("event_type", "k")
     },
     Some("""
       SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                AS total_value
       FROM events GROUP BY 1,2 ORDER BY event_type, k"""))
 
@@ -204,10 +205,12 @@ object EtlQueries {
           col("value").cast(Money).as("purchase_value"))
       graft.operators.AsOfJoin.asofJoin(clicks, purchases,
         "user_id", "ts", "pts", Seq("purchase_value"))
+        .withColumn("purchase_value", col("purchase_value").cast(DoubleType))
         .orderBy("event_id")
     },
     Some("""
-      SELECT c.event_id, c.user_id, c.ts, p.purchase_value
+      SELECT c.event_id, c.user_id, c.ts,
+             CAST(p.purchase_value AS DOUBLE) AS purchase_value
       FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
             WHERE event_type = 'click') c
       ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS pts,

@@ -24,8 +24,10 @@ final case class QueryDef(
   * the tables and column names are the testdata's.
   *
   * Determinism discipline (oracle hash-match):
-  *  - money is summed as DECIMAL(18,2) (exact, order-independent), final-cast
-  *    back to DECIMAL(18,2) so Spark and DuckDB agree on scale;
+  *  - money is summed as DECIMAL(18,2) (exact, order-independent), then every
+  *    OUTPUT money column is final-cast to DOUBLE in both engines — exact
+  *    while |cents| < 2^53, and it renders identically on both sides
+  *    (DECIMAL outputs hash-mismatch on trailing-zero cents);
   *  - ratios (avg, growth%) are computed in DOUBLE from decimal-exact inputs
   *    — IEEE ops on bit-identical inputs are bit-identical;
   *  - every ORDER BY carries full tie-breaker keys;
@@ -35,8 +37,16 @@ object Workload {
   private val Money = DecimalType(18, 2)
 
   private def money(c: Column): Column = c.cast(Money)
-  /** Exact, order-independent revenue sum with a stable output scale. */
-  private def decSum(c: Column): Column = sum(money(c)).cast(Money)
+  /** Exact, order-independent money sum kept DECIMAL — for intermediates
+    * that feed further exact arithmetic (window sums, re-aggregation).
+    */
+  private def decSumExact(c: Column): Column = sum(money(c)).cast(Money)
+  /** Output money sum: exact decimal internally, final-cast DOUBLE so both
+    * engines render identically (exact while |cents| < 2^53). DECIMAL output
+    * columns hash-mismatch the driver's canonicalizer on trailing-zero cents
+    * — the q07/q24 pattern is the one that survives.
+    */
+  private def decSum(c: Column): Column = sum(money(c)).cast(DoubleType)
   /** Weekend test; Spark dayofweek: 1=Sunday .. 7=Saturday. */
   private def isWeekend(c: Column): Column = dayofweek(c).isin(1, 7)
 
@@ -64,8 +74,10 @@ object Workload {
   }
 
   // Shared oracle fragments (DuckDB dialect).
-  private val RevSum = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
-  private val QtySum = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+  private val RevSum = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+  private val QtySum = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  /** Decimal-typed variant for CTEs whose sums feed further exact math. */
+  private val RevSumDec = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
 
   /** Q1 analog (/root/reference/queries.sql:6-12): top revenue parts split by
     * weekday/weekend with monthly drill-down for one year; global top-5 after
@@ -82,7 +94,7 @@ object Workload {
           isWeekend(col("l_shipdate")).as("is_weekend"),
           money(col("l_extendedprice")).as("amt"))
         .groupBy("part_key", "p_brand", "mnth", "is_weekend")
-        .agg(sum(col("amt")).cast(Money).as("total_revenue"))
+        .agg(sum(col("amt")).cast(DoubleType).as("total_revenue"))
         .orderBy(col("mnth"), col("is_weekend"),
           col("total_revenue").desc, col("part_key"))
         .limit(5)
@@ -400,7 +412,7 @@ object Workload {
           isWeekend(col("l_shipdate")).as("is_weekend"),
           money(col("l_extendedprice")).as("amt"))
         .groupBy("part_key", "p_brand", "mnth", "is_weekend")
-        .agg(sum(col("amt")).cast(Money).as("revenue"))
+        .agg(sum(col("amt")).cast(DoubleType).as("revenue"))
       val w = Window.partitionBy(col("mnth"), col("is_weekend"))
         .orderBy(col("revenue").desc, col("part_key"))
       base.withColumn("rn", row_number().over(w))
@@ -614,26 +626,26 @@ object Workload {
         .join(part(s, dir), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(
-          sum(when(m.between(1, 6), amt)).cast(Money).as("h1_revenue"),
-          sum(when(m.between(7, 12), amt)).cast(Money).as("h2_revenue"),
-          sum(amt).cast(Money).as("total_revenue"),
-          sum(when(m.between(1, 6), qty)).cast(Money).as("h1_quantity"),
-          sum(when(m.between(7, 12), qty)).cast(Money).as("h2_quantity"),
-          sum(qty).cast(Money).as("total_quantity"))
+          sum(when(m.between(1, 6), amt)).cast(DoubleType).as("h1_revenue"),
+          sum(when(m.between(7, 12), amt)).cast(DoubleType).as("h2_revenue"),
+          sum(amt).cast(DoubleType).as("total_revenue"),
+          sum(when(m.between(1, 6), qty)).cast(DoubleType).as("h1_quantity"),
+          sum(when(m.between(7, 12), qty)).cast(DoubleType).as("h2_quantity"),
+          sum(qty).cast(DoubleType).as("total_quantity"))
         .orderBy(col("total_revenue").desc, col("p_brand"))
     },
     Some("""
       SELECT p_brand,
         CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 1 AND 6
-          THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS h1_revenue,
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS h1_revenue,
         CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 7 AND 12
-          THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS h2_revenue,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue,
+          THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS h2_revenue,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
         CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 1 AND 6
-          THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS h1_quantity,
+          THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS h1_quantity,
         CAST(SUM(CASE WHEN month(o_orderdate) BETWEEN 7 AND 12
-          THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS h2_quantity,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_quantity
+          THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS h2_quantity,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_quantity
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN part ON l_partkey = p_partkey
@@ -652,7 +664,7 @@ object Workload {
       val daily = lineitem(s, dir)
         .groupBy(col("l_partkey").as("part_key"),
           col("l_shipdate").cast(DateType).as("ship_day"))
-        .agg(decSum(col("l_extendedprice")).as("daily_total"))
+        .agg(decSumExact(col("l_extendedprice")).as("daily_total"))
       val byPart = Window.partitionBy(col("part_key"))
       daily
         .withColumn("avg_daily_sales",
@@ -660,20 +672,22 @@ object Workload {
             / count(lit(1)).over(byPart))
         .filter(col("daily_total").cast(DoubleType) > col("avg_daily_sales") * 2)
         .withColumn("status", lit("SPIKE"))
-        .select("part_key", "ship_day", "daily_total", "avg_daily_sales",
-          "status")
+        .select(col("part_key"), col("ship_day"),
+          col("daily_total").cast(DoubleType).as("daily_total"),
+          col("avg_daily_sales"), col("status"))
         .orderBy("part_key", "ship_day")
     },
     Some(s"""
       WITH daily AS (
         SELECT l_partkey AS part_key, CAST(l_shipdate AS DATE) AS ship_day,
-               $RevSum AS daily_total
+               $RevSumDec AS daily_total
         FROM lineitem GROUP BY 1,2),
       pavg AS (
         SELECT part_key,
                CAST(SUM(daily_total) AS DOUBLE) / COUNT(*) AS avg_daily_sales
         FROM daily GROUP BY 1)
-      SELECT d.part_key, d.ship_day, d.daily_total, pavg.avg_daily_sales,
+      SELECT d.part_key, d.ship_day,
+             CAST(d.daily_total AS DOUBLE) AS daily_total, pavg.avg_daily_sales,
              'SPIKE' AS status
       FROM daily d JOIN pavg USING (part_key)
       WHERE CAST(d.daily_total AS DOUBLE) > pavg.avg_daily_sales * 2
@@ -727,27 +741,31 @@ object Workload {
         .groupBy(col("n_name"),
           year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mnth"))
-        .agg(decSum(col("l_extendedprice")).as("revenue"))
+        .agg(decSumExact(col("l_extendedprice")).as("revenue"))
       val w = Window.partitionBy(col("n_name")).orderBy(col("yr"), col("mnth"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the running sum folds DECIMALs (exact, engine-order-independent);
+      // only the rendered outputs drop to DOUBLE
       monthly
-        .withColumn("cumulative_revenue", sum(col("revenue")).over(w).cast(Money))
+        .withColumn("cumulative_revenue",
+          sum(col("revenue")).over(w).cast(DoubleType))
+        .withColumn("revenue", col("revenue").cast(DoubleType))
         .orderBy("n_name", "yr", "mnth")
     },
     Some(s"""
       WITH monthly AS (
         SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
                CAST(month(o_orderdate) AS INTEGER) AS mnth,
-               $RevSum AS revenue
+               $RevSumDec AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1,2,3)
-      SELECT n_name, yr, mnth, revenue,
+      SELECT n_name, yr, mnth, CAST(revenue AS DOUBLE) AS revenue,
              CAST(SUM(revenue) OVER (PARTITION BY n_name ORDER BY yr, mnth
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(18,2)) AS cumulative_revenue
+               AS DOUBLE) AS cumulative_revenue
       FROM monthly ORDER BY n_name, yr, mnth"""))
 
   /** CUBE with grouping_id disambiguation (reference has only ROLLUP). */
@@ -793,7 +811,7 @@ object Workload {
       SELECT c_mktsegment,
              COUNT(DISTINCT o_custkey) AS n_customers,
              COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total_value
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY 1 ORDER BY c_mktsegment"""))
@@ -876,12 +894,12 @@ object Workload {
     Some("""
       WITH cust AS (
         SELECT c_nationkey AS nation_key,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS customer_revenue
         FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
       supp AS (
         SELECT s_nationkey AS nation_key,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                  AS supplier_revenue
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1)
       SELECT COALESCE(cust.nation_key, supp.nation_key) AS nation_key,
