@@ -10,21 +10,108 @@ import org.apache.spark.sql.types._
   * document scan under whole-stage codegen, so a 100 TB corpus pays one
   * pass with no shuffle.
   *
+  * Tokenization discipline: Catalyst inlines a text-based metric's
+  * tokenizer per reference, so composing several metrics from `text`
+  * re-splits the document once per metric (the same trap Dedup.docSignatures
+  * stages around). Pipelines must project [[tokenArray]] ONCE as its own
+  * column and feed the `*FromTokens` variants — the plain-text overloads
+  * exist for single-metric selects only.
+  *
   * Determinism: every ratio is derived from integer counts and divided in
   * IEEE double, so results are bit-stable and oracle-checkable.
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization. */
+  /** Raw whitespace tokenization (empty text yields [""]). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+  /** Empty-safe token array: [] for blank text, whitespace split otherwise.
+    * Stage this as its own projection; every metric below reads the staged
+    * column, so the document is tokenized exactly once per row.
+    */
+  def tokenArray(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(tokens(text))
+
+  // ---- token-array metrics (cheap refs over the staged column) ----
+
+  def tokenCountFromTokens(toks: Column): Column = size(toks)
 
   /** Tokens matching any word in `words`. */
+  def tokenCountInFromTokens(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Non-separator character count == sum of token lengths (equals
+    * length(regexp_replace(trim(text), "\\s+", "")) without re-reading text).
+    */
+  def charCountFromTokens(toks: Column): Column =
+    aggregate(toks, lit(0), (acc, t) => acc + length(t))
+
+  /** Stopword ratio: stopword tokens / all tokens, in double. */
+  def stopwordRatioFromTokens(toks: Column): Column = {
+    val n = size(toks)
+    when(n === 0, lit(0.0))
+      .otherwise(tokenCountInFromTokens(toks, Stopwords).cast(DoubleType) /
+        n.cast(DoubleType))
+  }
+
+  /** Mean token length (chars excluding separators / token count). */
+  def avgTokenLenFromTokens(toks: Column): Column = {
+    val n = size(toks)
+    when(n === 0, lit(0.0))
+      .otherwise(charCountFromTokens(toks).cast(DoubleType) /
+        n.cast(DoubleType))
+  }
+
+  /** Composite quality score in [0,1]: length credit + lexical credit +
+    * stopword-balance credit. The exact weights are a policy choice; what
+    * matters for the engine is that the formula is a pure, bit-stable
+    * column expression.
+    */
+  def qualityScoreFromTokens(toks: Column): Column = {
+    val n = size(toks).cast(DoubleType)
+    val lenCredit = least(lit(1.0), n / lit(100.0))
+    val lexCredit = least(lit(1.0), avgTokenLenFromTokens(toks) / lit(8.0))
+    val stopCredit = lit(1.0) - stopwordRatioFromTokens(toks)
+    lenCredit * 0.4 + lexCredit * 0.3 + stopCredit * 0.3
+  }
+
+  /** Language-ID by stopword voting: the language whose stopword list hits
+    * the most tokens wins; ties resolve in LangStopwords order; zero hits
+    * → 'und' (undetermined). A classic n-gram-free heuristic that runs as
+    * one codegen'd CASE chain over the staged token array.
+    */
+  def langIdFromTokens(toks: Column): Column = {
+    val scores = LangStopwords.map { case (lang, words) =>
+      lang -> tokenCountInFromTokens(toks, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = scores.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (lang, score)) => acc.when(score === best, lit(lang))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  // ---- single-metric text overloads (each tokenizes once; do NOT compose
+  // several of these in one select — stage tokenArray instead) ----
+
+  def tokenCount(text: Column): Column =
+    tokenCountFromTokens(tokenArray(text))
+
   def tokenCountIn(text: Column, words: Seq[String]): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(filter(tokens(text), t => t.isin(words: _*))))
+    tokenCountInFromTokens(tokenArray(text), words)
+
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromTokens(tokenArray(text))
+
+  def avgTokenLen(text: Column): Column =
+    avgTokenLenFromTokens(tokenArray(text))
+
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokenArray(text))
+
+  def langId(text: Column): Column =
+    langIdFromTokens(tokenArray(text))
 
   /** BPE-ish pre-tokenization count: letter runs, digit runs, and single
     * punctuation marks — the segmentation BPE vocabularies split on before
@@ -48,51 +135,6 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
     "es" -> Seq("el", "los", "las", "que", "es", "un", "una"))
 
-  /** Stopword ratio: stopword tokens / all tokens, in double. */
-  def stopwordRatio(text: Column): Column = {
-    val n = tokenCount(text)
-    when(n === 0, lit(0.0))
-      .otherwise(tokenCountIn(text, Stopwords).cast(DoubleType) /
-        n.cast(DoubleType))
-  }
-
-  /** Mean token length (chars excluding separators / token count). */
-  def avgTokenLen(text: Column): Column = {
-    val n = tokenCount(text)
-    val letters = length(regexp_replace(trim(text), "\\s+", ""))
-    when(n === 0, lit(0.0))
-      .otherwise(letters.cast(DoubleType) / n.cast(DoubleType))
-  }
-
-  /** Composite quality score in [0,1]: length credit + lexical credit +
-    * stopword-balance credit. The exact weights are a policy choice; what
-    * matters for the engine is that the formula is a pure, bit-stable
-    * column expression.
-    */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast(DoubleType)
-    val lenCredit = least(lit(1.0), n / lit(100.0))
-    val lexCredit = least(lit(1.0), avgTokenLen(text) / lit(8.0))
-    val stopCredit = lit(1.0) - stopwordRatio(text)
-    lenCredit * 0.4 + lexCredit * 0.3 + stopCredit * 0.3
-  }
-
-  /** Language-ID by stopword voting: the language whose stopword list hits
-    * the most tokens wins; ties resolve in LangStopwords order; zero hits
-    * → 'und' (undetermined). A classic n-gram-free heuristic that runs as
-    * one codegen'd CASE chain.
-    */
-  def langId(text: Column): Column = {
-    val scores = LangStopwords.map { case (lang, words) =>
-      lang -> tokenCountIn(text, words)
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val chain = scores.foldLeft(when(best === 0, lit("und"))) {
-      case (acc, (lang, score)) => acc.when(score === best, lit(lang))
-    }
-    chain.otherwise(lit("und"))
-  }
-
   /** Content fingerprints: MD5 (cross-engine-stable, oracle-checkable) and
     * the custom codegen'd rolling hash (graft.functions.RollingHash).
     */
@@ -101,17 +143,21 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     graft.functions.RollingHash.rolling_hash(text)
 
-  /** Full per-document profile. */
+  /** Full per-document profile — tokenizes each document exactly once via
+    * the staged `__toks` projection.
+    */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.select(
-      col("doc_id"),
-      tokenCount(t).as("n_tokens"),
-      length(t).as("n_chars"),
-      avgTokenLen(t).as("avg_token_len"),
-      stopwordRatio(t).as("stopword_ratio"),
-      qualityScore(t).as("quality_score"),
-      langId(t).as("lang_pred"),
-      md5Fingerprint(t).as("fp_md5"))
+    docs
+      .select(col("doc_id"), t.as("__text"), tokenArray(t).as("__toks"))
+      .select(
+        col("doc_id"),
+        tokenCountFromTokens(col("__toks")).as("n_tokens"),
+        length(col("__text")).as("n_chars"),
+        avgTokenLenFromTokens(col("__toks")).as("avg_token_len"),
+        stopwordRatioFromTokens(col("__toks")).as("stopword_ratio"),
+        qualityScoreFromTokens(col("__toks")).as("quality_score"),
+        langIdFromTokens(col("__toks")).as("lang_pred"),
+        md5Fingerprint(col("__text")).as("fp_md5"))
   }
 }

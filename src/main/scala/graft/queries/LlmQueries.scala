@@ -117,11 +117,14 @@ object LlmQueries {
   val textQuality = QueryDef(
     "llm_text_quality",
     (s, dir) => documents(s, dir)
+      // one staged tokenization feeds every metric — a text-based compose
+      // would re-split the document once per metric
+      .select(col("doc_id"), TextAnalysis.tokenArray(col("text")).as("__toks"))
       .select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"),
-        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
-        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        TextAnalysis.tokenCountFromTokens(col("__toks")).as("n_tokens"),
+        TextAnalysis.avgTokenLenFromTokens(col("__toks")).as("avg_token_len"),
+        TextAnalysis.stopwordRatioFromTokens(col("__toks")).as("stopword_ratio"),
+        TextAnalysis.qualityScoreFromTokens(col("__toks")).as("quality_score"))
       .orderBy("doc_id"),
     Some("""
       WITH t AS (
@@ -151,7 +154,9 @@ object LlmQueries {
     "llm_text_langid",
     (s, dir) => documents(s, dir)
       .select(col("doc_id"), col("lang"),
-        TextAnalysis.langId(col("text")).as("lang_pred"))
+        TextAnalysis.tokenArray(col("text")).as("__toks"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langIdFromTokens(col("__toks")).as("lang_pred"))
       .orderBy("doc_id"),
     Some("""
       WITH t AS (

@@ -45,6 +45,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("staged tokenization: quality pipeline splits each document once") {
+    // spark.range keeps the plan non-local (a Seq folds to LocalRelation
+    // and the projection vanishes before it can be inspected)
+    val docs = spark.range(3).select($"id".as("doc_id"),
+      concat(lit("the quick brown fox "), $"id").as("text"))
+    val staged = docs
+      .select($"doc_id", TextAnalysis.tokenArray($"text").as("__toks"))
+      .select($"doc_id",
+        TextAnalysis.tokenCountFromTokens($"__toks").as("n_tokens"),
+        TextAnalysis.avgTokenLenFromTokens($"__toks").as("avg_token_len"),
+        TextAnalysis.stopwordRatioFromTokens($"__toks").as("stopword_ratio"),
+        TextAnalysis.qualityScoreFromTokens($"__toks").as("quality_score"))
+    val plan = staged.queryExecution.optimizedPlan.toString
+    val nSplits = "split\\(".r.findAllMatchIn(plan).size
+    assert(nSplits == 1, s"expected 1 split in optimized plan, got $nSplits:\n$plan")
+  }
+
+  test("FromTokens variants agree with the single-metric text overloads") {
+    val docs = Seq("the cat sat on a mat", "", "der hund und die katze")
+      .toDF("text")
+    val viaText = docs.select(
+      TextAnalysis.tokenCount($"text"),
+      TextAnalysis.avgTokenLen($"text"),
+      TextAnalysis.stopwordRatio($"text"),
+      TextAnalysis.qualityScore($"text"),
+      TextAnalysis.langId($"text")).collect().toSeq
+    val viaToks = docs
+      .select(TextAnalysis.tokenArray($"text").as("__toks"))
+      .select(
+        TextAnalysis.tokenCountFromTokens($"__toks"),
+        TextAnalysis.avgTokenLenFromTokens($"__toks"),
+        TextAnalysis.stopwordRatioFromTokens($"__toks"),
+        TextAnalysis.qualityScoreFromTokens($"__toks"),
+        TextAnalysis.langIdFromTokens($"__toks")).collect().toSeq
+    assert(viaText == viaToks)
+  }
+
   test("profile emits one row per doc with all feature columns") {
     val out = TextAnalysis.profile(
       Seq((1L, "the quick brown fox")).toDF("doc_id", "text"))
