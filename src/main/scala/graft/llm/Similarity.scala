@@ -35,6 +35,12 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast(ArrayType(DoubleType))
 
+  /** Embedding dimensionality from one corpus row — a LIMIT-1 probe, not a
+    * scan. Used when the caller doesn't pass an explicit dim.
+    */
+  def embeddingDim(df: DataFrame, embeddingCol: String = "embedding"): Int =
+    df.select(size(col(embeddingCol)).as("d")).limit(1).head.getInt(0)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries are broadcast; ranking is a window per query id with
     * deterministic tie-breaking.
@@ -79,11 +85,13 @@ object Similarity {
 
   /** LSH-bucketed ANN: score only within each bucket (equi join on the
     * bucket key). Fewer planes → bigger buckets → better recall, more work.
+    * `dim` defaults to a one-row probe of the corpus (pass it explicitly to
+    * skip the probe job).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 8): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(nPlanes, dim)
+      nPlanes: Int = 8, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else embeddingDim(corpus)
+    val planes = hyperplanes(nPlanes, d)
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), planes)))
@@ -150,8 +158,9 @@ object Similarity {
     * within LSH buckets only (equi join, no cartesian).
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-      nPlanes: Int = 8): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64)
+      nPlanes: Int = 8, dim: Int = 0): DataFrame = {
+    val d = if (dim > 0) dim else embeddingDim(corpus)
+    val planes = hyperplanes(nPlanes, d)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
     // bucket join on slim (bucket, id) rows; vectors re-attached to the

@@ -63,6 +63,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfPartial.intersect(brute).size * 2 >= brute.size)
   }
 
+  test("non-64-dim corpora: dim is probed, buckets stay correct (32-dim)") {
+    def v32(axis: Int, wiggle: Double): Array[Float] =
+      Array.tabulate(32)(i =>
+        (if (i == axis) 1.0 else 0.0) + wiggle * ((i * 7 % 5) - 2) * 0.01)
+        .map(_.toFloat)
+    val small = Seq(
+      (0L, v32(0, 0.0)), (1L, v32(0, 1.0)), (2L, v32(0, 2.0)),
+      (10L, v32(16, 0.0)), (11L, v32(16, 1.0)), (12L, v32(16, 2.0)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.embeddingDim(small) == 32)
+    val brute = Similarity.bruteForceTopK(
+      small.filter($"vec_id".isin(0L, 10L)), small, 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(
+      small.filter($"vec_id".isin(0L, 10L)), small, 2, nPlanes = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.intersect(brute).size * 2 >= brute.size)
+    val dups = Similarity.nearDupPairs(small, 0.9, nPlanes = 2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(dups.exists { case (a, b) => a < 10 && b < 10 })
+    assert(!dups.exists { case (a, b) => a < 10 && b >= 10 })
+  }
+
   test("nearDupPairs finds within-cluster pairs above threshold") {
     val out = Similarity.nearDupPairs(vecs, 0.9, nPlanes = 2)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
