@@ -37,22 +37,28 @@ object Bench {
         df.cache().count()
       } catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q02_revenue_by_segment_nation")(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val results: Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
-      name -> elapsed
-    }
+    // Deterministic sorted order + a per-query untimed first lap: hash-Map
+    // iteration order with one global warm-up made whichever query ran
+    // first eat all JIT/codegen warm-up (q03 measured 4x its twin q02), so
+    // per-query numbers weren't attributable across runs.
+    val results: Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val elapsed =
+          try {
+            fn(spark, sfDir).count() // warm-up lap: JIT + codegen + shuffle
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              -1.0
+          }
+        name -> elapsed
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
