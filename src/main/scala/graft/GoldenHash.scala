@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Canonical content hash for pinning query outputs that have no DuckDB
+  * oracle (Spark-internal hash functions aren't expressible there). The
+  * hash is partition- and row-order-independent, so a pinned value holds
+  * across executors/partitionings; any schema or value drift changes it.
+  */
+object GoldenHash {
+
+  /** SHA-256 over the sorted canonical row renderings, columns in name
+    * order, with a schema header line — column renames fail the pin too.
+    */
+  def tableHash(df: DataFrame): String = {
+    val cols = df.columns.sorted.toIndexedSeq
+    val proj = df.select(cols.map(col): _*)
+    val rows = proj.collect().map(_.mkString("")).sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(cols.mkString("").getBytes("UTF-8"))
+    md.update('\n'.toByte)
+    rows.foreach { r =>
+      md.update(r.getBytes("UTF-8"))
+      md.update('\n'.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The driver-contract queries without an oracle — the ones a golden
+    * pin must guard.
+    */
+  def unoracledQueries: Seq[String] =
+    (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+}

@@ -1,0 +1,45 @@
+package graft
+
+import scala.io.Source
+
+/** Golden-file pinning for the driver-contract queries that carry no DuckDB
+  * oracle (they use Spark-internal hash functions): their outputs are pinned
+  * as content hashes at two scale factors, so a regression cannot hide
+  * behind the driver's rows-only check. Regenerate (after an INTENTIONAL
+  * output change only) with:
+  *   sbt "runMain graft.GoldenGen /root/testdata/sf0.001"
+  * and copy the `GOLDEN name=hash` lines into the resource file.
+  */
+class GoldenFileSpec extends SparkSpec {
+
+  private def pins(res: String): Map[String, String] = {
+    val in = getClass.getResourceAsStream(res)
+    assert(in != null, s"missing resource $res — regenerate with graft.GoldenGen")
+    try Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }
+      .toMap
+    finally in.close()
+  }
+
+  private def checkAll(sfDir: String, res: String): Unit = {
+    val expected = pins(res)
+    // every oracle-less query MUST carry a pin — adding a new one without
+    // pinning it fails here, not silently in the driver's rows-only check
+    assert(expected.keySet == GoldenHash.unoracledQueries.toSet,
+      s"pin set drift: pinned=${expected.keySet} vs unoracled=${GoldenHash.unoracledQueries}")
+    val drifted = expected.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = GoldenHash.tableHash(SparkEntry.queries(name)(spark, sfDir))
+      if (got == want) None else Some(s"$name: $got != pinned $want")
+    }
+    assert(drifted.isEmpty, s"golden drift at $sfDir:\n${drifted.mkString("\n")}")
+  }
+
+  test("oracle-less queries match pinned golden hashes at sf0.001") {
+    checkAll("/root/testdata/sf0.001", "/golden/sf0.001.txt")
+  }
+
+  test("oracle-less queries match pinned golden hashes at sf0.01") {
+    checkAll("/root/testdata/sf0.01", "/golden/sf0.01.txt")
+  }
+}
