@@ -27,7 +27,28 @@ object AsOfJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, payload, None)
+
+  /** Tolerance variant — the common production ask: a version older than
+    * `maxGapSeconds` does not count (payload goes null, the left row stays).
+    * Boundary is INCLUSIVE: left.time - right.time == maxGap matches, the
+    * same semantics as DuckDB's
+    * `ASOF LEFT JOIN ... ON l.t >= r.t` + `l.t - r.t <= INTERVAL` nullify.
+    * Caveat (shared with the base operator): payload columns are carried
+    * independently via last(_, ignoreNulls), so the gap is measured against
+    * the latest right ROW; a null payload value inside an in-gap right row
+    * is not back-filled from an older row's gap perspective.
+    */
+  def asofJoinWithin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], maxGapSeconds: Long): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, payload,
+      Some(maxGapSeconds))
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], maxGapSeconds: Option[Long]): DataFrame = {
     val leftCols = left.columns
     // align schemas: left rows carry null payload; right rows carry only
     // key/time/payload
@@ -48,11 +69,25 @@ object AsOfJoin {
     // version stamped exactly at the event time IS visible to the event
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((df, c) =>
+    val carried0 = payload.foldLeft(unioned)((df, c) =>
       df.withColumn(s"__v_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
+    // for the tolerance variant, also carry the matched version's time so
+    // the gap test compares against the right row actually picked
+    val carried = if (maxGapSeconds.isEmpty) carried0
+      else carried0.withColumn("__vt",
+        last(when(col("__src") === 0, col("__t")), ignoreNulls = true).over(w))
+    val payloadOut = payload.map { c =>
+      maxGapSeconds match {
+        case None => col(s"__v_$c").as(c)
+        case Some(g) =>
+          // null when no match or the match is older than the gap; the
+          // `when` without `otherwise` yields null on a null __vt too
+          when(col("__t").cast("long") - col("__vt").cast("long") <= g,
+            col(s"__v_$c")).as(c)
+      }
+    }
     carried
       .filter(col("__src") === 1)
-      .select((leftCols.map(col) ++
-        payload.map(c => col(s"__v_$c").as(c))): _*)
+      .select((leftCols.map(col) ++ payloadOut): _*)
   }
 }

@@ -219,6 +219,62 @@ object EtlQueries {
         ON c.user_id = p.user_id AND c.ts >= p.pts
       ORDER BY event_id"""))
 
+  /** As-of enrichment with a tolerance window: a purchase older than one
+    * day no longer counts (payload nulls out, the click row stays). The
+    * DuckDB twin is ASOF LEFT JOIN + an interval nullify — boundary is
+    * inclusive on both sides.
+    */
+  val asofWindow = QueryDef(
+    "etl_asof_window",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("value").cast(Money).as("purchase_value"))
+      graft.operators.AsOfJoin.asofJoinWithin(clicks, purchases,
+        "user_id", "ts", "pts", Seq("purchase_value"), maxGapSeconds = 86400L)
+        .withColumn("purchase_value", col("purchase_value").cast(DoubleType))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT c.event_id, c.user_id, c.ts,
+             CASE WHEN c.ts - p.pts <= INTERVAL 1 DAY
+                  THEN CAST(p.purchase_value AS DOUBLE) END AS purchase_value
+      FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+            WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS pts,
+                      CAST(value AS DECIMAL(18,2)) AS purchase_value
+                      FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.pts
+      ORDER BY event_id"""))
+
+  /** Salted skew join proven equivalent to the plain plan: the salted
+    * fact→dim join + aggregate must hash-match an oracle that knows nothing
+    * about salting. The salt spreads any hot user over 16 shuffle
+    * partitions; correctness is invariant because the dim side is
+    * replicated per salt.
+    */
+  val skewSalted = QueryDef(
+    "etl_skew_salted",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("value").cast(Money).as("v"))
+      val cust = customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(ev, cust, "user_id", salts = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("v")).cast(DoubleType).as("total_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1 ORDER BY c_mktsegment"""))
+
   /** Constraint validation report (star_schema.sql:16-67 CHECKs + one FK,
     * re-expressed as set-oriented scans): per-constraint violation counts
     * over the testdata, plus the orphan-fact FK count. All zeros on clean
@@ -267,5 +323,5 @@ object EtlQueries {
       ORDER BY constraint_name"""))
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
-    jsonProps, asofEnrich, constraintReport)
+    jsonProps, asofEnrich, asofWindow, skewSalted, constraintReport)
 }

@@ -36,6 +36,33 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("event_id", "product", "event_ts", "price"))
   }
 
+  test("asofJoinWithin: inclusive gap boundary, older versions null out") {
+    // event 1 is 12h after its version; event 3 is 4d after its version
+    val within12h = AsOfJoin.asofJoinWithin(events, prices, "product",
+      "event_ts", "valid_from", Seq("price"), maxGapSeconds = 12 * 3600L)
+      .orderBy("event_id").collect()
+    assert(within12h.map(r =>
+      if (r.isNullAt(r.fieldIndex("price"))) None
+      else Some(r.getAs[Double]("price"))).toSeq ==
+      Seq(Some(10.0), // exactly 12h old: inclusive boundary keeps it
+        Some(12.0),   // version stamped at event time (gap 0)
+        None,         // latest version is 4 days old -> nulled
+        None,         // no version at all
+        None))        // version is 1 day old > 12h
+    // the gap filter must not drop left rows — same cardinality as base
+    assert(within12h.length == 5)
+  }
+
+  test("asofJoinWithin with a huge gap equals the base asof join") {
+    val base = AsOfJoin.asofJoin(events, prices, "product",
+      "event_ts", "valid_from", Seq("price"))
+      .orderBy("event_id").collect().toSeq
+    val loose = AsOfJoin.asofJoinWithin(events, prices, "product",
+      "event_ts", "valid_from", Seq("price"), maxGapSeconds = 365L * 86400L)
+      .orderBy("event_id").collect().toSeq
+    assert(base.map(_.toSeq) == loose.map(_.toSeq))
+  }
+
   test("multiple payload columns carry together") {
     val versioned = Seq(("P1", ts("2024-01-01 00:00:00"), 10.0, "v1"),
       ("P1", ts("2024-01-03 00:00:00"), 20.0, "v2"))
