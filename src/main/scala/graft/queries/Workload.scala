@@ -217,6 +217,10 @@ object Workload {
     * bounded-heap aggregate shuffles at most k rows per group (map-side
     * combine), where the window realization sorts every row of every
     * group. Shares q05's oracle — the two plans must agree exactly.
+    * Measured crossover (`runMain graft.ScaleProbe topk`): at 20M rows /
+    * 200 groups the aggregate beats the window x1.87; at 60M rows x2.30 —
+    * the gap grows with rows-per-group, which is the 100 TB direction.
+    * (At bench scale q05b ≈ q05: the 4-way join dominates, not the top-k.)
     */
   val q05b = QueryDef(
     "q05_top_segments_topk_agg",
