@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -67,23 +67,26 @@ object Multimodal {
     (if (payload.length == 0) 0.0 else sum.toDouble / payload.length, hist)
   }
 
-  /** Partition-local decode + feature extraction over the binary column —
-    * the mapPartitions shape a Pandas-UDF/mapInPandas batch kernel has in
-    * PySpark, expressed natively in Scala. No shuffle; batches stream.
+  /** Feature extraction over the binary column as a codegen'd Catalyst
+    * expression (graft.functions.ByteStats) — map-only, no shuffle, fused
+    * into the scan under whole-stage codegen. The stats struct is staged
+    * as its own projection so the kernel runs once per row, then fields
+    * are unpacked (the repo's staged-projection discipline).
+    *
+    * A REAL decode kernel backed by native codecs would instead be a
+    * mapPartitions/mapInPandas batch pass — that shape lives in the git
+    * history of this method; the expression form is right for the fake
+    * kernel so it benchmarks honestly.
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "media").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val payload =
-          if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val (mean, hist) = fakeDecode(payload)
-        Row(id, payload.length, mean, hist.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
-  }
+  def extractFeatures(media: DataFrame): DataFrame =
+    media
+      .select(col("media_id"),
+        graft.functions.ByteStats.byte_stats(
+          coalesce(col("media"), lit(Array.empty[Byte]))).as("__f"))
+      .select(col("media_id"),
+        col("__f.n_bytes").as("n_bytes"),
+        col("__f.mean_byte").as("mean_byte"),
+        col("__f.histogram").as("histogram"))
 
   /** Frame sampling for a (fake) video payload: every nth 256-byte block
     * becomes a "frame" row — the explode-with-stride shape of real frame

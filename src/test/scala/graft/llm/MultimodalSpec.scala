@@ -39,6 +39,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Seq[Long]]("histogram").sum == 11L)
   }
 
+  test("extractFeatures (ByteStats expression) agrees with fakeDecode") {
+    val m = Multimodal.toMediaTable(docs)
+    val out = Multimodal.extractFeatures(m).orderBy("media_id").collect()
+    val payloads = m.orderBy("media_id").collect()
+      .map(_.getAs[Array[Byte]]("media"))
+    out.zip(payloads).foreach { case (r, p) =>
+      val (mean, hist) = Multimodal.fakeDecode(p)
+      assert(r.getAs[Int]("n_bytes") == p.length)
+      assert(r.getAs[Double]("mean_byte") == mean)
+      assert(r.getSeq[Long](r.fieldIndex("histogram")).toSeq == hist.toSeq)
+    }
+    // null payloads behave as empty, not as null rows
+    val withNull = Seq((9L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "media")
+    val nr = Multimodal.extractFeatures(withNull).head()
+    assert(nr.getAs[Int]("n_bytes") == 0 && nr.getAs[Double]("mean_byte") == 0.0)
+  }
+
+  test("extractFeatures stages the kernel: one byte_stats per row in plan") {
+    val m = Multimodal.toMediaTable(
+      spark.range(3).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text",
+        "'en' AS lang", "'src' AS source", "1L AS n_chars"))
+    val plan = Multimodal.extractFeatures(m)
+      .queryExecution.optimizedPlan.toString
+    val n = "byte_stats".r.findAllMatchIn(plan).size
+    assert(n == 1, s"expected 1 byte_stats in optimized plan, got $n:\n$plan")
+  }
+
   test("sampleFrames strides through the payload in 256-byte frames") {
     val out = Multimodal.sampleFrames(Multimodal.toMediaTable(docs), stride = 2)
       .filter($"media_id" === 1L).orderBy("frame_idx").collect()
