@@ -37,18 +37,22 @@ object Bench {
         df.cache().count()
       } catch { case _: Throwable => () }
     }
-    // Deterministic sorted order + a per-query untimed first lap: hash-Map
-    // iteration order with one global warm-up made whichever query ran
-    // first eat all JIT/codegen warm-up (q03 measured 4x its twin q02), so
-    // per-query numbers weren't attributable across runs.
+    // Deterministic sorted order + a per-query untimed first lap + best of
+    // two timed laps: hash-Map iteration order with one global warm-up made
+    // whichever query ran first eat all JIT/codegen warm-up (q03 measured
+    // 4x its twin q02), and a single timed lap still caught GC/OS noise
+    // spikes. Min-of-2 post-warm-up is stable and attributable across runs.
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val elapsed =
           try {
             fn(spark, sfDir).count() // warm-up lap: JIT + codegen + shuffle
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
+            def lap(): Double = {
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            math.min(lap(), lap())
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -823,6 +823,10 @@ object Workload {
   /** Exact median composed identically in both engines (middle-element
     * selection + explicit double average), sidestepping engine-specific
     * percentile interpolation — order-value median per market segment.
+    * This is the bench suite's most expensive query (two window sorts per
+    * segment — inherent to exactness); the 100 TB scale path is
+    * percentile_approx (one-pass mergeable GK sketch), whose accuracy vs
+    * this exact plan is pinned in MedianScalePathSpec.
     */
   val q24 = QueryDef(
     "q24_median_order_value",
