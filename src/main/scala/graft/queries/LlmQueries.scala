@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators as driver-contract queries over the
   * `documents` and `embeddings` testdata tables. SQL-expressible ops carry a
@@ -293,8 +293,54 @@ object LlmQueries {
       .orderBy("vec_a", "vec_b"),
     None)
 
+  /** Deterministic stratified sampling: a 50-doc quota per language in
+    * content-hash order — reproducible bit-for-bit and engine-checkable
+    * (the md5 order key computes identically in Spark and DuckDB).
+    */
+  val sampleStratified = QueryDef(
+    "llm_sample_stratified",
+    (s, dir) => Sampling.stratifiedSample(documents(s, dir), "lang", 50)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("lang", "sample_rank"),
+    Some("""
+      SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(text), doc_id) AS INTEGER) AS sample_rank
+        FROM documents) t
+      WHERE sample_rank <= 50
+      ORDER BY lang, sample_rank"""))
+
+  /** Greedy token-budget selection per language: accumulate docs in
+    * content-hash order until 5000 whitespace tokens; the doc crossing the
+    * budget is excluded — the fixed-token-mix data-recipe shape.
+    */
+  val sampleBudget = QueryDef(
+    "llm_sample_budget",
+    (s, dir) => Sampling.tokenBudgetSample(documents(s, dir), "lang", 5000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("lang", "cum_tokens", "doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                      AS INTEGER) END AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY md5(text), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens
+        FROM toks)
+      SELECT doc_id, lang, n_tokens, cum_tokens
+      FROM cum WHERE cum_tokens <= 5000
+      ORDER BY lang, cum_tokens, doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
     textTokens, textQuality, textLangId, textFingerprint, textRollhash,
-    multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup)
+    multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
+    sampleStratified, sampleBudget)
 }

@@ -1,0 +1,40 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "aa bb cc", "en"), (2L, "dd ee", "en"), (3L, "ff", "en"),
+    (4L, "gg hh ii jj", "de"), (5L, "kk ll", "de"))
+    .toDF("doc_id", "text", "lang")
+
+  test("stratifiedSample respects per-stratum quota and is deterministic") {
+    val s2a = Sampling.stratifiedSample(docs, "lang", 2)
+      .select("doc_id", "lang", "sample_rank").collect().map(_.toSeq).toSet
+    val s2b = Sampling.stratifiedSample(docs.repartition(5), "lang", 2)
+      .select("doc_id", "lang", "sample_rank").collect().map(_.toSeq).toSet
+    assert(s2a == s2b) // partitioning-independent
+    val perLang = Sampling.stratifiedSample(docs, "lang", 2)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == Map("en" -> 2L, "de" -> 2L))
+    // quota above stratum size keeps everything
+    assert(Sampling.stratifiedSample(docs, "lang", 10).count() == 5)
+  }
+
+  test("tokenBudgetSample: inclusive boundary, crossing doc excluded") {
+    // en docs have 3, 2, 1 tokens; in md5 order some prefix accumulates
+    val out = Sampling.tokenBudgetSample(docs, "lang", budget = 4L)
+      .filter($"lang" === "en")
+      .orderBy("cum_tokens").collect()
+    assert(out.nonEmpty)
+    // running total never exceeds the budget and is strictly increasing
+    val cums = out.map(_.getAs[Long]("cum_tokens")).toSeq
+    assert(cums.last <= 4L && cums == cums.sorted)
+    // a huge budget keeps every doc
+    assert(Sampling.tokenBudgetSample(docs, "lang", 1000L).count() == 5)
+  }
+}
