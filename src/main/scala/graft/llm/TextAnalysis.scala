@@ -135,6 +135,15 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
     "es" -> Seq("el", "los", "las", "que", "es", "un", "una"))
 
+  /** Canonical text normalization for dedup keys: lowercase, collapse
+    * every whitespace run to a single space, trim. Exact dedup over the
+    * normalized form catches casing/whitespace near-identicals that byte
+    * equality misses — the standard first rung of the dedup ladder, and
+    * cheap enough to fuse into the scan.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Content fingerprints: MD5 (cross-engine-stable, oracle-checkable) and
     * the custom codegen'd rolling hash (graft.functions.RollingHash).
     */

@@ -293,6 +293,40 @@ object LlmQueries {
       .orderBy("vec_a", "vec_b"),
     None)
 
+  /** Canonical normalization + normalized fingerprint: the dedup-key
+    * preprocessing rung (casing/whitespace variants collapse to one key).
+    * n_dupes counts how many raw docs share each normalized form.
+    */
+  val textNormalize = QueryDef(
+    "llm_text_normalize",
+    (s, dir) => {
+      val docs = documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("__norm"))
+      val counts = docs.groupBy(md5(col("__norm").cast(BinaryType)).as("fp_norm"))
+        .agg(count(lit(1)).as("n_dupes"))
+      docs
+        .select(col("doc_id"),
+          length(col("__norm")).as("n_chars_norm"),
+          md5(col("__norm").cast(BinaryType)).as("fp_norm"))
+        .join(counts, Seq("fp_norm"))
+        .select(col("doc_id"), col("n_chars_norm"), col("fp_norm"),
+          col("n_dupes"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        FROM documents),
+      counts AS (
+        SELECT md5(nt) AS fp_norm, COUNT(*) AS n_dupes
+        FROM norm GROUP BY 1)
+      SELECT doc_id, CAST(length(nt) AS INTEGER) AS n_chars_norm,
+             md5(nt) AS fp_norm, n_dupes
+      FROM norm JOIN counts ON md5(nt) = counts.fp_norm
+      ORDER BY doc_id"""))
+
   /** Deterministic stratified sampling: a 50-doc quota per language in
     * content-hash order — reproducible bit-for-bit and engine-checkable
     * (the md5 order key computes identically in Spark and DuckDB).
@@ -342,5 +376,5 @@ object LlmQueries {
     dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
     textTokens, textQuality, textLangId, textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
-    sampleStratified, sampleBudget)
+    textNormalize, sampleStratified, sampleBudget)
 }

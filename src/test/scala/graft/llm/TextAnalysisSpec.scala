@@ -82,6 +82,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(viaText == viaToks)
   }
 
+  test("normalize: casing and whitespace variants collapse to one form") {
+    val out = Seq("Hello   World", "  hello world ", "hello\tworld\n",
+      "hello worlds")
+      .toDF("text")
+      .select(TextAnalysis.normalize($"text").as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "hello world")
+    assert(out.take(3).distinct.length == 1)
+    assert(out(3) == "hello worlds")
+  }
+
   test("profile emits one row per doc with all feature columns") {
     val out = TextAnalysis.profile(
       Seq((1L, "the quick brown fox")).toDF("doc_id", "text"))
