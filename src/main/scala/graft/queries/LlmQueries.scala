@@ -293,6 +293,64 @@ object LlmQueries {
       .orderBy("vec_a", "vec_b"),
     None)
 
+  /** Corpus-curation filter report: every document against every rule,
+    * with per-rule reason flags and the final keep verdict — the auditable
+    * shape a training-data filter pass needs (not just the survivors: you
+    * must be able to answer "why was this dropped"). One staged
+    * tokenization feeds all rules.
+    */
+  val filterReport = QueryDef(
+    "llm_filter_report",
+    (s, dir) => {
+      val staged = documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenArray(col("text")).as("__toks"))
+      val n = TextAnalysis.tokenCountFromTokens(col("__toks"))
+      val q = TextAnalysis.qualityScoreFromTokens(col("__toks"))
+      val lang = TextAnalysis.langIdFromTokens(col("__toks"))
+      staged
+        .select(col("doc_id"),
+          (n < 15).as("too_short"),
+          (n > 90).as("too_long"),
+          (q < 0.5).as("low_quality"),
+          (lang === "und").as("unknown_lang"))
+        .withColumn("kept",
+          !col("too_short") && !col("too_long") &&
+            !col("low_quality") && !col("unknown_lang"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+          length(regexp_replace(trim(text), '\s+', '', 'g')) AS letters,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('the','a','an','and','of','to','in'))) END AS stops,
+          regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      scored AS (
+        SELECT doc_id, n,
+          least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.4
+            + least(1.0, (CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE) END) / 8.0) * 0.3
+            + (1.0 - CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(stops AS DOUBLE) / CAST(n AS DOUBLE) END) * 0.3
+            AS quality,
+          len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS s_de,
+          len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('el','los','las','que','es','un','una'))) AS s_es
+        FROM t)
+      SELECT doc_id,
+             n < 15 AS too_short,
+             n > 90 AS too_long,
+             quality < 0.5 AS low_quality,
+             greatest(s_en, s_de, s_fr, s_es) = 0 AS unknown_lang,
+             NOT (n < 15 OR n > 90 OR quality < 0.5
+                  OR greatest(s_en, s_de, s_fr, s_es) = 0) AS kept
+      FROM scored ORDER BY doc_id"""))
+
   /** Canonical normalization + normalized fingerprint: the dedup-key
     * preprocessing rung (casing/whitespace variants collapse to one key).
     * n_dupes counts how many raw docs share each normalized form.
@@ -376,5 +434,5 @@ object LlmQueries {
     dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
     textTokens, textQuality, textLangId, textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
-    textNormalize, sampleStratified, sampleBudget)
+    textNormalize, filterReport, sampleStratified, sampleBudget)
 }
