@@ -35,6 +35,30 @@ object Sampling {
       .filter(col("sample_rank") <= n)
   }
 
+  /** Weighted mixture: per-stratum quotas proportional to `weights` summing
+    * to ~`total` docs — the data-recipe mixing shape ("50% en, 30% de,
+    * 20% fr"). Strata absent from the weights are dropped. Quotas use
+    * math.round of the exact share, so the recipe is reproducible from the
+    * weights alone.
+    */
+  def mixtureSample(docs: DataFrame, stratum: String,
+      weights: Map[String, Double], total: Long,
+      textCol: String = "text"): DataFrame = {
+    val wsum = weights.values.sum
+    val quotas = weights.map { case (k, w) =>
+      k -> math.round(total * w / wsum)
+    }
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (k, q)) =>
+      when(col(stratum) === k, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(stratum))
+      .orderBy(md5Order(col(textCol)), col("doc_id"))
+    docs
+      .filter(col(stratum).isin(weights.keys.toSeq: _*))
+      .withColumn("sample_rank", row_number().over(w).cast(IntegerType))
+      .filter(col("sample_rank") <= quotaCol)
+  }
+
   /** Greedy token-budget selection per stratum: docs accumulate in
     * content-hash order until the running token total exceeds the budget;
     * the doc that crosses the line is excluded. The shape every

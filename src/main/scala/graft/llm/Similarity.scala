@@ -41,6 +41,23 @@ object Similarity {
   def embeddingDim(df: DataFrame, embeddingCol: String = "embedding"): Int =
     df.select(size(col(embeddingCol)).as("d")).limit(1).head.getInt(0)
 
+  /** L2-normalize the embedding column: after this, dot product IS cosine
+    * — normalize once at ingest, score with the cheap kernel at query
+    * time. Both the cast array and the norm are staged as their own
+    * projections (a lambda-captured norm would re-evaluate PER ELEMENT —
+    * trap #2 of the repo's expression discipline); zero vectors pass
+    * through unchanged.
+    */
+  def l2Normalized(corpus: DataFrame,
+      embeddingCol: String = "embedding"): DataFrame =
+    corpus
+      .withColumn("__v", asDouble(col(embeddingCol)))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("unit",
+        when(col("__n") === 0.0, col("__v"))
+          .otherwise(transform(col("__v"), x => x / col("__n"))))
+      .drop("__v", "__n")
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries are broadcast; ranking is a window per query id with
     * deterministic tie-breaking.

@@ -430,9 +430,53 @@ object LlmQueries {
       FROM cum WHERE cum_tokens <= 5000
       ORDER BY lang, cum_tokens, doc_id"""))
 
+  /** Weighted mixture recipe: 50% en / 30% de / 20% fr of a 200-doc
+    * budget, es excluded — per-stratum quotas in content-hash order.
+    */
+  val sampleMixture = QueryDef(
+    "llm_sample_mixture",
+    (s, dir) => Sampling.mixtureSample(documents(s, dir), "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), total = 200L)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("lang", "sample_rank"),
+    Some("""
+      SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(text), doc_id) AS INTEGER) AS sample_rank
+        FROM documents WHERE lang IN ('en','de','fr')) t
+      WHERE sample_rank <= CASE lang WHEN 'en' THEN 100
+                                     WHEN 'de' THEN 60
+                                     WHEN 'fr' THEN 40 END
+      ORDER BY lang, sample_rank"""))
+
+  /** L2 normalization of the embedding column: emits per-vector proof
+    * scalars (first unit component + the unit vector's norm) rather than
+    * the array itself, keeping the compare scalar-typed. All arithmetic is
+    * the same left-to-right IEEE fold in both engines.
+    */
+  val embedNormalize = QueryDef(
+    "llm_embed_normalize",
+    (s, dir) => Similarity.l2Normalized(embeddings(s, dir))
+      .select(col("vec_id"),
+        element_at(col("unit"), 1).as("unit_first"),
+        Similarity.norm(col("unit")).as("unit_norm"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH u AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                 x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))) AS unit
+        FROM embeddings)
+      SELECT vec_id, unit[1] AS unit_first,
+             sqrt(list_dot_product(unit, unit)) AS unit_norm
+      FROM u ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
     textTokens, textQuality, textLangId, textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
-    textNormalize, filterReport, sampleStratified, sampleBudget)
+    textNormalize, filterReport, sampleStratified, sampleBudget,
+    sampleMixture, embedNormalize)
 }

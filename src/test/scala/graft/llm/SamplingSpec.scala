@@ -25,6 +25,18 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedSample(docs, "lang", 10).count() == 5)
   }
 
+  test("mixtureSample: weighted quotas, unlisted strata dropped") {
+    val many = spark.range(300).selectExpr(
+      "id AS doc_id", "concat('text ', id) AS text",
+      "CASE WHEN id % 4 = 0 THEN 'en' WHEN id % 4 = 1 THEN 'de' " +
+        "WHEN id % 4 = 2 THEN 'fr' ELSE 'es' END AS lang")
+    val out = Sampling.mixtureSample(many, "lang",
+      Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), total = 100L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("en" -> 50L, "de" -> 30L, "fr" -> 20L)) // no 'es'
+  }
+
   test("tokenBudgetSample: inclusive boundary, crossing doc excluded") {
     // en docs have 3, 2, 1 tokens; in md5 order some prefix accumulates
     val out = Sampling.tokenBudgetSample(docs, "lang", budget = 4L)

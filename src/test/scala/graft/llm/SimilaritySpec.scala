@@ -86,6 +86,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!dups.exists { case (a, b) => a < 10 && b >= 10 })
   }
 
+  test("l2Normalized: unit vectors, zero vectors pass through, one norm per row") {
+    val withZero = vecs.union(
+      Seq((99L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
+    val out = Similarity.l2Normalized(withZero)
+    val norms = out.select($"vec_id",
+      Similarity.norm($"unit").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    norms.foreach { case (id, n) =>
+      if (id == 99L) assert(n == 0.0) else assert(math.abs(n - 1.0) < 1e-12)
+    }
+    // the norm is staged, not captured: exactly one sqrt per row in plan
+    // (range-based input — a local Seq folds to LocalRelation and hides
+    // the projection)
+    val ranged = spark.range(4).selectExpr("id AS vec_id",
+      "array(cast(id AS float), cast(id + 1 AS float)) AS embedding")
+    val plan = Similarity.l2Normalized(ranged)
+      .queryExecution.optimizedPlan.toString
+    val nSqrt = "SQRT".r.findAllMatchIn(plan.toUpperCase).size
+    assert(nSqrt == 1, s"expected 1 sqrt in optimized plan, got $nSqrt:\n$plan")
+  }
+
   test("nearDupPairs finds within-cluster pairs above threshold") {
     val out = Similarity.nearDupPairs(vecs, 0.9, nPlanes = 2)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
