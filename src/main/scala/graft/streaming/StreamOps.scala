@@ -28,6 +28,20 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming ingest dedup: drop re-deliveries of the same content inside
+    * the watermark horizon — the exactly-once guard every at-least-once
+    * training-data ingest needs. `dropDuplicatesWithinWatermark` keys state
+    * on the fingerprint and EVICTS it once the watermark passes, so state
+    * is bounded by (arrival rate × horizon), not corpus size; the batch
+    * exact-dedup pass (Dedup.exactDuplicates) stays the authority for
+    * cross-horizon duplicates.
+    */
+  def dedupStream(docs: DataFrame, watermark: String,
+      fingerprintCol: String = "fp", tsCol: String = "ts"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
   case class Session(user_id: Long, session_start: Timestamp,

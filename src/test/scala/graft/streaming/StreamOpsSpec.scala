@@ -81,6 +81,36 @@ class StreamOpsSpec extends SparkSpec {
         r.getAs[Int]("n_events"), r.getAs[Double]("total_value"))).toSeq)
   }
 
+  test("dedupStream drops re-deliveries within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val docs = mem.toDF().toDF("ts", "fp", "doc_id")
+    val q = StreamOps.dedupStream(docs, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), "fpA", 1L),
+      (ts("2024-01-01 00:01:00"), "fpA", 2L), // same content re-delivered
+      (ts("2024-01-01 00:02:00"), "fpB", 3L))
+    q.processAllAvailable()
+    // another fpA re-delivery inside the horizon: still dropped
+    mem.addData((ts("2024-01-01 00:03:00"), "fpA", 4L))
+    q.processAllAvailable()
+    val within = spark.table("dedup_stream").collect()
+    assert(within.map(_.getAs[String]("fp")).sorted.toSeq == Seq("fpA", "fpB"))
+
+    // advance the watermark far past the horizon, then send fpA again:
+    // its state was evicted, so the new arrival is a fresh document
+    mem.addData((ts("2024-01-01 01:00:00"), "fpC", 5L))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 01:05:00"), "fpA", 6L))
+    q.processAllAvailable()
+    val after = spark.table("dedup_stream").collect()
+    q.stop()
+    assert(after.count(_.getAs[String]("fp") == "fpA") == 2)
+  }
+
   test("saltedJoin and saltedSum match their unsalted equivalents") {
     val fact = (1 to 100).map(i => (if (i <= 90) 1 else i, i.toDouble))
       .toDF("k", "v") // key 1 is hot: 90% of rows
