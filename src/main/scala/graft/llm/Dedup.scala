@@ -191,6 +191,72 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exhaustive exact-Jaccard near-dup pairs via a gram-key equi join —
+    * the hashing-free twin of the LSH path (and therefore DuckDB-oracle-
+    * checkable): slim (gram, id, setsize) rows join on the gram, shared
+    * counts become Jaccard exactly. Cost is Σ per-gram-bucket², so this is
+    * for corpora/strata small enough to skip LSH — and the oracle gate
+    * proving the LSH path's thresholded output against ground truth.
+    */
+  def jaccardPairsExact(docs: DataFrame, threshold: Double): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("__toks")).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).as("sz"),
+        explode(col("__sh")).as("gram"))
+    val a = grams.select(col("gram"), col("doc_id").as("doc_a"),
+      col("sz").as("sza"))
+    val b = grams.select(col("gram"), col("doc_id").as("doc_b"),
+      col("sz").as("szb"))
+    a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sza", "szb")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast(DoubleType)
+        / (col("sza") + col("szb") - col("shared")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  /** Connected components over an undirected pair set by iterative
+    * min-label propagation: every node's label converges to the MINIMUM
+    * doc id in its component — deterministic under any partitioning, so
+    * cluster ids are stable. Returns (id, cluster_id) for every node that
+    * appears in a pair.
+    *
+    * The driver-side loop carries only iteration control (one tiny
+    * converged-count per round); all data movement is joins/aggregations.
+    * Rounds = graph diameter, and near-dup clusters are shallow; at
+    * pathological diameters swap in large-star/small-star contraction,
+    * which keeps this loop shape but halves the diameter every round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
+      .distinct().cache()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")).cache()
+    labels.count()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val prop = edges.join(labels, edges("d") === labels("id"))
+        .select(edges("s").as("id"), col("cluster_id"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      next.count()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Token xxhash64 array — stage as its own projection (see
     * minhashSignatureFromHashes for why).
     */

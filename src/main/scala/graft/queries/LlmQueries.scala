@@ -430,6 +430,59 @@ object LlmQueries {
       FROM cum WHERE cum_tokens <= 5000
       ORDER BY lang, cum_tokens, doc_id"""))
 
+  /** The dedup endgame: exact-Jaccard near-dup pairs (gram-key equi join,
+    * no hashing — so DuckDB can replay it) clustered into connected
+    * components by min-label propagation. Cluster id = min doc id in the
+    * component (deterministic); survivors = one doc per cluster. The
+    * oracle replays the components with a recursive CTE.
+    */
+  val dedupClusters = QueryDef(
+    "llm_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.jaccardPairsExact(documents(s, dir), 0.8)
+      val comps = Dedup.connectedComponents(pairs)
+      val sizes = comps.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      comps.join(sizes, Seq("cluster_id"))
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 1)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g3
+        FROM toks),
+      grams AS (
+        SELECT doc_id, len(g3) AS sz, unnest(g3) AS gram FROM g),
+      shared AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
+               COUNT(*) AS c
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1,2,3,4),
+      pairs AS (
+        SELECT da, db FROM shared
+        WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+      edges AS (
+        SELECT da AS s, db AS d FROM pairs
+        UNION
+        SELECT db, da FROM pairs),
+      reach AS (
+        SELECT DISTINCT s AS id, s AS r FROM edges
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      sized AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM comp GROUP BY 1)
+      SELECT comp.id AS doc_id, comp.cluster_id, sized.cluster_size
+      FROM comp JOIN sized USING (cluster_id)
+      ORDER BY doc_id"""))
+
   /** Weighted mixture recipe: 50% en / 30% de / 20% fr of a 200-doc
     * budget, es excluded — per-stratum quotas in content-hash order.
     */
@@ -478,5 +531,5 @@ object LlmQueries {
     textTokens, textQuality, textLangId, textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
     textNormalize, filterReport, sampleStratified, sampleBudget,
-    sampleMixture, embedNormalize)
+    sampleMixture, embedNormalize, dedupClusters)
 }

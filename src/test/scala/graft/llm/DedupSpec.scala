@@ -56,6 +56,29 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getAs[Int]("hamming") == 0)
   }
 
+  test("connectedComponents: min-label clusters over triangle + chain") {
+    // triangle {1,2,3}, chain 10-11-12-13, isolated pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("jaccardPairsExact is ground truth: LSH-verified pairs are a subset") {
+    val lshVerified = Dedup.verifyJaccard(
+      Dedup.minhashCandidates(docs).select("doc_a", "doc_b"), docs, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairsExact(docs, 0.8)
+      .as[(Long, Long)].collect().toSet
+    assert(lshVerified.subsetOf(exact))
+    assert(exact.contains((0L, 1L))) // the planted exact duplicate
+  }
+
   test("shingles: distinct word 3-grams; short docs do not error") {
     val sh = Seq((0L, "a b c d"), (1L, "x y"))
       .toDF("doc_id", "text")
