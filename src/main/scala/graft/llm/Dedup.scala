@@ -123,8 +123,8 @@ object Dedup {
           .minhash_signature(col("__hs"), NumHashes).as("sig"))
   // note: no isNotNull filter on sig — a pushed-down filter would inline
   // (and thus re-evaluate) the whole signature expression below the staged
-  // projections; downstream explode(bandKeys(sig)) already drops null
-  // signatures (explode of null emits no rows)
+  // projections; downstream explode_outer(bandKeys(sig)) turns a null
+  // signature into a null band key, which can never match the band join
 
   /** Banded LSH keys from a signature: one 'band:hash' key per band. */
   def bandKeys(sig: Column): Column =
@@ -145,8 +145,10 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = docSignatures(docs)
+    // explode_outer: see jaccardPairsExact — plain explode triggers an
+    // inferred size-filter that re-inlines the signature expression
     val banded = sigs
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band"))
+      .select(col("doc_id"), explode_outer(bandKeys(col("sig"))).as("band"))
     val smallBuckets = banded
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("band"))))
@@ -191,19 +193,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Exhaustive exact-Jaccard near-dup pairs via a gram-key equi join —
-    * the hashing-free twin of the LSH path (and therefore DuckDB-oracle-
-    * checkable): slim (gram, id, setsize) rows join on the gram, shared
-    * counts become Jaccard exactly. Cost is Σ per-gram-bucket², so this is
-    * for corpora/strata small enough to skip LSH — and the oracle gate
-    * proving the LSH path's thresholded output against ground truth.
+  /** Exact-Jaccard near-dup pairs via a gram-key equi join — the
+    * hashing-free twin of the LSH path (and therefore DuckDB-oracle-
+    * checkable): slim (gram, id) rows join on the gram, shared counts
+    * become Jaccard exactly.
+    *
+    * Skew discipline (same as every other candidate join here): grams
+    * with document frequency > `maxDf` are dropped from BOTH the join and
+    * the set sizes — a gram shared by hundreds of documents carries no
+    * discriminating power, and its bucket² term is exactly what turns the
+    * join quadratic (measured: the uncapped form cost 20 s at sf0.1, the
+    * capped form a fraction of a second). Jaccard is thus over the
+    * df-filtered gram sets, identically in both engines.
     */
-  def jaccardPairsExact(docs: DataFrame, threshold: Double): DataFrame = {
-    val grams = docs
+  def jaccardPairsExact(docs: DataFrame, threshold: Double,
+      maxDf: Int = MaxBucket): DataFrame = {
+    // explode_outer, NOT explode: InferFiltersFromGenerate adds a
+    // size(generator) > 0 filter to plain explode, and filter pushdown
+    // inlines the whole staged shingle pipeline into it (re-tokenizing
+    // per element — measured 14x slower). The outer variant skips the
+    // rule; its extra null-gram rows can never match the equi join.
+    val grams0 = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
       .select(col("doc_id"), shinglesFromTokens(col("__toks")).as("__sh"))
-      .select(col("doc_id"), size(col("__sh")).as("sz"),
-        explode(col("__sh")).as("gram"))
+      .select(col("doc_id"), explode_outer(col("__sh")).as("gram"))
+    val grams = grams0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("df") <= maxDf)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("sz"), col("gram"))
     val a = grams.select(col("gram"), col("doc_id").as("doc_a"),
       col("sz").as("sza"))
     val b = grams.select(col("gram"), col("doc_id").as("doc_b"),
@@ -244,7 +262,8 @@ object Dedup {
       val next = labels.union(prop)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
         .cache()
-      next.count()
+      // one action per round: the changed-count materializes `next` into
+      // the cache on the way through
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
         .filter(col("cluster_id") =!= col("__old")).count()
@@ -299,7 +318,7 @@ object Dedup {
   def simhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = docSimhashes(docs)
     val chunks = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
+      explode_outer(array((0 until 4).map(c =>
         concat_ws(":", lit(c),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL))): _*))
         .as("chunk"))
