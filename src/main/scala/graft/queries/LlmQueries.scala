@@ -430,11 +430,12 @@ object LlmQueries {
       FROM cum WHERE cum_tokens <= 5000
       ORDER BY lang, cum_tokens, doc_id"""))
 
-  /** The dedup endgame: exact-Jaccard near-dup pairs (gram-key equi join,
-    * no hashing — so DuckDB can replay it) clustered into connected
-    * components by min-label propagation. Cluster id = min doc id in the
-    * component (deterministic); survivors = one doc per cluster. The
-    * oracle replays the components with a recursive CTE.
+  /** The dedup endgame: exact-Jaccard near-dup pairs (gram-key equi join
+    * with a df-100 gram cap, no hashing — so DuckDB can replay it)
+    * clustered into connected components by min-label propagation.
+    * Cluster id = min doc id in the component (deterministic); survivors
+    * = one doc per cluster. The oracle replays the components with a
+    * recursive CTE.
     */
   val dedupClusters = QueryDef(
     "llm_dedup_clusters",
@@ -458,16 +459,23 @@ object LlmQueries {
           generate_series(1, greatest(len(t) - 2, 1)),
           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g3
         FROM toks),
+      grams0 AS (
+        SELECT doc_id, unnest(g3) AS gram FROM g),
+      keepgrams AS (
+        SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) <= 100),
       grams AS (
-        SELECT doc_id, len(g3) AS sz, unnest(g3) AS gram FROM g),
+        SELECT doc_id, gram FROM grams0 JOIN keepgrams USING (gram)),
+      sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
       shared AS (
-        SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb,
-               COUNT(*) AS c
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
         FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY 1,2,3,4),
+        GROUP BY 1,2),
       pairs AS (
         SELECT da, db FROM shared
-        WHERE CAST(c AS DOUBLE) / (sa + sb - c) >= 0.8),
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
       edges AS (
         SELECT da AS s, db AS d FROM pairs
         UNION
