@@ -248,12 +248,16 @@ object Dedup {
     * which keeps this loop shape but halves the diameter every round.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint, not cache: caching stores data but the LOGICAL plan
+    // of an iterative loop still nests the previous round's plan several
+    // times per round — exponential plan growth that OOMs the driver in
+    // plan normalization long before the data is big. Checkpointing
+    // truncates the lineage to a leaf each round.
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("d"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("d")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("s").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id")).cache()
-    labels.count()
+      .select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -261,19 +265,78 @@ object Dedup {
         .select(edges("s").as("id"), col("cluster_id"))
       val next = labels.union(prop)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .cache()
-      // one action per round: the changed-count materializes `next` into
-      // the cache on the way through
+        .localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
         .filter(col("cluster_id") =!= col("__old")).count()
-      labels.unpersist()
       labels = next
       done = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): each round rewires every node toward the minimum
+    * id in its neighborhood, which roughly HALVES the remaining diameter
+    * — O(log d) rounds where plain label propagation needs O(d). Same
+    * deterministic result as [[connectedComponents]] (cluster id = min id
+    * in the component, equivalence spec-pinned); prefer this form when
+    * components can be deep (long transitive near-dup chains).
+    *
+    *  - large-star: for every edge (u,v) with v > u, link v to the
+    *    minimum neighbor of u (including u);
+    *  - small-star: for every edge, link the larger endpoint to the
+    *    minimum neighbor among the smaller-or-equal ones.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    def canonical(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    // localCheckpoint per round — see connectedComponents: an iterative
+    // loop's logical plan multiplies per round without lineage truncation
+    var edges = canonical(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // adjacency must be symmetric EVERY round — the star steps emit
+      // directed (node -> candidate-min) edges, and grouping a one-sided
+      // list computes wrong neighborhood minima
+      val adj = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      // large-star: neighbors v > u attach to min(neighborhood(u) ∪ {u})
+      val minNbr = adj.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = adj.join(minNbr, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minNbr.select(col("u"), col("m").as("v")))
+      // small-star over canonical (larger -> smaller) edges: every smaller
+      // neighbor, and the node itself, attaches to the minimum neighbor
+      val canon = canonical(large)
+      val minSmall = canon.groupBy("u").agg(min(col("v")).as("m"))
+      val next = canonical(
+        canon.join(minSmall, Seq("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(minSmall.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      // set equality both ways — next ⊂ edges alone is not convergence
+      val changed = next.except(edges).count() + edges.except(next).count()
+      edges = next
+      done = changed == 0
+      iter += 1
+    }
+    // at convergence every edge is (member, component-minimum); minima
+    // appear only on the right — union their self-rows so every member
+    // of every component is listed
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
   }
 
   /** Token xxhash64 array — stage as its own projection (see

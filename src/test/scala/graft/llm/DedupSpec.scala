@@ -69,6 +69,24 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponentsStar: agrees with label propagation, handles deep chains") {
+    // a 50-node chain has diameter 49: label propagation needs ~50 rounds,
+    // star contraction O(log) — both must yield cluster 0 for every node
+    val chain = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 50 && star.values.forall(_ == 0L))
+
+    val mixed = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val viaStar = Dedup.connectedComponentsStar(mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = Dedup.connectedComponents(mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+  }
+
   test("jaccardPairsExact is ground truth: LSH-verified pairs are a subset") {
     val lshVerified = Dedup.verifyJaccard(
       Dedup.minhashCandidates(docs).select("doc_a", "doc_b"), docs, 0.8)
