@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   *    of every group) vs graft.functions.TopKAggregate (bounded heap,
   *    map-side combine, shuffles ≤ k×groups rows) on a synthetic tall
   *    input — the measurement behind the aggregate's scale claim.
+  *  - `cc`: times min-label propagation vs large-star/small-star
+  *    contraction on deep-chain graphs — the measurement behind the
+  *    O(d)-vs-O(log d) rounds claim in Dedup.connectedComponentsStar.
   *
-  * Usage: runMain graft.ScaleProbe [minhash [mult] | topk [rows] [groups]]
+  * Usage: runMain graft.ScaleProbe
+  *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -36,6 +40,13 @@ object ScaleProbe {
     if (mode == "topk") {
       topkProbe(spark,
         if (args.length > 1) args(1).toLong else 20000000L,
+        if (args.length > 2) args(2).toInt else 200)
+      spark.stop()
+      return
+    }
+    if (mode == "cc") {
+      ccProbe(spark,
+        if (args.length > 1) args(1).toInt else 120,
         if (args.length > 2) args(2).toInt else 200)
       spark.stop()
       return
@@ -65,6 +76,30 @@ object ScaleProbe {
     println(f"PROBE ratio: size x$mult -> time x${tm / t1}%.1f " +
       f"(linear would be ~x$mult, quadratic ~x${mult * mult})")
     spark.stop()
+  }
+
+  /** Label-propagation vs star-contraction on deep graphs: nChains
+    * disjoint chains of length chainLen (diameter = chainLen - 1). Both
+    * must produce identical components; propagation needs ~chainLen
+    * rounds, star contraction ~log2(chainLen).
+    */
+  private def ccProbe(spark: SparkSession, chainLen: Int, nChains: Int): Unit = {
+    val pairs = spark.range(nChains.toLong * chainLen)
+      .filter(col("id") % chainLen =!= (chainLen - 1))
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (prop, tp) = time(
+      llm.Dedup.connectedComponents(pairs, maxIter = chainLen + 2)
+        .orderBy("id").collect().toSeq)
+    val (star, ts) = time(
+      llm.Dedup.connectedComponentsStar(pairs)
+        .orderBy("id").collect().toSeq)
+    require(prop.map(_.toSeq) == star.map(_.toSeq), "components disagree")
+    println(f"PROBE cc: chains=$nChains len=$chainLen " +
+      f"propagation=$tp%.1fs star=$ts%.1fs speedup=x${tp / ts}%.2f")
   }
 
   /** Window-vs-TopKAggregate crossover measurement. Both plans read the
