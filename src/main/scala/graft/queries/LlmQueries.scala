@@ -491,6 +491,64 @@ object LlmQueries {
       FROM comp JOIN sized USING (cluster_id)
       ORDER BY doc_id"""))
 
+  /** The cleaned corpus — what the dedup ladder actually ships: every
+    * document except non-keeper near-dup cluster members (keeper = the
+    * cluster's minimum doc id). Realized as a left-anti join of the corpus
+    * against the loser set, so singleton docs pass through untouched.
+    */
+  val dedupSurvivors = QueryDef(
+    "llm_dedup_survivors",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.jaccardPairsExact(docs, 0.8))
+      val losers = comps.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 1)),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g3
+        FROM toks),
+      grams0 AS (
+        SELECT doc_id, unnest(g3) AS gram FROM g),
+      keepgrams AS (
+        SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) <= 100),
+      grams AS (
+        SELECT doc_id, gram FROM grams0 JOIN keepgrams USING (gram)),
+      sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1,2),
+      pairs AS (
+        SELECT da, db FROM shared
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+      edges AS (
+        SELECT da AS s, db AS d FROM pairs
+        UNION
+        SELECT db, da FROM pairs),
+      reach AS (
+        SELECT DISTINCT s AS id, s AS r FROM edges
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      losers AS (SELECT id AS doc_id FROM comp WHERE id <> cluster_id)
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      ORDER BY doc_id"""))
+
   /** Weighted mixture recipe: 50% en / 30% de / 20% fr of a 200-doc
     * budget, es excluded — per-stratum quotas in content-hash order.
     */
@@ -539,5 +597,5 @@ object LlmQueries {
     textTokens, textQuality, textLangId, textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
     textNormalize, filterReport, sampleStratified, sampleBudget,
-    sampleMixture, embedNormalize, dedupClusters)
+    sampleMixture, embedNormalize, dedupClusters, dedupSurvivors)
 }
