@@ -42,14 +42,22 @@ object Bench {
     // whichever query ran first eat all JIT/codegen warm-up (q03 measured
     // 4x its twin q02), and a single timed lap still caught GC/OS noise
     // spikes. Min-of-2 post-warm-up is stable and attributable across runs.
+    // Action = noop-sink write, NOT count(): under `count()` Catalyst's
+    // ColumnPruning deletes every projected column and EliminateSorts drops
+    // the final orderBy, so map-only queries (text scoring, normalization,
+    // byte stats) were being timed as bare cached scans. The noop sink
+    // consumes every column of every row — the full real plan runs — while
+    // writing nothing (the standard Spark benchmarking pattern).
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val elapsed =
           try {
-            fn(spark, sfDir).count() // warm-up lap: JIT + codegen + shuffle
+            run(fn(spark, sfDir)) // warm-up lap: JIT + codegen + shuffle
             def lap(): Double = {
               val t0 = System.nanoTime()
-              fn(spark, sfDir).count()
+              run(fn(spark, sfDir))
               (System.nanoTime() - t0) / 1e9
             }
             math.min(lap(), lap())

@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   *  - `cc`: times min-label propagation vs large-star/small-star
   *    contraction on deep-chain graphs — the measurement behind the
   *    O(d)-vs-O(log d) rounds claim in Dedup.connectedComponentsStar.
+  *  - `hotgram`: plants one stop-gram in a large fraction of an otherwise
+  *    pair-free corpus and times jaccardPairsExact with and without the
+  *    planted skew — the measurement behind the broadcast-blacklist df
+  *    cap (a hot gram must cost ~nothing, not a one-task hotspot).
   *
   * Usage: runMain graft.ScaleProbe
-  *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]]
+  *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]
+  *    | hotgram [docs] [hotPct]]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -51,6 +56,13 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "hotgram") {
+      hotGramProbe(spark,
+        if (args.length > 1) args(1).toLong else 200000L,
+        if (args.length > 2) args(2).toInt else 50)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
@@ -76,6 +88,41 @@ object ScaleProbe {
     println(f"PROBE ratio: size x$mult -> time x${tm / t1}%.1f " +
       f"(linear would be ~x$mult, quadratic ~x${mult * mult})")
     spark.stop()
+  }
+
+  /** Skew-guard measurement: a synthetic corpus of unique 5-token docs
+    * (zero true near-dup pairs), then the same corpus with one planted
+    * stop-gram appended to hotPct% of documents. Under the old
+    * count().over(Window.partitionBy(gram)) cap, the planted gram's rows
+    * all land on one task before the filter runs — max-task time grows
+    * with the hot fraction. Under the broadcast-blacklist cap the hot
+    * gram is dropped before any wide move, so the hot lap should cost
+    * about the same as the clean lap (and emit zero pairs, since the
+    * planted gram is over-df and every doc is otherwise unique).
+    */
+  private def hotGramProbe(spark: SparkSession, nDocs: Long,
+      hotPct: Int): Unit = {
+    // 5 unique-per-doc tokens -> 3 unique trigrams per doc -> no shared
+    // grams except the planted one
+    def corpus(hot: Boolean) = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 5).map(k => concat(lit("w"), col("id") * 5 + k)) ++
+          (if (hot) Seq(when(col("id") % 100 < hotPct, lit("of the and"))
+            .otherwise(concat(lit("u"), col("id"))))
+           else Seq.empty): _*).as("text"))
+    def time(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val c = llm.Dedup.jaccardPairsExact(df, 0.8).count()
+      (c, (System.nanoTime() - t0) / 1e9)
+    }
+    time(corpus(hot = false)) // warm-up
+    val (cClean, tClean) = time(corpus(hot = false))
+    val (cHot, tHot) = time(corpus(hot = true))
+    println(f"PROBE hotgram: docs=$nDocs hot=$hotPct%% " +
+      f"clean=${tClean}%.1fs/$cClean pairs " +
+      f"hot=${tHot}%.1fs/$cHot pairs ratio=x${tHot / tClean}%.2f " +
+      f"(unbounded skew would blow the hot lap up)")
   }
 
   /** Label-propagation vs star-contraction on deep graphs: nChains

@@ -149,10 +149,16 @@ object Dedup {
     // inferred size-filter that re-inlines the signature expression
     val banded = sigs
       .select(col("doc_id"), explode_outer(bandKeys(col("sig"))).as("band"))
+    // Skew-safe cap: the old count().over(Window.partitionBy(band)) shipped
+    // EVERY row of a hot band to one task before the filter could drop it —
+    // the guard itself was the hotspot. groupBy.count partial-aggregates
+    // map-side (a hot key costs one long per input partition), the over-cap
+    // key set is tiny by construction, and broadcasting it back as an
+    // anti-join blacklist touches no shuffle boundary at all.
+    val hotBands = banded.groupBy(col("band")).count()
+      .filter(col("count") > MaxBucket).select(col("band"))
     val smallBuckets = banded
-      .withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy(col("band"))))
-      .filter(col("bucket_size") <= MaxBucket)
+      .join(broadcast(hotBands), Seq("band"), "left_anti")
       .select(col("doc_id"), col("band"))
     val pairs = smallBuckets.select(col("band"), col("doc_id").as("doc_a"))
       .join(smallBuckets.select(col("band"), col("doc_id").as("doc_b")),
@@ -217,9 +223,16 @@ object Dedup {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
       .select(col("doc_id"), shinglesFromTokens(col("__toks")).as("__sh"))
       .select(col("doc_id"), explode_outer(col("__sh")).as("gram"))
+    // df cap as a broadcast blacklist, not count().over(Window
+    // .partitionBy(gram)): a stop-gram ("of the and") can be a percent of
+    // the corpus, and the window form ships all of it to one task before
+    // filtering — the skew guard itself became the hotspot. groupBy.count
+    // partial-aggregates map-side; the over-cap gram set is tiny (it is
+    // exactly the set being excluded for being common), so it broadcasts.
+    val hotGrams = grams0.groupBy(col("gram")).count()
+      .filter(col("count") > maxDf).select(col("gram"))
     val grams = grams0
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("df") <= maxDf)
+      .join(broadcast(hotGrams), Seq("gram"), "left_anti")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("sz"), col("gram"))
     val a = grams.select(col("gram"), col("doc_id").as("doc_a"),
@@ -273,6 +286,14 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
+    // silent non-convergence = silently WRONG labels (a component deeper
+    // than maxIter splits into several clusters); fail loudly instead —
+    // callers with deep graphs should use connectedComponentsStar, whose
+    // O(log d) rounds make the cap practically unreachable
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter or use " +
+        "connectedComponentsStar")
     labels
   }
 
@@ -333,6 +354,10 @@ object Dedup {
       done = changed == 0
       iter += 1
     }
+    // O(log d) halving makes 20 rounds cover diameters ~2^20; if we still
+    // didn't converge something is deeply wrong — fail, don't mislabel
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
     // at convergence every edge is (member, component-minimum); minima
     // appear only on the right — union their self-rows so every member
     // of every component is listed
@@ -387,10 +412,14 @@ object Dedup {
         concat_ws(":", lit(c),
           shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL))): _*))
         .as("chunk"))
+    // Same skew-safe cap as the band/gram paths: a window partitioned by
+    // the hot chunk would ship every row of that chunk to one task before
+    // the filter could drop it. groupBy.count partial-aggregates map-side
+    // and the over-cap chunk set is tiny, so it broadcasts as a blacklist.
+    val hotChunks = chunks.groupBy(col("chunk")).count()
+      .filter(col("count") > MaxBucket).select(col("chunk"))
     val small = chunks
-      .withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy(col("chunk"))))
-      .filter(col("bucket_size") <= MaxBucket)
+      .join(broadcast(hotChunks), Seq("chunk"), "left_anti")
     val a = small.select(col("chunk"), col("doc_id").as("doc_a"),
       col("simhash").as("sim_a"))
     val b = small.select(col("chunk"), col("doc_id").as("doc_b"),

@@ -34,11 +34,10 @@ object AsOfJoin {
     * `maxGapSeconds` does not count (payload goes null, the left row stays).
     * Boundary is INCLUSIVE: left.time - right.time == maxGap matches, the
     * same semantics as DuckDB's
-    * `ASOF LEFT JOIN ... ON l.t >= r.t` + `l.t - r.t <= INTERVAL` nullify.
-    * Caveat (shared with the base operator): payload columns are carried
-    * independently via last(_, ignoreNulls), so the gap is measured against
-    * the latest right ROW; a null payload value inside an in-gap right row
-    * is not back-filled from an older row's gap perspective.
+    * `ASOF LEFT JOIN ... ON l.t >= r.t` + `l.t - r.t <= INTERVAL` nullify,
+    * and the gap is measured at MICROSECOND precision (a cast-to-long gap
+    * would truncate to whole seconds and accept a boundary pair DuckDB's
+    * full-precision interval compare rejects).
     */
   def asofJoinWithin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
@@ -49,41 +48,47 @@ object AsOfJoin {
   private def asofImpl(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       payload: Seq[String], maxGapSeconds: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
     val leftCols = left.columns
-    // align schemas: left rows carry null payload; right rows carry only
-    // key/time/payload
+    // The matched right row travels as ONE struct (version time +
+    // payload): ASOF returns the matched row WHOLESALE, so a NULL payload
+    // value inside the matched row must come through as NULL. Per-column
+    // last(_, ignoreNulls) carries would stitch that NULL field from an
+    // OLDER version — a different row than the one matched.
+    val pvType = StructType(
+      StructField("__vt", right.schema(rightTime).dataType) +:
+        payload.map(c => StructField(c, right.schema(c).dataType)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__src", lit(1))
-    val lAligned = payload.foldLeft(l)((df, c) =>
-      df.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__pv", lit(null).cast(pvType))
     val r = right
-      .select((Seq(col(key), col(rightTime).as("__t")) ++
-        payload.map(c => col(c).as(s"__p_$c"))): _*)
+      .select(col(key), col(rightTime).as("__t"),
+        struct(col(rightTime).as("__vt") +: payload.map(col): _*).as("__pv"))
       .withColumn("__src", lit(0))
     val rAligned = leftCols.filterNot(_ == key).foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = lAligned.unionByName(rAligned)
+    val unioned = l.unionByName(rAligned)
     // right rows sort before left rows at equal time (__src 0 < 1), so a
-    // version stamped exactly at the event time IS visible to the event
+    // version stamped exactly at the event time IS visible to the event;
+    // left rows carry a null struct, so last(ignoreNulls) lands the latest
+    // right ROW — one window expression regardless of payload width
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried0 = payload.foldLeft(unioned)((df, c) =>
-      df.withColumn(s"__v_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w)))
-    // for the tolerance variant, also carry the matched version's time so
-    // the gap test compares against the right row actually picked
-    val carried = if (maxGapSeconds.isEmpty) carried0
-      else carried0.withColumn("__vt",
-        last(when(col("__src") === 0, col("__t")), ignoreNulls = true).over(w))
+    val carried = unioned
+      .withColumn("__m", last(col("__pv"), ignoreNulls = true).over(w))
     val payloadOut = payload.map { c =>
       maxGapSeconds match {
-        case None => col(s"__v_$c").as(c)
+        case None => col("__m").getField(c).as(c)
         case Some(g) =>
-          // null when no match or the match is older than the gap; the
-          // `when` without `otherwise` yields null on a null __vt too
-          when(col("__t").cast("long") - col("__vt").cast("long") <= g,
-            col(s"__v_$c")).as(c)
+          // microsecond-precision gap (advice r3: cast-to-long truncates
+          // to whole seconds); null when no match or the match is out of
+          // gap — the `when` without `otherwise` nulls on a null __m too
+          when(unix_micros(col("__t").cast(TimestampType)) -
+            unix_micros(col("__m").getField("__vt").cast(TimestampType))
+            <= g * 1000000L,
+            col("__m").getField(c)).as(c)
       }
     }
     carried

@@ -430,18 +430,37 @@ object LlmQueries {
       FROM cum WHERE cum_tokens <= 5000
       ORDER BY lang, cum_tokens, doc_id"""))
 
-  /** The dedup endgame: exact-Jaccard near-dup pairs (gram-key equi join
-    * with a df-100 gram cap, no hashing — so DuckDB can replay it)
-    * clustered into connected components by min-label propagation.
-    * Cluster id = min doc id in the component (deterministic); survivors
-    * = one doc per cluster. The oracle replays the components with a
-    * recursive CTE.
+  /** The dedup ladder's shared clusters stage: exact-Jaccard near-dup
+    * pairs (gram-key equi join with a df-100 cap) clustered by
+    * large-star/small-star contraction (O(log d) rounds; cluster id = min
+    * doc id, identical labels to label propagation, equivalence
+    * spec-pinned). Memoized per (session, sf dir): `llm_dedup_clusters`
+    * and `llm_dedup_survivors` are two views of ONE pipeline, and the
+    * contraction loop is eager (localCheckpoint per round), so without
+    * the memo each query would re-run the whole pairs+components
+    * computation from scratch. The checkpoint truncates lineage — reuse
+    * is a leaf scan, not a replan. The memo holds one tiny (id, cluster)
+    * frame per dataset actually queried in the session (driver/bench use
+    * one), so growth is bounded.
+    */
+  private val componentsMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
+  private def dedupComponents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    componentsMemo.getOrElseUpdate((s, dir),
+      Dedup.connectedComponentsStar(
+        Dedup.jaccardPairsExact(documents(s, dir), 0.8))
+        .localCheckpoint(true))
+
+  /** The dedup endgame: near-dup pairs clustered into connected
+    * components (shared stage above). Survivors = one doc per cluster.
+    * The oracle replays the components with a recursive CTE.
     */
   val dedupClusters = QueryDef(
     "llm_dedup_clusters",
     (s, dir) => {
-      val pairs = Dedup.jaccardPairsExact(documents(s, dir), 0.8)
-      val comps = Dedup.connectedComponents(pairs)
+      val comps = dedupComponents(s, dir)
       val sizes = comps.groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"))
       comps.join(sizes, Seq("cluster_id"))
@@ -455,9 +474,15 @@ object LlmQueries {
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         FROM documents),
       g AS (
-        SELECT doc_id, list_distinct(list_transform(
-          generate_series(1, greatest(len(t) - 2, 1)),
-          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g3
+        -- short-doc branch mirrors Spark's shinglesFromTokens: a doc with
+        -- fewer than 3 tokens contributes its whole token sequence as ONE
+        -- shingle (the bare trigram expression would go NULL and silently
+        -- drop the doc from pairing)
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(
+              generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [array_to_string(t, ' ')] END AS g3
         FROM toks),
       grams0 AS (
         SELECT doc_id, unnest(g3) AS gram FROM g),
@@ -500,9 +525,8 @@ object LlmQueries {
     "llm_dedup_survivors",
     (s, dir) => {
       val docs = documents(s, dir)
-      val comps = Dedup.connectedComponents(
-        Dedup.jaccardPairsExact(docs, 0.8))
-      val losers = comps.filter(col("id") =!= col("cluster_id"))
+      val losers = dedupComponents(s, dir)
+        .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
       docs.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -514,9 +538,15 @@ object LlmQueries {
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         FROM documents),
       g AS (
-        SELECT doc_id, list_distinct(list_transform(
-          generate_series(1, greatest(len(t) - 2, 1)),
-          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g3
+        -- short-doc branch mirrors Spark's shinglesFromTokens: a doc with
+        -- fewer than 3 tokens contributes its whole token sequence as ONE
+        -- shingle (the bare trigram expression would go NULL and silently
+        -- drop the doc from pairing)
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(
+              generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [array_to_string(t, ' ')] END AS g3
         FROM toks),
       grams0 AS (
         SELECT doc_id, unnest(g3) AS gram FROM g),
@@ -583,10 +613,16 @@ object LlmQueries {
       .orderBy("vec_id"),
     Some("""
       WITH u AS (
+        -- zero-vector guard mirrors Spark's l2Normalized: a zero vector
+        -- passes through unchanged (an unguarded divide would emit NaN)
         SELECT vec_id,
-               list_transform(embedding::DOUBLE[],
-                 x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                                embedding::DOUBLE[]))) AS unit
+               CASE WHEN list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]) = 0
+                    THEN embedding::DOUBLE[]
+                    ELSE list_transform(embedding::DOUBLE[],
+                      x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                     embedding::DOUBLE[])))
+               END AS unit
         FROM embeddings)
       SELECT vec_id, unit[1] AS unit_first,
              sqrt(list_dot_product(unit, unit)) AS unit_norm

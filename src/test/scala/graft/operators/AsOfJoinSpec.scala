@@ -63,6 +63,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(base.map(_.toSeq) == loose.map(_.toSeq))
   }
 
+  test("matched row carries WHOLESALE: its NULL payload stays NULL") {
+    // DuckDB ASOF semantics: the matched row is returned as-is. The
+    // latest version has price = NULL, qty = 7 — output must be
+    // (NULL, 7), not price back-filled from the older version.
+    val versioned = Seq(
+      ("P1", ts("2024-01-01 00:00:00"), Some(10.0), Some(3L)),
+      ("P1", ts("2024-01-03 00:00:00"), None, Some(7L)))
+      .toDF("product", "valid_from", "price", "qty")
+    val out = AsOfJoin.asofJoin(
+      events.filter($"event_id" === 3L), versioned, "product",
+      "event_ts", "valid_from", Seq("price", "qty")).head()
+    assert(out.isNullAt(out.fieldIndex("price")))
+    assert(out.getAs[Long]("qty") == 7L)
+    // same via the tolerance variant (gap generous enough to match)
+    val outW = AsOfJoin.asofJoinWithin(
+      events.filter($"event_id" === 3L), versioned, "product",
+      "event_ts", "valid_from", Seq("price", "qty"),
+      maxGapSeconds = 30L * 86400L).head()
+    assert(outW.isNullAt(outW.fieldIndex("price")))
+    assert(outW.getAs[Long]("qty") == 7L)
+  }
+
+  test("asofJoinWithin compares the gap at sub-second precision") {
+    // gap = 86400.4s vs maxGap 86400: whole-second truncation would
+    // accept it (86400 <= 86400); DuckDB's interval compare rejects it
+    val right = Seq(("P1", ts("2024-01-01 00:00:00"), 10.0))
+      .toDF("product", "valid_from", "price")
+    val lefts = Seq(
+      (1L, "P1", ts("2024-01-02 00:00:00.4")),  // 86400.4s -> null
+      (2L, "P1", ts("2024-01-02 00:00:00")))    // exactly 86400s -> 10.0
+      .toDF("event_id", "product", "event_ts")
+    val out = AsOfJoin.asofJoinWithin(lefts, right, "product",
+      "event_ts", "valid_from", Seq("price"), maxGapSeconds = 86400L)
+      .orderBy("event_id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("price")))
+    assert(out(1).getAs[Double]("price") == 10.0)
+  }
+
   test("multiple payload columns carry together") {
     val versioned = Seq(("P1", ts("2024-01-01 00:00:00"), 10.0, "v1"),
       ("P1", ts("2024-01-03 00:00:00"), 20.0, "v2"))
