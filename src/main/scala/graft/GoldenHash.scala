@@ -12,13 +12,19 @@ object GoldenHash {
 
   /** SHA-256 over the sorted canonical row renderings, columns in name
     * order, with a schema header line — column renames fail the pin too.
+    * Column renderings are NUL-separated (a byte that cannot occur in a
+    * rendered value): an unseparated join would let adjacent-column
+    * boundary shifts collide — ('12','3') vs ('1','23'). The collect is
+    * test tooling only, and every pinned query's output is bounded
+    * (per-doc profiles / top-k lists — thousands of rows at any pinned sf).
     */
   def tableHash(df: DataFrame): String = {
+    val sep = 0.toChar.toString // NUL: cannot occur in a rendered value
     val cols = df.columns.sorted.toIndexedSeq
     val proj = df.select(cols.map(col): _*)
-    val rows = proj.collect().map(_.mkString("")).sorted
+    val rows = proj.collect().map(_.mkString(sep)).sorted
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(cols.mkString("").getBytes("UTF-8"))
+    md.update(cols.mkString(sep).getBytes("UTF-8"))
     md.update('\n'.toByte)
     rows.foreach { r =>
       md.update(r.getBytes("UTF-8"))

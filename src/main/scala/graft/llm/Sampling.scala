@@ -11,29 +11,79 @@ import org.apache.spark.sql.types._
   * partitionings (so results are reproducible and DuckDB-oracle-checkable),
   * uniform over the hash space, and uncorrelated with any business column.
   *
-  * Scale shape: both operators are one shuffle on the stratum key + a
-  * window (rank or running sum). No sampling state lives on the driver;
-  * quotas/budgets apply per-stratum inside partitions. At 100 TB the
-  * stratum cardinality supplies parallelism; a single mega-stratum would
-  * need the same salting treatment as any skewed window.
+  * Scale shape — the mega-stratum problem, solved: a corpus that is 60%
+  * one language would push 60% of all rows through ONE task's sort if the
+  * rank/prefix-sum window were partitioned by the stratum alone. Instead,
+  * every ranking here is two-phase, salted by the FIRST HEX BYTE of the
+  * order key itself: because the salt is a *prefix* of the order key,
+  * (salt, key) order IS key order, so a per-(stratum, salt) local pass
+  * (256-way parallel inside every stratum) plus a tiny per-stratum offset
+  * table (≤256 rows each, computed by partial aggregation) reassembles
+  * bit-identical global ranks and running sums — same outputs, no
+  * hot-task sort. SaltedEquivalenceSpec pins salted ≡ single-window on a
+  * 90%-one-stratum corpus.
   */
 object Sampling {
 
   /** Engine-stable pseudo-random order key (md5 hex of the content). */
   def md5Order(c: Column): Column = md5(c.cast(BinaryType))
 
+  /** Salt granularity: 2 hex chars = 256 buckets per stratum. */
+  private val BucketChars = 2
+
+  /** docs + `__ord` (content-hash order key), `__b` (its prefix bucket),
+    * staged as real projections so the md5 is computed once per row.
+    */
+  private def withOrderKey(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("__ord", md5Order(col(textCol)))
+      .withColumn("__b", substring(col("__ord"), 1, BucketChars))
+
+  /** Per-stratum offset of each salt bucket under `valueCol` (row counts
+    * for rank, token counts for prefix sums): partial-aggregated per
+    * (stratum, bucket) — no wide row movement — then a running sum over
+    * the ≤256-row per-stratum bucket list. The result is a tiny frame,
+    * joined back broadcast.
+    */
+  private def bucketOffsets(base: DataFrame, stratum: String,
+      valueCol: Column): DataFrame = {
+    val counts = base.groupBy(col(stratum), col("__b"))
+      .agg(sum(valueCol).as("__c"))
+    counts
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col(stratum))
+          .orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(stratum), col("__b"), col("__off"))
+  }
+
+  /** Global content-hash rank within each stratum, salted: local
+    * row_number within (stratum, bucket) + the bucket's row-count offset.
+    * Identical to row_number over the whole stratum (the bucket is a
+    * prefix of the order key), without ever sorting a stratum in one task.
+    */
+  private def withSampleRank(docs: DataFrame, stratum: String,
+      textCol: String): DataFrame = {
+    val base = withOrderKey(docs, textCol)
+    val offs = bucketOffsets(base, stratum, lit(1L))
+    val w = Window.partitionBy(col(stratum), col("__b"))
+      .orderBy(col("__ord"), col("doc_id"))
+    base
+      .withColumn("__lr", row_number().over(w))
+      .join(broadcast(offs), Seq(stratum, "__b"))
+      .withColumn("sample_rank",
+        (col("__off") + col("__lr")).cast(IntegerType))
+      .drop("__ord", "__b", "__lr", "__off")
+  }
+
   /** Per-stratum deterministic quota: the first `n` docs of each stratum
     * in content-hash order. Equivalent to uniform sampling without
     * replacement, reproducible bit-for-bit.
     */
   def stratifiedSample(docs: DataFrame, stratum: String, n: Int,
-      textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col(stratum))
-      .orderBy(md5Order(col(textCol)), col("doc_id"))
-    docs
-      .withColumn("sample_rank", row_number().over(w).cast(IntegerType))
+      textCol: String = "text"): DataFrame =
+    withSampleRank(docs, stratum, textCol)
       .filter(col("sample_rank") <= n)
-  }
 
   /** Weighted mixture: per-stratum quotas proportional to `weights` summing
     * to ~`total` docs — the data-recipe mixing shape ("50% en, 30% de,
@@ -51,28 +101,32 @@ object Sampling {
     val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (k, q)) =>
       when(col(stratum) === k, lit(q)).otherwise(acc)
     }
-    val w = Window.partitionBy(col(stratum))
-      .orderBy(md5Order(col(textCol)), col("doc_id"))
-    docs
-      .filter(col(stratum).isin(weights.keys.toSeq: _*))
-      .withColumn("sample_rank", row_number().over(w).cast(IntegerType))
+    withSampleRank(
+      docs.filter(col(stratum).isin(weights.keys.toSeq: _*)),
+      stratum, textCol)
       .filter(col("sample_rank") <= quotaCol)
   }
 
   /** Greedy token-budget selection per stratum: docs accumulate in
     * content-hash order until the running token total exceeds the budget;
     * the doc that crosses the line is excluded. The shape every
-    * fixed-token-mix pretraining data recipe needs.
+    * fixed-token-mix pretraining data recipe needs. The running sum is the
+    * same two-phase salt: a local prefix sum within (stratum, bucket) +
+    * the bucket's token-total offset.
     */
   def tokenBudgetSample(docs: DataFrame, stratum: String, budget: Long,
       textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col(stratum))
-      .orderBy(md5Order(col(textCol)), col("doc_id"))
-    docs
+    val base = withOrderKey(docs, textCol)
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
-      .withColumn("cum_tokens",
-        sum(col("n_tokens"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offs = bucketOffsets(base, stratum, col("n_tokens"))
+    val w = Window.partitionBy(col(stratum), col("__b"))
+      .orderBy(col("__ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__lc", sum(col("n_tokens")).over(w))
+      .join(broadcast(offs), Seq(stratum, "__b"))
+      .withColumn("cum_tokens", col("__off") + col("__lc"))
       .filter(col("cum_tokens") <= budget)
+      .drop("__ord", "__b", "__lc", "__off")
   }
 }

@@ -138,27 +138,49 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // The centroid table is the MODEL PARAMETER of IVF — nlist rows that
+    // live on the driver by design (k-means would train them there too).
+    // Collecting it is O(nlist · dim), not a data-path collect.
+    val centArr: Array[(Long, Array[Double])] =
+      corpus.orderBy("vec_id").limit(nlist)
+        .select(col("vec_id"), asDouble(col("embedding")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val cents = broadcast(corpus.orderBy("vec_id").limit(nlist)
       .select(col("vec_id").as("centroid_id"),
         asDouble(col("embedding")).as("centv")))
 
-    def nearestCentroids(df: DataFrame, idCol: String, vCol: String,
-        keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
+    // Corpus→list assignment as a PURE argmin expression: one map-only
+    // pass computing nlist dot products per row, the best taken by
+    // array_max over (aff, -centroid_id) structs — max affinity, ties to
+    // the LOWEST centroid id, the exact order the old per-row window used
+    // (rank 1 of aff DESC, centroid_id ASC). No crossJoin row blow-up, no
+    // corpus-wide shuffle, no window state; each aff is evaluated once
+    // (the structs are array elements, never re-inlined).
+    def nearestExpr(vCol: String): Column =
+      -array_max(array(centArr.map { case (cid, v) =>
+        struct(dot(col(vCol), array(v.map(lit).toIndexedSeq: _*)).as("aff"),
+          lit(-cid).as("nid"))
+      }.toIndexedSeq: _*)).getField("nid")
+
+    val corpusLists = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("cv"))
+      .withColumn("centroid_id", nearestExpr("cv"))
+    // Query probes keep the broadcast-join + tiny window (top-nprobe per
+    // query over nlist rows — queries are few; the window partitions by
+    // query id over ≤nlist rows each).
+    val queryProbes = {
+      val w = Window.partitionBy(col("query_id"))
         .orderBy(col("aff").desc, col("centroid_id"))
-      df.crossJoin(cents)
-        .withColumn("aff", dot(col(vCol), col("centv")))
+      queries.select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("qv"))
+        .crossJoin(cents)
+        .withColumn("aff", dot(col("qv"), col("centv")))
         .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
+        .filter(col("crank") <= nprobe)
         .drop("centv", "aff", "crank")
     }
-
-    val corpusLists = nearestCentroids(
-      corpus.select(col("vec_id").as("neighbor_id"),
-        asDouble(col("embedding")).as("cv")), "neighbor_id", "cv", 1)
-    val queryProbes = nearestCentroids(
-      queries.select(col("vec_id").as("query_id"),
-        asDouble(col("embedding")).as("qv")), "query_id", "qv", nprobe)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -42,4 +42,10 @@ class GoldenFileSpec extends SparkSpec {
   test("oracle-less queries match pinned golden hashes at sf0.01") {
     checkAll("/root/testdata/sf0.01", "/golden/sf0.01.txt")
   }
+
+  test("oracle-less queries match pinned golden hashes at sf0.1") {
+    // the bench runs at sf0.1 — without this pin, drift at the bench
+    // scale factor would be invisible to every gate
+    checkAll("/root/testdata/sf0.1", "/golden/sf0.1.txt")
+  }
 }

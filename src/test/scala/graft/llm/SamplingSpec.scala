@@ -37,6 +37,49 @@ class SamplingSpec extends SparkSpec {
     assert(out == Map("en" -> 50L, "de" -> 30L, "fr" -> 20L)) // no 'es'
   }
 
+  test("salted two-phase ranks ≡ single-window on a 90%-one-stratum corpus") {
+    import org.apache.spark.sql.expressions.Window
+    // 2000 docs, 90% in 'en' — the mega-stratum shape the salting exists
+    // for; outputs must be bit-identical to the naive one-window form
+    val many = spark.range(2000).selectExpr(
+      "id AS doc_id", "concat('doc ', id, ' body ', id % 7) AS text",
+      "CASE WHEN id % 10 < 9 THEN 'en' ELSE 'de' END AS lang")
+    val ord = Sampling.md5Order(col("text"))
+    val w = Window.partitionBy(col("lang")).orderBy(ord, col("doc_id"))
+
+    val naiveRank = many
+      .withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= 600)
+      .select("doc_id", "lang", "sample_rank")
+    val saltedRank = Sampling.stratifiedSample(many, "lang", 600)
+      .select("doc_id", "lang", "sample_rank")
+    assert(saltedRank.collect().map(_.toSeq).toSet ==
+      naiveRank.collect().map(_.toSeq).toSet)
+
+    val naiveCum = many
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= 2000L)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    val saltedCum = Sampling.tokenBudgetSample(many, "lang", 2000L)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    assert(saltedCum.collect().map(_.toSeq).toSet ==
+      naiveCum.collect().map(_.toSeq).toSet)
+
+    // and the salted plan's big windows really are salted: every window
+    // partition spec in the optimized plan includes the bucket column
+    val winSpecs = saltedRank.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        wn.partitionSpec.map(_.sql).mkString(",")
+    }
+    val (bucketed, tiny) = winSpecs.partition(_.contains("__b"))
+    assert(bucketed.nonEmpty,
+      s"expected a bucket-salted window, got: $winSpecs")
+    // the only non-salted window is the ≤256-row offset table
+    assert(tiny.size <= 1)
+  }
+
   test("tokenBudgetSample: inclusive boundary, crossing doc excluded") {
     // en docs have 3, 2, 1 tokens; in md5 order some prefix accumulates
     val out = Sampling.tokenBudgetSample(docs, "lang", budget = 4L)

@@ -61,6 +61,16 @@ class SimilaritySpec extends SparkSpec {
       vecs.filter($"vec_id".isin(0L, 10L)), vecs, 2, nlist = 3, nprobe = 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivfPartial.intersect(brute).size * 2 >= brute.size)
+    // corpus→list assignment is a pure argmin expression: the only
+    // windows in the whole plan are the tiny per-query probe ranking and
+    // the final top-k — the old third window (corpus-wide assignment
+    // shuffle) must be gone
+    val nWindows = Similarity.ivfTopK(
+      vecs.filter($"vec_id".isin(0L, 10L)), vecs, 2, nlist = 3, nprobe = 3)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+    assert(nWindows == 2, s"expected 2 windows (probe + rank), got $nWindows")
   }
 
   test("non-64-dim corpora: dim is probed, buckets stay correct (32-dim)") {
