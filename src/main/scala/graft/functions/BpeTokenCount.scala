@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Vocab-driven BPE token count as a native codegen'd expression: the
+  * real tokenizer-budget arithmetic (merge-table BPE over each pre-token),
+  * not the regex proxy in TextAnalysis.bpeTokenCount.
+  *
+  * Semantics:
+  *  - pre-tokenization mirrors TextAnalysis.BpePattern exactly: ASCII
+  *    letter runs, ASCII digit runs, and single non-alnum-non-space
+  *    marks; ASCII whitespace separates and is not counted;
+  *  - each pre-token is split into characters and adjacent pairs are
+  *    merged greedily by merge-table rank (the standard BPE encode loop:
+  *    per round, the best-ranked adjacent pair anywhere in the word is
+  *    merged at every occurrence, left to right);
+  *  - the count is the number of symbols left when no adjacent pair is
+  *    in the table — i.e. exactly the number of BPE tokens a real
+  *    tokenizer with this merge table would emit.
+  *
+  * The merge loop lives in [[BpeAlgo]] (compiled Scala); doGenCode emits
+  * a single static call with the rank table attached as a codegen
+  * reference object, so the expression sits inside the whole-stage span
+  * like any built-in regexp function (which also call onto reference
+  * objects).
+  *
+  * Null/empty semantics: null input → null; empty/whitespace text → 0.
+  */
+case class BpeTokenCount(child: Expression, ranks: Map[String, Int])
+  extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"BpeTokenCount requires STRING, got ${other.sql}")
+    }
+
+  @transient private lazy val javaRanks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](ranks.size * 2)
+    ranks.foreach { case (k, v) => m.put(k, Integer.valueOf(v)) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeAlgo.count(input.asInstanceOf[UTF8String], javaRanks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", javaRanks,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeAlgo.count($c, $ranksRef);")
+  }
+
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeTokenCount = copy(child = newChild)
+  override def prettyName: String = "bpe_token_count"
+}
+
+object BpeTokenCount {
+  def bpe_token_count(text: Column, ranks: Map[String, Int]): Column =
+    GraftColumnBridge.column(
+      BpeTokenCount(GraftColumnBridge.expression(text), ranks))
+}
+
+/** The BPE encode loop, kept out of the expression class so generated
+  * code can reach it as a plain static call.
+  */
+object BpeAlgo {
+
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B.toChar ||
+      c == '\f' || c == '\r'
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** Total BPE token count of a text: pre-tokenize (letter runs / digit
+    * runs / single marks — the same segmentation as
+    * TextAnalysis.BpePattern), BPE-encode each pre-token, sum the counts.
+    */
+  def count(s: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
+    val str = s.toString
+    val n = str.length
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (isAsciiSpace(c)) {
+        i += 1
+      } else if (isAsciiLetter(c)) {
+        var j = i + 1
+        while (j < n && isAsciiLetter(str.charAt(j))) j += 1
+        total += countWord(str.substring(i, j), ranks)
+        i = j
+      } else if (isAsciiDigit(c)) {
+        var j = i + 1
+        while (j < n && isAsciiDigit(str.charAt(j))) j += 1
+        total += countWord(str.substring(i, j), ranks)
+        i = j
+      } else {
+        total += 1 // single mark = single-char pre-token, nothing to merge
+        i += 1
+      }
+    }
+    total
+  }
+
+  /** Standard BPE encode of one pre-token, returning only the token
+    * count: per round, find the best-ranked adjacent pair and merge all
+    * its occurrences left-to-right; stop when no adjacent pair is ranked.
+    */
+  private def countWord(w: String,
+      ranks: java.util.HashMap[String, Integer]): Int = {
+    val len = w.length
+    if (len <= 1) return len
+    val parts = new java.util.ArrayList[String](len)
+    var i = 0
+    while (i < len) { parts.add(String.valueOf(w.charAt(i))); i += 1 }
+    var done = false
+    while (!done && parts.size >= 2) {
+      var best = Int.MaxValue
+      var bi = -1
+      var k = 0
+      while (k < parts.size - 1) {
+        val r = ranks.get(parts.get(k) + " " + parts.get(k + 1))
+        if (r != null && r.intValue() < best) { best = r.intValue(); bi = k }
+        k += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val l = parts.get(bi)
+        val rt = parts.get(bi + 1)
+        val merged = l + rt
+        var j = 0
+        while (j < parts.size - 1) {
+          if (parts.get(j) == l && parts.get(j + 1) == rt) {
+            parts.set(j, merged)
+            parts.remove(j + 1)
+          } else j += 1
+        }
+      }
+    }
+    parts.size
+  }
+}

@@ -123,6 +123,32 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  /** The vocab-file merge table for the REAL BPE count: `left right`
+    * pairs, rank = line order — the standard merges.txt layout (minus the
+    * version header). The shipped fixture is a small hand-authored table
+    * over common English digraphs; swap the resource for a production
+    * vocab's merges to budget against a real tokenizer.
+    */
+  lazy val DefaultBpeRanks: Map[String, Int] = loadBpeMerges("/graft/bpe_merges.txt")
+
+  def loadBpeMerges(resource: String): Map[String, Int] = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing BPE merges resource $resource")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.toMap
+    finally in.close()
+  }
+
+  /** Vocab-driven BPE token count (graft.functions.BpeTokenCount): the
+    * exact number of tokens a BPE tokenizer with this merge table emits —
+    * the real version of the [[bpeTokenCount]] regex proxy, for when the
+    * token budget must match a specific tokenizer.
+    */
+  def bpeTokenCountReal(text: Column,
+      ranks: Map[String, Int] = DefaultBpeRanks): Column =
+    graft.functions.BpeTokenCount.bpe_token_count(text, ranks)
+
   /** English-ish stopwords used by the quality score. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in")
 

@@ -111,6 +111,21 @@ object LlmQueries {
              CAST(length(text) AS INTEGER) AS n_chars
       FROM documents ORDER BY doc_id"""))
 
+  /** REAL vocab-driven BPE token counting (graft.functions.BpeTokenCount
+    * — the merge-table encode loop, not the regex proxy): per-doc token
+    * count under the shipped merges fixture, with the regex-proxy count
+    * alongside so the compression the merges buy is visible. Not DuckDB-
+    * expressible (the merge loop is iterative) → golden-pinned.
+    */
+  val textTokensBpeReal = QueryDef(
+    "llm_text_tokens_bpe_real",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.bpeTokenCountReal(col("text")).as("n_bpe_real"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_regex"))
+      .orderBy("doc_id"),
+    None)
+
   /** Quality scoring: integer-count-derived ratios in IEEE double —
     * bit-stable, oracle-checked.
     */
@@ -630,7 +645,8 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
-    textTokens, textQuality, textLangId, textFingerprint, textRollhash,
+    textTokens, textTokensBpeReal, textQuality, textLangId, textFingerprint,
+    textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
     textNormalize, filterReport, sampleStratified, sampleBudget,
     sampleMixture, embedNormalize, dedupClusters, dedupSurvivors)
