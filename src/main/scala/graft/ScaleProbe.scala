@@ -63,6 +63,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "ladder") {
+      ladderProbe(spark, sfDir)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
@@ -88,6 +93,29 @@ object ScaleProbe {
     println(f"PROBE ratio: size x$mult -> time x${tm / t1}%.1f " +
       f"(linear would be ~x$mult, quadratic ~x${mult * mult})")
     spark.stop()
+  }
+
+  /** Stage timings of the dedup ladder on the real corpus: pairs alone,
+    * then each connected-components realization over the same
+    * (checkpointed) pair set — the measurement behind the choice of CC
+    * algorithm in llm_dedup_clusters.
+    */
+  private def ladderProbe(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    time(llm.Dedup.jaccardPairsExact(docs, 0.8).count()) // warm-up
+    val (_, tPairs) = time(llm.Dedup.jaccardPairsExact(docs, 0.8).count())
+    val pairs = llm.Dedup.jaccardPairsExact(docs, 0.8).localCheckpoint(true)
+    val (nProp, tProp) = time(
+      llm.Dedup.connectedComponents(pairs).count())
+    val (nStar, tStar) = time(
+      llm.Dedup.connectedComponentsStar(pairs).count())
+    require(nProp == nStar, s"CC disagree: $nProp vs $nStar")
+    println(f"PROBE ladder: pairs=$tPairs%.2fs " +
+      f"propagation=$tProp%.2fs star=$tStar%.2fs (nodes=$nProp)")
   }
 
   /** Skew-guard measurement: a synthetic corpus of unique 5-token docs

@@ -143,8 +143,15 @@ object Dedup {
     * duplicate-heavy corpus into a shuffle explosion (measured: 10×
     * replicated docs hung the naive version; see graft.ScaleProbe).
     */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = docSignatures(docs)
+  def minhashCandidates(docs: DataFrame): DataFrame =
+    minhashCandidatesFromSigs(docSignatures(docs))
+
+  /** Candidate generation from a PRE-COMPUTED signature frame — callers
+    * that also need the signatures for their own output (the per-doc
+    * profile queries) pass a materialized frame here so the signature
+    * stage runs once, not once per consumer.
+    */
+  def minhashCandidatesFromSigs(sigs: DataFrame): DataFrame = {
     // explode_outer: see jaccardPairsExact — plain explode triggers an
     // inferred size-filter that re-inlines the signature expression
     val banded = sigs
@@ -297,6 +304,27 @@ object Dedup {
     labels
   }
 
+  /** Adaptive connected components: min-label propagation first (the
+    * cheapest per-round loop — ~3 distributed ops — and near-dup cluster
+    * graphs are almost always shallow), falling back to large-star/
+    * small-star contraction if the graph turns out deeper than
+    * `propRounds`. Both produce cluster id = min doc id in the component,
+    * so the fallback is output-identical (equivalence spec-pinned) — the
+    * choice is purely a wall-clock one. Measured at sf0.1
+    * (`ScaleProbe ladder`): propagation 1.89 s vs star 2.71 s on the real
+    * 477-node pair graph (star's per-round fixed cost only pays off past
+    * diameter ~tens, where its O(log d) rounds dominate — ×3.79 at
+    * diameter 119, `ScaleProbe cc`).
+    */
+  def connectedComponentsAdaptive(pairs: DataFrame,
+      propRounds: Int = 12): DataFrame =
+    try connectedComponents(pairs, maxIter = propRounds)
+    catch {
+      case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("converge") =>
+        connectedComponentsStar(pairs)
+    }
+
   /** Connected components by alternating large-star/small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14): each round rewires every node toward the minimum
@@ -405,8 +433,13 @@ object Dedup {
   /** Hamming-LSH candidates: docs sharing any 16-bit chunk of the SimHash
     * are candidates (guaranteed to catch pairs within Hamming distance 3).
     */
-  def simhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = docSimhashes(docs)
+  def simhashCandidates(docs: DataFrame): DataFrame =
+    simhashCandidatesFromSigs(docSimhashes(docs))
+
+  /** Candidate generation from pre-computed SimHashes — same
+    * share-the-signature-stage contract as minhashCandidatesFromSigs.
+    */
+  def simhashCandidatesFromSigs(sigs: DataFrame): DataFrame = {
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode_outer(array((0 until 4).map(c =>
         concat_ws(":", lit(c),

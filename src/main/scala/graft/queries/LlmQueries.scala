@@ -32,12 +32,17 @@ object LlmQueries {
     "llm_dedup_minhash",
     (s, dir) => {
       val docs = documents(s, dir)
+      // the signature stage feeds BOTH the candidate join and the per-doc
+      // profile — materialize it once (localCheckpoint truncates lineage;
+      // (doc_id, 64 longs) per row is the standard LSH index size) rather
+      // than re-running shingling+hashing per consumer
+      val sigs = Dedup.docSignatures(docs).localCheckpoint(true)
       // explode both pair sides from ONE pass over the candidate join — a
       // union of two projections would execute the LSH join twice
-      val perDoc = Dedup.minhashCandidates(docs)
+      val perDoc = Dedup.minhashCandidatesFromSigs(sigs)
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
-      Dedup.docSignatures(docs)
+      sigs
         .select(col("doc_id"), xxhash64(col("sig")).as("sig_hash"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("sig_hash"),
@@ -53,8 +58,10 @@ object LlmQueries {
     "llm_dedup_simhash",
     (s, dir) => {
       val docs = documents(s, dir)
-      val sigs = Dedup.docSimhashes(docs)
-      val perDoc = Dedup.simhashCandidates(docs)
+      // one materialized signature pass for both consumers — see
+      // llm_dedup_minhash
+      val sigs = Dedup.docSimhashes(docs).localCheckpoint(true)
+      val perDoc = Dedup.simhashCandidatesFromSigs(sigs)
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
           col("hamming"))
         .groupBy("doc_id")
@@ -445,18 +452,20 @@ object LlmQueries {
       FROM cum WHERE cum_tokens <= 5000
       ORDER BY lang, cum_tokens, doc_id"""))
 
-  /** The dedup ladder's shared clusters stage: exact-Jaccard near-dup
+  /** The dedup ladder's shared components stage: exact-Jaccard near-dup
     * pairs (gram-key equi join with a df-100 cap) clustered by
     * large-star/small-star contraction (O(log d) rounds; cluster id = min
     * doc id, identical labels to label propagation, equivalence
-    * spec-pinned). Memoized per (session, sf dir): `llm_dedup_clusters`
-    * and `llm_dedup_survivors` are two views of ONE pipeline, and the
-    * contraction loop is eager (localCheckpoint per round), so without
-    * the memo each query would re-run the whole pairs+components
-    * computation from scratch. The checkpoint truncates lineage — reuse
-    * is a leaf scan, not a replan. The memo holds one tiny (id, cluster)
-    * frame per dataset actually queried in the session (driver/bench use
-    * one), so growth is bounded.
+    * spec-pinned). Memoized per (session, sf dir): the contraction loop
+    * is eager (localCheckpoint per round), so a downstream view re-runs
+    * the whole pairs+components computation unless the stage is shared —
+    * `llm_dedup_survivors` derives from this materialization (the
+    * pipeline shape: survivors = corpus minus losers of the SAME
+    * clustering), while `llm_dedup_clusters` intentionally bypasses it to
+    * stay an honest cold-pipeline benchmark. The checkpoint truncates
+    * lineage — reuse is a leaf scan, not a replan; the memo holds one
+    * tiny (id, cluster) frame per dataset actually queried in the
+    * session, so growth is bounded.
     */
   private val componentsMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
@@ -464,18 +473,22 @@ object LlmQueries {
   private def dedupComponents(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     componentsMemo.getOrElseUpdate((s, dir),
-      Dedup.connectedComponentsStar(
+      Dedup.connectedComponentsAdaptive(
         Dedup.jaccardPairsExact(documents(s, dir), 0.8))
         .localCheckpoint(true))
 
   /** The dedup endgame: near-dup pairs clustered into connected
-    * components (shared stage above). Survivors = one doc per cluster.
-    * The oracle replays the components with a recursive CTE.
+    * components. Deliberately NOT the memoized stage: this query is the
+    * honest cold-pipeline measurement (pairs + contraction from scratch
+    * every run) — `llm_dedup_survivors` is the one that demonstrates the
+    * pipeline shape by deriving from the shared components stage. The
+    * oracle replays the components with a recursive CTE.
     */
   val dedupClusters = QueryDef(
     "llm_dedup_clusters",
     (s, dir) => {
-      val comps = dedupComponents(s, dir)
+      val comps = Dedup.connectedComponentsAdaptive(
+        Dedup.jaccardPairsExact(documents(s, dir), 0.8))
       val sizes = comps.groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"))
       comps.join(sizes, Seq("cluster_id"))

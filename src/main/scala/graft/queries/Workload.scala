@@ -918,13 +918,23 @@ object Workload {
   /** HLL sketch next to the exact count (approx side is rows-only
     * territory, so the oracle checks only the deterministic columns via
     * the exact query q23; this entry demonstrates the sketch path).
+    *
+    * Shape: dedup first, then both counts over the distinct rows — NOT
+    * countDistinct + approx in one agg, which Catalyst rewrites through
+    * an Expand that doubles every shuffled row. HLL is insensitive to
+    * duplicates, so approx_count_distinct over the deduped (priority,
+    * custkey) pairs is value-identical (golden-pinned); the dedup shuffle
+    * partial-aggregates map-side and the second shuffle is
+    * |distinct pairs|, not 2×|orders|.
     */
   val q27 = QueryDef(
     "q27_approx_distinct",
     (s, dir) => {
       orders(s, dir)
+        .select(col("o_orderpriority"), col("o_custkey"))
+        .distinct()
         .groupBy("o_orderpriority")
-        .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+        .agg(count(lit(1)).as("exact_customers"),
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
         .orderBy("o_orderpriority")
     },

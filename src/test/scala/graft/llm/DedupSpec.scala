@@ -87,6 +87,22 @@ class DedupSpec extends SparkSpec {
     assert(viaStar == viaProp)
   }
 
+  test("connectedComponentsAdaptive: shallow fast path and deep fallback agree") {
+    // shallow graph: propagation converges inside the round budget
+    val mixed = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsAdaptive(mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Dedup.connectedComponents(mixed)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // 30-node chain with a 12-round budget: propagation throws, the star
+    // fallback must still label every node with the chain minimum
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponentsAdaptive(chain, propRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 30 && out.values.forall(_ == 0L))
+  }
+
   test("jaccardPairsExact is ground truth: LSH-verified pairs are a subset") {
     val lshVerified = Dedup.verifyJaccard(
       Dedup.minhashCandidates(docs).select("doc_a", "doc_b"), docs, 0.8)
