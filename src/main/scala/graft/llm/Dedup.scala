@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -226,10 +225,16 @@ object Dedup {
     // inlines the whole staged shingle pipeline into it (re-tokenizing
     // per element — measured 14x slower). The outer variant skips the
     // rule; its extra null-gram rows can never match the equi join.
+    // localCheckpoint: the gram stream feeds BOTH the df-count and the
+    // join below — without materialization each consumer re-tokenizes and
+    // re-shingles the whole corpus (the expensive part of this pipeline).
+    // The checkpoint stores the same (doc_id, gram) volume the old window
+    // form shuffled, without the shuffle.
     val grams0 = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
       .select(col("doc_id"), shinglesFromTokens(col("__toks")).as("__sh"))
       .select(col("doc_id"), explode_outer(col("__sh")).as("gram"))
+      .localCheckpoint(true)
     // df cap as a broadcast blacklist, not count().over(Window
     // .partitionBy(gram)): a stop-gram ("of the and") can be a percent of
     // the corpus, and the window form ships all of it to one task before
@@ -240,16 +245,23 @@ object Dedup {
       .filter(col("count") > maxDf).select(col("gram"))
     val grams = grams0
       .join(broadcast(hotGrams), Seq("gram"), "left_anti")
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), col("sz"), col("gram"))
-    val a = grams.select(col("gram"), col("doc_id").as("doc_a"),
-      col("sz").as("sza"))
-    val b = grams.select(col("gram"), col("doc_id").as("doc_b"),
-      col("sz").as("szb"))
+      .select(col("doc_id"), col("gram"))
+    // Per-doc sizes as a SMALL aggregate joined onto the pair set after
+    // the shared-count groupBy — not a doc_id window whose sz column
+    // rides every gram row through the Σ bucket² self-join (that shape
+    // shuffles the whole gram stream an extra time and widens the join
+    // payload for nothing; sizes here is one row per doc).
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = grams.select(col("gram"), col("doc_id").as("doc_a"))
+    val b = grams.select(col("gram"), col("doc_id").as("doc_b"))
     a.join(b, Seq("gram"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "sza", "szb")
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")),
+        Seq("doc_b"))
       .filter(col("shared").cast(DoubleType)
         / (col("sza") + col("szb") - col("shared")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
@@ -280,17 +292,25 @@ object Dedup {
       .select(col("id"), col("id").as("cluster_id")).localCheckpoint(true)
     var iter = 0
     var done = false
+    // Convergence check exploits monotonicity: min-propagation labels are
+    // NON-INCREASING and the node set is fixed, so Σ cluster_id strictly
+    // drops every round in which anything changed and is equal iff the
+    // round was a no-op. One partial-aggregated sum per round (decimal —
+    // Σ of 1e9 ids overflows a long) instead of a join-and-count — an
+    // exact check, not a checksum heuristic.
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!done && iter < maxIter) {
       val prop = edges.join(labels, edges("d") === labels("id"))
         .select(edges("s").as("id"), col("cluster_id"))
       val next = labels.union(prop)
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("__old")).count()
+      val s = next
+        .agg(sum(col("cluster_id").cast(DecimalType(38, 0))).as("s"))
+        .head.getDecimal(0)
       labels = next
-      done = changed == 0
+      done = prevSum.contains(s)
+      prevSum = Some(s)
       iter += 1
     }
     // silent non-convergence = silently WRONG labels (a component deeper
