@@ -87,6 +87,25 @@ class DedupSpec extends SparkSpec {
     assert(viaStar == viaProp)
   }
 
+  test("candidate-generation plans carry no Window (skew caps are broadcast blacklists)") {
+    // the r3-flagged shape — count().over(Window.partitionBy(hotkey)) —
+    // ships every row of a hot key to one task BEFORE the cap filter can
+    // drop it; this pin fails if any cap regresses to a window
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    def audit(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val plan = df.queryExecution.optimizedPlan
+      assert(plan.collect { case w: LWindow => w }.isEmpty,
+        s"$name: window found in candidate plan")
+      assert(plan.collect {
+        case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+        s"$name: expected a left-anti blacklist join")
+    }
+    audit(Dedup.minhashCandidates(docs), "minhash")
+    audit(Dedup.simhashCandidates(docs), "simhash")
+    audit(Dedup.jaccardPairsExact(docs, 0.8), "jaccard")
+  }
+
   test("connectedComponentsAdaptive: shallow fast path and deep fallback agree") {
     // shallow graph: propagation converges inside the round budget
     val mixed = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
