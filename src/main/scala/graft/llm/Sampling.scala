@@ -107,6 +107,33 @@ object Sampling {
       .filter(col("sample_rank") <= quotaCol)
   }
 
+  /** Sequence-packing plan: documents concatenated in content-hash order
+    * are cut into fixed `seqLen`-token training sequences; each doc gets
+    * the bin it STARTS in and its token offset within that bin — the
+    * standard pretraining packing layout, computed as a pure plan (no
+    * packer process). The running sum is GLOBAL (one logical stratum =
+    * the definitional mega-stratum), so it uses the same two-phase
+    * prefix-bucket salting as everything else here: 256-way local sums +
+    * a tiny offset table, bit-identical to a single-window prefix sum.
+    */
+  def packingPlan(docs: DataFrame, seqLen: Long,
+      textCol: String = "text"): DataFrame = {
+    val base = withOrderKey(docs, textCol)
+      .withColumn("__all", lit(0))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+    val offs = bucketOffsets(base, "__all", col("n_tokens"))
+    val w = Window.partitionBy(col("__all"), col("__b"))
+      .orderBy(col("__ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__lc", sum(col("n_tokens")).over(w))
+      .join(broadcast(offs), Seq("__all", "__b"))
+      .withColumn("__start", col("__off") + col("__lc") - col("n_tokens"))
+      .withColumn("bin_id", floor(col("__start") / seqLen))
+      .withColumn("bin_offset", col("__start") % seqLen)
+      .drop("__ord", "__b", "__all", "__lc", "__off", "__start")
+  }
+
   /** Greedy token-budget selection per stratum: docs accumulate in
     * content-hash order until the running token total exceeds the budget;
     * the doc that crosses the line is excluded. The shape every

@@ -627,6 +627,128 @@ object LlmQueries {
                                      WHEN 'fr' THEN 40 END
       ORDER BY lang, sample_rank"""))
 
+  /** Fixed-size chunking plan: each document split into `ChunkTokens`-token
+    * chunks (the pre-step of any long-document training pipeline) — a pure
+    * generate (posexplode of a sequence), map-side only, no shuffle until
+    * the final order.
+    */
+  val ChunkTokens = 64
+
+  val chunkPlan = QueryDef(
+    "llm_chunk_plan",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(lit(0L),
+          ceil(col("n_tokens").cast(DoubleType) / ChunkTokens)
+            .cast(LongType) - 1L)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast(IntegerType).as("chunk_idx"),
+        (col("col") * ChunkTokens + 1).cast(LongType).as("tok_start"),
+        least(lit(ChunkTokens.toLong),
+          col("n_tokens") - col("col") * ChunkTokens).as("tok_len"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, n_tokens, unnest(generate_series(
+                 0, CAST(ceil(CAST(n_tokens AS DOUBLE) / $ChunkTokens)
+                    AS BIGINT) - 1)) AS c
+        FROM toks WHERE n_tokens > 0)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(c AS INTEGER) AS chunk_idx,
+             CAST(c * $ChunkTokens + 1 AS BIGINT) AS tok_start,
+             CAST(least($ChunkTokens, n_tokens - c * $ChunkTokens) AS BIGINT)
+               AS tok_len
+      FROM chunks ORDER BY doc_id, chunk_idx"""))
+
+  /** Sequence-packing plan (Sampling.packingPlan): documents concatenated
+    * in content-hash order, cut into 512-token training sequences; each
+    * doc reports its bin and offset. The global running sum is the salted
+    * two-phase prefix sum; the oracle replays it as one plain window.
+    */
+  val packPlan = QueryDef(
+    "llm_pack_plan",
+    (s, dir) => Sampling.packingPlan(documents(s, dir), seqLen = 512L)
+      .select(col("doc_id"), col("n_tokens"),
+        col("bin_id"), col("bin_offset"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END AS n_tokens
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY md5(text), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS strt
+        FROM toks)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(floor(CAST(strt AS DOUBLE) / 512) AS BIGINT) AS bin_id,
+             CAST(strt % 512 AS BIGINT) AS bin_offset
+      FROM cum ORDER BY doc_id"""))
+
+  /** Benchmark-contamination check: which documents contain any probe
+    * trigram from a (normally benchmark-derived) probe set. The join is
+    * gram-key EQUI against the broadcast probe list — never a
+    * contains() scan per probe — so it scales as one pass over the
+    * corpus gram stream regardless of probe-set size.
+    */
+  val ContaminationProbes: Seq[String] = Seq(
+    "key agg row", "batch window spark", "slow filter value",
+    "join batch join", "group order column", "table window table")
+
+  val contamination = QueryDef(
+    "llm_contamination",
+    (s, dir) => {
+      val probes = broadcast(
+        s.createDataFrame(ContaminationProbes.map(Tuple1(_)))
+          .toDF("gram"))
+      val grams = documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+        .select(col("doc_id"),
+          explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
+      val hits = grams.join(probes, Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min(col("gram")).as("first_probe"))
+      documents(s, dir).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("first_probe"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(
+              generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [array_to_string(t, ' ')] END AS g3
+        FROM toks),
+      grams AS (SELECT doc_id, unnest(g3) AS gram FROM g),
+      probes AS (SELECT unnest([${ContaminationProbes
+        .map(p => s"'$p'").mkString(", ")}]) AS gram),
+      hits AS (
+        SELECT doc_id, COUNT(*) AS n_hits, MIN(gram) AS first_probe
+        FROM grams JOIN probes USING (gram) GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits, h.first_probe
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      ORDER BY d.doc_id"""))
+
   /** L2 normalization of the embedding column: emits per-vector proof
     * scalars (first unit component + the unit vector's norm) rather than
     * the array itself, keeping the compare scalar-typed. All arithmetic is
@@ -662,5 +784,6 @@ object LlmQueries {
     textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
     textNormalize, filterReport, sampleStratified, sampleBudget,
-    sampleMixture, embedNormalize, dedupClusters, dedupSurvivors)
+    sampleMixture, embedNormalize, dedupClusters, dedupSurvivors,
+    chunkPlan, packPlan, contamination)
 }

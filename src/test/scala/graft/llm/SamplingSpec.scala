@@ -67,6 +67,22 @@ class SamplingSpec extends SparkSpec {
     assert(saltedCum.collect().map(_.toSeq).toSet ==
       naiveCum.collect().map(_.toSeq).toSet)
 
+    // packing plan: same salted prefix sum, global order — bins and
+    // offsets must match the naive single-window form exactly
+    val naivePack = many
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(ord, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("strt", col("cum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("strt") / 512).as("bin_id"),
+        (col("strt") % 512).as("bin_offset"))
+    val saltedPack = Sampling.packingPlan(many, 512L)
+      .select("doc_id", "n_tokens", "bin_id", "bin_offset")
+    assert(saltedPack.collect().map(_.toSeq).toSet ==
+      naivePack.collect().map(_.toSeq).toSet)
+
     // and the salted plan's big windows really are salted: every window
     // partition spec in the optimized plan includes the bucket column
     val winSpecs = saltedRank.queryExecution.optimizedPlan.collect {
