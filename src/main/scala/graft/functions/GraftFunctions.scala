@@ -20,6 +20,26 @@ object GraftFunctions {
         TopKAggregate(exprs(0), exprs(1), k)
       },
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "byte_stats", exprs => ByteStats(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => {
+        require(exprs.length == 2, "minhash_signature(hashes, numHashes)")
+        val n = exprs(1).eval(null).asInstanceOf[Number].intValue()
+        MinHashSignature(exprs(0), n)
+      },
+      "scala_udf")
+    // bpe_token_count(text): the shipped default merge table; pass a
+    // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
+    registry.createOrReplaceTempFunction(
+      "bpe_token_count",
+      exprs => BpeTokenCount(exprs.head,
+        graft.llm.TextAnalysis.DefaultBpeRanks), "scala_udf")
   }
 }
 
@@ -46,5 +66,30 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         val k = exprs(2).eval(null).asInstanceOf[Number].intValue()
         TopKAggregate(exprs(0), exprs(1), k)
       }))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("byte_stats"),
+      new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
+      (exprs: Seq[Expression]) => ByteStats(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "minhash_signature(hashes, numHashes)")
+        val n = exprs(1).eval(null).asInstanceOf[Number].intValue()
+        MinHashSignature(exprs(0), n)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("bpe_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),
+      (exprs: Seq[Expression]) => BpeTokenCount(exprs.head,
+        graft.llm.TextAnalysis.DefaultBpeRanks)))
   }
 }
