@@ -749,6 +749,47 @@ object LlmQueries {
       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
       ORDER BY d.doc_id"""))
 
+  /** The decontaminated corpus — what the contamination check actually
+    * ships: every document with zero probe hits, via a left-anti join
+    * against the (tiny) contaminated-id set. Same probe list as
+    * `llm_contamination`.
+    */
+  val decontaminated = QueryDef(
+    "llm_decontaminated",
+    (s, dir) => {
+      val probes = broadcast(
+        s.createDataFrame(ContaminationProbes.map(Tuple1(_)))
+          .toDF("gram"))
+      val contaminated = documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+        .select(col("doc_id"),
+          explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
+        .join(probes, Seq("gram"))
+        .select("doc_id").distinct()
+      documents(s, dir)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(
+              generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [array_to_string(t, ' ')] END AS g3
+        FROM toks),
+      grams AS (SELECT doc_id, unnest(g3) AS gram FROM g),
+      probes AS (SELECT unnest([${ContaminationProbes
+        .map(p => s"'$p'").mkString(", ")}]) AS gram),
+      bad AS (SELECT DISTINCT doc_id FROM grams JOIN probes USING (gram))
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id"""))
+
   /** L2 normalization of the embedding column: emits per-vector proof
     * scalars (first unit component + the unit vector's norm) rather than
     * the array itself, keeping the compare scalar-typed. All arithmetic is
@@ -785,5 +826,5 @@ object LlmQueries {
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
     textNormalize, filterReport, sampleStratified, sampleBudget,
     sampleMixture, embedNormalize, dedupClusters, dedupSurvivors,
-    chunkPlan, packPlan, contamination)
+    chunkPlan, packPlan, contamination, decontaminated)
 }
