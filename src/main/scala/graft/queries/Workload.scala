@@ -932,6 +932,10 @@ object Workload {
     (s, dir) => {
       orders(s, dir)
         .select(col("o_orderpriority"), col("o_custkey"))
+        // countDistinct ignores NULLs but a distinct-then-count would
+        // tally a (priority, NULL) row — filter so the rewrite stays
+        // value-identical even if a null key ever appears
+        .filter(col("o_custkey").isNotNull)
         .distinct()
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("exact_customers"),
