@@ -61,16 +61,23 @@ object Similarity {
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries are broadcast; ranking is a window per query id with
     * deterministic tie-breaking.
+    *
+    * Zero-norm vectors carry no direction: their cosine is undefined, and
+    * under Spark 4's ANSI mode the division THROWS rather than yielding
+    * NaN — every similarity entry point here excludes them up front
+    * (adversarial-corpus finding; oracles carry the same predicate).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // Pre-compute norms on each side so the per-pair work is one dot product
     // — the query norm would otherwise be re-folded for every corpus row.
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
-      .withColumn("qnorm", norm(col("qv"))))
+      .withColumn("qnorm", norm(col("qv")))
+      .filter(col("qnorm") > 0))
     val c = corpus.select(
       col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("cnorm", norm(col("cv")))
+      .filter(col("cnorm") > 0)
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -111,9 +118,11 @@ object Similarity {
     val planes = hyperplanes(nPlanes, d)
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .filter(dot(col("qv"), col("qv")) > 0) // see bruteForceTopK
       .withColumn("bucket", lshBucket(col("qv"), planes)))
     val c = corpus.select(
       col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .filter(dot(col("cv"), col("cv")) > 0)
       .withColumn("bucket", lshBucket(col("cv"), planes))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -166,6 +175,7 @@ object Similarity {
     val corpusLists = corpus
       .select(col("vec_id").as("neighbor_id"),
         asDouble(col("embedding")).as("cv"))
+      .filter(dot(col("cv"), col("cv")) > 0) // see bruteForceTopK
       .withColumn("centroid_id", nearestExpr("cv"))
     // Query probes keep the broadcast-join + tiny window (top-nprobe per
     // query over nlist rows — queries are few; the window partitions by
@@ -175,6 +185,7 @@ object Similarity {
         .orderBy(col("aff").desc, col("centroid_id"))
       queries.select(col("vec_id").as("query_id"),
         asDouble(col("embedding")).as("qv"))
+        .filter(dot(col("qv"), col("qv")) > 0)
         .crossJoin(cents)
         .withColumn("aff", dot(col("qv"), col("centv")))
         .withColumn("crank", row_number().over(w))
@@ -201,6 +212,7 @@ object Similarity {
     val d = if (dim > 0) dim else embeddingDim(corpus)
     val planes = hyperplanes(nPlanes, d)
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(dot(col("v"), col("v")) > 0) // see bruteForceTopK
       .withColumn("bucket", lshBucket(col("v"), planes))
     // bucket join on slim (bucket, id) rows; vectors re-attached to the
     // DEDUPED pairs — carrying 64-double arrays through the Σ bucket²

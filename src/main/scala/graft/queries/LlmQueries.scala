@@ -80,19 +80,32 @@ object LlmQueries {
   val ngramProfile = QueryDef(
     "llm_ngram_profile",
     (s, dir) => documents(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .select(col("doc_id"), col("text"),
+        split(trim(col("text")), "\\s+").as("__toks"))
       .select(col("doc_id"),
-        size(col("__toks")).as("n_tokens"),
+        // empty-doc guard: Spark's split(trim('')) yields [""] (size 1)
+        // while DuckDB's regexp_split_to_array('') yields [] — count
+        // through the guarded tokenCount, same as llm_text_tokens
+        // (adversarial-corpus finding)
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         size(Dedup.shinglesFromTokens(col("__toks"))).as("n_distinct_3grams"))
       .orderBy("doc_id"),
     Some("""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
         FROM documents)
-      SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
-             CAST(len(list_distinct(list_transform(
-               generate_series(1, greatest(len(t) - 2, 1)),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS INTEGER)
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(t) AS INTEGER) END AS n_tokens,
+             -- short-doc branch mirrors Spark's shinglesFromTokens (the
+             -- whole token sequence as ONE shingle) — the bare trigram
+             -- expression would go NULL and list_distinct DROPS nulls,
+             -- silently zeroing the count (adversarial-corpus finding)
+             CAST(len(CASE WHEN len(t) >= 3 THEN
+                 list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               ELSE [array_to_string(t, ' ')] END) AS INTEGER)
                AS n_distinct_3grams
       FROM toks ORDER BY doc_id"""))
 
@@ -263,14 +276,18 @@ object LlmQueries {
     },
     Some("""
       WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                 FROM embeddings WHERE vec_id < 10),
+                 FROM embeddings WHERE vec_id < 10
+                   AND list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]) > 0),
       scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
                list_dot_product(q.qv, c.embedding::DOUBLE[])
                  / (sqrt(list_dot_product(q.qv, q.qv))
                     * sqrt(list_dot_product(c.embedding::DOUBLE[],
                                             c.embedding::DOUBLE[]))) AS cosine
-        FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+        FROM embeddings c, q WHERE c.vec_id <> q.query_id
+          AND list_dot_product(c.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) > 0),
       ranked AS (
         SELECT query_id, neighbor_id, cosine,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
