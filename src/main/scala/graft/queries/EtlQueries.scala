@@ -183,7 +183,12 @@ object EtlQueries {
     },
     Some("""
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             -- json_valid guard mirrors Spark's from_json, which yields
+             -- NULL on malformed input where DuckDB's extractor throws
+             -- (adversarial-corpus finding)
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS k,
              COUNT(*) AS n_events,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                AS total_value

@@ -52,6 +52,41 @@ pq.write_table(pa.table({
     "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
 }), dst / "documents.parquet")
 
+# adversarial events: as-of boundary shapes (micro-aligned nanos — the
+# Tables.events loader contract). user 104's LATEST purchase has a NULL
+# value with an older non-null version behind it: ASOF must return the
+# matched row wholesale (NULL), not stitch the older value.
+US = 1_000  # ns per us
+def ts(sec, us=0):
+    return (1_704_067_200 + sec) * 1_000_000_000 + us * US  # 2024-01-01 UTC
+
+events = [
+    # (event_id, ts_ns, user_id, event_type, value, props)
+    (0, ts(1000), 100, "purchase", 11.0, '{"k": 1}'),
+    (1, ts(1000), 100, "click", None, '{"k": 2}'),      # click AT purchase ts
+    (2, ts(0), 101, "purchase", 22.0, '{"k": 3}'),
+    (3, ts(86400), 101, "click", None, '{"k": 4}'),     # gap exactly 1 day
+    (4, ts(0), 102, "purchase", 33.0, '{"k": 5}'),
+    (5, ts(86400, 400_000), 102, "click", None, '{"k": 6}'),  # 1d + 0.4s
+    (6, ts(500), 103, "click", None, '{"k": 7}'),       # no purchase at all
+    (7, ts(900), 105, "click", None, '{"k": 8}'),
+    (8, ts(901), 105, "purchase", 44.0, '{"k": 9}'),    # purchase AFTER click
+    (9, ts(100), 104, "purchase", 55.0, '{"k": 10}'),
+    (10, ts(200), 104, "purchase", None, '{"k": 11}'),  # latest = NULL value
+    (11, ts(300), 104, "click", None, '{"k": 12}'),     # must pick NULL
+    (12, ts(400), 106, "signup", 1.5, "not json"),      # malformed props
+    (13, ts(401), 106, "error", None, None),            # null value + props
+    (14, ts(402, 1), 106, "click", 2.5, '{"k": 13}'),   # sub-second ts
+]
+pq.write_table(pa.table({
+    "event_id": pa.array([e[0] for e in events], pa.int64()),
+    "ts": pa.array([e[1] for e in events], pa.timestamp("ns")),
+    "user_id": pa.array([e[2] for e in events], pa.int64()),
+    "event_type": pa.array([e[3] for e in events], pa.string()),
+    "value": pa.array([e[4] for e in events], pa.float64()),
+    "props": pa.array([e[5] for e in events], pa.string()),
+}), dst / "events.parquet")
+
 dim = len(pq.read_table(src / "embeddings.parquet")
           .column("embedding")[0].as_py())
 vecs = [
