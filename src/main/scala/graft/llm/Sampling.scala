@@ -140,11 +140,17 @@ object Sampling {
     * fixed-token-mix pretraining data recipe needs. The running sum is the
     * same two-phase salt: a local prefix sum within (stratum, bucket) +
     * the bucket's token-total offset.
+    *
+    * `tokenCounter` is the budget's unit of account — default whitespace
+    * tokens; pass `TextAnalysis.bpeTokenCountReal(_)` to budget the tokens
+    * a real BPE tokenizer would emit (a recipe that budgets the wrong
+    * tokenizer's tokens is off by the compression ratio).
     */
   def tokenBudgetSample(docs: DataFrame, stratum: String, budget: Long,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenCounter: Column => Column = TextAnalysis.tokenCount): DataFrame = {
     val base = withOrderKey(docs, textCol)
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("n_tokens", tokenCounter(col(textCol)))
     val offs = bucketOffsets(base, stratum, col("n_tokens"))
     val w = Window.partitionBy(col(stratum), col("__b"))
       .orderBy(col("__ord"), col("doc_id"))

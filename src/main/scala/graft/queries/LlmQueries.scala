@@ -295,21 +295,86 @@ object LlmQueries {
         FROM scored)
       SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** The testdata embedding dimensionality (TESTDATA.md; constant across
+    * scale factors, and tools/make_adversarial.py inherits it from its
+    * source dir). Passing it explicitly skips the one-row probe job AND
+    * lets the oracle SQL inline the very same hyperplane constants.
+    */
+  val EmbeddingDim = 64
+
+  /** The shared ANN hyperplane set: Similarity.hyperplanes is seeded, so
+    * the SAME array feeds both the Spark plan (as array(lit(...))) and the
+    * DuckDB oracle (as DOUBLE[] literals) — identical by construction.
+    */
+  private val AnnPlanes: Array[Array[Double]] =
+    Similarity.hyperplanes(4, EmbeddingDim)
+
+  /** A hyperplane as a DuckDB DOUBLE[] literal. Double.toString is the
+    * shortest round-trip rendering, so the double DuckDB parses back is
+    * bit-identical to the Spark-side literal.
+    */
+  private def planeSql(p: Array[Double]): String =
+    p.mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** Similarity.lshBucket as oracle SQL: bit i set iff dot(v, plane_i) > 0.
+    * The bit weights are disjoint, so Spark's bitwise OR is the same value
+    * as this sum; list_dot_product folds left-to-right like the Spark
+    * expression, so the sign tests agree bit-exactly.
+    */
+  private def bucketSql(v: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, ${planeSql(p)}) > 0" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** LSH-bucketed ANN — the scale path: scoring only within
-    * sign-random-projection buckets. Hyperplanes are seeded/deterministic
-    * but not oracle-expressible; rows-only + unit-tested recall.
+    * sign-random-projection buckets. The hyperplanes are deterministic
+    * driver-side constants, so the oracle replays them as inlined DOUBLE[]
+    * literals (generated from the SAME array — see AnnPlanes).
     */
   val annLsh = QueryDef(
     "llm_ann_lsh",
     (s, dir) => {
       val emb = embeddings(s, dir)
-      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, 5, nPlanes = 4)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, 5,
+        nPlanes = 4, dim = EmbeddingDim)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some(s"""
+      WITH qv0 AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+          AND list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      q AS (SELECT query_id, qv, ${bucketSql("qv", AnnPlanes)} AS bucket
+            FROM qv0),
+      cv0 AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      c AS (SELECT neighbor_id, cv, ${bucketSql("cv", AnnPlanes)} AS bucket
+            FROM cv0),
+      scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               list_dot_product(q.qv, c.cv)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.cv, c.cv))) AS cosine
+        FROM c JOIN q USING (bucket)
+        WHERE c.neighbor_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  /** IVF-bucketed ANN — inverted-list scale path (deterministic centroid
-    * seeding, equi join on centroid assignment). Rows-only + recall test.
+  /** IVF-bucketed ANN — inverted-list scale path. Centroids are the 16
+    * lowest-id vectors (deterministic), so the oracle derives the SAME
+    * centroid table from the embeddings view itself; the argmin assignment
+    * replays as rank-1 of (affinity DESC, centroid_id) — exactly the tie
+    * order of the Spark-side (aff, -id) struct max.
     */
   val annIvf = QueryDef(
     "llm_ann_ivf",
@@ -319,18 +384,83 @@ object LlmQueries {
         nlist = 16, nprobe = 4)
         .orderBy("query_id", "rank")
     },
-    None)
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      corp0 AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      assign AS (
+        SELECT neighbor_id, cv, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                 ORDER BY list_dot_product(cv, centv) DESC, centroid_id)
+                 AS arank
+        FROM corp0 CROSS JOIN cents),
+      lists AS (SELECT neighbor_id, cv, centroid_id
+                FROM assign WHERE arank = 1),
+      q0 AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+          AND list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      probes AS (
+        SELECT query_id, qv, centroid_id FROM (
+          SELECT q0.query_id, q0.qv, cents.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY q0.query_id
+                   ORDER BY list_dot_product(q0.qv, cents.centv) DESC,
+                            cents.centroid_id) AS crank
+          FROM q0 CROSS JOIN cents) t
+        WHERE crank <= 4),
+      scored AS (
+        SELECT p.query_id, l.neighbor_id,
+               list_dot_product(p.qv, l.cv)
+                 / (sqrt(list_dot_product(p.qv, p.qv))
+                    * sqrt(list_dot_product(l.cv, l.cv))) AS cosine
+        FROM lists l JOIN probes p USING (centroid_id)
+        WHERE l.neighbor_id <> p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets. The 0.15
     * threshold is calibrated to this synthetic corpus (random-ish 64-dim
     * vectors: cosine mass concentrates near 0, in-bucket max ≈ 0.25); real
-    * embedding spaces would use 0.9+.
+    * embedding spaces would use 0.9+. Oracle: same inlined hyperplanes as
+    * llm_ann_lsh.
     */
   val embedNearDup = QueryDef(
     "llm_embed_neardup",
-    (s, dir) => Similarity.nearDupPairs(embeddings(s, dir), 0.15, nPlanes = 4)
+    (s, dir) => Similarity.nearDupPairs(embeddings(s, dir), 0.15,
+      nPlanes = 4, dim = EmbeddingDim)
       .orderBy("vec_a", "vec_b"),
-    None)
+    Some(s"""
+      WITH c0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      c AS (SELECT vec_id, v, ${bucketSql("v", AnnPlanes)} AS bucket
+            FROM c0),
+      pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT p.vec_a, p.vec_b,
+               list_dot_product(ca.v, cb.v)
+                 / (sqrt(list_dot_product(ca.v, ca.v))
+                    * sqrt(list_dot_product(cb.v, cb.v))) AS cosine
+        FROM pairs p
+        JOIN c ca ON ca.vec_id = p.vec_a
+        JOIN c cb ON cb.vec_id = p.vec_b)
+      SELECT vec_a, vec_b, cosine FROM scored
+      WHERE cosine >= 0.15 ORDER BY vec_a, vec_b"""))
 
   /** Corpus-curation filter report: every document against every rule,
     * with per-rule reason flags and the final keep verdict — the auditable
@@ -469,6 +599,21 @@ object LlmQueries {
       FROM cum WHERE cum_tokens <= 5000
       ORDER BY lang, cum_tokens, doc_id"""))
 
+  /** The token-budget recipe under the REAL tokenizer's unit of account:
+    * same greedy per-language selection as `llm_sample_budget`, but the
+    * running sum accumulates vocab-driven BPE token counts
+    * (graft.functions.BpeTokenCount) — budgeting whitespace tokens when
+    * training counts BPE tokens is off by the compression ratio. The merge
+    * loop is iterative, not DuckDB-expressible → golden-pinned at 3 SFs.
+    */
+  val sampleBudgetBpe = QueryDef(
+    "llm_sample_budget_bpe",
+    (s, dir) => Sampling.tokenBudgetSample(documents(s, dir), "lang", 5000L,
+      tokenCounter = TextAnalysis.bpeTokenCountReal(_))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("lang", "cum_tokens", "doc_id"),
+    None)
+
   /** The dedup ladder's shared components stage: exact-Jaccard near-dup
     * pairs (gram-key equi join with a df-100 cap) clustered by
     * large-star/small-star contraction (O(log d) rounds; cluster id = min
@@ -486,13 +631,42 @@ object LlmQueries {
     */
   private val componentsMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
+      (String, org.apache.spark.sql.DataFrame)]
+
+  /** Cheap content snapshot of the documents table under `dir`: sorted
+    * (path, length, mtime) of its leaf files — one driver-side FS listing,
+    * no data read. The memo validates against it on every hit, so an
+    * in-session rewrite of the corpus yields fresh components instead of
+    * stale clusters (a long-lived serving session would otherwise serve
+    * the first run's clustering forever). Stale entries are REPLACED, not
+    * accumulated — the memo holds at most one frame per (session, dir).
+    */
+  private def docsSnapshot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def leaves(st: org.apache.hadoop.fs.FileStatus)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves)
+      else Seq(st)
+    leaves(fs.getFileStatus(p)).sortBy(_.getPath.toString)
+      .map(st => s"${st.getPath}:${st.getLen}:${st.getModificationTime}")
+      .mkString("|")
+  }
+
   private def dedupComponents(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    componentsMemo.getOrElseUpdate((s, dir),
-      Dedup.connectedComponentsAdaptive(
-        Dedup.jaccardPairsExact(documents(s, dir), 0.8))
-        .localCheckpoint(true))
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val snap = docsSnapshot(s, dir)
+    componentsMemo.get((s, dir)) match {
+      case Some((`snap`, df)) => df
+      case _ =>
+        val df = Dedup.connectedComponentsAdaptive(
+          Dedup.jaccardPairsExact(documents(s, dir), 0.8))
+          .localCheckpoint(true)
+        componentsMemo.put((s, dir), (snap, df))
+        df
+    }
+  }
 
   /** The dedup endgame: near-dup pairs clustered into connected
     * components. Deliberately NOT the memoized stage: this query is the
@@ -842,6 +1016,6 @@ object LlmQueries {
     textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
     textNormalize, filterReport, sampleStratified, sampleBudget,
-    sampleMixture, embedNormalize, dedupClusters, dedupSurvivors,
-    chunkPlan, packPlan, contamination, decontaminated)
+    sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
+    dedupSurvivors, chunkPlan, packPlan, contamination, decontaminated)
 }
