@@ -55,28 +55,40 @@ object Bench {
     // llm_dedup_clusters measures (it bypasses the memo by design).
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val results: Seq[(String, Double)] =
+    // Per-query LAPS are recorded in the artifact (not just the min): a
+    // multi-round iterative query (the CC loop) is a chain of blocking
+    // jobs, so one scheduler/GC stall multiplies across rounds and a
+    // single bad lap can misread as a plan regression — recording the
+    // spread makes environmental variance visible where the gate reads
+    // it. When the two timed laps disagree by >1.3x, a third runs: min-of-3
+    // bounds the reported number's spread without paying a third lap for
+    // the ~60 stable queries.
+    val results: Seq[(String, Double, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val elapsed =
-          try {
-            run(fn(spark, sfDir)) // warm-up lap: JIT + codegen + shuffle
-            def lap(): Double = {
-              val t0 = System.nanoTime()
-              run(fn(spark, sfDir))
-              (System.nanoTime() - t0) / 1e9
-            }
-            math.min(lap(), lap())
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              -1.0
+        try {
+          run(fn(spark, sfDir)) // warm-up lap: JIT + codegen + shuffle
+          def lap(): Double = {
+            val t0 = System.nanoTime()
+            run(fn(spark, sfDir))
+            (System.nanoTime() - t0) / 1e9
           }
-        name -> elapsed
+          var laps = Seq(lap(), lap())
+          if (laps.max > 1.3 * laps.min) laps = laps :+ lap()
+          (name, laps.min, laps)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            (name, -1.0, Seq.empty[Double])
+        }
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = "%.4f".format(v)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val lapsJson = results.map { case (k, _, ls) =>
+      "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"laps":$lapsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

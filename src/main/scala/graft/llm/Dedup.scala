@@ -298,20 +298,28 @@ object Dedup {
     // round was a no-op. One partial-aggregated sum per round (decimal —
     // Σ of 1e9 ids overflows a long) instead of a join-and-count — an
     // exact check, not a checksum heuristic.
+    //
+    // TWO propagation steps run fused per checkpoint+probe: each blocking
+    // driver round (an eager localCheckpoint job plus a sum-probe job) is
+    // a scheduler synchronization point, and on a multi-round loop any
+    // GC/OS stall multiplies across them — the bench-variance finding.
+    // Fusing halves the sequential blocking jobs for the same data work;
+    // the monotone-sum argument is unchanged (sum equal across the double
+    // step ⟺ neither inner step changed any label ⟺ converged).
+    def prop(l: DataFrame): DataFrame =
+      l.union(edges.join(l, edges("d") === l("id"))
+        .select(edges("s").as("id"), col("cluster_id")))
+        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
     var prevSum: Option[java.math.BigDecimal] = None
     while (!done && iter < maxIter) {
-      val prop = edges.join(labels, edges("d") === labels("id"))
-        .select(edges("s").as("id"), col("cluster_id"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
-        .localCheckpoint(true)
+      val next = prop(prop(labels)).localCheckpoint(true)
       val s = next
         .agg(sum(col("cluster_id").cast(DecimalType(38, 0))).as("s"))
         .head.getDecimal(0)
       labels = next
       done = prevSum.contains(s)
       prevSum = Some(s)
-      iter += 1
+      iter += 2 // two propagation steps per fused round
     }
     // silent non-convergence = silently WRONG labels (a component deeper
     // than maxIter splits into several clusters); fail loudly instead —
