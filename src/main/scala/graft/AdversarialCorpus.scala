@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic adversarial documents/embeddings corpus — the data shapes
+  * the generated testdata never contains, where Spark↔DuckDB semantics
+  * have silently diverged before (split-of-empty-string, short-doc shingle
+  * NULLs dropped by list_distinct, ANSI divide-by-zero on zero-norm
+  * vectors). Mirrors tools/make_adversarial.py:32-46,92-98 so the same
+  * corpus drives BOTH gates: the manual cross-engine oracle run (the py
+  * tool) and the CI pin (AdversarialCorpusSpec) that keeps the guard class
+  * from rotting when only `sbt test` runs.
+  */
+object AdversarialCorpus {
+
+  /** (doc_id, text, lang, source); n_chars derives as the code-point count
+    * (= Python len, incl. the astral-plane emoji).
+    */
+  val Docs: Seq[(Long, String, String, String)] = Seq(
+    (0L, "", "en", "web"),                          // empty
+    (1L, "   ", "en", "web"),                       // whitespace only
+    (2L, "one", "en", "web"),                       // 1 token
+    (3L, "two words", "de", "web"),                 // 2 tokens
+    (4L, "two words", "de", "web"),                 // exact dup of 3
+    (5L, "three little words", "fr", "book"),       // exactly 3 tokens
+    (6L, "  padded   with   runs  ", "en", "web"),  // ws runs + pad
+    (7L, "é ø 中文 emoji 🙂 mixed", "es", "web"),    // unicode
+    (8L, "the the the the the the", "en", "web"),   // repeated token
+    (9L, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4,
+      "en", "book"),                                // long
+    (10L, "three little words", "fr", "web"),       // dup, diff metadata
+    (11L, "12345 67890 a1b2", "en", "web"))         // digits
+
+  val Dim = 64
+
+  /** zero / unit / duplicate-unit / constant / linspace vectors. */
+  def Vecs: Seq[Array[Float]] = Seq(
+    Array.fill(Dim)(0.0f),                          // zero (undefined cosine)
+    1.0f +: Array.fill(Dim - 1)(0.0f),
+    1.0f +: Array.fill(Dim - 1)(0.0f),              // duplicate
+    Array.fill(Dim)(0.5f),
+    Array.tabulate(Dim)(i => (-1.0 + 2.0 * i / (Dim - 1)).toFloat))
+
+  def writeTo(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Docs.map { case (id, text, lang, src) =>
+      (id, text, lang, src, text.codePointCount(0, text.length).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Vecs.zipWithIndex.map { case (v, i) => (i.toLong, v, i) }
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "cast(label as int) as label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** Every llm_* driver-contract query runs on this corpus (they read only
+    * documents/embeddings; the events-side shapes live in the py tool).
+    */
+  def pinnedQueries: Seq[String] =
+    SparkEntry.queries.keySet.filter(_.startsWith("llm_")).toSeq.sorted
+}
+
+/** Regenerates the adversarial-corpus pins in
+  * src/test/resources/golden/adversarial.txt. Usage:
+  *   runMain graft.AdversarialGoldenGen
+  * Review the diff before copying — a surprise hash change here means an
+  * edge-case semantics change, not a refresh.
+  */
+object AdversarialGoldenGen {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir =
+      if (args.nonEmpty) args(0)
+      else java.nio.file.Files.createTempDirectory("graft_adv").toString
+    AdversarialCorpus.writeTo(spark, dir)
+    AdversarialCorpus.pinnedQueries.foreach { name =>
+      val h = GoldenHash.tableHash(SparkEntry.queries(name)(spark, dir))
+      println(s"GOLDEN $name=$h")
+    }
+    spark.stop()
+  }
+}

@@ -145,6 +145,30 @@ object Similarity {
     * centroid_id — the corpus is never compared all-pairs, and increasing
     * nlist shrinks per-list work linearly.
     */
+  /** Corpus→inverted-list assignment as a PURE argmin expression: one
+    * map-only pass computing nlist dot products per row, the best taken by
+    * array_max over (aff, -centroid_id) structs — max affinity, ties to
+    * the LOWEST centroid id, the exact order a per-row window would use
+    * (rank 1 of aff DESC, centroid_id ASC). No crossJoin row blow-up, no
+    * corpus-wide shuffle, no window state; each aff is evaluated once
+    * (the structs are array elements, never re-inlined). Exposed
+    * separately from [[ivfTopK]] so the map-only plan shape is
+    * spec-pinnable (IvfPlanSpec: no Window, no Exchange).
+    */
+  def ivfAssign(corpus: DataFrame,
+      centArr: Array[(Long, Array[Double])]): DataFrame = {
+    def nearestExpr(vCol: String): Column =
+      -array_max(array(centArr.map { case (cid, v) =>
+        struct(dot(col(vCol), array(v.map(lit).toIndexedSeq: _*)).as("aff"),
+          lit(-cid).as("nid"))
+      }.toIndexedSeq: _*)).getField("nid")
+    corpus
+      .select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("cv"))
+      .filter(dot(col("cv"), col("cv")) > 0) // see bruteForceTopK
+      .withColumn("centroid_id", nearestExpr("cv"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     // The centroid table is the MODEL PARAMETER of IVF — nlist rows that
@@ -159,24 +183,7 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"),
         asDouble(col("embedding")).as("centv")))
 
-    // Corpus→list assignment as a PURE argmin expression: one map-only
-    // pass computing nlist dot products per row, the best taken by
-    // array_max over (aff, -centroid_id) structs — max affinity, ties to
-    // the LOWEST centroid id, the exact order the old per-row window used
-    // (rank 1 of aff DESC, centroid_id ASC). No crossJoin row blow-up, no
-    // corpus-wide shuffle, no window state; each aff is evaluated once
-    // (the structs are array elements, never re-inlined).
-    def nearestExpr(vCol: String): Column =
-      -array_max(array(centArr.map { case (cid, v) =>
-        struct(dot(col(vCol), array(v.map(lit).toIndexedSeq: _*)).as("aff"),
-          lit(-cid).as("nid"))
-      }.toIndexedSeq: _*)).getField("nid")
-
-    val corpusLists = corpus
-      .select(col("vec_id").as("neighbor_id"),
-        asDouble(col("embedding")).as("cv"))
-      .filter(dot(col("cv"), col("cv")) > 0) // see bruteForceTopK
-      .withColumn("centroid_id", nearestExpr("cv"))
+    val corpusLists = ivfAssign(corpus, centArr)
     // Query probes keep the broadcast-join + tiny window (top-nprobe per
     // query over nlist rows — queries are few; the window partitions by
     // query id over ≤nlist rows each).
