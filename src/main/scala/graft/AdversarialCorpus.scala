@@ -29,7 +29,9 @@ object AdversarialCorpus {
     (9L, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 4,
       "en", "book"),                                // long
     (10L, "three little words", "fr", "web"),       // dup, diff metadata
-    (11L, "12345 67890 a1b2", "en", "web"))         // digits
+    (11L, "12345 67890 a1b2", "en", "web"),         // digits
+    (12L, "contact jane.doe@example.com or 10.0.0.1 call 555-123-4567",
+      "en", "web"))                                 // PII (email/ip/phone)
 
   val Dim = 64
 

@@ -76,6 +76,70 @@ object TextAnalysis {
     lenCredit * 0.4 + lexCredit * 0.3 + stopCredit * 0.3
   }
 
+  // ---- repetition metrics (Gopher/C4-style quality signals: natural
+  // text rarely repeats itself; templated/spammy/looping text does) ----
+
+  /** Duplicate-element fraction of an array: 1 - distinct/total (0 for
+    * empty). Over a token array this is the crude repetition signal.
+    */
+  def dupFracFromArray(arr: Column): Column = {
+    val n = size(arr)
+    when(n === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(arr)).cast(DoubleType) / n.cast(DoubleType))
+  }
+
+  /** Highest single-element frequency / array size (0 for empty): over
+    * tokens it catches one-word loops, over bigrams it catches phrase
+    * loops (the Gopher "top n-gram fraction" rule). Per-row O(distinct×n)
+    * expression work — map-only, no shuffle; `arr` MUST be a plain column
+    * reference (it is referenced O(distinct) times — an inlined expression
+    * would re-evaluate per element, the repo's staged-projection trap).
+    */
+  def topFracFromArray(arr: Column): Column = {
+    val n = size(arr)
+    when(n === 0, lit(0.0))
+      .otherwise(
+        array_max(transform(array_distinct(arr), d =>
+          size(filter(arr, x => x === d)))).cast(DoubleType) /
+          n.cast(DoubleType))
+  }
+
+  /** Adjacent-token bigram array (NOT distinct — frequencies matter here;
+    * [] for docs with fewer than 2 tokens). Stage as its own projection
+    * before feeding topFracFromArray.
+    */
+  def bigramsFromTokens(toks: Column): Column =
+    when(size(toks) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", try_element_at(toks, i),
+          try_element_at(toks, i + 1))))
+
+  // ---- PII detection (regex class counts + redaction) ----
+  // Patterns are deliberately lookaround-free so they mean the same thing
+  // to Java regex (Spark) and RE2 (DuckDB/common scale engines); the
+  // oracle SQL is built from these SAME constants.
+
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** All PII classes as one alternation (email first: an email can embed
+    * digit runs that the narrower patterns might otherwise claim).
+    */
+  val PiiAnyPattern: String =
+    s"$PiiEmailPattern|$PiiIpv4Pattern|$PiiPhonePattern"
+
+  def piiMatchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** The text with every PII match replaced by a fixed tag — the
+    * redaction pass a curation pipeline ships; one regex scan per row,
+    * fused into the document scan.
+    */
+  def piiRedact(text: Column, tag: String = "<PII>"): Column =
+    regexp_replace(text, lit(PiiAnyPattern), lit(tag))
+
   /** Language-ID by stopword voting: the language whose stopword list hits
     * the most tokens wins; ties resolve in LangStopwords order; zero hits
     * → 'und' (undetermined). A classic n-gram-free heuristic that runs as

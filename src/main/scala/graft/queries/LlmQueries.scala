@@ -520,6 +520,121 @@ object LlmQueries {
                   OR greatest(s_en, s_de, s_fr, s_es) = 0) AS kept
       FROM scored ORDER BY doc_id"""))
 
+  /** Repetition-quality report (Gopher/C4-class signals): duplicate-token
+    * fraction, highest single-token frequency share, and highest bigram
+    * frequency share — natural text rarely repeats itself; templated or
+    * looping text does. Two staged projections (tokens, then bigrams) so
+    * each array materializes once per row; everything is map-only
+    * expression work fused into the scan.
+    */
+  val repetitionReport = QueryDef(
+    "llm_repetition_report",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokenArray(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        TextAnalysis.bigramsFromTokens(col("__toks")).as("__bg"))
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountFromTokens(col("__toks")).as("n_tokens"),
+        TextAnalysis.dupFracFromArray(col("__toks")).as("dup_token_frac"),
+        TextAnalysis.topFracFromArray(col("__toks")).as("max_token_frac"),
+        TextAnalysis.topFracFromArray(col("__bg")).as("top_bigram_frac"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id, toks,
+          CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+               ELSE list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1]) END AS bg
+        FROM t)
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / len(toks) END AS dup_token_frac,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+                    / len(toks) END AS max_token_frac,
+        CASE WHEN len(bg) = 0 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(bg),
+                 d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                    / len(bg) END AS top_bigram_frac
+      FROM b ORDER BY doc_id"""))
+
+  /** PII detection + redaction report: per-class regex match counts
+    * (email / IPv4 / phone), the redacted length, and the keep/scrub
+    * verdict — the auditable shape of a curation privacy pass. The
+    * patterns are lookaround-free so Java regex (Spark) and RE2 (DuckDB)
+    * agree, and the oracle SQL is built from the SAME pattern constants.
+    * One fused scan, no shuffle.
+    */
+  val piiReport = QueryDef(
+    "llm_pii_report",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.piiMatchCount(col("text"),
+          TextAnalysis.PiiEmailPattern).as("n_emails"),
+        TextAnalysis.piiMatchCount(col("text"),
+          TextAnalysis.PiiIpv4Pattern).as("n_ipv4"),
+        TextAnalysis.piiMatchCount(col("text"),
+          TextAnalysis.PiiPhonePattern).as("n_phones"),
+        length(TextAnalysis.piiRedact(col("text"))).as("n_chars_redacted"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ipv4") + col("n_phones") > 0)
+      .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '${TextAnalysis.PiiEmailPattern}')) AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(text,
+               '${TextAnalysis.PiiIpv4Pattern}')) AS INTEGER) AS n_ipv4,
+             CAST(len(regexp_extract_all(text,
+               '${TextAnalysis.PiiPhonePattern}')) AS INTEGER) AS n_phones,
+             CAST(length(regexp_replace(text,
+               '${TextAnalysis.PiiAnyPattern}', '<PII>', 'g'))
+               AS INTEGER) AS n_chars_redacted,
+             len(regexp_extract_all(text, '${TextAnalysis.PiiEmailPattern}'))
+               + len(regexp_extract_all(text, '${TextAnalysis.PiiIpv4Pattern}'))
+               + len(regexp_extract_all(text, '${TextAnalysis.PiiPhonePattern}'))
+               > 0 AS has_pii
+      FROM documents ORDER BY doc_id"""))
+
+  /** Corpus-level gram statistics: the top-50 distinct word-3-grams by
+    * document frequency — the stop-gram discovery op (exactly the grams
+    * the dedup df caps exclude for carrying no discriminating power).
+    * One partial-aggregated groupBy on the gram stream; the top-k is a
+    * TakeOrdered over the (small) distinct-gram aggregate, never a sort
+    * of the corpus.
+    */
+  val gramStats = QueryDef(
+    "llm_gram_stats",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .select(col("doc_id"),
+        explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("gram")).limit(50),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(
+              generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [array_to_string(t, ' ')] END AS g3
+        FROM toks),
+      grams AS (SELECT doc_id, unnest(g3) AS gram FROM g)
+      SELECT gram, df FROM (
+        SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram) c
+      ORDER BY df DESC, gram LIMIT 50"""))
+
   /** Canonical normalization + normalized fingerprint: the dedup-key
     * preprocessing rung (casing/whitespace variants collapse to one key).
     * n_dupes counts how many raw docs share each normalized form.
@@ -1015,7 +1130,8 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textFingerprint,
     textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
-    textNormalize, filterReport, sampleStratified, sampleBudget,
+    textNormalize, filterReport, repetitionReport, piiReport, gramStats,
+    sampleStratified, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
     dedupSurvivors, chunkPlan, packPlan, contamination, decontaminated)
 }

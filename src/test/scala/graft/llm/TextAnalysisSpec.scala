@@ -101,4 +101,53 @@ class TextAnalysisSpec extends SparkSpec {
       "fp_md5"))
     assert(out.count() == 1)
   }
+
+  test("repetition metrics: hand-computed fractions incl. empty/1-token") {
+    val rows = Seq(
+      "a b a b a",   // 5 toks, 2 distinct; bigrams: ab,ba,ab,ba → top 2/4
+      "x",           // 1 token, no bigrams
+      "",            // empty: all zeros
+      "w w w w")     // one token looped: dup 3/4, max 1.0, bigram 3/3
+      .toDF("text")
+      .select(TextAnalysis.tokenArray($"text").as("__toks"))
+      .select($"__toks", TextAnalysis.bigramsFromTokens($"__toks").as("__bg"))
+      .select(
+        TextAnalysis.dupFracFromArray($"__toks").as("dup"),
+        TextAnalysis.topFracFromArray($"__toks").as("maxTok"),
+        TextAnalysis.topFracFromArray($"__bg").as("topBg"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows(0) == ((1.0 - 2.0 / 5.0, 3.0 / 5.0, 2.0 / 4.0)))
+    assert(rows(1) == ((0.0, 1.0, 0.0)))
+    assert(rows(2) == ((0.0, 0.0, 0.0)))
+    assert(rows(3) == ((1.0 - 1.0 / 4.0, 1.0, 1.0)))
+  }
+
+  test("PII detection: counts per class and redaction") {
+    val r = Seq("mail a@b.co and c.d@e.org ip 10.0.0.1 tel 555-123-4567 x")
+      .toDF("text")
+      .select(
+        TextAnalysis.piiMatchCount($"text",
+          TextAnalysis.PiiEmailPattern).as("e"),
+        TextAnalysis.piiMatchCount($"text",
+          TextAnalysis.PiiIpv4Pattern).as("i"),
+        TextAnalysis.piiMatchCount($"text",
+          TextAnalysis.PiiPhonePattern).as("p"),
+        TextAnalysis.piiRedact($"text").as("red"))
+      .head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 1)))
+    assert(r.getString(3) ==
+      "mail <PII> and <PII> ip <PII> tel <PII> x")
+  }
+
+  test("PII: clean text untouched, zero counts") {
+    val r = Seq("just ordinary words here 123")
+      .toDF("text")
+      .select(
+        TextAnalysis.piiMatchCount($"text",
+          TextAnalysis.PiiAnyPattern).as("n"),
+        TextAnalysis.piiRedact($"text").as("red"))
+      .head()
+    assert(r.getInt(0) == 0)
+    assert(r.getString(1) == "just ordinary words here 123")
+  }
 }

@@ -43,6 +43,8 @@ docs = [
      "en", "book"),                                         # long
     (10, "three little words", "fr", "web"),                # dup, diff meta
     (11, "12345 67890 a1b2", "en", "web"),                  # digits
+    (12, "contact jane.doe@example.com or 10.0.0.1 call 555-123-4567",
+     "en", "web"),                                          # PII
 ]
 pq.write_table(pa.table({
     "doc_id": pa.array([d[0] for d in docs], pa.int64()),
