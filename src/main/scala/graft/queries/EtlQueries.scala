@@ -163,6 +163,35 @@ object EtlQueries {
       FROM z GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** Tumbling-window event stats over the events table — the batch twin
+    * of StreamOps.windowedEventStats (the SAME groupBy(window(...)) plan;
+    * the watermark node is a no-op under batch execution, so this query
+    * oracle-checks the exact aggregation the streaming operator runs).
+    * Value sums go through decimal so the hash match is order-independent;
+    * the oracle floors epochs to the hour exactly like Spark's
+    * epoch-aligned tumbling window.
+    */
+  val windowStatsBatch = QueryDef(
+    "stream_window_stats_batch",
+    (s, dir) => graft.streaming.StreamOps.windowedEventStats(
+      events(s, dir).withColumn("value", col("value").cast(Money)),
+      "1 hour", "1 hour")
+      .withColumn("total_value", col("total_value").cast(DoubleType))
+      .orderBy("window_start", "event_type"),
+    Some("""
+      WITH w AS (
+        SELECT to_timestamp(floor(epoch(ts::TIMESTAMP) / 3600) * 3600)
+                 AS window_start,
+               event_type, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events)
+      SELECT window_start,
+             window_start + INTERVAL 1 HOUR AS window_end,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(v) AS DOUBLE) AS total_value
+      FROM w GROUP BY window_start, event_type
+      ORDER BY window_start, event_type"""))
+
   /** Semi-structured payload parsing: the JSON props column through a real
     * JSON parser (from_json with a declared schema — not the regex
     * fallback), plus a per-key aggregate. The shape every event pipeline
@@ -328,5 +357,6 @@ object EtlQueries {
       ORDER BY constraint_name"""))
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
-    jsonProps, asofEnrich, asofWindow, skewSalted, constraintReport)
+    windowStatsBatch, jsonProps, asofEnrich, asofWindow, skewSalted,
+    constraintReport)
 }
