@@ -173,15 +173,19 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     // The centroid table is the MODEL PARAMETER of IVF — nlist rows that
     // live on the driver by design (k-means would train them there too).
-    // Collecting it is O(nlist · dim), not a data-path collect.
+    // Collecting it is O(nlist · dim), not a data-path collect; the
+    // broadcast-side frame is rebuilt FROM the collected rows (identical
+    // by construction) so the corpus is not scanned a second time.
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val centArr: Array[(Long, Array[Double])] =
       corpus.orderBy("vec_id").limit(nlist)
         .select(col("vec_id"), asDouble(col("embedding")))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val cents = broadcast(corpus.orderBy("vec_id").limit(nlist)
-      .select(col("vec_id").as("centroid_id"),
-        asDouble(col("embedding")).as("centv")))
+    val cents = broadcast(
+      centArr.toSeq.map { case (cid, v) => (cid, v.toSeq) }
+        .toDF("centroid_id", "centv"))
 
     val corpusLists = ivfAssign(corpus, centArr)
     // Query probes keep the broadcast-join + tiny window (top-nprobe per
@@ -202,10 +206,14 @@ object Similarity {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
+    // No dedup needed before ranking: each corpus vector lives in EXACTLY
+    // one inverted list (the argmin is unique) and a query's probes are
+    // distinct lists, so (query, neighbor) pairs are unique by
+    // construction — a dropDuplicates here would shuffle the whole scored
+    // set for nothing.
     corpusLists.join(queryProbes, Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
