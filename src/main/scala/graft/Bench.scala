@@ -81,7 +81,10 @@ object Bench {
             (name, -1.0, Seq.empty[Double])
         }
       }
-    def fmt(v: Double): String = "%.4f".format(v)
+    // Locale.ROOT: plain "%.4f".format uses the JVM default locale, which
+    // on e.g. a de_DE machine renders "1,2345" — malformed JSON
+    def fmt(v: Double): String =
+      "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val lapsJson = results.map { case (k, _, ls) =>

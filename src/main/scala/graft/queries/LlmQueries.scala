@@ -607,14 +607,18 @@ object LlmQueries {
   /** Corpus-level gram statistics: the top-50 distinct word-3-grams by
     * document frequency — the stop-gram discovery op (exactly the grams
     * the dedup df caps exclude for carrying no discriminating power).
-    * One partial-aggregated groupBy on the gram stream; the top-k is a
-    * TakeOrdered over the (small) distinct-gram aggregate, never a sort
-    * of the corpus.
+    * Documents with fewer than 3 tokens are EXCLUDED: the whole-sequence
+    * pseudo-shingle convention is right for dedup pairing (dropping short
+    * docs there loses pairs) but would pollute a trigram-frequency report
+    * with empty-string and whole-doc entries. One partial-aggregated
+    * groupBy on the gram stream; the top-k is a TakeOrdered over the
+    * (small) distinct-gram aggregate, never a sort of the corpus.
     */
   val gramStats = QueryDef(
     "llm_gram_stats",
     (s, dir) => documents(s, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= 3)
       .select(col("doc_id"),
         explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
@@ -624,12 +628,10 @@ object LlmQueries {
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         FROM documents),
       g AS (
-        SELECT doc_id, CASE WHEN len(t) >= 3 THEN
-            list_distinct(list_transform(
-              generate_series(1, len(t) - 2),
-              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-          ELSE [array_to_string(t, ' ')] END AS g3
-        FROM toks),
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g3
+        FROM toks WHERE len(t) >= 3),
       grams AS (SELECT doc_id, unnest(g3) AS gram FROM g)
       SELECT gram, df FROM (
         SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram) c
@@ -769,16 +771,34 @@ object LlmQueries {
       .mkString("|")
   }
 
+  /** Free a replaced memo entry's checkpoint blocks deterministically: a
+    * localCheckpoint'd frame holds persisted RDD blocks that are otherwise
+    * reclaimed only when driver GC happens to collect the RDD — in a
+    * long-lived session that rewrites the corpus repeatedly (exactly what
+    * the snapshot validation is for), dead blocks would pile up on
+    * executors. LogicalRDD is private[sql], so the persisted RDD is
+    * reached via the case-class accessor reflectively.
+    */
+  private def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach { node =>
+      if (node.getClass.getSimpleName == "LogicalRDD")
+        node.getClass.getMethod("rdd").invoke(node) match {
+          case r: org.apache.spark.rdd.RDD[_] => r.unpersist(blocking = false)
+          case _ => ()
+        }
+    }
+
   private def dedupComponents(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val snap = docsSnapshot(s, dir)
     componentsMemo.get((s, dir)) match {
       case Some((`snap`, df)) => df
-      case _ =>
+      case stale =>
         val df = Dedup.connectedComponentsAdaptive(
           Dedup.jaccardPairsExact(documents(s, dir), 0.8))
           .localCheckpoint(true)
         componentsMemo.put((s, dir), (snap, df))
+        stale.foreach { case (_, old) => unpersistCheckpoint(old) }
         df
     }
   }

@@ -31,10 +31,20 @@ class IvfPlanSpec extends SparkSpec {
   test("ivfAssign is map-only: no Window, no shuffle Exchange") {
     val assigned = Similarity.ivfAssign(corpus, cents)
     val plan = assigned.queryExecution.executedPlan
+    // typed collect AND string audit: if the assignment ever regresses to
+    // a shape with a required distribution, AQE wraps the plan in an
+    // AdaptiveSparkPlanExec LEAF and collect() sees nothing inside it —
+    // the string rendering still shows the inner plan, so the pin cannot
+    // go vacuous under AQE
     assert(plan.collect { case w: WindowExec => w }.isEmpty,
       s"window found in IVF assignment plan:\n$plan")
     assert(plan.collect { case e: ShuffleExchangeLike => e }.isEmpty,
       s"shuffle found in IVF assignment plan:\n$plan")
+    val rendered = plan.toString
+    assert(!rendered.contains("Window"),
+      s"window found in rendered IVF assignment plan:\n$rendered")
+    assert(!rendered.contains("Exchange"),
+      s"exchange found in rendered IVF assignment plan:\n$rendered")
   }
 
   test("ivfAssign argmin matches the window-rank oracle order") {
