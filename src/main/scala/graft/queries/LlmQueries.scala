@@ -468,25 +468,33 @@ object LlmQueries {
     * must be able to answer "why was this dropped"). One staged
     * tokenization feeds all rules.
     */
+  /** The filter-report plan over ANY (doc_id, text) frame — stateless
+    * map-only expressions, so the SAME plan serves the batch query and a
+    * streaming ingest filter unchanged (StreamingCurationSpec pins
+    * stream ≡ batch, the LLM-pipeline analog of the fact-builder's
+    * HYBRIDJOIN-parity pin).
+    */
+  def filterReportOn(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val staged = docs
+      .select(col("doc_id"), TextAnalysis.tokenArray(col("text")).as("__toks"))
+    val n = TextAnalysis.tokenCountFromTokens(col("__toks"))
+    val q = TextAnalysis.qualityScoreFromTokens(col("__toks"))
+    val lang = TextAnalysis.langIdFromTokens(col("__toks"))
+    staged
+      .select(col("doc_id"),
+        (n < 15).as("too_short"),
+        (n > 90).as("too_long"),
+        (q < 0.5).as("low_quality"),
+        (lang === "und").as("unknown_lang"))
+      .withColumn("kept",
+        !col("too_short") && !col("too_long") &&
+          !col("low_quality") && !col("unknown_lang"))
+  }
+
   val filterReport = QueryDef(
     "llm_filter_report",
-    (s, dir) => {
-      val staged = documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokenArray(col("text")).as("__toks"))
-      val n = TextAnalysis.tokenCountFromTokens(col("__toks"))
-      val q = TextAnalysis.qualityScoreFromTokens(col("__toks"))
-      val lang = TextAnalysis.langIdFromTokens(col("__toks"))
-      staged
-        .select(col("doc_id"),
-          (n < 15).as("too_short"),
-          (n > 90).as("too_long"),
-          (q < 0.5).as("low_quality"),
-          (lang === "und").as("unknown_lang"))
-        .withColumn("kept",
-          !col("too_short") && !col("too_long") &&
-            !col("low_quality") && !col("unknown_lang"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => filterReportOn(documents(s, dir)).orderBy("doc_id"),
     Some("""
       WITH t AS (
         SELECT doc_id,
