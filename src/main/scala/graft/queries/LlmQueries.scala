@@ -941,6 +941,102 @@ object LlmQueries {
       WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       ORDER BY doc_id"""))
 
+  /** The dedup ladder under a QUALITY survivor policy: each near-dup
+    * cluster keeps its highest-quality member (ties to the lowest doc id)
+    * instead of the lowest id — what production pipelines actually ship
+    * ("keep the best copy"). Derives from the SAME memoized components
+    * stage as `llm_dedup_survivors`; the per-cluster ranking window runs
+    * over the components frame only (docs that appear in a pair — tiny),
+    * never the corpus. The oracle replays the clustering with the
+    * recursive CTE and the quality formula of `llm_text_quality` (whose
+    * bit-exact cross-engine agreement is already proven).
+    */
+  val dedupSurvivorsBest = QueryDef(
+    "llm_dedup_survivors_best",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir)
+      val quality = docs
+        .select(col("doc_id"), TextAnalysis.tokenArray(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScoreFromTokens(col("__toks")).as("__q"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("__q").desc, col("id"))
+      val losers = dedupComponents(s, dir)
+        .join(quality, col("id") === col("doc_id"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1)
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(
+              generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [array_to_string(t, ' ')] END AS g3
+        FROM toks),
+      grams0 AS (
+        SELECT doc_id, unnest(g3) AS gram FROM g),
+      keepgrams AS (
+        SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) <= 100),
+      grams AS (
+        SELECT doc_id, gram FROM grams0 JOIN keepgrams USING (gram)),
+      sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1,2),
+      pairs AS (
+        SELECT da, db FROM shared
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+      edges AS (
+        SELECT da AS s, db AS d FROM pairs
+        UNION
+        SELECT db, da FROM pairs),
+      reach AS (
+        SELECT DISTINCT s AS id, s AS r FROM edges
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      qt AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
+          length(regexp_replace(trim(text), '\s+', '', 'g')) AS letters,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 x -> x IN ('the','a','an','and','of','to','in'))) END AS stops
+        FROM documents),
+      quality AS (
+        SELECT doc_id,
+          least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.4
+            + least(1.0, (CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE) END) / 8.0) * 0.3
+            + (1.0 - CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(stops AS DOUBLE) / CAST(n AS DOUBLE) END) * 0.3
+            AS qs
+        FROM qt),
+      ranked AS (
+        SELECT comp.id,
+               ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                 ORDER BY quality.qs DESC, comp.id) AS rn
+        FROM comp JOIN quality ON quality.doc_id = comp.id),
+      losers AS (SELECT id AS doc_id FROM ranked WHERE rn > 1)
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      ORDER BY doc_id"""))
+
   /** Weighted mixture recipe: 50% en / 30% de / 20% fr of a 200-doc
     * budget, es excluded — per-stratum quotas in content-hash order.
     */
@@ -1161,5 +1257,6 @@ object LlmQueries {
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     sampleStratified, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
-    dedupSurvivors, chunkPlan, packPlan, contamination, decontaminated)
+    dedupSurvivors, dedupSurvivorsBest, chunkPlan, packPlan,
+    contamination, decontaminated)
 }
