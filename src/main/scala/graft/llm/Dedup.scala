@@ -338,11 +338,11 @@ object Dedup {
     * small-star contraction if the graph turns out deeper than
     * `propRounds`. Both produce cluster id = min doc id in the component,
     * so the fallback is output-identical (equivalence spec-pinned) — the
-    * choice is purely a wall-clock one. Measured at sf0.1
-    * (`ScaleProbe ladder`): propagation 1.89 s vs star 2.71 s on the real
-    * 477-node pair graph (star's per-round fixed cost only pays off past
-    * diameter ~tens, where its O(log d) rounds dominate — ×3.79 at
-    * diameter 119, `ScaleProbe cc`).
+    * choice is purely a wall-clock one. Measured at sf0.1 with the fused
+    * double-step loop (`ScaleProbe ladder`): propagation 2.10 s vs star
+    * 2.52 s on the real 477-node pair graph (star's per-round fixed cost
+    * only pays off past diameter ~tens, where its O(log d) rounds
+    * dominate — ×3.07 at diameter 119, `ScaleProbe cc`).
     */
   def connectedComponentsAdaptive(pairs: DataFrame,
       propRounds: Int = 12): DataFrame =
@@ -361,8 +361,9 @@ object Dedup {
     * deterministic result as [[connectedComponents]] (cluster id = min id
     * in the component, equivalence spec-pinned); prefer this form when
     * components can be deep (long transitive near-dup chains). Measured
-    * (`runMain graft.ScaleProbe cc 120 200`): x4.19 over propagation on
-    * 200 disjoint chains of diameter 119, identical outputs.
+    * (`runMain graft.ScaleProbe cc 120 200`): x3.07 over the fused
+    * double-step propagation on 200 disjoint chains of diameter 119,
+    * identical outputs.
     *
     *  - large-star: for every edge (u,v) with v > u, link v to the
     *    minimum neighbor of u (including u);
