@@ -1057,6 +1057,101 @@ object LlmQueries {
                                      WHEN 'fr' THEN 40 END
       ORDER BY lang, sample_rank"""))
 
+  /** Incremental dedup — the daily-ingest shape: an incoming batch (here
+    * the deterministic 20% slice doc_id % 5 = 0) deduplicated AGAINST the
+    * existing corpus without re-clustering anything. Each new doc gets an
+    * exact-dup flag (content digest seen in the corpus), a near-dup flag
+    * (word-3-gram Jaccard ≥ 0.8 against ANY corpus doc — an asymmetric
+    * new×old gram-key equi join, never new×new or old×old), and the keep
+    * verdict. Gram document frequencies are capped over the FULL corpus
+    * (both sides) with the usual broadcast blacklist, so a hot gram can't
+    * blow up the join; only (gram, id) slim rows move. At 100 TB the old
+    * side's gram stream is the thing you'd precompute and keep partitioned
+    * by gram — the join shape here is exactly that access pattern.
+    */
+  val dedupIncremental = QueryDef(
+    "llm_dedup_incremental",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val isNew = col("doc_id") % 5 === 0
+      // exact: digest semi-join against the old side
+      val digests = docs.select(col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("fp"))
+      val oldFps = digests.filter(!isNew).select("fp").distinct()
+      val exactDups = digests.filter(isNew)
+        .join(oldFps, Seq("fp"), "left_semi").select("doc_id")
+      // near: df-capped gram stream (computed once over the full corpus),
+      // then new-side × old-side only
+      val grams0 = docs
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+        .select(col("doc_id"),
+          explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
+        .localCheckpoint(true)
+      val hotGrams = grams0.groupBy("gram").count()
+        .filter(col("count") > Dedup.MaxBucket).select("gram")
+      val grams = grams0.join(broadcast(hotGrams), Seq("gram"), "left_anti")
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = grams.filter(isNew).select(col("gram"), col("doc_id").as("new_id"))
+      val b = grams.filter(!isNew).select(col("gram"), col("doc_id").as("old_id"))
+      val nearDups = a.join(b, Seq("gram"))
+        .groupBy("new_id", "old_id").agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("new_id"), col("sz").as("sza")),
+          Seq("new_id"))
+        .join(sizes.select(col("doc_id").as("old_id"), col("sz").as("szb")),
+          Seq("old_id"))
+        .filter(col("shared").cast(DoubleType)
+          / (col("sza") + col("szb") - col("shared")) >= 0.8)
+        .select(col("new_id").as("doc_id")).distinct()
+      docs.filter(isNew).select(col("doc_id"))
+        .join(exactDups.withColumn("__e", lit(true)), Seq("doc_id"), "left")
+        .join(nearDups.withColumn("__n", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__e"), lit(false)).as("exact_dup"),
+          coalesce(col("__n"), lit(false)).as("near_dup"))
+        .withColumn("kept", !col("exact_dup") && !col("near_dup"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(
+              generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [array_to_string(t, ' ')] END AS g3
+        FROM toks),
+      grams0 AS (
+        SELECT doc_id, unnest(g3) AS gram FROM g),
+      keepgrams AS (
+        SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) <= 100),
+      grams AS (
+        SELECT doc_id, gram FROM grams0 JOIN keepgrams USING (gram)),
+      sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+      exact AS (
+        SELECT DISTINCT n.doc_id
+        FROM documents n JOIN documents o
+          ON md5(n.text) = md5(o.text)
+         AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+      near AS (
+        SELECT DISTINCT s.new_id AS doc_id FROM (
+          SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS c
+          FROM grams a JOIN grams b ON a.gram = b.gram
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+          GROUP BY 1,2) s
+        JOIN sizes sa ON sa.doc_id = s.new_id
+        JOIN sizes sb ON sb.doc_id = s.old_id
+        WHERE CAST(s.c AS DOUBLE) / (sa.sz + sb.sz - s.c) >= 0.8)
+      SELECT d.doc_id,
+             d.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+             d.doc_id IN (SELECT doc_id FROM near) AS near_dup,
+             NOT (d.doc_id IN (SELECT doc_id FROM exact)
+                  OR d.doc_id IN (SELECT doc_id FROM near)) AS kept
+      FROM documents d WHERE d.doc_id % 5 = 0
+      ORDER BY d.doc_id"""))
+
   /** Fixed-size chunking plan: each document split into `ChunkTokens`-token
     * chunks (the pre-step of any long-document training pipeline) — a pure
     * generate (posexplode of a sequence), map-side only, no shuffle until
@@ -1257,6 +1352,6 @@ object LlmQueries {
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     sampleStratified, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
-    dedupSurvivors, dedupSurvivorsBest, chunkPlan, packPlan,
-    contamination, decontaminated)
+    dedupSurvivors, dedupSurvivorsBest, dedupIncremental, chunkPlan,
+    packPlan, contamination, decontaminated)
 }
