@@ -42,10 +42,21 @@ class PipelineSpec extends SparkSpec {
     val nLosers = losers.count()
     assert(comps.count() - nLosers == nClusters)
 
-    // 4. quality floor
+    // 4. quality floor + repetition gate + PII scrub (the full curation
+    // rule set: low-quality, loopy/templated, and PII-bearing docs drop;
+    // one staged token/bigram projection pair feeds both repetition
+    // metrics)
     val filtered = nearDeduped
       .withColumn("q", TextAnalysis.qualityScore(col("text")))
-      .filter(col("q") >= 0.3)
+      .withColumn("__toks", TextAnalysis.tokenArray(col("text")))
+      .withColumn("__bg", TextAnalysis.bigramsFromTokens(col("__toks")))
+      .withColumn("rep_tok", TextAnalysis.topFracFromArray(col("__toks")))
+      .withColumn("rep_bg", TextAnalysis.topFracFromArray(col("__bg")))
+      .withColumn("pii",
+        TextAnalysis.piiMatchCount(col("text"), TextAnalysis.PiiAnyPattern))
+      .filter(col("q") >= 0.3 && col("rep_tok") <= 0.5 &&
+        col("rep_bg") <= 0.5 && col("pii") === 0)
+      .drop("__toks", "__bg")
     val n3 = filtered.count()
     assert(n3 <= n2 && n3 > 0)
 
