@@ -31,7 +31,15 @@ object AdversarialCorpus {
     (10L, "three little words", "fr", "web"),       // dup, diff metadata
     (11L, "12345 67890 a1b2", "en", "web"),         // digits
     (12L, "contact jane.doe@example.com or 10.0.0.1 call 555-123-4567",
-      "en", "web"))                                 // PII (email/ip/phone)
+      "en", "web"),                                 // PII (email/ip/phone)
+    // near-dup pair (trigram Jaccard 9/11 ≈ 0.82) where the HIGHER doc id
+    // has the HIGHER quality ('the' is a stopword, 'The' is not): the
+    // min-id and argmax-quality survivor policies must pick DIFFERENT
+    // keepers here, so their adversarial pins cannot silently coincide
+    (13L, "the rapid brown vulpes leaps across nine calm silver rivers " +
+      "daily always", "en", "web"),
+    (14L, "The rapid brown vulpes leaps across nine calm silver rivers " +
+      "daily always", "en", "web"))
 
   val Dim = 64
 

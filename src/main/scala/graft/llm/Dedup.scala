@@ -218,34 +218,45 @@ object Dedup {
     * capped form a fraction of a second). Jaccard is thus over the
     * df-filtered gram sets, identically in both engines.
     */
-  def jaccardPairsExact(docs: DataFrame, threshold: Double,
-      maxDf: Int = MaxBucket): DataFrame = {
-    // explode_outer, NOT explode: InferFiltersFromGenerate adds a
-    // size(generator) > 0 filter to plain explode, and filter pushdown
-    // inlines the whole staged shingle pipeline into it (re-tokenizing
-    // per element — measured 14x slower). The outer variant skips the
-    // rule; its extra null-gram rows can never match the equi join.
-    // localCheckpoint: the gram stream feeds BOTH the df-count and the
-    // join below — without materialization each consumer re-tokenizes and
-    // re-shingles the whole corpus (the expensive part of this pipeline).
-    // The checkpoint stores the same (doc_id, gram) volume the old window
-    // form shuffled, without the shuffle.
+  /** The df-capped distinct word-3-gram stream: slim (doc_id, gram) rows
+    * with over-frequent grams removed — the shared candidate-generation
+    * substrate of the exact-Jaccard, clustering, and incremental dedup
+    * paths (one implementation so the staging/cap discipline cannot
+    * drift between them).
+    *
+    * explode_outer, NOT explode: InferFiltersFromGenerate adds a
+    * size(generator) > 0 filter to plain explode, and filter pushdown
+    * inlines the whole staged shingle pipeline into it (re-tokenizing
+    * per element — measured 14x slower). The outer variant skips the
+    * rule; its extra null-gram rows can never match the equi join.
+    * localCheckpoint: the gram stream feeds BOTH the df-count and the
+    * downstream join — without materialization each consumer re-tokenizes
+    * and re-shingles the whole corpus (the expensive part of this
+    * pipeline); the blocks are released by Spark's ContextCleaner once
+    * the query's frames are collected, like every cold query path here.
+    * The df cap is a broadcast blacklist, not count().over(Window
+    * .partitionBy(gram)): a stop-gram ("of the and") can be a percent of
+    * the corpus, and the window form ships all of it to one task before
+    * filtering — the skew guard itself became the hotspot. groupBy.count
+    * partial-aggregates map-side; the over-cap gram set is tiny (it is
+    * exactly the set being excluded for being common), so it broadcasts.
+    */
+  def cappedGrams(docs: DataFrame, maxDf: Int = MaxBucket): DataFrame = {
     val grams0 = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
       .select(col("doc_id"), shinglesFromTokens(col("__toks")).as("__sh"))
       .select(col("doc_id"), explode_outer(col("__sh")).as("gram"))
       .localCheckpoint(true)
-    // df cap as a broadcast blacklist, not count().over(Window
-    // .partitionBy(gram)): a stop-gram ("of the and") can be a percent of
-    // the corpus, and the window form ships all of it to one task before
-    // filtering — the skew guard itself became the hotspot. groupBy.count
-    // partial-aggregates map-side; the over-cap gram set is tiny (it is
-    // exactly the set being excluded for being common), so it broadcasts.
     val hotGrams = grams0.groupBy(col("gram")).count()
       .filter(col("count") > maxDf).select(col("gram"))
-    val grams = grams0
+    grams0
       .join(broadcast(hotGrams), Seq("gram"), "left_anti")
       .select(col("doc_id"), col("gram"))
+  }
+
+  def jaccardPairsExact(docs: DataFrame, threshold: Double,
+      maxDf: Int = MaxBucket): DataFrame = {
+    val grams = cappedGrams(docs, maxDf)
     // Per-doc sizes as a SMALL aggregate joined onto the pair set after
     // the shared-count groupBy — not a doc_id window whose sz column
     // rides every gram row through the Σ bucket² self-join (that shape

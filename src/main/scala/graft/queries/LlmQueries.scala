@@ -956,13 +956,20 @@ object LlmQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = documents(s, dir)
+      val comps = dedupComponents(s, dir)
+      // score ONLY cluster members (a semi-join against the tiny
+      // components frame) — scoring the whole corpus and discarding
+      // everything but the members would be corpus-scale wasted
+      // expression work at the 100 TB framing
       val quality = docs
+        .join(comps.select(col("id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
         .select(col("doc_id"), TextAnalysis.tokenArray(col("text")).as("__toks"))
         .select(col("doc_id"),
           TextAnalysis.qualityScoreFromTokens(col("__toks")).as("__q"))
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("__q").desc, col("id"))
-      val losers = dedupComponents(s, dir)
+      val losers = comps
         .join(quality, col("id") === col("doc_id"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") > 1)
@@ -1080,16 +1087,10 @@ object LlmQueries {
       val oldFps = digests.filter(!isNew).select("fp").distinct()
       val exactDups = digests.filter(isNew)
         .join(oldFps, Seq("fp"), "left_semi").select("doc_id")
-      // near: df-capped gram stream (computed once over the full corpus),
-      // then new-side × old-side only
-      val grams0 = docs
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
-        .select(col("doc_id"),
-          explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
-        .localCheckpoint(true)
-      val hotGrams = grams0.groupBy("gram").count()
-        .filter(col("count") > Dedup.MaxBucket).select("gram")
-      val grams = grams0.join(broadcast(hotGrams), Seq("gram"), "left_anti")
+      // near: the shared df-capped gram stream (computed once over the
+      // full corpus — Dedup.cappedGrams carries the staging/cap
+      // discipline), then new-side × old-side only
+      val grams = Dedup.cappedGrams(docs)
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val a = grams.filter(isNew).select(col("gram"), col("doc_id").as("new_id"))
       val b = grams.filter(!isNew).select(col("gram"), col("doc_id").as("old_id"))

@@ -47,9 +47,9 @@ class PipelineSpec extends SparkSpec {
     // one staged token/bigram projection pair feeds both repetition
     // metrics)
     val filtered = nearDeduped
-      .withColumn("q", TextAnalysis.qualityScore(col("text")))
       .withColumn("__toks", TextAnalysis.tokenArray(col("text")))
       .withColumn("__bg", TextAnalysis.bigramsFromTokens(col("__toks")))
+      .withColumn("q", TextAnalysis.qualityScoreFromTokens(col("__toks")))
       .withColumn("rep_tok", TextAnalysis.topFracFromArray(col("__toks")))
       .withColumn("rep_bg", TextAnalysis.topFracFromArray(col("__bg")))
       .withColumn("pii",

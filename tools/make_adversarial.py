@@ -45,6 +45,13 @@ docs = [
     (11, "12345 67890 a1b2", "en", "web"),                  # digits
     (12, "contact jane.doe@example.com or 10.0.0.1 call 555-123-4567",
      "en", "web"),                                          # PII
+    # near-dup pair where the HIGHER id has the HIGHER quality ('the' is
+    # a stopword, 'The' is not) — separates the min-id and argmax-quality
+    # survivor policies
+    (13, "the rapid brown vulpes leaps across nine calm silver rivers "
+     "daily always", "en", "web"),
+    (14, "The rapid brown vulpes leaps across nine calm silver rivers "
+     "daily always", "en", "web"),
 ]
 pq.write_table(pa.table({
     "doc_id": pa.array([d[0] for d in docs], pa.int64()),
