@@ -429,6 +429,98 @@ object LlmQueries {
       SELECT query_id, neighbor_id, cosine, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** ANN evaluation: recall@5 of the LSH path against the brute-force
+    * ground truth, per query — the measurement loop every approximate
+    * index needs before it replaces the exact one (you don't ship an ANN
+    * index whose recall you haven't measured). Ground truth and candidate
+    * sets are the SAME plans the two ANN queries run; the compare is a
+    * semi-join on (query, neighbor) + per-query counts — tiny frames.
+    * Note the testdata corpus is near-random 64-dim vectors with no real
+    * neighbor structure, so the measured recall is HONESTLY low (~0.04 at
+    * sf0.01) — exactly what this op exists to reveal; on clustered
+    * embeddings the same harness reports high recall (SimilaritySpec's
+    * planted-cluster fixture).
+    */
+  val annRecall = QueryDef(
+    "llm_ann_recall",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(q, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(q, emb, 5, nPlanes = 4,
+        dim = EmbeddingDim)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast(DoubleType) / col("n_true").cast(DoubleType))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH bq AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+          AND list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      bscored AS (
+        SELECT bq.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(bq.qv, c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(bq.qv, bq.qv))
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]))) AS cosine
+        FROM embeddings c, bq WHERE c.vec_id <> bq.query_id
+          AND list_dot_product(c.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) > 0),
+      branked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM bscored),
+      bf AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+      lq0 AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+          AND list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      lq AS (SELECT query_id, qv, ${bucketSql("qv", AnnPlanes)} AS bucket
+             FROM lq0),
+      lc0 AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      lc AS (SELECT neighbor_id, cv, ${bucketSql("cv", AnnPlanes)} AS bucket
+             FROM lc0),
+      lscored AS (
+        SELECT lq.query_id, lc.neighbor_id,
+               list_dot_product(lq.qv, lc.cv)
+                 / (sqrt(list_dot_product(lq.qv, lq.qv))
+                    * sqrt(list_dot_product(lc.cv, lc.cv))) AS cosine
+        FROM lc JOIN lq USING (bucket)
+        WHERE lc.neighbor_id <> lq.query_id),
+      lranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM lscored),
+      lsh AS (SELECT query_id, neighbor_id FROM lranked WHERE rank <= 5),
+      hits AS (
+        SELECT bf.query_id, COUNT(*) AS n_hits
+        FROM bf JOIN lsh USING (query_id, neighbor_id) GROUP BY 1),
+      trues AS (
+        SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY 1)
+      SELECT t.query_id, t.n_true,
+             COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             CAST(COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE)
+               / t.n_true AS recall
+      FROM trues t LEFT JOIN hits h ON h.query_id = t.query_id
+      ORDER BY t.query_id"""))
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. The 0.15
     * threshold is calibrated to this synthetic corpus (random-ish 64-dim
     * vectors: cosine mass concentrates near 0, in-bucket max ≈ 0.25); real
@@ -1349,7 +1441,8 @@ object LlmQueries {
     dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textFingerprint,
     textRollhash,
-    multimodalBinary, annBruteForce, annLsh, annIvf, embedNearDup,
+    multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
+    embedNearDup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     sampleStratified, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
