@@ -6,10 +6,12 @@ import org.apache.spark.sql.SparkSession
   * the generated testdata never contains, where Spark↔DuckDB semantics
   * have silently diverged before (split-of-empty-string, short-doc shingle
   * NULLs dropped by list_distinct, ANSI divide-by-zero on zero-norm
-  * vectors). Mirrors tools/make_adversarial.py:32-46,92-98 so the same
-  * corpus drives BOTH gates: the manual cross-engine oracle run (the py
-  * tool) and the CI pin (AdversarialCorpusSpec) that keeps the guard class
-  * from rotting when only `sbt test` runs.
+  * vectors). Mirrors the `docs` and `vecs` blocks of
+  * tools/make_adversarial.py (byte-identical parquet, re-verified on every
+  * corpus change) so the same corpus drives BOTH gates: the manual
+  * cross-engine oracle run (the py tool) and the CI pin
+  * (AdversarialCorpusSpec) that keeps the guard class from rotting when
+  * only `sbt test` runs.
   */
 object AdversarialCorpus {
 

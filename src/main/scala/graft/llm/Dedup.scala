@@ -205,19 +205,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Exact-Jaccard near-dup pairs via a gram-key equi join — the
-    * hashing-free twin of the LSH path (and therefore DuckDB-oracle-
-    * checkable): slim (gram, id) rows join on the gram, shared counts
-    * become Jaccard exactly.
-    *
-    * Skew discipline (same as every other candidate join here): grams
-    * with document frequency > `maxDf` are dropped from BOTH the join and
-    * the set sizes — a gram shared by hundreds of documents carries no
-    * discriminating power, and its bucket² term is exactly what turns the
-    * join quadratic (measured: the uncapped form cost 20 s at sf0.1, the
-    * capped form a fraction of a second). Jaccard is thus over the
-    * df-filtered gram sets, identically in both engines.
-    */
   /** The df-capped distinct word-3-gram stream: slim (doc_id, gram) rows
     * with over-frequent grams removed — the shared candidate-generation
     * substrate of the exact-Jaccard, clustering, and incremental dedup
@@ -254,6 +241,19 @@ object Dedup {
       .select(col("doc_id"), col("gram"))
   }
 
+  /** Exact-Jaccard near-dup pairs via a gram-key equi join — the
+    * hashing-free twin of the LSH path (and therefore DuckDB-oracle-
+    * checkable): slim (gram, id) rows from [[cappedGrams]] join on the
+    * gram, shared counts become Jaccard exactly.
+    *
+    * Skew discipline (same as every other candidate join here): grams
+    * with document frequency > `maxDf` are dropped from BOTH the join and
+    * the set sizes — a gram shared by hundreds of documents carries no
+    * discriminating power, and its bucket² term is exactly what turns the
+    * join quadratic (measured: the uncapped form cost 20 s at sf0.1, the
+    * capped form a fraction of a second). Jaccard is thus over the
+    * df-filtered gram sets, identically in both engines.
+    */
   def jaccardPairsExact(docs: DataFrame, threshold: Double,
       maxDf: Int = MaxBucket): DataFrame = {
     val grams = cappedGrams(docs, maxDf)
