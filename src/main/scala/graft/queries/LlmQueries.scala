@@ -521,6 +521,105 @@ object LlmQueries {
       FROM trues t LEFT JOIN hits h ON h.query_id = t.query_id
       ORDER BY t.query_id"""))
 
+  /** IVF recall@5 vs the brute-force ground truth — the evaluation twin
+    * of [[annRecall]] for the inverted-list path (same semi-join compare;
+    * the oracle replays the IVF assignment/probe CTEs of `llm_ann_ivf`).
+    * Same honest-low-recall caveat on this random corpus.
+    */
+  val annRecallIvf = QueryDef(
+    "llm_ann_recall_ivf",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(q, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast(DoubleType) / col("n_true").cast(DoubleType))
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH bq AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+          AND list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      bscored AS (
+        SELECT bq.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(bq.qv, c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(bq.qv, bq.qv))
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]))) AS cosine
+        FROM embeddings c, bq WHERE c.vec_id <> bq.query_id
+          AND list_dot_product(c.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) > 0),
+      branked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM bscored),
+      bf AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+      cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      corp0 AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      assign AS (
+        SELECT neighbor_id, cv, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                 ORDER BY list_dot_product(cv, centv) DESC, centroid_id)
+                 AS arank
+        FROM corp0 CROSS JOIN cents),
+      lists AS (SELECT neighbor_id, cv, centroid_id
+                FROM assign WHERE arank = 1),
+      iq AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+          AND list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      probes AS (
+        SELECT query_id, qv, centroid_id FROM (
+          SELECT iq.query_id, iq.qv, cents.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY iq.query_id
+                   ORDER BY list_dot_product(iq.qv, cents.centv) DESC,
+                            cents.centroid_id) AS crank
+          FROM iq CROSS JOIN cents) t
+        WHERE crank <= 4),
+      iscored AS (
+        SELECT p.query_id, l.neighbor_id,
+               list_dot_product(p.qv, l.cv)
+                 / (sqrt(list_dot_product(p.qv, p.qv))
+                    * sqrt(list_dot_product(l.cv, l.cv))) AS cosine
+        FROM lists l JOIN probes p USING (centroid_id)
+        WHERE l.neighbor_id <> p.query_id),
+      iranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM iscored),
+      ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE rank <= 5),
+      hits AS (
+        SELECT bf.query_id, COUNT(*) AS n_hits
+        FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY 1),
+      trues AS (
+        SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY 1)
+      SELECT t.query_id, t.n_true,
+             COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             CAST(COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE)
+               / t.n_true AS recall
+      FROM trues t LEFT JOIN hits h ON h.query_id = t.query_id
+      ORDER BY t.query_id"""))
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. The 0.15
     * threshold is calibrated to this synthetic corpus (random-ish 64-dim
     * vectors: cosine mass concentrates near 0, in-bucket max ≈ 0.25); real
@@ -1442,7 +1541,7 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textFingerprint,
     textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
-    embedNearDup,
+    annRecallIvf, embedNearDup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     sampleStratified, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
