@@ -836,6 +836,65 @@ object LlmQueries {
         SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram) c
       ORDER BY df DESC, gram LIMIT 50"""))
 
+  /** Key-term extraction: each document's top-3 tokens by tf×(N/df) — the
+    * rarity-weighted term score (tf-idf's shape with a RATIONAL idf:
+    * tf·N/df is exact integer arithmetic carried in double, so both
+    * engines agree bit-for-bit, where a log()-based idf would be hostage
+    * to last-bit libm differences). Two slim shuffles (per-doc tf, corpus
+    * df) + a broadcast 1-row N + a per-doc ranking window — nothing
+    * corpus-wide moves twice.
+    */
+  val keyTerms = QueryDef(
+    "llm_keyterms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir)
+      val toks = docs
+        .select(col("doc_id"),
+          explode_outer(TextAnalysis.tokenArray(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull)
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf").cast(DoubleType) * col("n_docs").cast(DoubleType)
+            / col("df").cast(DoubleType))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          col("score"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM documents),
+      tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (
+        SELECT tok, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM toks) t GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+               CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                 / CAST(dfreq.df AS DOUBLE) AS score
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, tok, tf, df, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, tok) AS INTEGER) AS rank
+        FROM scored)
+      SELECT doc_id, tok, tf, df, score, rank
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   /** Canonical normalization + normalized fingerprint: the dedup-key
     * preprocessing rung (casing/whitespace variants collapse to one key).
     * n_dupes counts how many raw docs share each normalized form.
@@ -1543,7 +1602,7 @@ object LlmQueries {
     multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
     annRecallIvf, embedNearDup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
-    sampleStratified, sampleBudget,
+    keyTerms, sampleStratified, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
     dedupSurvivors, dedupSurvivorsBest, dedupIncremental, chunkPlan,
     packPlan, contamination, decontaminated)
