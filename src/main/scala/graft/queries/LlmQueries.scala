@@ -429,40 +429,31 @@ object LlmQueries {
       SELECT query_id, neighbor_id, cosine, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
-  /** ANN evaluation: recall@5 of the LSH path against the brute-force
-    * ground truth, per query — the measurement loop every approximate
-    * index needs before it replaces the exact one (you don't ship an ANN
-    * index whose recall you haven't measured). Ground truth and candidate
-    * sets are the SAME plans the two ANN queries run; the compare is a
-    * semi-join on (query, neighbor) + per-query counts — tiny frames.
-    * Note the testdata corpus is near-random 64-dim vectors with no real
-    * neighbor structure, so the measured recall is HONESTLY low (~0.04 at
-    * sf0.01) — exactly what this op exists to reveal; on clustered
-    * embeddings the same harness reports high recall (SimilaritySpec's
-    * planted-cluster fixture).
+  /** The recall@k compare: fraction of ground-truth (query, neighbor)
+    * pairs the approximate result recovered — ONE definition shared by
+    * the LSH and IVF recall queries so it cannot drift between them
+    * (semi-join + per-query counts over tiny frames).
     */
-  val annRecall = QueryDef(
-    "llm_ann_recall",
-    (s, dir) => {
-      val emb = embeddings(s, dir)
-      val q = emb.filter(col("vec_id") < 10)
-      val bf = Similarity.bruteForceTopK(q, emb, 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val lsh = Similarity.lshTopK(q, emb, 5, nPlanes = 4,
-        dim = EmbeddingDim)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = bf.join(lsh, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), col("n_true"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall",
-          col("n_hits").cast(DoubleType) / col("n_true").cast(DoubleType))
-        .orderBy("query_id")
-    },
-    Some(s"""
-      WITH bq AS (
+  private def recallAgainstTruth(bf: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hits = bf.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast(DoubleType) / col("n_true").cast(DoubleType))
+      .orderBy("query_id")
+  }
+
+  /** Oracle-side twins of recallAgainstTruth: the brute-force
+    * ground-truth CTE block (bq/bscored/branked/bf — identical to the
+    * llm_ann_bruteforce oracle with the top-5 cut) and the compare tail,
+    * shared verbatim by both recall oracles.
+    */
+  private val BruteForceCtes: String = """bq AS (
         SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         FROM embeddings WHERE vec_id < 10
           AND list_dot_product(embedding::DOUBLE[],
@@ -481,14 +472,47 @@ object LlmQueries {
                ROW_NUMBER() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, neighbor_id) AS rank
         FROM bscored),
-      bf AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
-      lq0 AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        FROM embeddings WHERE vec_id < 10
-          AND list_dot_product(embedding::DOUBLE[],
-                               embedding::DOUBLE[]) > 0),
+      bf AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5)"""
+
+  /** `approx` must name a CTE with (query_id, neighbor_id) rows. */
+  private def recallTailSql(approx: String): String = s"""hits AS (
+        SELECT bf.query_id, COUNT(*) AS n_hits
+        FROM bf JOIN $approx USING (query_id, neighbor_id) GROUP BY 1),
+      trues AS (
+        SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY 1)
+      SELECT t.query_id, t.n_true,
+             COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+             CAST(COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE)
+               / t.n_true AS recall
+      FROM trues t LEFT JOIN hits h ON h.query_id = t.query_id
+      ORDER BY t.query_id"""
+
+  /** ANN evaluation: recall@5 of the LSH path against the brute-force
+    * ground truth, per query — the measurement loop every approximate
+    * index needs before it replaces the exact one (you don't ship an ANN
+    * index whose recall you haven't measured). Ground truth and candidate
+    * sets are the SAME plans the two ANN queries run.
+    * Note the testdata corpus is near-random 64-dim vectors with no real
+    * neighbor structure, so the measured recall is HONESTLY low (~0.04 at
+    * sf0.01) — exactly what this op exists to reveal; on clustered
+    * embeddings the same harness reports high recall (SimilaritySpec's
+    * planted-cluster fixture).
+    */
+  val annRecall = QueryDef(
+    "llm_ann_recall",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      recallAgainstTruth(
+        Similarity.bruteForceTopK(q, emb, 5)
+          .select(col("query_id"), col("neighbor_id")),
+        Similarity.lshTopK(q, emb, 5, nPlanes = 4, dim = EmbeddingDim)
+          .select(col("query_id"), col("neighbor_id")))
+    },
+    Some(s"""
+      WITH $BruteForceCtes,
       lq AS (SELECT query_id, qv, ${bucketSql("qv", AnnPlanes)} AS bucket
-             FROM lq0),
+             FROM bq),
       lc0 AS (
         SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
         FROM embeddings
@@ -509,17 +533,7 @@ object LlmQueries {
                  ORDER BY cosine DESC, neighbor_id) AS rank
         FROM lscored),
       lsh AS (SELECT query_id, neighbor_id FROM lranked WHERE rank <= 5),
-      hits AS (
-        SELECT bf.query_id, COUNT(*) AS n_hits
-        FROM bf JOIN lsh USING (query_id, neighbor_id) GROUP BY 1),
-      trues AS (
-        SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY 1)
-      SELECT t.query_id, t.n_true,
-             COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
-             CAST(COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE)
-               / t.n_true AS recall
-      FROM trues t LEFT JOIN hits h ON h.query_id = t.query_id
-      ORDER BY t.query_id"""))
+      ${recallTailSql("lsh")}"""))
 
   /** IVF recall@5 vs the brute-force ground truth — the evaluation twin
     * of [[annRecall]] for the inverted-list path (same semi-join compare;
@@ -531,41 +545,14 @@ object LlmQueries {
     (s, dir) => {
       val emb = embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
-      val bf = Similarity.bruteForceTopK(q, emb, 5)
-        .select(col("query_id"), col("neighbor_id"))
-      val ivf = Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), col("n_true"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall",
-          col("n_hits").cast(DoubleType) / col("n_true").cast(DoubleType))
-        .orderBy("query_id")
+      recallAgainstTruth(
+        Similarity.bruteForceTopK(q, emb, 5)
+          .select(col("query_id"), col("neighbor_id")),
+        Similarity.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id")))
     },
-    Some("""
-      WITH bq AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        FROM embeddings WHERE vec_id < 10
-          AND list_dot_product(embedding::DOUBLE[],
-                               embedding::DOUBLE[]) > 0),
-      bscored AS (
-        SELECT bq.query_id, c.vec_id AS neighbor_id,
-               list_dot_product(bq.qv, c.embedding::DOUBLE[])
-                 / (sqrt(list_dot_product(bq.qv, bq.qv))
-                    * sqrt(list_dot_product(c.embedding::DOUBLE[],
-                                            c.embedding::DOUBLE[]))) AS cosine
-        FROM embeddings c, bq WHERE c.vec_id <> bq.query_id
-          AND list_dot_product(c.embedding::DOUBLE[],
-                               c.embedding::DOUBLE[]) > 0),
-      branked AS (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id) AS rank
-        FROM bscored),
-      bf AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5),
+    Some(s"""
+      WITH $BruteForceCtes,
       cents AS (
         SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
         FROM embeddings ORDER BY vec_id LIMIT 16),
@@ -582,18 +569,13 @@ object LlmQueries {
         FROM corp0 CROSS JOIN cents),
       lists AS (SELECT neighbor_id, cv, centroid_id
                 FROM assign WHERE arank = 1),
-      iq AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        FROM embeddings WHERE vec_id < 10
-          AND list_dot_product(embedding::DOUBLE[],
-                               embedding::DOUBLE[]) > 0),
       probes AS (
         SELECT query_id, qv, centroid_id FROM (
-          SELECT iq.query_id, iq.qv, cents.centroid_id,
-                 ROW_NUMBER() OVER (PARTITION BY iq.query_id
-                   ORDER BY list_dot_product(iq.qv, cents.centv) DESC,
+          SELECT bq.query_id, bq.qv, cents.centroid_id,
+                 ROW_NUMBER() OVER (PARTITION BY bq.query_id
+                   ORDER BY list_dot_product(bq.qv, cents.centv) DESC,
                             cents.centroid_id) AS crank
-          FROM iq CROSS JOIN cents) t
+          FROM bq CROSS JOIN cents) t
         WHERE crank <= 4),
       iscored AS (
         SELECT p.query_id, l.neighbor_id,
@@ -608,17 +590,7 @@ object LlmQueries {
                  ORDER BY cosine DESC, neighbor_id) AS rank
         FROM iscored),
       ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE rank <= 5),
-      hits AS (
-        SELECT bf.query_id, COUNT(*) AS n_hits
-        FROM bf JOIN ivf USING (query_id, neighbor_id) GROUP BY 1),
-      trues AS (
-        SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY 1)
-      SELECT t.query_id, t.n_true,
-             COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
-             CAST(COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS DOUBLE)
-               / t.n_true AS recall
-      FROM trues t LEFT JOIN hits h ON h.query_id = t.query_id
-      ORDER BY t.query_id"""))
+      ${recallTailSql("ivf")}"""))
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets. The 0.15
     * threshold is calibrated to this synthetic corpus (random-ish 64-dim
@@ -840,9 +812,11 @@ object LlmQueries {
     * rarity-weighted term score (tf-idf's shape with a RATIONAL idf:
     * tf·N/df is exact integer arithmetic carried in double, so both
     * engines agree bit-for-bit, where a log()-based idf would be hostage
-    * to last-bit libm differences). Two slim shuffles (per-doc tf, corpus
-    * df) + a broadcast 1-row N + a per-doc ranking window — nothing
-    * corpus-wide moves twice.
+    * to last-bit libm differences). One tokenization pass: df derives
+    * FROM the tf aggregate (tf has exactly one row per (doc, token), so
+    * counting its rows per token IS the document frequency) — no second
+    * corpus scan, no distinct shuffle; plus a broadcast 1-row N and a
+    * per-doc ranking window.
     */
   val keyTerms = QueryDef(
     "llm_keyterms",
@@ -853,9 +827,12 @@ object LlmQueries {
         .select(col("doc_id"),
           explode_outer(TextAnalysis.tokenArray(col("text"))).as("tok"))
         .filter(col("tok").isNotNull)
+      // tf feeds BOTH the df re-aggregation and the final join —
+      // materialize it once (it is the small post-aggregate frame) so the
+      // corpus is tokenized exactly once
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .localCheckpoint(true)
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok"))
@@ -879,8 +856,7 @@ object LlmQueries {
       tf AS (
         SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
       dfreq AS (
-        SELECT tok, COUNT(*) AS df
-        FROM (SELECT DISTINCT doc_id, tok FROM toks) t GROUP BY 1),
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
       n AS (SELECT COUNT(*) AS n_docs FROM documents),
       scored AS (
         SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
