@@ -41,9 +41,19 @@ object AdversarialCorpus {
     (13L, "the rapid brown vulpes leaps across nine calm silver rivers " +
       "daily always", "en", "web"),
     (14L, "The rapid brown vulpes leaps across nine calm silver rivers " +
-      "daily always", "en", "web"))
+      "daily always", "en", "web"),
+    // vertical tab INSIDE words: Java regex \s includes \x0B, RE2's
+    // does not — every tokenizing oracle must use the widened [\s\x0b]
+    // class or it sees 3 tokens where Spark sees 5 (the r5 contract hole)
+    (15L, "vertical\u000Btab\u000Bdelimited tokens appear", "en", "web"))
 
-  val Dim = 64
+  /** One shared definition with the query layer's testdata-dim constant:
+    * if the generator's dim ever drifts, every ANN oracle literal drifts
+    * WITH it instead of silently probing wrong-length hyperplanes
+    * (round-5 advice). The testdata side is guarded by a spec asserting
+    * the probed dim of the parquet corpus equals this.
+    */
+  val Dim: Int = graft.queries.LlmQueries.EmbeddingDim
 
   /** zero / unit / duplicate-unit / constant / linspace vectors. */
   def Vecs: Seq[Array[Float]] = Seq(

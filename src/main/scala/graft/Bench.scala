@@ -74,6 +74,15 @@ object Bench {
           }
           var laps = Seq(lap(), lap())
           if (laps.max > 1.3 * laps.min) laps = laps :+ lap()
+          // r5 finding: a single 10s stall (llm_ngram_profile read 10.16
+          // vs 0.78/0.84) blows far past the 1.3x trigger — when ANY lap
+          // exceeds 2x the min, keep lapping (up to 5 total) until the
+          // two best laps agree within 1.3x, so one OS/GC outlier can
+          // never be half of a min-of-2 readout
+          while (laps.size < 5 &&
+              laps.sorted.take(2).reverse.head > 1.3 * laps.min &&
+              laps.max > 2.0 * laps.min)
+            laps = laps :+ lap()
           (name, laps.min, laps)
         } catch {
           case e: Throwable =>
@@ -92,6 +101,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"laps":$lapsJson,"sf":"$sfDir"}""")
+    // Artifact robustness (r5: the driver's capture truncated the HEAD of
+    // the one-line JSON, making "value" unreadable while the tail
+    // survived): a second, laps-free line printed LAST carries the number
+    // the gate reads even when the big line's head is eaten.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

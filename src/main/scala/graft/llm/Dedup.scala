@@ -322,7 +322,12 @@ object Dedup {
         .select(edges("s").as("id"), col("cluster_id")))
         .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
     var prevSum: Option[java.math.BigDecimal] = None
-    while (!done && iter < maxIter) {
+    // maxIter bounds propagation STEPS (not fused rounds); the fused loop
+    // consumes them two at a time, so an odd maxIter is rounded DOWN to
+    // even — never overshot. Convergence is detectable only on double-step
+    // boundaries, which can only fire the fallback a step early (the
+    // fallback is output-identical), never return unconverged labels.
+    while (!done && iter + 2 <= maxIter) {
       val next = prop(prop(labels)).localCheckpoint(true)
       val s = next
         .agg(sum(col("cluster_id").cast(DecimalType(38, 0))).as("s"))
@@ -337,9 +342,9 @@ object Dedup {
     // callers with deep graphs should use connectedComponentsStar, whose
     // O(log d) rounds make the cap practically unreachable
     if (!done) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        "(component diameter exceeds maxIter); raise maxIter or use " +
-        "connectedComponentsStar")
+      s"connectedComponents did not converge within $maxIter propagation " +
+        "steps (component diameter exceeds the cap); raise maxIter or " +
+        "use connectedComponentsStar")
     labels
   }
 

@@ -180,12 +180,15 @@ object EtlQueries {
       .orderBy("window_start", "event_type"),
     Some("""
       WITH w AS (
-        SELECT to_timestamp(floor(epoch(ts::TIMESTAMP) / 3600) * 3600)
-                 AS window_start,
+        -- CAST to plain TIMESTAMP: DuckDB's to_timestamp() returns
+        -- TIMESTAMPTZ, but Spark's window.start/.end are TIMESTAMP —
+        -- without the cast the driver's schema compare fails (r5 finding).
+        SELECT CAST(to_timestamp(floor(epoch(ts::TIMESTAMP) / 3600) * 3600)
+                 AS TIMESTAMP) AS window_start,
                event_type, CAST(value AS DECIMAL(18,2)) AS v
         FROM events)
       SELECT window_start,
-             window_start + INTERVAL 1 HOUR AS window_end,
+             CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
              event_type,
              COUNT(*) AS n_events,
              CAST(SUM(v) AS DOUBLE) AS total_value

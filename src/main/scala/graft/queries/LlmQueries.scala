@@ -92,7 +92,7 @@ object LlmQueries {
       .orderBy("doc_id"),
     Some("""
       WITH toks AS (
-        SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
         FROM documents)
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
@@ -124,10 +124,10 @@ object LlmQueries {
     Some("""
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+                  ELSE CAST(len(regexp_split_to_array(trim(text), '[\s\x0b]+')) AS INTEGER)
              END AS n_tokens,
              CAST(len(regexp_extract_all(text,
-               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x0b]')) AS INTEGER) AS n_bpe_tokens,
              CAST(length(text) AS INTEGER) AS n_chars
       FROM documents ORDER BY doc_id"""))
 
@@ -165,10 +165,10 @@ object LlmQueries {
       WITH t AS (
         SELECT doc_id,
           CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
-          length(regexp_replace(trim(text), '\s+', '', 'g')) AS letters,
+               ELSE len(regexp_split_to_array(trim(text), '[\s\x0b]+')) END AS n,
+          length(regexp_replace(trim(text), '[\s\x0b]+', '', 'g')) AS letters,
           CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               ELSE len(list_filter(regexp_split_to_array(trim(text), '[\s\x0b]+'),
                  x -> x IN ('the','a','an','and','of','to','in'))) END AS stops
         FROM documents)
       SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
@@ -196,7 +196,7 @@ object LlmQueries {
     Some("""
       WITH t AS (
         SELECT doc_id, lang,
-          regexp_split_to_array(trim(text), '\s+') AS toks
+          regexp_split_to_array(trim(text), '[\s\x0b]+') AS toks
         FROM documents),
       scored AS (
         SELECT doc_id, lang,
@@ -662,12 +662,12 @@ object LlmQueries {
       WITH t AS (
         SELECT doc_id,
           CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
-          length(regexp_replace(trim(text), '\s+', '', 'g')) AS letters,
+               ELSE len(regexp_split_to_array(trim(text), '[\s\x0b]+')) END AS n,
+          length(regexp_replace(trim(text), '[\s\x0b]+', '', 'g')) AS letters,
           CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               ELSE len(list_filter(regexp_split_to_array(trim(text), '[\s\x0b]+'),
                  x -> x IN ('the','a','an','and','of','to','in'))) END AS stops,
-          regexp_split_to_array(trim(text), '\s+') AS toks
+          regexp_split_to_array(trim(text), '[\s\x0b]+') AS toks
         FROM documents),
       scored AS (
         SELECT doc_id, n,
@@ -714,7 +714,7 @@ object LlmQueries {
       WITH t AS (
         SELECT doc_id,
           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-               ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               ELSE regexp_split_to_array(trim(text), '[\s\x0b]+') END AS toks
         FROM documents),
       b AS (
         SELECT doc_id, toks,
@@ -796,7 +796,7 @@ object LlmQueries {
       .orderBy(desc("df"), asc("gram")).limit(50),
     Some("""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
         FROM documents),
       g AS (
         SELECT doc_id, list_distinct(list_transform(
@@ -855,7 +855,7 @@ object LlmQueries {
       WITH toks AS (
         SELECT doc_id, unnest(
           CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-               ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+               ELSE regexp_split_to_array(trim(text), '[\s\x0b]+') END) AS tok
         FROM documents),
       tf AS (
         SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -899,7 +899,7 @@ object LlmQueries {
     Some("""
       WITH norm AS (
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+               trim(regexp_replace(lower(text), '[\s\x0b]+', ' ', 'g')) AS nt
         FROM documents),
       counts AS (
         SELECT md5(nt) AS fp_norm, COUNT(*) AS n_dupes
@@ -940,7 +940,7 @@ object LlmQueries {
       WITH toks AS (
         SELECT doc_id, lang, text,
                CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    ELSE CAST(len(regexp_split_to_array(trim(text), '[\s\x0b]+'))
                       AS INTEGER) END AS n_tokens
         FROM documents),
       cum AS (
@@ -1026,20 +1026,35 @@ object LlmQueries {
         }
     }
 
+  /** Synchronized on the memo: two concurrent first-callers would
+    * otherwise both miss and one checkpoint's blocks would leak (the
+    * losing put is replaced but never unpersisted). Serializing the
+    * build is fine — it is one frame per (session, dir) per corpus
+    * version, and hits stay cheap.
+    *
+    * CONTRACT for corpus rewrites: the replaced frame's checkpoint
+    * blocks are unpersisted here, and a localCheckpoint'd frame cannot
+    * recompute from lineage — so a query still IN FLIGHT over the old
+    * frame when the corpus is rewritten may fail with missing blocks
+    * rather than silently serve stale clusters. Rewrite-then-query is
+    * the supported order; failing loudly on the racing reader is the
+    * deliberate trade (stale-forever was the alternative).
+    */
   private def dedupComponents(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val snap = docsSnapshot(s, dir)
-    componentsMemo.get((s, dir)) match {
-      case Some((`snap`, df)) => df
-      case stale =>
-        val df = Dedup.connectedComponentsAdaptive(
-          Dedup.jaccardPairsExact(documents(s, dir), 0.8))
-          .localCheckpoint(true)
-        componentsMemo.put((s, dir), (snap, df))
-        stale.foreach { case (_, old) => unpersistCheckpoint(old) }
-        df
+      dir: String): org.apache.spark.sql.DataFrame =
+    componentsMemo.synchronized {
+      val snap = docsSnapshot(s, dir)
+      componentsMemo.get((s, dir)) match {
+        case Some((`snap`, df)) => df
+        case stale =>
+          val df = Dedup.connectedComponentsAdaptive(
+            Dedup.jaccardPairsExact(documents(s, dir), 0.8))
+            .localCheckpoint(true)
+          componentsMemo.put((s, dir), (snap, df))
+          stale.foreach { case (_, old) => unpersistCheckpoint(old) }
+          df
+      }
     }
-  }
 
   /** The dedup endgame: near-dup pairs clustered into connected
     * components. Deliberately NOT the memoized stage: this query is the
@@ -1063,7 +1078,7 @@ object LlmQueries {
     Some("""
       WITH RECURSIVE
       toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
         FROM documents),
       g AS (
         -- short-doc branch mirrors Spark's shinglesFromTokens: a doc with
@@ -1127,7 +1142,7 @@ object LlmQueries {
     Some("""
       WITH RECURSIVE
       toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
         FROM documents),
       g AS (
         -- short-doc branch mirrors Spark's shinglesFromTokens: a doc with
@@ -1211,7 +1226,7 @@ object LlmQueries {
     Some("""
       WITH RECURSIVE
       toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
         FROM documents),
       g AS (
         SELECT doc_id, CASE WHEN len(t) >= 3 THEN
@@ -1249,10 +1264,10 @@ object LlmQueries {
       qt AS (
         SELECT doc_id,
           CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n,
-          length(regexp_replace(trim(text), '\s+', '', 'g')) AS letters,
+               ELSE len(regexp_split_to_array(trim(text), '[\s\x0b]+')) END AS n,
+          length(regexp_replace(trim(text), '[\s\x0b]+', '', 'g')) AS letters,
           CASE WHEN length(trim(text)) = 0 THEN 0
-               ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               ELSE len(list_filter(regexp_split_to_array(trim(text), '[\s\x0b]+'),
                  x -> x IN ('the','a','an','and','of','to','in'))) END AS stops
         FROM documents),
       quality AS (
@@ -1344,7 +1359,7 @@ object LlmQueries {
     },
     Some("""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
         FROM documents),
       g AS (
         SELECT doc_id, CASE WHEN len(t) >= 3 THEN
@@ -1410,7 +1425,7 @@ object LlmQueries {
       WITH toks AS (
         SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    ELSE len(regexp_split_to_array(trim(text), '[\\s\\x0b]+'))
                END AS n_tokens
         FROM documents),
       chunks AS (
@@ -1418,7 +1433,7 @@ object LlmQueries {
                  0, CAST(ceil(CAST(n_tokens AS DOUBLE) / $ChunkTokens)
                     AS BIGINT) - 1)) AS c
         FROM toks WHERE n_tokens > 0)
-      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
              CAST(c AS INTEGER) AS chunk_idx,
              CAST(c * $ChunkTokens + 1 AS BIGINT) AS tok_start,
              CAST(least($ChunkTokens, n_tokens - c * $ChunkTokens) AS BIGINT)
@@ -1440,7 +1455,7 @@ object LlmQueries {
       WITH toks AS (
         SELECT doc_id, text,
                CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    ELSE len(regexp_split_to_array(trim(text), '[\s\x0b]+'))
                END AS n_tokens
         FROM documents),
       cum AS (
@@ -1449,7 +1464,7 @@ object LlmQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  - n_tokens AS strt
         FROM toks)
-      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
              CAST(floor(CAST(strt AS DOUBLE) / 512) AS BIGINT) AS bin_id,
              CAST(strt % 512 AS BIGINT) AS bin_offset
       FROM cum ORDER BY doc_id"""))
@@ -1486,7 +1501,7 @@ object LlmQueries {
     },
     Some(s"""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t
         FROM documents),
       g AS (
         SELECT doc_id, CASE WHEN len(t) >= 3 THEN
@@ -1529,7 +1544,7 @@ object LlmQueries {
     },
     Some(s"""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t
         FROM documents),
       g AS (
         SELECT doc_id, CASE WHEN len(t) >= 3 THEN

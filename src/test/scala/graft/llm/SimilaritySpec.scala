@@ -117,6 +117,17 @@ class SimilaritySpec extends SparkSpec {
     assert(nSqrt == 1, s"expected 1 sqrt in optimized plan, got $nSqrt:\n$plan")
   }
 
+  test("EmbeddingDim matches the real testdata corpus and the adversarial twin") {
+    // The ANN oracles inline hyperplane literals of length EmbeddingDim;
+    // if the testdata generator's dim ever drifts, this is the loud
+    // failure instead of silently wrong-length probe dot products.
+    val probed = Similarity.embeddingDim(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    assert(probed == graft.queries.LlmQueries.EmbeddingDim,
+      s"testdata embedding dim $probed != EmbeddingDim constant")
+    assert(graft.AdversarialCorpus.Dim == graft.queries.LlmQueries.EmbeddingDim)
+  }
+
   test("nearDupPairs finds within-cluster pairs above threshold") {
     val out = Similarity.nearDupPairs(vecs, 0.9, nPlanes = 2)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

@@ -19,6 +19,7 @@ import math
 import sys
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -46,35 +47,83 @@ def norm(v):
     return str(v)
 
 
+def pa_type_name(t):
+    """Canonical DuckDB-style name for a pyarrow type, so my parquet schema
+    and DuckDB's DESCRIBE output live in one comparable type space. The
+    compare must be NATIVE-type-exact: the round-5 escape was a TIMESTAMPTZ
+    oracle column vs a plain-TIMESTAMP Spark column that the value-level
+    norm() silently reconciled while the driver's schema gate rejected it."""
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP WITH TIME ZONE" if t.tz else "TIMESTAMP"
+    if pa.types.is_decimal(t):
+        return f"DECIMAL({t.precision},{t.scale})"
+    if pa.types.is_int8(t):
+        return "TINYINT"
+    if pa.types.is_int16(t):
+        return "SMALLINT"
+    if pa.types.is_int32(t):
+        return "INTEGER"
+    if pa.types.is_int64(t):
+        return "BIGINT"
+    if pa.types.is_float32(t):
+        return "FLOAT"
+    if pa.types.is_float64(t):
+        return "DOUBLE"
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "VARCHAR"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BLOB"
+    if pa.types.is_date(t):
+        return "DATE"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa_type_name(t.value_type) + "[]"
+    return str(t).upper()
+
+
 def read_mine(name):
     """My side via pyarrow: parquet logical types preserved (Decimal stays
     Decimal), so a decimal-vs-double schema drift is visible in the repr."""
     files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
     tbl = pq.read_table(files)
     cols = sorted(tbl.column_names)
+    types = {f.name: pa_type_name(f.type) for f in tbl.schema}
     data = [tbl.column(c).to_pylist() for c in cols]
-    return cols, list(zip(*data)) if data else []
+    return cols, [types[c] for c in cols], list(zip(*data)) if data else []
 
 
 def read_oracle(sql):
+    # Native column types via DESCRIBE — NOT the values: a TIMESTAMPTZ
+    # column full of UTC instants stringifies identically to TIMESTAMP.
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    types = {r[0]: r[1] for r in desc}
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     rows = cur.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [cols[i] for i in order], [tuple(r[i] for i in order) for r in rows]
+    ocols = [cols[i] for i in order]
+    return (ocols, [types[c] for c in ocols],
+            [tuple(r[i] for i in order) for r in rows])
 
 
 fails = []
 for name, sql in sorted(oracles.items()):
     try:
-        mcols, mine = read_mine(name)
-        ocols, oracle = read_oracle(sql)
+        mcols, mtypes, mine = read_mine(name)
+        ocols, otypes, oracle = read_oracle(sql)
     except Exception as e:
         print(f"FAIL {name}: exec error {e}")
         fails.append(name)
         continue
     if mcols != ocols:
         print(f"FAIL {name}: columns {mcols} vs {ocols}")
+        fails.append(name)
+        continue
+    if mtypes != otypes:
+        diffs = [f"{c}: mine {a} vs oracle {b}"
+                 for c, a, b in zip(mcols, mtypes, otypes) if a != b]
+        print(f"FAIL {name}: schema ({'; '.join(diffs)})")
         fails.append(name)
         continue
     if len(mine) != len(oracle):

@@ -52,6 +52,10 @@ docs = [
      "daily always", "en", "web"),
     (14, "The rapid brown vulpes leaps across nine calm silver rivers "
      "daily always", "en", "web"),
+    # vertical tab INSIDE words: Java regex \s includes \x0B, RE2's does
+    # not — every tokenizing oracle must use the widened [\s\x0b] class or
+    # it sees 3 tokens where Spark sees 5 (the r5 documented contract hole)
+    (15, "vertical\x0btab\x0bdelimited tokens appear", "en", "web"),
 ]
 pq.write_table(pa.table({
     "doc_id": pa.array([d[0] for d in docs], pa.int64()),
