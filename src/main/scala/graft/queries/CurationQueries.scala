@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+import graft.llm.{Dedup, TextAnalysis}
+
+/** Round-6 curation-layer operators: the corpus-hygiene passes a large-scale
+  * training-data pipeline runs AFTER basic dedup/quality (LlmQueries) and
+  * BEFORE sampling — duplicate-passage detection (the word-gram form of
+  * exact-substring dedup, Lee et al. 2022 "Deduplicating Training Data
+  * Makes Language Models Better"), Gopher-style document rule flags (Rae et
+  * al. 2021 §A1.1), deterministic hash-based train/val/test splitting,
+  * char-bigram corpus-familiarity scoring (a logarithm-free LM-perplexity
+  * proxy), and the per-source dataset card.
+  *
+  * Determinism discipline is LlmQueries': every ratio derives from integer
+  * counts and divides in IEEE double (bit-stable cross-engine), every
+  * ORDER BY carries a full tie-breaker, and every oracle shares its regex /
+  * threshold constants with the Spark side.
+  */
+object CurationQueries {
+
+  /** Span width for duplicate-passage detection. Lee et al. use 50-token
+    * substrings; the testdata documents are ~10-60 tokens, so 5 keeps the
+    * operator exercised at every scale factor. Width is a policy knob — the
+    * plan shape (gram equi-join, never all-pairs) is what the engine owns.
+    */
+  val SpanWidth = 5
+
+  /** Duplicate-passage detection: which documents share a SpanWidth-word
+    * passage with any other part of the corpus. Spans are distinct per doc
+    * (a doc repeating its own passage is repetition, measured by
+    * llm_repetition_report — cross-doc sharing is what dedup cares about);
+    * a span is "duplicated" when >= 2 docs carry it.
+    *
+    * 100 TB shape: identical to the MinHash band join — spans are grouped
+    * by content key (partial-agg count, 2-long rows), then joined back
+    * span-to-span, an equi-join that AQE can plan; nothing is ever
+    * all-pairs. At production scale the span string would be replaced by
+    * its 8-byte rolling hash (graft.functions.RollingHash) to cut shuffle
+    * bytes ~10x; the string key is kept here for DuckDB-oracle exactness.
+    */
+  val spanDedup = QueryDef(
+    "llm_span_dedup",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val spans = docs
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+        .filter(size(col("__toks")) >= SpanWidth)
+        .select(col("doc_id"),
+          explode(Dedup.shinglesFromTokens(col("__toks"), SpanWidth))
+            .as("span"))
+      val spanDf = spans.groupBy("span").agg(count(lit(1)).as("df"))
+      val per = spans.join(spanDf, Seq("span"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("df") >= 2, 1).otherwise(0)).as("n_dup"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).cast(IntegerType).as("n_spans"),
+          coalesce(col("n_dup"), lit(0L)).cast(IntegerType)
+            .as("n_dup_spans"),
+          when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("n_dup").cast(DoubleType) /
+              col("n_spans").cast(DoubleType)).as("dup_span_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
+        FROM documents),
+      sp AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 4),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 || ' ' || t[i+4]))) AS span
+        FROM toks WHERE len(t) >= 5),
+      sdf AS (SELECT span, COUNT(*) AS df FROM sp GROUP BY 1),
+      per AS (
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM sp JOIN sdf USING (span) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(COALESCE(n_spans, 0) AS INTEGER) AS n_spans,
+             CAST(COALESCE(n_dup, 0) AS INTEGER) AS n_dup_spans,
+             CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+                  ELSE CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE)
+             END AS dup_span_ratio
+      FROM documents d LEFT JOIN per USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** Gopher-rule thresholds (Rae et al. 2021 §A1.1, the published values).
+    * Shared with the oracle below — one definition.
+    */
+  val MinWords = 50
+  val MaxWords = 100000
+  val MinMeanLen = 3.0
+  val MaxMeanLen = 10.0
+  val MinAlphaFrac = 0.8
+  val MinStopwords = 2
+  val MaxSymbolRatio = 0.1
+  val MaxBulletFrac = 0.9
+  val MaxEllipsisFrac = 0.3
+
+  /** Gopher-style quality rule report: the published document-level filter
+    * rules as one fused scan — word-count bounds, mean-word-length bounds,
+    * alphabetic-word fraction, stopword floor, symbol ratio, and the two
+    * line-shape rules (bullet-start / ellipsis-end fractions). Raw metrics
+    * are emitted alongside the verdict so downstream curation can re-slice
+    * without re-scanning. All metrics are integer-count ratios — map-only,
+    * whole-stage-codegen'd, zero shuffle beyond the output sort.
+    */
+  val gopherRules = QueryDef(
+    "llm_gopher_rules",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val staged = docs.select(col("doc_id"),
+        TextAnalysis.tokenArray(col("text")).as("__toks"),
+        // non-blank trimmed lines; trim is space-only in BOTH engines
+        filter(transform(split(col("text"), "\n", -1), l => trim(l)),
+          l => l =!= "").as("__lines"),
+        // symbol occurrences: '#' plus the one-code-point ellipsis
+        (length(col("text")) - length(translate(col("text"), "#", "")) +
+          length(col("text")) - length(translate(col("text"), "…", "")))
+          .as("__symbols"))
+      val n = size(col("__toks"))
+      val nLines = size(col("__lines"))
+      val meanLen = TextAnalysis.avgTokenLenFromTokens(col("__toks"))
+      val alphaFrac = when(n === 0, lit(0.0))
+        .otherwise(size(filter(col("__toks"), t => t.rlike("[A-Za-z]")))
+          .cast(DoubleType) / n.cast(DoubleType))
+      val nStop =
+        TextAnalysis.tokenCountInFromTokens(col("__toks"),
+          TextAnalysis.Stopwords)
+      val symbolRatio = when(n === 0, lit(0.0))
+        .otherwise(col("__symbols").cast(DoubleType) / n.cast(DoubleType))
+      val bulletFrac = when(nLines === 0, lit(0.0))
+        .otherwise(size(filter(col("__lines"),
+          l => substring(l, 1, 1).isin("-", "*", "•")))
+          .cast(DoubleType) / nLines.cast(DoubleType))
+      val ellipsisFrac = when(nLines === 0, lit(0.0))
+        .otherwise(size(filter(col("__lines"),
+          l => l.endsWith("...") || l.endsWith("…")))
+          .cast(DoubleType) / nLines.cast(DoubleType))
+      staged.select(col("doc_id"),
+        n.cast(IntegerType).as("n_words"),
+        meanLen.as("mean_word_len"),
+        alphaFrac.as("frac_alpha_words"),
+        nStop.cast(IntegerType).as("n_stopwords"),
+        symbolRatio.as("symbol_ratio"),
+        bulletFrac.as("frac_bullet_lines"),
+        ellipsisFrac.as("frac_ellipsis_lines"))
+        .withColumn("pass",
+          col("n_words").between(MinWords, MaxWords) &&
+            col("mean_word_len").between(MinMeanLen, MaxMeanLen) &&
+            col("frac_alpha_words") >= MinAlphaFrac &&
+            col("n_stopwords") >= MinStopwords &&
+            col("symbol_ratio") < MaxSymbolRatio &&
+            col("frac_bullet_lines") <= MaxBulletFrac &&
+            col("frac_ellipsis_lines") <= MaxEllipsisFrac)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '[\\s\\x0b]+')
+          END AS toks,
+          list_filter(list_transform(str_split(text, chr(10)),
+            l -> trim(l)), l -> l <> '') AS lines,
+          length(text) - length(replace(text, '#', ''))
+            + length(text) - length(replace(text, chr(8230), ''))
+            AS symbols
+        FROM documents),
+      m AS (
+        SELECT doc_id, len(toks) AS n, len(lines) AS n_lines, symbols,
+          len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+            AS n_alpha,
+          len(list_filter(toks,
+            x -> x IN ('the','a','an','and','of','to','in'))) AS n_stop,
+          CASE WHEN len(toks) = 0 THEN 0
+               ELSE length(array_to_string(toks, '')) END AS letters,
+          len(list_filter(lines,
+            x -> substr(x, 1, 1) IN ('-', '*', chr(8226)))) AS n_bullet,
+          len(list_filter(lines,
+            x -> ends_with(x, '...') OR ends_with(x, chr(8230))))
+            AS n_ellipsis
+        FROM t),
+      r AS (
+        SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+          CASE WHEN n = 0 THEN 0.0
+               ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE)
+          END AS mean_word_len,
+          CASE WHEN n = 0 THEN 0.0
+               ELSE CAST(n_alpha AS DOUBLE) / CAST(n AS DOUBLE)
+          END AS frac_alpha_words,
+          CAST(n_stop AS INTEGER) AS n_stopwords,
+          CASE WHEN n = 0 THEN 0.0
+               ELSE CAST(symbols AS DOUBLE) / CAST(n AS DOUBLE)
+          END AS symbol_ratio,
+          CASE WHEN n_lines = 0 THEN 0.0
+               ELSE CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          END AS frac_bullet_lines,
+          CASE WHEN n_lines = 0 THEN 0.0
+               ELSE CAST(n_ellipsis AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          END AS frac_ellipsis_lines
+        FROM m)
+      SELECT *,
+        n_words BETWEEN $MinWords AND $MaxWords
+          AND mean_word_len BETWEEN $MinMeanLen AND $MaxMeanLen
+          AND frac_alpha_words >= $MinAlphaFrac
+          AND n_stopwords >= $MinStopwords
+          AND symbol_ratio < $MaxSymbolRatio
+          AND frac_bullet_lines <= $MaxBulletFrac
+          AND frac_ellipsis_lines <= $MaxEllipsisFrac AS pass
+      FROM r ORDER BY doc_id"""))
+
+  /** Split-boundary hex buckets: md5(doc_id) first byte < 'cd' -> train
+    * (205/256 ~ 80%), < 'e6' -> val (25/256 ~ 10%), else test. String
+    * compare on lowercase hex — identical in every engine.
+    */
+  val TrainBound = "cd"
+  val ValBound = "e6"
+
+  /** Deterministic train/val/test assignment: bucket by a cryptographic
+    * hash of the STABLE document id (never random() — re-runs, backfills,
+    * and incremental ingests must land every doc in the same split
+    * forever; salting the id string re-deals the split when needed).
+    * Map-only: the assignment fuses into any downstream scan, so "filter
+    * to train" costs a predicate, not a join against a split table.
+    */
+  val splitAssign = QueryDef(
+    "llm_split_assign",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2)
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TrainBound, "train")
+          .when(col("bucket") < ValBound, "val")
+          .otherwise("test"))
+      .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainBound'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '$ValBound'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  /** Char-bigram corpus-familiarity score: mean corpus frequency of the
+    * document's character bigrams, normalized by the corpus bigram total —
+    * the logarithm-free shape of an LM-perplexity quality proxy (an
+    * in-distribution doc scores high, gibberish scores low). log()-based
+    * perplexity would be hostage to last-ulp libm differences across
+    * engines; sum-of-integer-counts / two divisions is bit-exact.
+    *
+    * One corpus pass: the per-(doc, bigram) histogram is materialized once
+    * (localCheckpoint, the keyterms trick — re-tokenizing 100 TB per
+    * consumer is never right) and feeds the corpus count, the total, and
+    * the per-doc score. The bigram->count join broadcasts: distinct char
+    * bigrams are charset-bounded (~|alphabet|^2), a model parameter, not a
+    * corpus-scale frame.
+    */
+  val bigramLm = QueryDef(
+    "llm_bigram_lm",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val h = docs
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), length(col("text")) - 1),
+          i => col("text").substr(i, lit(2)))).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+        .localCheckpoint(true)
+      val cnt = h.groupBy("bg").agg(sum(col("k")).as("c"))
+      val tot = h.agg(sum(col("k")).as("tot"))
+      val per = h.join(broadcast(cnt), Seq("bg"))
+        .groupBy("doc_id")
+        .agg(sum(col("k")).as("n"), sum(col("k") * col("c")).as("s"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).cast(IntegerType).as("n_bigrams"),
+          when(coalesce(col("n"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("s").cast(DoubleType) / col("n").cast(DoubleType)
+              / col("tot").cast(DoubleType)).as("familiarity"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, bg, COUNT(*) AS k FROM (
+          SELECT doc_id, unnest(list_transform(
+              generate_series(1, length(text) - 1),
+              i -> substr(text, i, 2))) AS bg
+          FROM documents WHERE length(text) >= 2)
+        GROUP BY 1, 2),
+      cnt AS (SELECT bg, SUM(k) AS c FROM h GROUP BY 1),
+      tot AS (SELECT SUM(k) AS tot FROM h),
+      per AS (
+        SELECT doc_id, SUM(k) AS n, SUM(k * c) AS s
+        FROM h JOIN cnt USING (bg) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(COALESCE(n, 0) AS INTEGER) AS n_bigrams,
+             CASE WHEN COALESCE(n, 0) = 0 THEN 0.0
+                  ELSE CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                       / CAST(tot AS DOUBLE)
+             END AS familiarity
+      FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot
+      ORDER BY d.doc_id"""))
+
+  /** Per-source dataset card: the corpus-composition summary every
+    * training-data release ships — doc counts, exact-dup rate, language
+    * spread, char/token volume per source. Every metric is an exact
+    * integer aggregate (count / count-distinct / sum), so the card is
+    * order-independent and partial-agg friendly; the only doubles are
+    * final single divisions.
+    */
+  val sourceCard = QueryDef(
+    "llm_source_card",
+    (s, dir) => documents(s, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(col("text").cast(BinaryType)).as("fp"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("dup_ratio",
+        (col("n_docs") - col("n_unique")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType))
+      .withColumn("avg_tokens_per_doc",
+        col("total_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      .orderBy("source"),
+    Some("""
+      WITH d AS (
+        SELECT source, lang, n_chars, md5(text) AS fp,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '[\s\x0b]+'))
+          END AS n_tokens
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT fp) AS n_unique,
+             COUNT(DISTINCT lang) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_ratio,
+             CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS avg_tokens_per_doc
+      FROM d GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(spanDedup, gopherRules, splitAssign,
+    bigramLm, sourceCard)
+}

@@ -195,6 +195,34 @@ object EtlQueries {
       FROM w GROUP BY window_start, event_type
       ORDER BY window_start, event_type"""))
 
+  /** Batch twin of StreamOps.dedupStream (dropDuplicatesWithinWatermark):
+    * one survivor per content fingerprint — earliest (ts, event_id) wins —
+    * plus the per-fingerprint delivery count. The streaming side keeps the
+    * first ARRIVAL inside the watermark horizon; with rows fed in
+    * event-time order the two are identical, which
+    * StreamingDedupParitySpec pins. Oracled here so the dedup semantics
+    * themselves are cross-engine-checked, not just spec'd.
+    */
+  val streamDedupBatch = QueryDef(
+    "stream_dedup_batch",
+    (s, dir) => graft.streaming.StreamOps.dedupBatchTwin(events(s, dir))
+      .orderBy("event_id"),
+    Some("""
+      WITH f AS (
+        SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value,
+               md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
+                 props)) AS fp
+        FROM events),
+      d AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY ts, event_id)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY fp) AS n_dupes
+        FROM f)
+      SELECT event_id, ts, user_id, event_type, value, fp,
+             CAST(n_dupes AS BIGINT) AS n_dupes
+      FROM d WHERE rn = 1 ORDER BY event_id"""))
+
   /** Semi-structured payload parsing: the JSON props column through a real
     * JSON parser (from_json with a declared schema — not the regex
     * fallback), plus a per-key aggregate. The shape every event pipeline
@@ -360,6 +388,6 @@ object EtlQueries {
       ORDER BY constraint_name"""))
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
-    windowStatsBatch, jsonProps, asofEnrich, asofWindow, skewSalted,
-    constraintReport)
+    windowStatsBatch, streamDedupBatch, jsonProps, asofEnrich, asofWindow,
+    skewSalted, constraintReport)
 }

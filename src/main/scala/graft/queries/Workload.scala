@@ -944,8 +944,94 @@ object Workload {
     },
     None)
 
+  /** Explicit GROUPING SETS — the third grouping-lattice shape next to
+    * ROLLUP (q17) and CUBE (q22), but with a HAND-PICKED set list:
+    * ((region), (region, nation), ()) skips the nation-only slice a
+    * rollup would force. GROUPING() flags disambiguate "subtotal NULL"
+    * from a genuinely NULL key. Expand fans each input row out only
+    * |sets| = 3 times (vs 2^k for cube) before one partial-agg shuffle —
+    * at 100 TB, picking the sets you need instead of cube is exactly how
+    * the expansion factor stays bounded.
+    */
+  val q28 = QueryDef(
+    "q28_grouping_sets",
+    (s, dir) => {
+      val joined = lineitem(s, dir)
+        .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      joined
+        .groupingSets(
+          Seq(Seq(col("r_name")), Seq(col("r_name"), col("n_name")),
+            Seq.empty[Column]),
+          col("r_name"), col("n_name"))
+        .agg(grouping(col("r_name")).cast(IntegerType).as("g_region"),
+          grouping(col("n_name")).cast(IntegerType).as("g_nation"),
+          decSum(col("l_extendedprice")).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("g_region"), col("g_nation"),
+          col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    Some(s"""
+      SELECT r_name, n_name,
+             CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+             CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
+             $RevSum AS total_revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+      ORDER BY g_region, g_nation, r_name ASC NULLS FIRST,
+               n_name ASC NULLS FIRST"""))
+
+  /** NTILE decile segmentation: customers ranked into 10 spend deciles,
+    * then per-decile stats — the classic value-segmentation report.
+    * Per-customer totals fold DECIMAL (exact, order-free); the decile
+    * assignment is deterministic because the NTILE ordering carries the
+    * custkey tie-breaker; min/max/sum over the decile are order-free.
+    * The single global NTILE window is the deliberate scale trade: decile
+    * boundaries are a global property, and the windowed frame is the
+    * ALREADY-AGGREGATED per-customer table (|customers|, not |orders|).
+    */
+  val q29 = QueryDef(
+    "q29_spend_deciles",
+    (s, dir) => {
+      val per = orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(decSumExact(col("o_totalprice")).as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      per
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          min(col("spend")).cast(DoubleType).as("min_spend"),
+          max(col("spend")).cast(DoubleType).as("max_spend"),
+          sum(col("spend")).cast(DoubleType).as("total_spend"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS spend
+        FROM orders GROUP BY 1),
+      ranked AS (
+        SELECT spend,
+               CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey)
+                 AS INTEGER) AS decile
+        FROM per)
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(MIN(spend) AS DOUBLE) AS min_spend,
+             CAST(MAX(spend) AS DOUBLE) AS max_spend,
+             CAST(SUM(spend) AS DOUBLE) AS total_spend
+      FROM ranked GROUP BY decile ORDER BY decile"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }

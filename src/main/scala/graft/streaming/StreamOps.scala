@@ -42,6 +42,37 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Content fingerprint for ingest dedup: md5 over the identity columns.
+    * Columns are cast to string explicitly so Spark and any oracle engine
+    * agree on the rendered bytes; concat_ws skips NULLs identically in
+    * both.
+    */
+  def contentFingerprint(cols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column =
+    md5(concat_ws("|", cols.map(_.cast("string")): _*)
+      .cast(org.apache.spark.sql.types.BinaryType))
+
+  /** Batch twin of [[dedupStream]] with the horizon removed: one survivor
+    * per content fingerprint, the EARLIEST row by (ts, tie-break id) —
+    * exactly what dropDuplicatesWithinWatermark keeps when rows arrive in
+    * event-time order. min_by over a struct is partial-agg friendly
+    * (map-side combine shrinks each partition to its local minima before
+    * the fingerprint shuffle), unlike a row_number window which would sort
+    * whole partitions.
+    */
+  def dedupBatchTwin(events: DataFrame): DataFrame = {
+    val fp = contentFingerprint(col("user_id"), col("event_type"),
+      col("props"))
+    val payload = struct(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    events
+      .groupBy(fp.as("fp"))
+      .agg(min_by(payload, struct(col("ts"), col("event_id"))).as("r"),
+        count(lit(1)).as("n_dupes"))
+      .select(col("r.event_id"), col("r.ts"), col("r.user_id"),
+        col("r.event_type"), col("r.value"), col("fp"), col("n_dupes"))
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
   case class Session(user_id: Long, session_start: Timestamp,
