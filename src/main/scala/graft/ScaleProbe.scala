@@ -68,6 +68,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "span") {
+      spanProbe(spark, sfDir, mult)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
@@ -93,6 +98,37 @@ object ScaleProbe {
     println(f"PROBE ratio: size x$mult -> time x${tm / t1}%.1f " +
       f"(linear would be ~x$mult, quadratic ~x${mult * mult})")
     spark.stop()
+  }
+
+  /** Duplicate-passage scale behavior: replicating the corpus m× is the
+    * WORST case for span dedup (every span's df multiplies by m, so every
+    * doc becomes fully duplicated), yet time should stay ~linear in
+    * corpus size: the span-df aggregate partial-aggregates map-side and
+    * the join back is span-keyed equi — nothing quadratic anywhere.
+    */
+  private def spanProbe(spark: SparkSession, sfDir: String,
+      mult: Int): Unit = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def run(m: Int): (Long, Double) = {
+      val d = (0 until m)
+        .map(i => docs.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ union _)
+        .cache()
+      d.count()
+      val t0 = System.nanoTime()
+      val n = llm.Dedup.passageDupProfile(d).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      d.unpersist()
+      (n, dt)
+    }
+    run(1) // warm-up
+    val (n1, t1) = run(1)
+    val (nm, tm) = run(mult)
+    println(f"PROBE span base: docs=$n1 time=$t1%.2fs")
+    println(f"PROBE span ${mult}x: docs=$nm time=$tm%.2fs")
+    println(f"PROBE span ratio: size x$mult -> time x${tm / t1}%.2f " +
+      f"(linear ~x$mult, quadratic ~x${mult * mult})")
   }
 
   /** Stage timings of the dedup ladder on the real corpus: pairs alone,

@@ -42,6 +42,35 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(split(trim(text), "\\s+"), n)
 
+  /** Duplicate-passage profile (the word-gram form of exact-substring
+    * dedup, Lee et al. 2022): distinct `width`-word spans per doc, a span
+    * counts as duplicated when >= 2 docs carry it. Same 100 TB shape as
+    * the LSH band join — span-keyed partial-agg count, then a span-keyed
+    * equi join back; nothing all-pairs. At production scale the span
+    * string key would be its 8-byte rolling hash; the string is kept for
+    * oracle exactness (graft.queries.CurationQueries.spanDedup).
+    */
+  def passageDupProfile(docs: DataFrame, width: Int = 5): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= width)
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("__toks"), width)).as("span"))
+    val spanDf = spans.groupBy("span").agg(count(lit(1)).as("df"))
+    val per = spans.join(spanDf, Seq("span"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).cast(IntegerType).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).cast(IntegerType).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup").cast(DoubleType) /
+            col("n_spans").cast(DoubleType)).as("dup_span_ratio"))
+  }
+
   /** Exact duplicate groups: hash-groupBy on the content digest, not the
     * content — grouping by `text` itself would shuffle the whole corpus'
     * bytes; grouping by (md5, length) shuffles 48 bytes per row and is

@@ -43,30 +43,8 @@ object CurationQueries {
     */
   val spanDedup = QueryDef(
     "llm_span_dedup",
-    (s, dir) => {
-      val docs = documents(s, dir)
-      val spans = docs
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
-        .filter(size(col("__toks")) >= SpanWidth)
-        .select(col("doc_id"),
-          explode(Dedup.shinglesFromTokens(col("__toks"), SpanWidth))
-            .as("span"))
-      val spanDf = spans.groupBy("span").agg(count(lit(1)).as("df"))
-      val per = spans.join(spanDf, Seq("span"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("df") >= 2, 1).otherwise(0)).as("n_dup"))
-      docs.select(col("doc_id"))
-        .join(per, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_spans"), lit(0L)).cast(IntegerType).as("n_spans"),
-          coalesce(col("n_dup"), lit(0L)).cast(IntegerType)
-            .as("n_dup_spans"),
-          when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
-            .otherwise(col("n_dup").cast(DoubleType) /
-              col("n_spans").cast(DoubleType)).as("dup_span_ratio"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => Dedup.passageDupProfile(documents(s, dir), SpanWidth)
+      .orderBy("doc_id"),
     Some("""
       WITH toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t

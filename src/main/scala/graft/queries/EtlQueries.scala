@@ -223,6 +223,59 @@ object EtlQueries {
              CAST(n_dupes AS BIGINT) AS n_dupes
       FROM d WHERE rn = 1 ORDER BY event_id"""))
 
+  /** SCD Type-2 dimension history built from a change stream: per user,
+    * keep only events where the tracked attribute CHANGES (lag compare),
+    * then close each version with the next change's timestamp (lead) —
+    * open versions get NULL valid_to and is_current. The classic
+    * warehouse versioned-dimension build (the reference's dim upsert,
+    * `master_data.ipynb` drop_duplicates, is the degenerate keep-latest
+    * form of this).
+    *
+    * Scale note: both windows partition by user_id with compatible
+    * orderings, so Catalyst reuses ONE shuffle+sort for the lag and the
+    * lead — the whole history build costs a single exchange of the
+    * (already-projected) change columns.
+    */
+  val scd2Dim = QueryDef(
+    "etl_scd2_dim",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      changes
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("event_id"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .withColumn("is_current", col("valid_to").isNull)
+        .drop("event_id")
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      c AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
+      v AS (
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                 ORDER BY valid_from, event_id) AS valid_to
+        FROM c)
+      SELECT user_id, event_type, valid_from, valid_to,
+             valid_to IS NULL AS is_current
+      FROM v ORDER BY user_id, valid_from, event_type"""))
+
   /** Semi-structured payload parsing: the JSON props column through a real
     * JSON parser (from_json with a declared schema — not the regex
     * fallback), plus a per-key aggregate. The shape every event pipeline
@@ -388,6 +441,6 @@ object EtlQueries {
       ORDER BY constraint_name"""))
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
-    windowStatsBatch, streamDedupBatch, jsonProps, asofEnrich, asofWindow,
-    skewSalted, constraintReport)
+    windowStatsBatch, streamDedupBatch, scd2Dim, jsonProps, asofEnrich,
+    asofWindow, skewSalted, constraintReport)
 }

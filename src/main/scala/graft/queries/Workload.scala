@@ -1030,8 +1030,39 @@ object Workload {
              CAST(SUM(spend) AS DOUBLE) AS total_spend
       FROM ranked GROUP BY decile ORDER BY decile"""))
 
+  /** Distributed fixed-width histogram of order values: bucket index via
+    * INTEGER arithmetic in cents (decimal*100 -> BIGINT, then integral
+    * `div`), never floating floor-division — bit-identical bucketing in
+    * every engine, and a plain partial-agg groupBy (each executor emits at
+    * most |buckets| rows before the shuffle). The diagnostic every
+    * skew/salting decision starts from.
+    */
+  val q30 = QueryDef(
+    "q30_order_value_histogram",
+    (s, dir) => {
+      val bucket =
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " div 100000").cast(IntegerType)
+      orders(s, dir)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          decSum(col("o_totalprice")).as("total_value"))
+        .withColumn("bucket_lo", (col("bucket") * 1000).cast(DoubleType))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH b AS (
+        SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) // 100000 AS INTEGER) AS bucket,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders)
+      SELECT bucket, COUNT(*) AS n_orders,
+             CAST(SUM(v) AS DOUBLE) AS total_value,
+             CAST(bucket * 1000 AS DOUBLE) AS bucket_lo
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
 }
