@@ -109,24 +109,28 @@ object ScaleProbe {
   private def spanProbe(spark: SparkSession, sfDir: String,
       mult: Int): Unit = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
-    def run(m: Int): (Long, Double) = {
+    def run(m: Int): (Long, Long, Double) = {
       val d = (0 until m)
         .map(i => docs.withColumn("doc_id",
           col("doc_id") + lit(i.toLong * 10000000L)))
         .reduce(_ union _)
         .cache()
-      d.count()
+      val nd = d.count()
       val t0 = System.nanoTime()
-      val n = llm.Dedup.passageDupProfile(d).count()
+      // sum over the OUTPUT column: a bare count() would let Catalyst
+      // eliminate the unique-key left join and skip the whole pipeline
+      // (measured: 100x corpus "ran" in 0.5 s)
+      val dup = llm.Dedup.passageDupProfile(d)
+        .agg(sum(col("n_dup_spans"))).collect()(0).getLong(0)
       val dt = (System.nanoTime() - t0) / 1e9
       d.unpersist()
-      (n, dt)
+      (nd, dup, dt)
     }
     run(1) // warm-up
-    val (n1, t1) = run(1)
-    val (nm, tm) = run(mult)
-    println(f"PROBE span base: docs=$n1 time=$t1%.2fs")
-    println(f"PROBE span ${mult}x: docs=$nm time=$tm%.2fs")
+    val (n1, d1, t1) = run(1)
+    val (nm, dm, tm) = run(mult)
+    println(f"PROBE span base: docs=$n1 dupspans=$d1 time=$t1%.2fs")
+    println(f"PROBE span ${mult}x: docs=$nm dupspans=$dm time=$tm%.2fs")
     println(f"PROBE span ratio: size x$mult -> time x${tm / t1}%.2f " +
       f"(linear ~x$mult, quadratic ~x${mult * mult})")
   }

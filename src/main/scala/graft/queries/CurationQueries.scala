@@ -247,11 +247,18 @@ object CurationQueries {
     "llm_bigram_lm",
     (s, dir) => {
       val docs = documents(s, dir)
+      // split to a code-point array ONCE, then O(1) element access per
+      // bigram — text.substr(i, 2) inside the transform would re-scan the
+      // UTF-8 string from the start per position (variable-length
+      // encoding), turning a long document into O(len^2) extraction
       val h = docs
         .filter(length(col("text")) >= 2)
+        .select(col("doc_id"),
+          split(col("text"), "").as("__chars"))
         .select(col("doc_id"), explode(transform(
-          sequence(lit(1), length(col("text")) - 1),
-          i => col("text").substr(i, lit(2)))).as("bg"))
+          sequence(lit(1), size(col("__chars")) - 1),
+          i => concat(try_element_at(col("__chars"), i),
+            try_element_at(col("__chars"), i + 1)))).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
         .localCheckpoint(true)
       val cnt = h.groupBy("bg").agg(sum(col("k")).as("c"))
