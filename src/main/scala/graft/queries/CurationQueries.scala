@@ -202,6 +202,17 @@ object CurationQueries {
   val TrainBound = "cd"
   val ValBound = "e6"
 
+  /** The md5-prefix bucket of a stable id — ONE definition feeds the
+    * query, the oracle constants, and the partitioned-sink path.
+    */
+  def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(id.cast(StringType).cast(BinaryType)), 1, 2)
+
+  def splitName(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < TrainBound, "train")
+      .when(bucket < ValBound, "val")
+      .otherwise("test")
+
   /** Deterministic train/val/test assignment: bucket by a cryptographic
     * hash of the STABLE document id (never random() — re-runs, backfills,
     * and incremental ingests must land every doc in the same split
@@ -212,13 +223,8 @@ object CurationQueries {
   val splitAssign = QueryDef(
     "llm_split_assign",
     (s, dir) => documents(s, dir)
-      .select(col("doc_id"),
-        substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 2)
-          .as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < TrainBound, "train")
-          .when(col("bucket") < ValBound, "val")
-          .otherwise("test"))
+      .select(col("doc_id"), splitBucket(col("doc_id")).as("bucket"))
+      .withColumn("split", splitName(col("bucket")))
       .orderBy("doc_id"),
     Some(s"""
       SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,

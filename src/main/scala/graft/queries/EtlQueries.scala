@@ -195,6 +195,52 @@ object EtlQueries {
       FROM w GROUP BY window_start, event_type
       ORDER BY window_start, event_type"""))
 
+  /** Trending report: top-3 event types per tumbling hour by event count
+    * — the windowed-agg + per-window ranking composition every
+    * monitoring/trending surface runs. Built ON the windowed-stats
+    * operator (same epoch-aligned tumbling windows), then a row_number
+    * over the tiny per-window frame (|windows| × |types| rows, already
+    * aggregated — the rank window never sees raw events).
+    */
+  val streamTrendingBatch = QueryDef(
+    "stream_trending_batch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stats = graft.streaming.StreamOps.windowedEventStats(
+        events(s, dir).withColumn("value", col("value").cast(Money)),
+        "1 hour", "1 hour")
+      val w = Window.partitionBy(col("window_start"))
+        .orderBy(col("n_events").desc, col("event_type"))
+      stats
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("window_start"), col("window_end"), col("event_type"),
+          col("n_events"),
+          col("total_value").cast(DoubleType).as("total_value"),
+          col("rank"))
+        .orderBy("window_start", "rank")
+    },
+    Some("""
+      WITH w AS (
+        SELECT CAST(to_timestamp(floor(epoch(ts::TIMESTAMP) / 3600) * 3600)
+                 AS TIMESTAMP) AS window_start,
+               event_type, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events),
+      agg AS (
+        SELECT window_start,
+               CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP)
+                 AS window_end,
+               event_type, COUNT(*) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS total_value
+        FROM w GROUP BY window_start, event_type),
+      ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                 ORDER BY n_events DESC, event_type) AS INTEGER) AS rank
+        FROM agg)
+      SELECT window_start, window_end, event_type, n_events, total_value,
+             rank
+      FROM ranked WHERE rank <= 3 ORDER BY window_start, rank"""))
+
   /** Batch twin of StreamOps.dedupStream (dropDuplicatesWithinWatermark):
     * one survivor per content fingerprint — earliest (ts, event_id) wins —
     * plus the per-fingerprint delivery count. The streaming side keeps the
@@ -441,6 +487,6 @@ object EtlQueries {
       ORDER BY constraint_name"""))
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
-    windowStatsBatch, streamDedupBatch, scd2Dim, jsonProps, asofEnrich,
-    asofWindow, skewSalted, constraintReport)
+    windowStatsBatch, streamTrendingBatch, streamDedupBatch, scd2Dim,
+    jsonProps, asofEnrich, asofWindow, skewSalted, constraintReport)
 }

@@ -625,6 +625,63 @@ object LlmQueries {
       SELECT vec_a, vec_b, cosine FROM scored
       WHERE cosine >= 0.15 ORDER BY vec_a, vec_b"""))
 
+  /** Embedding-modality dedup clusters: connected components over the
+    * near-dup pair graph — the same ladder rung llm_dedup_clusters gives
+    * the text modality, so semantic (embedding-space) duplicates can be
+    * collapsed with the identical keeper policies. Reuses the adaptive CC
+    * (propagation with star-contraction fallback) and the bucketed pair
+    * generation; the oracle composes the embed_neardup CTEs with the same
+    * recursive-reach closure the text clusters oracle uses.
+    */
+  val embedClusters = QueryDef(
+    "llm_embed_clusters",
+    (s, dir) => {
+      val pairs = Similarity.nearDupPairs(embeddings(s, dir), 0.15,
+        nPlanes = 4, dim = EmbeddingDim)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val comps = Dedup.connectedComponentsAdaptive(pairs)
+      val sizes = comps.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      comps.join(sizes, Seq("cluster_id"))
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          col("cluster_size"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      c0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      c AS (SELECT vec_id, v, ${bucketSql("v", AnnPlanes)} AS bucket
+            FROM c0),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM c a JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT p.vec_a, p.vec_b
+        FROM cand p
+        JOIN c ca ON ca.vec_id = p.vec_a
+        JOIN c cb ON cb.vec_id = p.vec_b
+        WHERE list_dot_product(ca.v, cb.v)
+                / (sqrt(list_dot_product(ca.v, ca.v))
+                   * sqrt(list_dot_product(cb.v, cb.v))) >= 0.15),
+      edges AS (
+        SELECT vec_a AS s, vec_b AS d FROM pairs
+        UNION
+        SELECT vec_b, vec_a FROM pairs),
+      reach AS (
+        SELECT DISTINCT s AS id, s AS r FROM edges
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      sized AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM comp GROUP BY 1)
+      SELECT comp.id AS vec_id, comp.cluster_id, sized.cluster_size
+      FROM comp JOIN sized USING (cluster_id)
+      ORDER BY vec_id"""))
+
   /** Corpus-curation filter report: every document against every rule,
     * with per-rule reason flags and the final keep verdict — the auditable
     * shape a training-data filter pass needs (not just the survivors: you
@@ -1595,7 +1652,7 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textFingerprint,
     textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
-    annRecallIvf, embedNearDup,
+    annRecallIvf, embedNearDup, embedClusters,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,

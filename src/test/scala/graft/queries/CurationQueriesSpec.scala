@@ -78,6 +78,35 @@ class CurationQueriesSpec extends SparkSpec {
       md.take(1).map(b => f"$b%02x").mkString)
   }
 
+  test("split-partitioned sink: train filter prunes at the scan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_split_sink").toString + "/corpus"
+    // the split is a derived COLUMN (one md5 per row, fused into the
+    // write scan) — never a join against a split table
+    docs.withColumn("split",
+      CurationQueries.splitName(CurationQueries.splitBucket(col("doc_id"))))
+      .write.partitionBy("split").parquet(out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // filter-to-train must prune partitions AND columns at the scan
+    val q = back.filter(col("split") === "train").select("doc_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.replaceAll("\\s+", " ")
+      .matches(".*PartitionFilters: \\[[^\\]]*split[^\\]]*\\].*"),
+      s"no split partition filter in scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"column pruning failed:\n$plan")
+    // and the written layout agrees with the driver-checked assignment
+    val expected = CurationQueries.splitAssign
+      .run(spark, "/root/testdata/sf0.001")
+      .filter(col("split") === "train").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(q.as[Long].collect().sorted.toSeq == expected)
+  }
+
   test("bigram familiarity ranks in-distribution text above gibberish") {
     val dir = corpus(Seq(
       (1L, "the cat sat on the mat", "en", "web"),
