@@ -1623,6 +1623,124 @@ object LlmQueries {
     * the array itself, keeping the compare scalar-typed. All arithmetic is
     * the same left-to-right IEEE fold in both engines.
     */
+  /** The capstone composition — what a training-data user actually ships
+    * with ONE call: the corpus after the whole curation ladder.
+    *   survivors (near-dup losers dropped, memoized components)
+    *   ∧ kept (quality filter rules)
+    *   ∧ decontaminated (zero benchmark-probe hits)
+    *   ∧ train split (deterministic md5 bucket, shared constants).
+    * Every stage is itself an oracled query; this pins that the
+    * COMPOSITION (two anti joins + a semi join + a map-only predicate,
+    * all on slim id sets over one corpus scan per stage) is right too.
+    * The split predicate is a pushable scan filter, the kept/loser/
+    * contaminated sets are id-only frames — at 100 TB the corpus text
+    * bytes move exactly once, into the final projection.
+    */
+  val curatedTrain = QueryDef(
+    "llm_curated_train",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val losers = dedupComponents(s, dir)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val kept = filterReportOn(docs).filter(col("kept")).select("doc_id")
+      val probes = broadcast(
+        s.createDataFrame(ContaminationProbes.map(Tuple1(_)))
+          .toDF("gram"))
+      val contaminated = docs
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+        .select(col("doc_id"),
+          explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
+        .join(probes, Seq("gram"))
+        .select("doc_id").distinct()
+      docs
+        .filter(CurationQueries.splitName(
+          CurationQueries.splitBucket(col("doc_id"))) === "train")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(kept, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+            list_distinct(list_transform(
+              generate_series(1, len(t) - 2),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+          ELSE [array_to_string(t, ' ')] END AS g3
+        FROM toks),
+      grams0 AS (
+        SELECT doc_id, unnest(g3) AS gram FROM g),
+      keepgrams AS (
+        SELECT gram FROM grams0 GROUP BY gram HAVING COUNT(*) <= 100),
+      grams AS (
+        SELECT doc_id, gram FROM grams0 JOIN keepgrams USING (gram)),
+      sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1,2),
+      pairs AS (
+        SELECT da, db FROM shared
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.8),
+      edges AS (
+        SELECT da AS s, db AS d FROM pairs
+        UNION
+        SELECT db, da FROM pairs),
+      reach AS (
+        SELECT DISTINCT s AS id, s AS r FROM edges
+        UNION
+        SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      ft AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '[\\s\\x0b]+')) END AS n,
+          length(regexp_replace(trim(text), '[\\s\\x0b]+', '', 'g')) AS letters,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(list_filter(regexp_split_to_array(trim(text), '[\\s\\x0b]+'),
+                 x -> x IN ('the','a','an','and','of','to','in'))) END AS stops,
+          regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS ftoks
+        FROM documents),
+      fkept AS (
+        SELECT doc_id FROM (
+          SELECT doc_id, n,
+            least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.4
+              + least(1.0, (CASE WHEN n = 0 THEN 0.0
+                  ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE) END) / 8.0) * 0.3
+              + (1.0 - CASE WHEN n = 0 THEN 0.0
+                  ELSE CAST(stops AS DOUBLE) / CAST(n AS DOUBLE) END) * 0.3
+              AS quality,
+            greatest(
+              len(list_filter(ftoks, x -> x IN ('the','a','and','of','to','in','is'))),
+              len(list_filter(ftoks, x -> x IN ('der','die','das','und','ist','ein','nicht'))),
+              len(list_filter(ftoks, x -> x IN ('le','la','les','et','est','un','une'))),
+              len(list_filter(ftoks, x -> x IN ('el','los','las','que','es','un','una'))))
+              AS langmax
+          FROM ft)
+        WHERE NOT (n < 15 OR n > 90 OR quality < 0.5 OR langmax = 0)),
+      probes AS (SELECT unnest([${ContaminationProbes
+        .map(p => s"'$p'").mkString(", ")}]) AS gram),
+      chits AS (
+        SELECT DISTINCT doc_id FROM grams0 JOIN probes USING (gram))
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d
+      WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2)
+              < '${CurationQueries.TrainBound}'
+        AND NOT EXISTS (SELECT 1 FROM comp
+              WHERE comp.id = d.doc_id AND comp.id <> comp.cluster_id)
+        AND EXISTS (SELECT 1 FROM fkept WHERE fkept.doc_id = d.doc_id)
+        AND NOT EXISTS (SELECT 1 FROM chits WHERE chits.doc_id = d.doc_id)
+      ORDER BY d.doc_id"""))
+
   val embedNormalize = QueryDef(
     "llm_embed_normalize",
     (s, dir) => Similarity.l2Normalized(embeddings(s, dir))
@@ -1657,5 +1775,5 @@ object LlmQueries {
     keyTerms, sampleStratified, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
     dedupSurvivors, dedupSurvivorsBest, dedupIncremental, chunkPlan,
-    packPlan, contamination, decontaminated)
+    packPlan, contamination, decontaminated, curatedTrain)
 }
