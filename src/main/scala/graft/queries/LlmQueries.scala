@@ -1632,9 +1632,10 @@ object LlmQueries {
     * Every stage is itself an oracled query; this pins that the
     * COMPOSITION (two anti joins + a semi join + a map-only predicate,
     * all on slim id sets over one corpus scan per stage) is right too.
-    * The split predicate is a pushable scan filter, the kept/loser/
-    * contaminated sets are id-only frames — at 100 TB the corpus text
-    * bytes move exactly once, into the final projection.
+    * The split predicate runs pre-join right after the scan, the kept/
+    * loser/contaminated sets are id-only frames, and the main branch's
+    * scan never reads `text` (plan-audited) — the corpus text bytes are
+    * read only where a stage genuinely consumes them.
     */
   val curatedTrain = QueryDef(
     "llm_curated_train",
