@@ -45,16 +45,19 @@ object CurationQueries {
     "llm_span_dedup",
     (s, dir) => Dedup.passageDupProfile(documents(s, dir), SpanWidth)
       .orderBy("doc_id"),
-    Some("""
+    Some(s"""
       WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t
         FROM documents),
       sp AS (
+        -- span expression generated FROM SpanWidth: editing the policy
+        -- knob re-derives the oracle with it (review finding — a
+        -- hardcoded 5-gram here would silently desynchronize)
         SELECT doc_id, unnest(list_distinct(list_transform(
-            generate_series(1, len(t) - 4),
-            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-                 || ' ' || t[i+4]))) AS span
-        FROM toks WHERE len(t) >= 5),
+            generate_series(1, len(t) - ${SpanWidth - 1}),
+            i -> ${(0 until SpanWidth).map(k => s"t[i+$k]")
+              .mkString(" || ' ' || ")}))) AS span
+        FROM toks WHERE len(t) >= $SpanWidth),
       sdf AS (SELECT span, COUNT(*) AS df FROM sp GROUP BY 1),
       per AS (
         SELECT doc_id, COUNT(*) AS n_spans,
@@ -99,9 +102,15 @@ object CurationQueries {
         // non-blank trimmed lines; trim is space-only in BOTH engines
         filter(transform(split(col("text"), "\n", -1), l => trim(l)),
           l => l =!= "").as("__lines"),
-        // symbol occurrences: '#' plus the one-code-point ellipsis
+        // symbol occurrences: '#' plus BOTH ellipsis spellings — the
+        // one-code-point '…' and the three-dot '...' (counted as
+        // occurrences via non-overlapping replace; the length delta is
+        // always a multiple of 3). The line-shape rule below already
+        // treated the two spellings as equivalent (review finding).
         (length(col("text")) - length(translate(col("text"), "#", "")) +
-          length(col("text")) - length(translate(col("text"), "…", "")))
+          length(col("text")) - length(translate(col("text"), "…", "")) +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3")
+            .cast(IntegerType))
           .as("__symbols"))
       val n = size(col("__toks"))
       val nLines = size(col("__lines"))
@@ -150,6 +159,7 @@ object CurationQueries {
             l -> trim(l)), l -> l <> '') AS lines,
           length(text) - length(replace(text, '#', ''))
             + length(text) - length(replace(text, chr(8230), ''))
+            + (length(text) - length(replace(text, '...', ''))) // 3
             AS symbols
         FROM documents),
       m AS (

@@ -255,9 +255,13 @@ object EtlQueries {
       .orderBy("event_id"),
     Some("""
       WITH f AS (
+        -- chr(1) = the NULL sentinel StreamOps.FpNullSentinel: concat_ws
+        -- skips NULL slots, which would make the fingerprint ambiguous
         SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value,
-               md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
-                 props)) AS fp
+               md5(concat_ws('|',
+                 COALESCE(CAST(user_id AS VARCHAR), chr(1)),
+                 COALESCE(event_type, chr(1)),
+                 COALESCE(props, chr(1)))) AS fp
         FROM events),
       d AS (
         SELECT *,
@@ -296,13 +300,16 @@ object EtlQueries {
           col("prev_type") =!= col("event_type"))
       val w2 = Window.partitionBy(col("user_id"))
         .orderBy(col("valid_from"), col("event_id"))
+      // event_id stays in the OUTPUT: it names the change event that
+      // opened the version, and it is the tie-breaker that makes the
+      // final sort total — same-timestamp changes would otherwise order
+      // nondeterministically (review finding)
       changes
         .select(col("user_id"), col("event_type"),
           col("ts").as("valid_from"), col("event_id"))
         .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
         .withColumn("is_current", col("valid_to").isNull)
-        .drop("event_id")
-        .orderBy("user_id", "valid_from", "event_type")
+        .orderBy("user_id", "valid_from", "event_id")
     },
     Some("""
       WITH e AS (
@@ -314,13 +321,13 @@ object EtlQueries {
         SELECT user_id, event_type, ts AS valid_from, event_id
         FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
       v AS (
-        SELECT user_id, event_type, valid_from,
+        SELECT user_id, event_type, valid_from, event_id,
                LEAD(valid_from) OVER (PARTITION BY user_id
                  ORDER BY valid_from, event_id) AS valid_to
         FROM c)
-      SELECT user_id, event_type, valid_from, valid_to,
+      SELECT user_id, event_type, valid_from, event_id, valid_to,
              valid_to IS NULL AS is_current
-      FROM v ORDER BY user_id, valid_from, event_type"""))
+      FROM v ORDER BY user_id, valid_from, event_id"""))
 
   /** Semi-structured payload parsing: the JSON props column through a real
     * JSON parser (from_json with a declared schema — not the regex

@@ -1536,17 +1536,28 @@ object LlmQueries {
     "key agg row", "batch window spark", "slow filter value",
     "join batch join", "group order column", "table window table")
 
+  /** Per-doc shingles joined against the broadcast probe list — the ONE
+    * definition behind llm_contamination, llm_decontaminated, and the
+    * capstone (a review pass found this pipeline re-stated at each site;
+    * a future change to contamination semantics now lands everywhere at
+    * once). Returns (doc_id, gram) probe-hit rows.
+    */
+  private def probeHits(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val probes = broadcast(
+      s.createDataFrame(ContaminationProbes.map(Tuple1(_)))
+        .toDF("gram"))
+    documents(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .select(col("doc_id"),
+        explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
+      .join(probes, Seq("gram"))
+  }
+
   val contamination = QueryDef(
     "llm_contamination",
     (s, dir) => {
-      val probes = broadcast(
-        s.createDataFrame(ContaminationProbes.map(Tuple1(_)))
-          .toDF("gram"))
-      val grams = documents(s, dir)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
-        .select(col("doc_id"),
-          explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
-      val hits = grams.join(probes, Seq("gram"))
+      val hits = probeHits(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"), min(col("gram")).as("first_probe"))
       documents(s, dir).select(col("doc_id"))
@@ -1585,15 +1596,7 @@ object LlmQueries {
   val decontaminated = QueryDef(
     "llm_decontaminated",
     (s, dir) => {
-      val probes = broadcast(
-        s.createDataFrame(ContaminationProbes.map(Tuple1(_)))
-          .toDF("gram"))
-      val contaminated = documents(s, dir)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
-        .select(col("doc_id"),
-          explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
-        .join(probes, Seq("gram"))
-        .select("doc_id").distinct()
+      val contaminated = probeHits(s, dir).select("doc_id").distinct()
       documents(s, dir)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -1645,15 +1648,7 @@ object LlmQueries {
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
       val kept = filterReportOn(docs).filter(col("kept")).select("doc_id")
-      val probes = broadcast(
-        s.createDataFrame(ContaminationProbes.map(Tuple1(_)))
-          .toDF("gram"))
-      val contaminated = docs
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
-        .select(col("doc_id"),
-          explode_outer(Dedup.shinglesFromTokens(col("__toks"))).as("gram"))
-        .join(probes, Seq("gram"))
-        .select("doc_id").distinct()
+      val contaminated = probeHits(s, dir).select("doc_id").distinct()
       docs
         .filter(CurationQueries.splitName(
           CurationQueries.splitBucket(col("doc_id"))) === "train")

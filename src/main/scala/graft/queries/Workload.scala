@@ -1033,9 +1033,14 @@ object Workload {
   /** Distributed fixed-width histogram of order values: bucket index via
     * INTEGER arithmetic in cents (decimal*100 -> BIGINT, then integral
     * `div`), never floating floor-division — bit-identical bucketing in
-    * every engine, and a plain partial-agg groupBy (each executor emits at
-    * most |buckets| rows before the shuffle). The diagnostic every
-    * skew/salting decision starts from.
+    * every engine (Spark `div` and DuckDB `//` BOTH truncate toward zero
+    * on integers — verified, not assumed), and a plain partial-agg
+    * groupBy (each executor emits at most |buckets| rows before the
+    * shuffle). Domain note: truncation makes bucket 0 span
+    * (-width, +width) if values could go negative; o_totalprice is
+    * positive by construction (the reference schema CHECKs price > 0), so
+    * buckets here are uniform. The diagnostic every skew/salting decision
+    * starts from.
     */
   val q30 = QueryDef(
     "q30_order_value_histogram",

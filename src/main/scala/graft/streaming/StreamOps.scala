@@ -44,12 +44,19 @@ object StreamOps {
 
   /** Content fingerprint for ingest dedup: md5 over the identity columns.
     * Columns are cast to string explicitly so Spark and any oracle engine
-    * agree on the rendered bytes; concat_ws skips NULLs identically in
-    * both.
+    * agree on the rendered bytes, and NULLs are coalesced to a 
+    * sentinel BEFORE concat_ws — concat_ws SKIPS null slots entirely, so
+    * without the sentinel (a=NULL, b="x") and (a="x", b=NULL) both render
+    * "x" and two genuinely different rows dedup into one (review
+    * finding). The sentinel keeps the encoding injective for values that
+    * don't contain  (true of every text/JSON column here).
     */
+  val FpNullSentinel = ""
+
   def contentFingerprint(cols: org.apache.spark.sql.Column*)
       : org.apache.spark.sql.Column =
-    md5(concat_ws("|", cols.map(_.cast("string")): _*)
+    md5(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit(FpNullSentinel))): _*)
       .cast(org.apache.spark.sql.types.BinaryType))
 
   /** Batch twin of [[dedupStream]] with the horizon removed: one survivor

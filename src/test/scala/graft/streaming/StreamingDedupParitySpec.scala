@@ -31,7 +31,12 @@ class StreamingDedupParitySpec extends SparkSpec {
     (4L, t(4), 9L, "click", 3.0, """{"k": 3}"""),
     (5L, t(6), 7L, "click", 4.0, """{"k": 1}"""),
     (6L, t(7), 8L, "view", 5.0, """{"k": 2}"""),
-    (7L, t(8), 9L, "error", 6.0, """{"k": 4}"""))
+    (7L, t(8), 9L, "error", 6.0, """{"k": 4}"""),
+    // NULL-slot ambiguity guard: without the fingerprint's NULL sentinel
+    // these two render the same concat ("10|x") and one is wrongly
+    // dropped — both must survive
+    (8L, t(9), 10L, null, 7.0, "x"),
+    (9L, t(10), 10L, "x", 8.0, null))
 
   private val cols =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -58,7 +63,7 @@ class StreamingDedupParitySpec extends SparkSpec {
     q.stop()
 
     assert(streamKept === batchKept)
-    assert(batchKept === Set(1L, 2L, 4L, 7L))
+    assert(batchKept === Set(1L, 2L, 4L, 7L, 8L, 9L))
 
     // the twin's delivery counts: content of row 1 delivered 3x, row 2's 2x
     val dupes = StreamOps.dedupBatchTwin(rows.toDF(cols: _*))
