@@ -85,6 +85,33 @@ object Sampling {
     withSampleRank(docs, stratum, textCol)
       .filter(col("sample_rank") <= n)
 
+  /** Temperature-flattened stratified sampling (the multilingual-mixing
+    * knob, α = 0.5): keep the first floor(scale · sqrt(n_stratum)) docs
+    * of each stratum in content-hash order, so stratum shares flatten
+    * from ∝ n to ∝ sqrt(n) — big languages downsample, small ones keep
+    * proportionally more, the standard skew correction. α = 0.5 is the
+    * DELIBERATE choice for cross-engine exactness: sqrt is correctly
+    * rounded under IEEE-754 in every engine (pow(n, 0.3) is not — libm
+    * last-ulp differences would make quota boundaries engine-dependent),
+    * and each stratum's quota depends only on its own integer count —
+    * no cross-stratum float normalization whose summation order could
+    * diverge. Normalizing to an exact total budget instead divides by
+    * Σ sqrt(n_i) — a driver-side recipe constant, same as
+    * [[mixtureSample]]'s weights.
+    */
+  def temperatureSample(docs: DataFrame, stratum: String,
+      scale: Double = 4.0, textCol: String = "text"): DataFrame = {
+    val quotas = docs.groupBy(col(stratum))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__quota",
+        floor(sqrt(col("__n").cast(DoubleType)) * lit(scale)).cast(LongType))
+      .select(col(stratum), col("__quota"))
+    withSampleRank(docs, stratum, textCol)
+      .join(broadcast(quotas), Seq(stratum))
+      .filter(col("sample_rank") <= col("__quota"))
+      .drop("__quota")
+  }
+
   /** Weighted mixture: per-stratum quotas proportional to `weights` summing
     * to ~`total` docs — the data-recipe mixing shape ("50% en, 30% de,
     * 20% fr"). Strata absent from the weights are dropped. Quotas use

@@ -984,6 +984,26 @@ object LlmQueries {
       WHERE sample_rank <= 50
       ORDER BY lang, sample_rank"""))
 
+  /** Temperature-flattened sampling (α = 0.5 via exact-rounded sqrt —
+    * see Sampling.temperatureSample for why 0.5 and not a libm pow).
+    */
+  val sampleTemperature = QueryDef(
+    "llm_sample_temperature",
+    (s, dir) => Sampling.temperatureSample(documents(s, dir), "lang", 4.0)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy("lang", "sample_rank"),
+    Some("""
+      WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+      r AS (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(text), doc_id) AS INTEGER) AS sample_rank
+        FROM documents)
+      SELECT doc_id, r.lang, sample_rank
+      FROM r JOIN n ON r.lang = n.lang
+      WHERE sample_rank <= floor(sqrt(n.n) * 4.0)
+      ORDER BY r.lang, sample_rank"""))
+
   /** Greedy token-budget selection per language: accumulate docs in
     * content-hash order until 5000 whitespace tokens; the doc crossing the
     * budget is excluded — the fixed-token-mix data-recipe shape.
@@ -1768,7 +1788,7 @@ object LlmQueries {
     multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
     annRecallIvf, embedNearDup, embedClusters,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
-    keyTerms, sampleStratified, sampleBudget,
+    keyTerms, sampleStratified, sampleTemperature, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
     dedupSurvivors, dedupSurvivorsBest, dedupIncremental, chunkPlan,
     packPlan, contamination, decontaminated, curatedTrain)

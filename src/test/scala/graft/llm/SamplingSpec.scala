@@ -11,6 +11,23 @@ class SamplingSpec extends SparkSpec {
     (4L, "gg hh ii jj", "de"), (5L, "kk ll", "de"))
     .toDF("doc_id", "text", "lang")
 
+  test("temperatureSample flattens stratum shares toward sqrt(n)") {
+    // 100 'en' docs vs 9 'de' docs (raw ratio ~11:1)
+    val skewed = ((1 to 100).map(i => (i.toLong, s"en doc $i", "en")) ++
+      (101 to 109).map(i => (i.toLong, s"de doc $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.temperatureSample(skewed, "lang", scale = 4.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas: floor(4*sqrt(100)) = 40 (en downsampled 100 -> 40);
+    // floor(4*sqrt(9)) = 12 exceeds the 9-doc stratum, so 'de' keeps
+    // everything — exactly the flattening temperature sampling is for
+    assert(out == Map("en" -> 40L, "de" -> 9L))
+    // quota above stratum size keeps everything (tiny strata untouched)
+    val tiny = Sampling.temperatureSample(docs, "lang", scale = 4.0)
+    assert(tiny.count() == 5)
+  }
+
   test("stratifiedSample respects per-stratum quota and is deterministic") {
     val s2a = Sampling.stratifiedSample(docs, "lang", 2)
       .select("doc_id", "lang", "sample_rank").collect().map(_.toSeq).toSet
