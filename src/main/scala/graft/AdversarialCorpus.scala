@@ -45,7 +45,13 @@ object AdversarialCorpus {
     // vertical tab INSIDE words: Java regex \s includes \x0B, RE2's
     // does not — every tokenizing oracle must use the widened [\s\x0b]
     // class or it sees 3 tokens where Spark sees 5 (the r5 contract hole)
-    (15L, "vertical\u000Btab\u000Bdelimited tokens appear", "en", "web"))
+    (15L, "vertical\u000Btab\u000Bdelimited tokens appear", "en", "web"),
+    // symbol-rule shapes: '#', one-code-point ellipsis, dot-run '....'
+    // (one '...' occurrence + a leftover '.'), a bullet-start line and an
+    // ellipsis-end line -- without this doc the gopher symbol/line
+    // expressions are exercised by ZERO corpus rows (second review pass)
+    (16L, "# heading line\n- bullet item \u2026\nthe plain line trails off...\n" +
+      "symbols ## here and dots .... done", "en", "web"))
 
   /** One shared definition with the query layer's testdata-dim constant:
     * if the generator's dim ever drifts, every ANN oracle literal drifts

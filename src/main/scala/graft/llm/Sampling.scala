@@ -99,8 +99,15 @@ object Sampling {
     * Σ sqrt(n_i) — a driver-side recipe constant, same as
     * [[mixtureSample]]'s weights.
     */
+  /** Default flattening scale — ONE definition feeds the API default, the
+    * driver query, and (s-interpolated) its oracle SQL, so tuning the
+    * knob lands on both engines at once (the SpanWidth convention).
+    */
+  val DefaultTemperatureScale = 4.0
+
   def temperatureSample(docs: DataFrame, stratum: String,
-      scale: Double = 4.0, textCol: String = "text"): DataFrame = {
+      scale: Double = DefaultTemperatureScale,
+      textCol: String = "text"): DataFrame = {
     val quotas = docs.groupBy(col(stratum))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__quota",

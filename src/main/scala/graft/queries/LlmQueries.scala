@@ -989,10 +989,10 @@ object LlmQueries {
     */
   val sampleTemperature = QueryDef(
     "llm_sample_temperature",
-    (s, dir) => Sampling.temperatureSample(documents(s, dir), "lang", 4.0)
+    (s, dir) => Sampling.temperatureSample(documents(s, dir), "lang")
       .select(col("doc_id"), col("lang"), col("sample_rank"))
       .orderBy("lang", "sample_rank"),
-    Some("""
+    Some(s"""
       WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
       r AS (
         SELECT doc_id, lang,
@@ -1001,7 +1001,7 @@ object LlmQueries {
         FROM documents)
       SELECT doc_id, r.lang, sample_rank
       FROM r JOIN n ON r.lang = n.lang
-      WHERE sample_rank <= floor(sqrt(n.n) * 4.0)
+      WHERE sample_rank <= floor(sqrt(n.n) * ${Sampling.DefaultTemperatureScale})
       ORDER BY r.lang, sample_rank"""))
 
   /** Greedy token-budget selection per language: accumulate docs in

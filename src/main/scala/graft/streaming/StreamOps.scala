@@ -44,14 +44,14 @@ object StreamOps {
 
   /** Content fingerprint for ingest dedup: md5 over the identity columns.
     * Columns are cast to string explicitly so Spark and any oracle engine
-    * agree on the rendered bytes, and NULLs are coalesced to a 
+    * agree on the rendered bytes, and NULLs are coalesced to a \u0001
     * sentinel BEFORE concat_ws — concat_ws SKIPS null slots entirely, so
     * without the sentinel (a=NULL, b="x") and (a="x", b=NULL) both render
     * "x" and two genuinely different rows dedup into one (review
     * finding). The sentinel keeps the encoding injective for values that
-    * don't contain  (true of every text/JSON column here).
+    * don't contain \u0001 (true of every text/JSON column here).
     */
-  val FpNullSentinel = ""
+  val FpNullSentinel = "\u0001"
 
   def contentFingerprint(cols: org.apache.spark.sql.Column*)
       : org.apache.spark.sql.Column =

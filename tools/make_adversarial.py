@@ -56,6 +56,12 @@ docs = [
     # not — every tokenizing oracle must use the widened [\s\x0b] class or
     # it sees 3 tokens where Spark sees 5 (the r5 documented contract hole)
     (15, "vertical\x0btab\x0bdelimited tokens appear", "en", "web"),
+    # symbol-rule shapes: '#', one-code-point '…', dot-run '....' (one
+    # '...' occurrence + a leftover '.'), a bullet-start line and an
+    # ellipsis-end line — without this doc the gopher symbol/line
+    # expressions are exercised by ZERO corpus rows (second review pass)
+    (16, "# heading line\n- bullet item …\nthe plain line trails off...\n"
+     "symbols ## here and dots .... done", "en", "web"),
 ]
 pq.write_table(pa.table({
     "doc_id": pa.array([d[0] for d in docs], pa.int64()),
