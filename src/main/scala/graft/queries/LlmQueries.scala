@@ -214,6 +214,58 @@ object LlmQueries {
              ELSE 'und' END AS lang_pred
       FROM scored ORDER BY doc_id"""))
 
+  /** The full one-pass per-document profile (TextAnalysis.profile) as a
+    * driver query: every metric a curation pipeline reads per doc, from
+    * ONE staged tokenization — the API surface a user actually calls
+    * (the component queries above each prove one metric; this proves the
+    * fused scan computes them all identically). n_chars here is computed
+    * from the text (code points), independent of the table's own column.
+    */
+  val textProfile = QueryDef(
+    "llm_text_profile",
+    (s, dir) => TextAnalysis.profile(documents(s, dir))
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text, length(text) AS n_chars,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '[\s\x0b]+')) END AS n,
+          length(regexp_replace(trim(text), '[\s\x0b]+', '', 'g')) AS letters,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(list_filter(regexp_split_to_array(trim(text), '[\s\x0b]+'),
+                 x -> x IN ('the','a','an','and','of','to','in'))) END AS stops,
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '[\s\x0b]+') END AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, text, n_chars, n, letters, stops,
+          len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS s_en,
+          len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','nicht'))) AS s_de,
+          len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS s_fr,
+          len(list_filter(toks, x -> x IN ('el','los','las','que','es','un','una'))) AS s_es
+        FROM t)
+      SELECT doc_id,
+        CAST(n AS INTEGER) AS n_tokens,
+        CAST(n_chars AS INTEGER) AS n_chars,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE) END AS avg_token_len,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE CAST(stops AS DOUBLE) / CAST(n AS DOUBLE) END AS stopword_ratio,
+        least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.4
+          + least(1.0, (CASE WHEN n = 0 THEN 0.0
+              ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE) END) / 8.0) * 0.3
+          + (1.0 - CASE WHEN n = 0 THEN 0.0
+              ELSE CAST(stops AS DOUBLE) / CAST(n AS DOUBLE) END) * 0.3
+          AS quality_score,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+             WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+             ELSE 'und' END AS lang_pred,
+        md5(text) AS fp_md5
+      FROM m ORDER BY doc_id"""))
+
   /** Document fingerprinting, oracle-stable MD5 flavor. */
   val textFingerprint = QueryDef(
     "llm_text_fingerprint",
@@ -1783,8 +1835,8 @@ object LlmQueries {
 
   val all: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
-    textTokens, textTokensBpeReal, textQuality, textLangId, textFingerprint,
-    textRollhash,
+    textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
+    textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
     annRecallIvf, embedNearDup, embedClusters,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
