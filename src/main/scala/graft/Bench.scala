@@ -106,6 +106,12 @@ object Bench {
     // survived): a second, laps-free line printed LAST carries the number
     // the gate reads even when the big line's head is eaten.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // r6 finding: at 89 queries even the laps-free line outgrows the tail
+    // window, losing its head (and the total with it). The LAST line is
+    // therefore MINIMAL — no queries map, so it fits any capture window
+    // whole and the full-suite total is always recoverable.
+    val nOk = results.count(_._2 >= 0)
+    println(s"""{"metric":"bench_total","value":${fmt(total)},"unit":"sec","n":$nOk,"n_failed":${results.size - nOk}}""")
     spark.stop()
   }
 }

@@ -991,21 +991,81 @@ object Workload {
   /** NTILE decile segmentation: customers ranked into 10 spend deciles,
     * then per-decile stats — the classic value-segmentation report.
     * Per-customer totals fold DECIMAL (exact, order-free); the decile
-    * assignment is deterministic because the NTILE ordering carries the
+    * assignment is deterministic because the rank ordering carries the
     * custkey tie-breaker; min/max/sum over the decile are order-free.
-    * The single global NTILE window is the deliberate scale trade: decile
-    * boundaries are a global property, and the windowed frame is the
-    * ALREADY-AGGREGATED per-customer table (|customers|, not |orders|).
+    *
+    * Scale shape — NO global single-task window: a literal
+    * `ntile(10).over(orderBy(spend))` moves EVERY per-customer row
+    * through one task's sort (~1.5 B rows at 100 TB). Instead this is the
+    * Sampling.scala two-phase salted rank, adapted from a hash-prefix
+    * salt to a VALUE salt: the bucket is a monotone coarse function of
+    * the order key itself (negated $100-floor of spend, so bucket-asc ==
+    * spend-desc), which makes (bucket, spend DESC, custkey) order equal
+    * global (spend DESC, custkey) order. row_number runs per-bucket
+    * (|buckets|-way parallel); a per-bucket count table (partial-agg,
+    * ~|spend range|/100 rows) running-summed in one tiny task rebuilds
+    * the exact global rank; NTILE(k) is then closed-form integer
+    * arithmetic on (rank, N): the first N%k tiles take ceil(N/k) rows,
+    * the rest floor(N/k). DecilePlanSpec pins both bit-equality with the
+    * single-window form and the plan shape (no ntile, no unpartitioned
+    * window over the per-customer frame).
     */
+  /** Exact NTILE(10) over (spend DESC, o_custkey ASC) without a global
+    * single-partition window. Input: a frame with `o_custkey` and a
+    * non-negative DECIMAL `spend`. Output: input columns + `decile` INT.
+    *
+    * Public (not private) so DecilePlanSpec can pin bucket-plan ≡
+    * single-window bit-equality on an adversarial all-one-bucket frame.
+    */
+  def spendDeciles(per: DataFrame): DataFrame = {
+    // Monotone value salt: $100-granularity floor, negated so bucket
+    // ascends as spend descends (spend >= 0, so decimal->long cast
+    // truncation IS floor). Ties in spend share a bucket by construction,
+    // so the per-bucket custkey tie-break is the global tie-break.
+    val base = per.withColumn("__b",
+      lit(0L) - (col("spend") / lit(100)).cast(LongType))
+    // Per-bucket counts -> running offsets + global N: the only
+    // unpartitioned windows in the query, over the tiny bucket-count
+    // frame (≈ spend-range/$100 rows), never the per-customer frame.
+    val counts = base.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val wOff = Window.orderBy(col("__b"))
+    val offs = counts
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("__b"), col("__off"), col("__n"))
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy(col("spend").desc, col("o_custkey"))
+    // NTILE(k) closed form on global rank r in 1..N: with q = N div k,
+    // rem = N % k, the first rem tiles hold q+1 rows; ceil-div is
+    // (x + d - 1) div d (integer, exact — no float rounding at any N).
+    // The when-branch covers every row when q = 0 (N < 10), so the
+    // otherwise-branch's div-by-__q is never evaluated there (CaseWhen
+    // evaluates lazily per row).
+    base
+      .withColumn("__lr", row_number().over(wLocal))
+      .join(broadcast(offs), Seq("__b"))
+      .withColumn("__r", col("__off") + col("__lr"))
+      .withColumn("__q", expr("__n div 10"))
+      .withColumn("__rem", col("__n") % 10)
+      .withColumn("decile",
+        when(col("__r") <= col("__rem") * (col("__q") + 1),
+          expr("(__r + __q) div (__q + 1)"))
+          .otherwise(col("__rem") +
+            expr("(__r - __rem * (__q + 1) + __q - 1) div __q"))
+          .cast(IntegerType))
+      .drop("__b", "__lr", "__off", "__n", "__r", "__q", "__rem")
+  }
+
   val q29 = QueryDef(
     "q29_spend_deciles",
     (s, dir) => {
       val per = orders(s, dir)
         .groupBy(col("o_custkey"))
         .agg(decSumExact(col("o_totalprice")).as("spend"))
-      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-      per
-        .withColumn("decile", ntile(10).over(w))
+      spendDeciles(per)
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"),
           min(col("spend")).cast(DoubleType).as("min_spend"),
