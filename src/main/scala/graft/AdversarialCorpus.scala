@@ -51,7 +51,23 @@ object AdversarialCorpus {
     // ellipsis-end line -- without this doc the gopher symbol/line
     // expressions are exercised by ZERO corpus rows (second review pass)
     (16L, "# heading line\n- bullet item \u2026\nthe plain line trails off...\n" +
-      "symbols ## here and dots .... done", "en", "web"))
+      "symbols ## here and dots .... done", "en", "web"),
+    // filler docs 17-21 push the en stratum to 17 docs: floor(4*sqrt(17))
+    // = 16 < 17, so the temperature-sampling quota BINDS on this corpus \u2014
+    // without them llm_sample_temperature's pin was byte-identical to
+    // llm_sample_stratified (every stratum's quota >= its count) and the
+    // pin suite never exercised the one behavior that distinguishes the
+    // query (r6 advice)
+    (17L, "ordinary filler sentence number seventeen for the stratum count",
+      "en", "web"),
+    (18L, "another plain document that only exists to raise the count",
+      "en", "web"),
+    (19L, "quota pressure arrives once seventeen english documents exist",
+      "en", "web"),
+    (20L, "temperature flattening keeps sixteen of these seventeen rows",
+      "en", "web"),
+    (21L, "the last filler line completes the seventeen document stratum",
+      "en", "web"))
 
   /** One shared definition with the query layer's testdata-dim constant:
     * if the generator's dim ever drifts, every ANN oracle literal drifts

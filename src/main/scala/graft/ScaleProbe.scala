@@ -109,10 +109,14 @@ object ScaleProbe {
   private def spanProbe(spark: SparkSession, sfDir: String,
       mult: Int): Unit = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // Replica id stride from the data, not a constant: a fixed 1e7 would
+    // silently collide (and merge distinct docs) on any corpus with
+    // doc_ids >= 10M, skewing dup counts and the timing ratio.
+    val stride = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
     def run(m: Int): (Long, Long, Double) = {
       val d = (0 until m)
         .map(i => docs.withColumn("doc_id",
-          col("doc_id") + lit(i.toLong * 10000000L)))
+          col("doc_id") + lit(i.toLong * stride)))
         .reduce(_ union _)
         .cache()
       val nd = d.count()

@@ -51,11 +51,16 @@ object Dedup {
     * oracle exactness (graft.queries.CurationQueries.spanDedup).
     */
   def passageDupProfile(docs: DataFrame, width: Int = 5): DataFrame = {
+    // localCheckpoint: the span frame feeds BOTH the df aggregate and the
+    // join back — without staging, the tokenize+explode of the whole
+    // corpus executes twice (the bigramLm histogram discipline; review
+    // finding r6).
     val spans = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
       .filter(size(col("__toks")) >= width)
       .select(col("doc_id"),
         explode(shinglesFromTokens(col("__toks"), width)).as("span"))
+      .localCheckpoint(eager = false)
     val spanDf = spans.groupBy("span").agg(count(lit(1)).as("df"))
     val per = spans.join(spanDf, Seq("span"))
       .groupBy("doc_id")

@@ -255,10 +255,11 @@ object EtlQueries {
       .orderBy("event_id"),
     Some("""
       WITH f AS (
-        -- chr(1) = the NULL sentinel StreamOps.FpNullSentinel: concat_ws
-        -- skips NULL slots, which would make the fingerprint ambiguous
+        -- chr(1) = StreamOps.FpNullSentinel, used as BOTH the NULL
+        -- sentinel (concat_ws skips NULL slots) and the separator (a '|'
+        -- inside a value must not shift content across slot boundaries)
         SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value,
-               md5(concat_ws('|',
+               md5(concat_ws(chr(1),
                  COALESCE(CAST(user_id AS VARCHAR), chr(1)),
                  COALESCE(event_type, chr(1)),
                  COALESCE(props, chr(1)))) AS fp

@@ -48,14 +48,18 @@ object StreamOps {
     * sentinel BEFORE concat_ws — concat_ws SKIPS null slots entirely, so
     * without the sentinel (a=NULL, b="x") and (a="x", b=NULL) both render
     * "x" and two genuinely different rows dedup into one (review
-    * finding). The sentinel keeps the encoding injective for values that
-    * don't contain \u0001 (true of every text/JSON column here).
+    * finding). \u0001 is ALSO the separator (review finding 2: with '|'
+    * as separator, values containing '|' shift content across slot
+    * boundaries — ("a|b","c") vs ("a","b|c") render identically). The
+    * encoding is injective for values that don't contain \u0001 itself
+    * (true of every text/JSON column here; a corpus embedding control
+    * chars in identity columns should length-prefix instead).
     */
   val FpNullSentinel = "\u0001"
 
   def contentFingerprint(cols: org.apache.spark.sql.Column*)
       : org.apache.spark.sql.Column =
-    md5(concat_ws("|",
+    md5(concat_ws(FpNullSentinel,
       cols.map(c => coalesce(c.cast("string"), lit(FpNullSentinel))): _*)
       .cast(org.apache.spark.sql.types.BinaryType))
 

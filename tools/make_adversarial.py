@@ -62,6 +62,20 @@ docs = [
     # expressions are exercised by ZERO corpus rows (second review pass)
     (16, "# heading line\n- bullet item …\nthe plain line trails off...\n"
      "symbols ## here and dots .... done", "en", "web"),
+    # filler docs 17-21 push the en stratum to 17 docs: floor(4*sqrt(17))
+    # = 16 < 17, so the temperature-sampling quota BINDS on this corpus —
+    # without them llm_sample_temperature was pin-identical to
+    # llm_sample_stratified (r6 advice)
+    (17, "ordinary filler sentence number seventeen for the stratum count",
+     "en", "web"),
+    (18, "another plain document that only exists to raise the count",
+     "en", "web"),
+    (19, "quota pressure arrives once seventeen english documents exist",
+     "en", "web"),
+    (20, "temperature flattening keeps sixteen of these seventeen rows",
+     "en", "web"),
+    (21, "the last filler line completes the seventeen document stratum",
+     "en", "web"),
 ]
 pq.write_table(pa.table({
     "doc_id": pa.array([d[0] for d in docs], pa.int64()),
