@@ -330,6 +330,76 @@ object EtlQueries {
              valid_to IS NULL AS is_current
       FROM v ORDER BY user_id, valid_from, event_id"""))
 
+  /** The SCD2 CONSUMER: every event joined to the dimension version that
+    * was current AT the event's timestamp — the point-in-time lookup that
+    * is the whole reason warehouses build SCD2 history (the generalization
+    * of the reference's date-keyed dim lookup, hybridjoin.py:149-205).
+    *
+    * Versions come from the same change-stream build as `etl_scd2_dim`;
+    * empty versions `[t, t)` — produced when two changes share a
+    * timestamp, the earlier being closed at the instant it opened — are
+    * dropped FIRST, which makes valid_from unique per user and the as-of
+    * match deterministic on both engines. The lookup itself is
+    * operators.AsOfJoin (union + one per-user window — no join, no
+    * broadcast assumption, so a 100 TB fact against a billion-row version
+    * table costs one co-partitioned shuffle), checked against DuckDB's
+    * native ASOF LEFT JOIN.
+    */
+  val scd2AsAt = QueryDef(
+    "etl_scd2_asat",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changes = ev
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("version_event_id"))
+      val versions = changes
+        .select(col("user_id"), col("event_type").as("asat_type"),
+          col("ts").as("valid_from"), col("event_id").as("version_event_id"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+        .withColumn("version_from", col("valid_from"))
+      val evs = ev.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"),
+        col("value").cast(Money).cast(DoubleType).as("value"))
+      graft.operators.AsOfJoin.asofJoin(evs, versions, "user_id", "ts",
+        "valid_from", Seq("asat_type", "version_from", "version_event_id"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      c AS (
+        SELECT user_id, event_type, ts AS valid_from, event_id
+        FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
+      v AS (
+        SELECT user_id, event_type AS asat_type, valid_from,
+               event_id AS version_event_id,
+               LEAD(valid_from) OVER (PARTITION BY user_id
+                 ORDER BY valid_from, event_id) AS valid_to
+        FROM c),
+      nv AS (
+        SELECT * FROM v WHERE valid_to IS NULL OR valid_from < valid_to)
+      SELECT ev.event_id, ev.ts, ev.user_id, ev.event_type,
+             CAST(CAST(ev.value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+             nv.asat_type, nv.valid_from AS version_from,
+             nv.version_event_id
+      FROM (SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type,
+                   value FROM events) ev
+      ASOF LEFT JOIN nv
+        ON ev.user_id = nv.user_id AND ev.ts >= nv.valid_from
+      ORDER BY event_id"""))
+
   /** Semi-structured payload parsing: the JSON props column through a real
     * JSON parser (from_json with a declared schema — not the regex
     * fallback), plus a per-key aggregate. The shape every event pipeline
@@ -496,5 +566,6 @@ object EtlQueries {
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, streamTrendingBatch, streamDedupBatch, scd2Dim,
-    jsonProps, asofEnrich, asofWindow, skewSalted, constraintReport)
+    scd2AsAt, jsonProps, asofEnrich, asofWindow, skewSalted,
+    constraintReport)
 }
