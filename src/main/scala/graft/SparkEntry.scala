@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationQueries, EtlQueries, LlmQueries, QueryDef, Workload}
+import graft.queries.{CurationQueries, Dashboard, EtlQueries, LlmQueries, QueryDef, Workload}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries come from the re-targeted reference workload
@@ -10,7 +10,7 @@ import graft.queries.{CurationQueries, EtlQueries, LlmQueries, QueryDef, Workloa
   */
 object SparkEntry {
   private def defs: Seq[QueryDef] =
-    Workload.all ++ EtlQueries.all ++ LlmQueries.all ++ CurationQueries.all
+    Workload.all ++ EtlQueries.all ++ LlmQueries.all ++ CurationQueries.all ++ Dashboard.oracled
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

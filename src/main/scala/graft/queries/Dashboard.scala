@@ -82,6 +82,98 @@ object Dashboard {
       .orderBy("product_category", "month_num")
   }
 
+  // --- Oracled twins on the TESTDATA star -------------------------------
+  // The six panel shapes are q11/q02/q03/q04/q08/q09 variants with an
+  // injected year (dashboard.py f-string). Four of those base shapes are
+  // already year-scoped-and-oracled in Workload (q01, q04, q08, q09); the
+  // two that were not — demographics (= q02 + year) and
+  // category×occupation (= q03 + year) — get oracle-checkable testdata
+  // twins here, parameterized on the same year the dashboard injects.
+
+  private val MoneyT = DecimalType(18, 2)
+  private def decSumT(c: org.apache.spark.sql.Column) =
+    sum(c.cast(MoneyT)).cast(DoubleType)
+  /** Sargable literal-year predicate (same as Workload.inYear): reaches
+    * the parquet scan as a min/max-prunable range, which `year(c) = y`
+    * (a function of the column) cannot.
+    */
+  private def inYear(c: org.apache.spark.sql.Column, y: Int) =
+    c >= lit(s"$y-01-01").cast(TimestampType) &&
+      c < lit(s"${y + 1}-01-01").cast(TimestampType)
+
+  /** dashboard.py:98-108 on the testdata star: q02's segment×nation
+    * revenue, year-scoped. The year filter prunes ORDERS before the fact
+    * join — at 100 TB that is the difference between scanning one year
+    * and scanning the history.
+    */
+  def segmentNationYear(s: org.apache.spark.sql.SparkSession, dir: String,
+      year: Int): DataFrame = {
+    import graft.Tables._
+    lineitem(s, dir)
+      .join(orders(s, dir).filter(inYear(col("o_orderdate"), year)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(decSumT(col("l_extendedprice")).as("total_revenue"),
+        decSumT(col("l_quantity")).as("units_sold"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  /** dashboard.py:126-135 on the testdata star: q03's type×priority
+    * revenue, year-scoped, with the panel's revenue-desc presentation
+    * order.
+    */
+  def typePriorityYear(s: org.apache.spark.sql.SparkSession, dir: String,
+      year: Int): DataFrame = {
+    import graft.Tables._
+    lineitem(s, dir)
+      .join(orders(s, dir).filter(inYear(col("o_orderdate"), year)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "o_orderpriority")
+      .agg(decSumT(col("l_extendedprice")).as("total_revenue"),
+        decSumT(col("l_quantity")).as("units_sold"))
+      .orderBy(col("p_type"), col("total_revenue").desc,
+        col("o_orderpriority"))
+  }
+
+  private val SumRev =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+  private val SumQty =
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** The two panels pinned at year=2000 (the densest testdata year) for
+    * the driver's oracle gate — the dashboard passes the year live.
+    */
+  val dashSegmentNation = QueryDef(
+    "dash_segment_nation_y2000",
+    (s, dir) => segmentNationYear(s, dir, 2000),
+    Some(s"""
+      SELECT c_mktsegment, c_nationkey,
+             $SumRev AS total_revenue, $SumQty AS units_sold
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        AND o_orderdate < TIMESTAMP '2001-01-01'
+      GROUP BY 1,2 ORDER BY c_mktsegment, c_nationkey"""))
+
+  val dashTypePriority = QueryDef(
+    "dash_type_priority_y2000",
+    (s, dir) => typePriorityYear(s, dir, 2000),
+    Some(s"""
+      SELECT p_type, o_orderpriority,
+             $SumRev AS total_revenue, $SumQty AS units_sold
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        AND o_orderdate < TIMESTAMP '2001-01-01'
+      GROUP BY 1,2
+      ORDER BY p_type, total_revenue DESC, o_orderpriority"""))
+
+  val oracled: Seq[QueryDef] = Seq(dashSegmentNation, dashTypePriority)
+
   /** All six panels for one year — what a dashboard tick computes. */
   def allPanels(w: WalmartStar, year: Int): Map[String, DataFrame] = Map(
     "top_products" -> topProducts(w, year),
