@@ -73,6 +73,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "spanhash") {
+      spanHashProbe(spark, sfDir, mult)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
@@ -137,6 +142,52 @@ object ScaleProbe {
     println(f"PROBE span ${mult}x: docs=$nm dupspans=$dm time=$tm%.2fs")
     println(f"PROBE span ratio: size x$mult -> time x${tm / t1}%.2f " +
       f"(linear ~x$mult, quadratic ~x${mult * mult})")
+  }
+
+  /** String-key vs rolling-hash-key span dedup: same corpus, same
+    * output (asserted equal), but the hashed plan shuffles 8 bytes per
+    * span where the string plan shuffles the whole width-word span —
+    * the measurement behind llm_span_dedup_hashed's production-key
+    * claim. Shuffle bytes come from a stage-completion listener; laps
+    * sleep around the reset because the listener bus is async.
+    */
+  private def spanHashProbe(spark: SparkSession, sfDir: String,
+      mult: Int): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val stride = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    val d = (0 until mult)
+      .map(i => docs.withColumn("doc_id",
+        col("doc_id") + lit(i.toLong * stride)))
+      .reduce(_ union _)
+      .cache()
+    val nd = d.count()
+    val shuffle = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def lap(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : (Long, Double, Long) = {
+      Thread.sleep(1000); shuffle.set(0L)
+      val t0 = System.nanoTime()
+      // sum over the OUTPUT column so the unique-key left join can't be
+      // eliminated (the spanProbe lesson)
+      val dup = f(d).agg(sum(col("n_dup_spans"))).collect()(0).getLong(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      (dup, dt, shuffle.get)
+    }
+    lap(llm.Dedup.passageDupProfile(_)) // warm-up: codegen + cache
+    val (ds, tStr, bStr) = lap(llm.Dedup.passageDupProfile(_))
+    lap(llm.Dedup.passageDupProfileHashed(_))
+    val (dh, tHash, bHash) = lap(llm.Dedup.passageDupProfileHashed(_))
+    require(ds == dh, s"span profiles disagree: $ds vs $dh")
+    println(f"PROBE spanhash: docs=$nd dupspans=$ds " +
+      f"string=$tStr%.2fs/${bStr / 1048576.0}%.1fMB " +
+      f"hashed=$tHash%.2fs/${bHash / 1048576.0}%.1fMB " +
+      f"shuffle x${bStr.toDouble / bHash}%.2f time x${tStr / tHash}%.2f")
   }
 
   /** Stage timings of the dedup ladder on the real corpus: pairs alone,

@@ -46,11 +46,27 @@ object Dedup {
     * dedup, Lee et al. 2022): distinct `width`-word spans per doc, a span
     * counts as duplicated when >= 2 docs carry it. Same 100 TB shape as
     * the LSH band join — span-keyed partial-agg count, then a span-keyed
-    * equi join back; nothing all-pairs. At production scale the span
-    * string key would be its 8-byte rolling hash; the string is kept for
-    * oracle exactness (graft.queries.CurationQueries.spanDedup).
+    * equi join back; nothing all-pairs. passageDupProfileHashed is the
+    * production-key form (8-byte rolling-hash span key); both are oracled
+    * (graft.queries.CurationQueries.spanDedup / spanDedupHashed).
     */
-  def passageDupProfile(docs: DataFrame, width: Int = 5): DataFrame = {
+  def passageDupProfile(docs: DataFrame, width: Int = 5): DataFrame =
+    passageDupImpl(docs, width, identity)
+
+  /** Production-key variant: the span travels as its 8-byte rolling hash
+    * (graft.functions.RollingHash, codegen'd) instead of the span string —
+    * the groupBy and join-back shuffle 8 bytes per span where the string
+    * key shuffles ~width words (ScaleProbe `spanhash` measures the ratio).
+    * The OUTPUT is hash-independent (per-doc span counts), so the same
+    * DuckDB string-keyed oracle checks this plan exactly; a 64-bit
+    * collision would fail the gate loudly (and is ~2^-64 per pair).
+    */
+  def passageDupProfileHashed(docs: DataFrame, width: Int = 5): DataFrame =
+    passageDupImpl(docs, width,
+      graft.functions.RollingHash.rolling_hash)
+
+  private def passageDupImpl(docs: DataFrame, width: Int,
+      key: Column => Column): DataFrame = {
     // localCheckpoint: the span frame feeds BOTH the df aggregate and the
     // join back — without staging, the tokenize+explode of the whole
     // corpus executes twice (the bigramLm histogram discipline; review
@@ -59,7 +75,8 @@ object Dedup {
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
       .filter(size(col("__toks")) >= width)
       .select(col("doc_id"),
-        explode(shinglesFromTokens(col("__toks"), width)).as("span"))
+        explode(shinglesFromTokens(col("__toks"), width)).as("__span"))
+      .select(col("doc_id"), key(col("__span")).as("span"))
       .localCheckpoint(eager = false)
     val spanDf = spans.groupBy("span").agg(count(lit(1)).as("df"))
     val per = spans.join(spanDf, Seq("span"))
