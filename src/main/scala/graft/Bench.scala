@@ -106,6 +106,17 @@ object Bench {
     // survived): a second, laps-free line printed LAST carries the number
     // the gate reads even when the big line's head is eaten.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Streaming throughput (r6 gap: the reference's headline metric is
+    // ETL wall time, hybridjoin.py:493,500-501): one end-to-end
+    // StreamingFact drain over the events-derived CSV stream, reported
+    // as rows/sec on its own small line.
+    try {
+      val r = StreamBench.run(spark, sfDir)
+      println(s"""{"metric":"stream_throughput","value":${fmt(r.inputRows / r.secs)},"unit":"rows/sec","rows":${r.inputRows},"fact_rows":${r.factRows},"batches":${r.batches},"secs":${fmt(r.secs)}}""")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] stream_throughput FAILED: ${e.getMessage}")
+    }
     // r6 finding: at 89 queries even the laps-free line outgrows the tail
     // window, losing its head (and the total with it). The LAST line is
     // therefore MINIMAL — no queries map, so it fits any capture window

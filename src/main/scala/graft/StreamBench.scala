@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType, StructField, StructType}
+
+/** Streaming-throughput measurement: the end-to-end wall time of the
+  * HYBRIDJOIN replacement (streaming.StreamingFact — CSV stream → normalize
+  * → dim joins → checkpointed exactly-once parquet sink), the parity metric
+  * for the reference's printed ETL wall time (hybridjoin.py:493,500-501).
+  *
+  * Setup (untimed): the events table rendered as header'd CSV files in the
+  * reference's transaction schema, plus synthetic customer/product dims
+  * sized like the reference's masters. Timed: one Trigger.AvailableNow run
+  * that drains every file through `maxFilesPerTrigger`-bounded
+  * micro-batches — the reference's "pull w tuples, probe, commit" cycle.
+  */
+object StreamBench {
+
+  val TxSchema: StructType = StructType(Seq(
+    StructField("orderID", StringType),
+    StructField("Customer_ID", StringType),
+    StructField("Product_ID", StringType),
+    StructField("quantity", StringType),
+    StructField("date", StringType)))
+
+  final case class Result(inputRows: Long, factRows: Long, secs: Double,
+      batches: Long, checkpoint: String)
+
+  /** @param nFiles  stream granularity: events spread over this many CSVs
+    * @param maxFilesPerTrigger  micro-batch width (the reference's w)
+    */
+  def run(spark: SparkSession, sfDir: String, nFiles: Int = 20,
+      maxFilesPerTrigger: Int = 4): Result = {
+    val tmp = Files.createTempDirectory("graft_streambench").toString
+    val srcDir = s"$tmp/src"
+    val outDir = s"$tmp/fact"
+    val ckpt = s"$tmp/ckpt"
+
+    // --- untimed setup: materialize the stream + dims ------------------
+    val tx = Tables.events(spark, sfDir).select(
+      col("event_id").cast(StringType).as("orderID"),
+      col("user_id").cast(StringType).as("Customer_ID"),
+      concat(lit("P"), pmod(col("event_id"), lit(200)) + 1).as("Product_ID"),
+      greatest(lit(1), pmod(col("value").cast("int"), lit(10)))
+        .cast(StringType).as("quantity"),
+      date_format(col("ts"), "yyyy-MM-dd").as("date"))
+    tx.repartition(nFiles).write.mode("overwrite")
+      .option("header", "true").csv(srcDir)
+    val inputRows = spark.read.option("header", "true").schema(TxSchema)
+      .csv(srcDir).count()
+    val customers = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("customer_id"))
+    val products = spark.range(1, 201).select(
+      concat(lit("P"), col("id")).as("product_id"),
+      (col("id").cast(DecimalType(12, 2)) / 4 + 0.99)
+        .cast(DecimalType(12, 2)).as("price"),
+      (col("id") % 13).cast("int").as("supplier_id"),
+      (col("id") % 5).cast("int").as("store_id"))
+
+    // --- timed: drain the backlog through the streaming fact build -----
+    val t0 = System.nanoTime()
+    val q = streaming.StreamingFact.runCsvToParquet(spark, srcDir, TxSchema,
+      customers, products, outDir, ckpt,
+      maxFilesPerTrigger = maxFilesPerTrigger)
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val fact = spark.read.parquet(outDir)
+    Result(inputRows, fact.count(), secs,
+      fact.select("batch_id").distinct().count(), ckpt)
+  }
+}
