@@ -12,7 +12,8 @@ class SparkEntrySpec extends AnyFunSuite {
     val names = queries.Workload.all.map(_.name) ++
       queries.EtlQueries.all.map(_.name) ++
       queries.LlmQueries.all.map(_.name) ++
-      queries.CurationQueries.all.map(_.name)
+      queries.CurationQueries.all.map(_.name) ++
+      queries.Dashboard.oracled.map(_.name)
     assert(names.distinct.size == names.size,
       s"duplicates: ${names.diff(names.distinct)}")
     assert(SparkEntry.queries.size == names.size)
