@@ -71,4 +71,47 @@ class PlanSweepSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unbounded single-partition exchanges:\n${offenders.mkString("\n")}")
   }
+
+  /** Second scale-killer signature: a nested-loop or cartesian join whose
+    * BOTH sides are unbounded is O(n·m) row touches — fine only when one
+    * side is provably tiny (a scalar aggregate: the broadcast max-year
+    * 1-row crossJoin; or a LIMIT-bounded frame: the ANN query set). Equi
+    * joins (hash/sort-merge/broadcast-hash) are exempt — they are the
+    * intended shapes.
+    */
+  /** Queries whose nested-loop join is the DECLARED broadcast-ANN
+    * pattern: the build side is the query-vector set, bounded by the
+    * `vec_id < NQueries` policy knob (a literal predicate the structural
+    * check below cannot see). At 100 TB the query set stays
+    * parameter-sized by definition — the corpus side streams. Everything
+    * else must pass the structural bounded-side check.
+    */
+  private val DeclaredBroadcastAnn = Set(
+    "llm_ann_bruteforce", "llm_ann_ivf", "llm_ann_recall", "llm_ann_recall_ivf")
+
+  test("every nested-loop/cartesian join has a provably bounded side") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def boundedSide(p: SparkPlan): Boolean = p.collect {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => a
+    }.nonEmpty || p.collect {
+      case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      case l: org.apache.spark.sql.execution.LocalLimitExec => l
+    }.nonEmpty
+    val dir = "/root/testdata/sf0.001"
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => DeclaredBroadcastAnn(q._1)).flatMap {
+        case (name, fn) =>
+          fn(noAqe, dir).queryExecution.executedPlan.collect {
+            case j: BroadcastNestedLoopJoinExec
+              if !boundedSide(j.left) && !boundedSide(j.right) =>
+              s"$name: BroadcastNestedLoopJoin with two unbounded sides"
+            case j: CartesianProductExec
+              if !boundedSide(j.left) && !boundedSide(j.right) =>
+              s"$name: CartesianProduct with two unbounded sides"
+          }
+      }
+    assert(offenders.isEmpty,
+      s"unbounded nested-loop joins:\n${offenders.mkString("\n")}")
+  }
 }
