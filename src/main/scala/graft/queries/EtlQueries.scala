@@ -492,6 +492,23 @@ object EtlQueries {
         ON c.user_id = p.user_id AND c.ts >= p.pts
       ORDER BY event_id"""))
 
+  /** Exact heavy hitters — (event_type, user) pairs with at least 15
+    * events (operators.HeavyHitters.exact): partial-agg groupBy then
+    * threshold, the exact rung of the heavy-hitter ladder. The sketch
+    * rung (fixed-state Count-Min, no per-key rows at all) is
+    * HeavyHitters.sketch, pinned ⊇-consistent with this exact output in
+    * HeavyHittersSpec — same pairing as q27's exact/HLL distinct.
+    */
+  val heavyHitters = QueryDef(
+    "etl_heavy_hitters",
+    (s, dir) => graft.operators.HeavyHitters
+      .exact(events(s, dir), Seq("event_type", "user_id"), 15L)
+      .orderBy("event_type", "user_id"),
+    Some("""
+      SELECT event_type, user_id, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 15
+      ORDER BY event_type, user_id"""))
+
   /** Salted skew join proven equivalent to the plain plan: the salted
     * fact→dim join + aggregate must hash-match an oracle that knows nothing
     * about salting. The salt spreads any hot user over 16 shuffle
@@ -566,6 +583,6 @@ object EtlQueries {
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, streamTrendingBatch, streamDedupBatch, scd2Dim,
-    scd2AsAt, jsonProps, asofEnrich, asofWindow, skewSalted,
+    scd2AsAt, jsonProps, asofEnrich, asofWindow, heavyHitters, skewSalted,
     constraintReport)
 }
