@@ -492,6 +492,79 @@ object EtlQueries {
         ON c.user_id = p.user_id AND c.ts >= p.pts
       ORDER BY event_id"""))
 
+  /** Concurrent-session analysis via the bucketed interval-overlap join
+    * (operators.IntervalJoin): per session, how many OTHER users had a
+    * session overlapping it in time. The overlap join is interval-vs-
+    * interval — past J3's interval-vs-scalar range join — realized as
+    * explode-to-time-buckets + equi-join + report-once dedup, never a
+    * theta nested loop; the DuckDB oracle IS the theta join (its IEJoin
+    * handles it at oracle scale), so the bucketed plan is proven
+    * equivalent to the quadratic definition on every row.
+    */
+  val sessionOverlap = QueryDef(
+    "etl_session_overlap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val sessions = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            (unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 600000L))
+            .cast("int"))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .drop("session_id")
+        // feeds both overlap sides AND the join-back — stage it once
+        .localCheckpoint(false)
+      val a = sessions.select(col("user_id").as("a_user"),
+        col("session_start").as("a_start"), col("session_end").as("a_end"))
+      val b = sessions.select(col("user_id").as("b_user"),
+        col("session_start").as("b_start"), col("session_end").as("b_end"))
+      val counts = graft.operators.IntervalJoin
+        .overlapJoin(a, b, "a_start", "a_end", "b_start", "b_end",
+          bucketMillis = 600000L)
+        .filter(col("a_user") =!= col("b_user"))
+        .groupBy(col("a_user").as("user_id"),
+          col("a_start").as("session_start"))
+        .agg(count(lit(1)).as("n_concurrent"))
+      sessions.join(counts, Seq("user_id", "session_start"), "left")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH x AS (
+        SELECT user_id, ts::TIMESTAMP AS ts,
+               LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts)
+                 AS prev_ts
+        FROM events),
+      y AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+          OR (epoch_ms(ts) - epoch_ms(prev_ts)) > 600000 THEN 1 ELSE 0 END
+          AS ns
+        FROM x),
+      z AS (
+        SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM y),
+      s AS (
+        SELECT user_id, MIN(ts) AS st, MAX(ts) AS en
+        FROM z GROUP BY user_id, sid),
+      o AS (
+        SELECT a.user_id, a.st, COUNT(*) AS n
+        FROM s a JOIN s b
+          ON a.user_id <> b.user_id AND a.st <= b.en AND b.st <= a.en
+        GROUP BY 1, 2)
+      SELECT s.user_id, s.st AS session_start, s.en AS session_end,
+             COALESCE(o.n, 0) AS n_concurrent
+      FROM s LEFT JOIN o ON s.user_id = o.user_id AND s.st = o.st
+      ORDER BY s.user_id, session_start"""))
+
   /** Exact heavy hitters — (event_type, user) pairs with at least 15
     * events (operators.HeavyHitters.exact): partial-agg groupBy then
     * threshold, the exact rung of the heavy-hitter ladder. The sketch
@@ -583,6 +656,6 @@ object EtlQueries {
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, streamTrendingBatch, streamDedupBatch, scd2Dim,
-    scd2AsAt, jsonProps, asofEnrich, asofWindow, heavyHitters, skewSalted,
-    constraintReport)
+    scd2AsAt, jsonProps, asofEnrich, asofWindow, heavyHitters,
+    sessionOverlap, skewSalted, constraintReport)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Edge semantics of the bucketed interval-overlap join on hand-built
+  * intervals (the sf0.01 oracle proves equivalence to the theta join on
+  * generated data; these are the shapes that make report-once dedup and
+  * boundary inclusivity easy to get wrong).
+  */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("overlaps report exactly once, boundaries inclusive, disjoint out") {
+    val left = Seq(
+      // spans 3 buckets (10-min width) — pairs must not triplicate
+      ("L1", ts("2024-01-01 00:05:00"), ts("2024-01-01 00:25:00")),
+      ("L2", ts("2024-01-01 01:00:00"), ts("2024-01-01 01:01:00")),
+      ("L3", ts("2024-01-01 02:00:00"), ts("2024-01-01 02:01:00")))
+      .toDF("l_id", "l_start", "l_end")
+    val right = Seq(
+      ("R1", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")), // ⊇ L1
+      ("R2", ts("2024-01-01 00:20:00"), ts("2024-01-01 00:21:00")), // ∩ L1
+      // touches L2 at exactly one instant — inclusive bounds keep it
+      ("R3", ts("2024-01-01 01:01:00"), ts("2024-01-01 01:30:00")),
+      ("R4", ts("2024-01-01 03:00:00"), ts("2024-01-01 03:10:00"))) // disjoint
+      .toDF("r_id", "r_start", "r_end")
+    val pairs = IntervalJoin.overlapJoin(left, right,
+      "l_start", "l_end", "r_start", "r_end", bucketMillis = 600000L)
+      .select("l_id", "r_id").as[(String, String)].collect().sorted.toSeq
+    assert(pairs == Seq("L1" -> "R1", "L1" -> "R2", "L2" -> "R3"))
+  }
+
+  test("bucketed join equals the quadratic definition on random intervals") {
+    val rng = new scala.util.Random(7)
+    def frame(prefix: String) = (1 to 120).map { i =>
+      val s = rng.nextInt(86400)
+      val len = rng.nextInt(3600)
+      (s"$prefix$i", new Timestamp(1704067200000L + s * 1000L),
+        new Timestamp(1704067200000L + (s + len) * 1000L))
+    }
+    val l = frame("a").toDF("l_id", "l_start", "l_end")
+    val r = frame("b").toDF("r_id", "r_start", "r_end")
+    val got = IntervalJoin.overlapJoin(l, r,
+      "l_start", "l_end", "r_start", "r_end", bucketMillis = 1800000L)
+      .select("l_id", "r_id").as[(String, String)].collect().toSet
+    val want = l.crossJoin(r)
+      .filter($"l_start" <= $"r_end" && $"r_start" <= $"l_end")
+      .select("l_id", "r_id").as[(String, String)].collect().toSet
+    assert(got == want)
+  }
+}
