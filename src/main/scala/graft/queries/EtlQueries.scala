@@ -492,6 +492,42 @@ object EtlQueries {
         ON c.user_id = p.user_id AND c.ts >= p.pts
       ORDER BY event_id"""))
 
+  /** CDC changelog apply — the lakehouse MERGE/compaction primitive:
+    * the event stream read as a changelog on user_id (last writer wins,
+    * 'error' = tombstone), compacted to the final snapshot. One
+    * partial-aggregating max_by(struct) per key — each executor ships one
+    * candidate row per key it saw, NOT every change (the window-rank
+    * realization ships the full changelog through the shuffle; same
+    * min_by discipline as stream_dedup_batch). Deterministic under ties
+    * via the (ts, event_id) order struct. Deletes drop AFTER compaction:
+    * a tombstone only erases the key if it IS the last write.
+    */
+  val cdcApply = QueryDef(
+    "etl_cdc_apply",
+    (s, dir) => events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("value"), col("ts"), col("event_id")),
+        struct(col("ts"), col("event_id"))).as("__last"))
+      .filter(col("__last.event_type") =!= "error")
+      .select(col("user_id"),
+        col("__last.event_type").as("last_type"),
+        col("__last.value").cast(Money).cast(DoubleType).as("last_value"),
+        col("__last.ts").as("updated_at"),
+        col("__last.event_id").as("last_event_id"))
+      .orderBy("user_id"),
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type, value, ts::TIMESTAMP AS ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, event_type AS last_type,
+             CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+             ts AS updated_at, event_id AS last_event_id
+      FROM r WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id"""))
+
   /** Concurrent-session analysis via the bucketed interval-overlap join
     * (operators.IntervalJoin): per session, how many OTHER users had a
     * session overlapping it in time. The overlap join is interval-vs-
@@ -657,5 +693,5 @@ object EtlQueries {
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, streamTrendingBatch, streamDedupBatch, scd2Dim,
     scd2AsAt, jsonProps, asofEnrich, asofWindow, heavyHitters,
-    sessionOverlap, skewSalted, constraintReport)
+    sessionOverlap, cdcApply, skewSalted, constraintReport)
 }
