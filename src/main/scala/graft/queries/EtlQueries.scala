@@ -195,6 +195,34 @@ object EtlQueries {
       FROM w GROUP BY window_start, event_type
       ORDER BY window_start, event_type"""))
 
+  /** Sliding-window twin (StreamOps.slidingEventStats, 20-min windows
+    * every 10): each event lands in exactly len/slide = 2 windows — the
+    * overlap the tumbling shape cannot express (trend smoothing). The
+    * oracle expands the same two epoch-aligned window starts per event
+    * with unnest, proving Spark's window() assignment bit-exactly.
+    */
+  val slidingStatsBatch = QueryDef(
+    "stream_sliding_stats_batch",
+    (s, dir) => graft.streaming.StreamOps.slidingEventStats(
+      events(s, dir).withColumn("value", col("value").cast(Money)),
+      "20 minutes", "10 minutes", "1 hour")
+      .withColumn("total_value", col("total_value").cast(DoubleType))
+      .orderBy("window_start", "event_type"),
+    Some("""
+      WITH e AS (
+        SELECT ts::TIMESTAMP AS ts, event_type,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(floor(epoch(ts::TIMESTAMP) / 600) * 600 AS BIGINT) AS b
+        FROM events),
+      w AS (
+        SELECT unnest([b, b - 600]) AS ws, event_type, v FROM e)
+      SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+             CAST(to_timestamp(ws + 1200) AS TIMESTAMP) AS window_end,
+             event_type, COUNT(*) AS n_events,
+             CAST(SUM(v) AS DOUBLE) AS total_value
+      FROM w GROUP BY ws, event_type
+      ORDER BY window_start, event_type"""))
+
   /** Trending report: top-3 event types per tumbling hour by event count
     * — the windowed-agg + per-window ranking composition every
     * monitoring/trending surface runs. Built ON the windowed-stats
@@ -691,7 +719,8 @@ object EtlQueries {
       ORDER BY constraint_name"""))
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
-    windowStatsBatch, streamTrendingBatch, streamDedupBatch, scd2Dim,
+    windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
+    streamDedupBatch, scd2Dim,
     scd2AsAt, jsonProps, asofEnrich, asofWindow, heavyHitters,
     sessionOverlap, cdcApply, skewSalted, constraintReport)
 }

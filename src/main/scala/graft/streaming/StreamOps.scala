@@ -28,6 +28,23 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding-window variant: overlapping windows of `windowLen` every
+    * `slide` — each event lands in len/slide windows (Spark's window()
+    * expands it to exactly those assignments map-side; state per window
+    * is still bounded and watermark-evicted). The smoothing shape every
+    * monitoring surface wants where tumbling windows alias trends.
+    */
+  def slidingEventStats(events: DataFrame, windowLen: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Streaming ingest dedup: drop re-deliveries of the same content inside
     * the watermark horizon — the exactly-once guard every at-least-once
     * training-data ingest needs. `dropDuplicatesWithinWatermark` keys state
