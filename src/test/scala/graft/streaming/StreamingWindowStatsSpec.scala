@@ -57,4 +57,30 @@ class StreamingWindowStatsSpec extends SparkSpec {
     assert(batch.size == 6)
     assert(batch.map(_.getAs[Long]("n_events")).sum == rows.size)
   }
+
+  test("sliding-window stats over a stream equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = StreamOps.slidingEventStats(
+      rows.toDF("event_id", "ts", "event_type", "value"),
+      "20 minutes", "10 minutes", "1 hour")
+      .orderBy("window_start", "event_type").collect().toSeq
+
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = StreamOps.slidingEventStats(
+      mem.toDF().toDF("event_id", "ts", "event_type", "value"),
+      "20 minutes", "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sliding_stats_stream")
+      .outputMode("complete").start()
+    mem.addData(rows.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(5): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("sliding_stats_stream")
+      .orderBy("window_start", "event_type").collect().toSeq
+    q.stop()
+
+    assert(streamed === batch)
+    // every event lands in exactly len/slide = 2 windows
+    assert(batch.map(_.getAs[Long]("n_events")).sum == 2L * rows.size)
+  }
 }
