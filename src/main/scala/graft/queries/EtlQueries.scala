@@ -565,43 +565,10 @@ object EtlQueries {
     * handles it at oracle scale), so the bucketed plan is proven
     * equivalent to the quadratic definition on every row.
     */
-  val sessionOverlap = QueryDef(
-    "etl_session_overlap",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      val sessions = events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          (col("prev_ts").isNull ||
-            (unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 600000L))
-            .cast("int"))
-        .withColumn("session_id",
-          sum(col("new_session")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "session_id")
-        .agg(min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"))
-        .drop("session_id")
-        // feeds both overlap sides AND the join-back — stage it once
-        .localCheckpoint(false)
-      val a = sessions.select(col("user_id").as("a_user"),
-        col("session_start").as("a_start"), col("session_end").as("a_end"))
-      val b = sessions.select(col("user_id").as("b_user"),
-        col("session_start").as("b_start"), col("session_end").as("b_end"))
-      val counts = graft.operators.IntervalJoin
-        .overlapJoin(a, b, "a_start", "a_end", "b_start", "b_end",
-          bucketMillis = 600000L)
-        .filter(col("a_user") =!= col("b_user"))
-        .groupBy(col("a_user").as("user_id"),
-          col("a_start").as("session_start"))
-        .agg(count(lit(1)).as("n_concurrent"))
-      sessions.join(counts, Seq("user_id", "session_start"), "left")
-        .select(col("user_id"), col("session_start"), col("session_end"),
-          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
-        .orderBy("user_id", "session_start")
-    },
-    Some("""
+  /** One oracle for BOTH overlap realizations: the quadratic theta-join
+    * definition (DuckDB's IEJoin handles it at oracle scale).
+    */
+  private val SessionOverlapOracle: Option[String] = Some("""
       WITH x AS (
         SELECT user_id, ts::TIMESTAMP AS ts,
                LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts)
@@ -627,7 +594,70 @@ object EtlQueries {
       SELECT s.user_id, s.st AS session_start, s.en AS session_end,
              COALESCE(o.n, 0) AS n_concurrent
       FROM s LEFT JOIN o ON s.user_id = o.user_id AND s.st = o.st
-      ORDER BY s.user_id, session_start"""))
+      ORDER BY s.user_id, session_start""")
+
+  /** Shared session derivation for the two overlap realizations. */
+  private def sessionFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 600000L))
+          .cast("int"))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .drop("session_id")
+  }
+
+  /** The rank-arithmetic realization of the SAME overlap counts —
+    * #overlaps = #{starts <= end} − #{ends < start} − 1 (self; same-user
+    * sessions are >10-min-gap-separated, so self is the only same-user
+    * overlap) — via IntervalJoin.overlapCounts: two bucketed running
+    * counts, no pair stream at all. overlapJoin's intermediate is
+    * quadratic in per-bucket concurrency (inherent when the PAIRS are
+    * the output); when only counts are needed this is the 100 TB plan.
+    * Both queries run against the IDENTICAL theta-join oracle, so both
+    * realizations are proven row-equal to the quadratic definition.
+    */
+  val sessionOverlapFast = QueryDef(
+    "etl_session_overlap_fast",
+    (s, dir) => graft.operators.IntervalJoin
+      .overlapCounts(sessionFrame(s, dir).localCheckpoint(false),
+        "session_start", "session_end", bucketMillis = 3600000L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_overlap").as("n_concurrent"))
+      .orderBy("user_id", "session_start"),
+    SessionOverlapOracle)
+
+  val sessionOverlap = QueryDef(
+    "etl_session_overlap",
+    (s, dir) => {
+      // feeds both overlap sides AND the join-back — stage it once
+      val sessions = sessionFrame(s, dir).localCheckpoint(false)
+      val a = sessions.select(col("user_id").as("a_user"),
+        col("session_start").as("a_start"), col("session_end").as("a_end"))
+      val b = sessions.select(col("user_id").as("b_user"),
+        col("session_start").as("b_start"), col("session_end").as("b_end"))
+      val counts = graft.operators.IntervalJoin
+        .overlapJoin(a, b, "a_start", "a_end", "b_start", "b_end",
+          bucketMillis = 600000L)
+        .filter(col("a_user") =!= col("b_user"))
+        .groupBy(col("a_user").as("user_id"),
+          col("a_start").as("session_start"))
+        .agg(count(lit(1)).as("n_concurrent"))
+      sessions.join(counts, Seq("user_id", "session_start"), "left")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+        .orderBy("user_id", "session_start")
+    },
+    SessionOverlapOracle)
 
   /** Exact heavy hitters — (event_type, user) pairs with at least 15
     * events (operators.HeavyHitters.exact): partial-agg groupBy then
@@ -722,5 +752,6 @@ object EtlQueries {
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
     scd2AsAt, jsonProps, asofEnrich, asofWindow, heavyHitters,
-    sessionOverlap, cdcApply, skewSalted, constraintReport)
+    sessionOverlap, sessionOverlapFast, cdcApply, skewSalted,
+    constraintReport)
 }
