@@ -78,6 +78,13 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "overlap") {
+      overlapProbe(spark,
+        if (args.length > 1) args(1).toLong else 50000L,
+        if (args.length > 2) args(2).toInt else 8)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
@@ -188,6 +195,53 @@ object ScaleProbe {
       f"string=$tStr%.2fs/${bStr / 1048576.0}%.1fMB " +
       f"hashed=$tHash%.2fs/${bHash / 1048576.0}%.1fMB " +
       f"shuffle x${bStr.toDouble / bHash}%.2f time x${tStr / tHash}%.2f")
+  }
+
+  /** Pair-join vs rank-arithmetic overlap counting under growing
+    * concurrency: n 10-minute sessions uniform over a fixed 30-day span,
+    * so concurrency (and the pair join's intermediate) grows ∝ n while
+    * the rank plan touches each interval twice regardless. m× sessions →
+    * pair count ×m², so the pair join's time slope must outgrow the rank
+    * plan's; both totals are asserted equal at both sizes.
+    */
+  private def overlapProbe(spark: SparkSession, n: Long, mult: Int): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def sessions(m: Long): DataFrame = spark.range(m).select(
+      col("id").as("sid"),
+      timestamp_millis(lit(1704067200000L) +
+        pmod(hash(col("id")).cast("long"), lit(2592000000L))).as("st"))
+      .withColumn("en", timestamp_millis(unix_millis(col("st")) + 600000L))
+      .localCheckpoint(true)
+    def viaPairs(s: DataFrame): Long = {
+      val a = s.select(col("sid").as("a_sid"), col("st").as("a_st"),
+        col("en").as("a_en"))
+      val b = s.select(col("sid").as("b_sid"), col("st").as("b_st"),
+        col("en").as("b_en"))
+      operators.IntervalJoin
+        .overlapJoin(a, b, "a_st", "a_en", "b_st", "b_en", 600000L)
+        .filter(col("a_sid") =!= col("b_sid"))
+        .count()
+    }
+    def viaRanks(s: DataFrame): Long =
+      operators.IntervalJoin.overlapCounts(s, "st", "en", 600000L)
+        .agg(sum(col("n_overlap"))).collect()(0).getLong(0)
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    viaPairs(sessions(n)); viaRanks(sessions(n)) // warm-up
+    val s1 = sessions(n); val sm = sessions(n * mult)
+    val (p1, tp1) = time(viaPairs(s1))
+    val (r1, tr1) = time(viaRanks(s1))
+    require(p1 == r1, s"overlap totals disagree at base: $p1 vs $r1")
+    val (pm, tpm) = time(viaPairs(sm))
+    val (rm, trm) = time(viaRanks(sm))
+    require(pm == rm, s"overlap totals disagree at ${mult}x: $pm vs $rm")
+    println(f"PROBE overlap base n=$n pairs=$p1 join=$tp1%.2fs rank=$tr1%.2fs")
+    println(f"PROBE overlap ${mult}x n=${n * mult} pairs=$pm " +
+      f"join=$tpm%.2fs rank=$trm%.2fs")
+    println(f"PROBE overlap slopes: join x${tpm / tp1}%.1f " +
+      f"rank x${trm / tr1}%.1f (pairs grew x${pm.toDouble / p1}%.1f)")
   }
 
   /** Stage timings of the dedup ladder on the real corpus: pairs alone,

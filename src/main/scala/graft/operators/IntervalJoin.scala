@@ -55,8 +55,12 @@ object IntervalJoin {
     * is quadratic in per-bucket concurrency (inherent when the PAIRS are
     * the output); this form touches each interval twice, O(n log n) — at
     * 100 TB of co-tenant intervals this is the difference between a scan
-    * and an explosion. Both ranks come from [[countLE]]'s two-phase
-    * bucketed running count: no global window anywhere.
+    * and an explosion. Measured (`ScaleProbe overlap`, 10-min sessions
+    * over 30 days): 24× sessions → 576× pairs; pair-join time ×13.6,
+    * this plan ×1.7, crossing over near ~10⁸ pairs (4.0 s vs 2.2 s at
+    * 1.2M sessions / 721M pairs, totals asserted equal). Both ranks come
+    * from [[countLE]]'s two-phase bucketed running count: no global
+    * window anywhere.
     *
     * Returns the input plus `n_overlap` (count EXCLUDING self; intervals
     * of the same group that merely touch are counted — boundaries
