@@ -1833,8 +1833,28 @@ object LlmQueries {
              sqrt(list_dot_product(unit, unit)) AS unit_norm
       FROM u ORDER BY vec_id"""))
 
+  /** BPE merge-table TRAINING (llm/BpeTrain.scala) — the learn side of
+    * the shipped encode loop: 16 ranked merges from the distinct-word
+    * histogram (corpus scanned ONCE; every round runs on the small
+    * histogram, argmax ties broken by symbol order so the table is
+    * unique). The merge loop is iterative → no DuckDB oracle;
+    * golden-pinned, and DifferentialOracleSpec retrains with a plain
+    * dictionary implementation and checks table equality plus the
+    * compression identity Σ freq_k = initial_symbols − encoded_tokens
+    * under the independent naive encoder.
+    */
+  val bpeTrain = QueryDef(
+    "llm_bpe_train",
+    (s, dir) => {
+      val learned = graft.llm.BpeTrain
+        .trainMerges(s, documents(s, dir), nMerges = 16)
+      import s.implicits._
+      learned.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
+    bpeTrain, dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
