@@ -1853,8 +1853,50 @@ object LlmQueries {
     },
     None)
 
+  /** Lloyd's k-means (llm/KMeans.scala): k=8, two assignment rounds, one
+    * exact-decimal centroid update between them — fully DuckDB-oracled
+    * (the oracle unrolls both rounds; centroid labels are positions of
+    * the first-k-by-vec_id init). Assignment is map-only against inlined
+    * centroid literals; the update is a (cluster, pos)-keyed partial
+    * aggregation — Lloyd's at 100 TB is exactly this pair of shapes.
+    */
+  val kmeans = QueryDef(
+    "llm_kmeans",
+    (s, dir) => graft.llm.KMeans.fit(embeddings(s, dir), k = 8, iters = 2)
+      .orderBy("vec_id"),
+    Some("""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS cid, x AS c
+        FROM v WHERE vec_id < 8),
+      a1 AS (
+        SELECT vec_id, x, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                 list_dot_product(x, x) - 2 * list_dot_product(x, c)
+                   + list_dot_product(c, c), cid) AS rn
+        FROM v CROSS JOIN c0),
+      m1 AS (SELECT vec_id, x, cid FROM a1 WHERE rn = 1),
+      e1 AS (
+        SELECT cid, i, CAST(x[i] AS DECIMAL(27,12)) AS val
+        FROM m1, generate_series(1, 64) t(i)),
+      u1 AS (
+        SELECT cid, i, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mu
+        FROM e1 GROUP BY cid, i),
+      c1 AS (
+        SELECT cid, list(mu ORDER BY i) AS c FROM u1 GROUP BY cid),
+      a2 AS (
+        SELECT vec_id, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                 list_dot_product(x, x) - 2 * list_dot_product(x, c)
+                   + list_dot_product(c, c), c1.cid) AS rn
+        FROM v CROSS JOIN c1)
+      SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1
+      ORDER BY vec_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    bpeTrain, dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
+    bpeTrain, kmeans, dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
