@@ -52,4 +52,23 @@ class IntervalJoinSpec extends SparkSpec {
       .select("l_id", "r_id").as[(String, String)].collect().toSet
     assert(got == want)
   }
+
+  test("overlapCounts equals the quadratic definition on random intervals") {
+    val rng = new scala.util.Random(11)
+    val iv = (1 to 150).map { i =>
+      val s = rng.nextInt(86400); val len = rng.nextInt(5400)
+      (i.toLong, new Timestamp(1704067200000L + s * 1000L),
+        new Timestamp(1704067200000L + (s + len) * 1000L))
+    }.toDF("iv_id", "st", "en")
+    val got = IntervalJoin.overlapCounts(iv, "st", "en", 1800000L)
+      .select("iv_id", "n_overlap").as[(Long, Long)].collect().toMap
+    val a = iv.select($"iv_id".as("a_id"), $"st".as("a_st"), $"en".as("a_en"))
+    val b = iv.select($"iv_id".as("b_id"), $"st".as("b_st"), $"en".as("b_en"))
+    val want = a.crossJoin(b)
+      .filter($"a_id" =!= $"b_id" && $"a_st" <= $"b_en" && $"b_st" <= $"a_en")
+      .groupBy("a_id").count().as[(Long, Long)].collect().toMap
+    assert(got.keySet.size == 150)
+    for ((id, n) <- got) assert(n == want.getOrElse(id, 0L),
+      s"interval $id: rank count $n != quadratic ${want.getOrElse(id, 0L)}")
+  }
 }
