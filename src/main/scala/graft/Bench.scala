@@ -113,6 +113,7 @@ object Bench {
     try {
       val r = StreamBench.run(spark, sfDir)
       println(s"""{"metric":"stream_throughput","value":${fmt(r.inputRows / r.secs)},"unit":"rows/sec","rows":${r.inputRows},"fact_rows":${r.factRows},"batches":${r.batches},"secs":${fmt(r.secs)}}""")
+      StreamBench.cleanup(r)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] stream_throughput FAILED: ${e.getMessage}")

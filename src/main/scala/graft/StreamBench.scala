@@ -27,7 +27,21 @@ object StreamBench {
     StructField("date", StringType)))
 
   final case class Result(inputRows: Long, factRows: Long, secs: Double,
-      batches: Long, checkpoint: String)
+      batches: Long, checkpoint: String, tmpRoot: String)
+
+  /** Deletes the run's temp tree (CSV stream + fact + checkpoint) — the
+    * bench renders the WHOLE events table as CSV per run, so leaking it
+    * accumulates gigabytes across laps (review finding). Call after the
+    * Result has been read.
+    */
+  def cleanup(r: Result): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(r.tmpRoot))
+  }
 
   /** @param nFiles  stream granularity: events spread over this many CSVs
     * @param maxFilesPerTrigger  micro-batch width (the reference's w)
@@ -70,6 +84,6 @@ object StreamBench {
 
     val fact = spark.read.parquet(outDir)
     Result(inputRows, fact.count(), secs,
-      fact.select("batch_id").distinct().count(), ckpt)
+      fact.select("batch_id").distinct().count(), ckpt, tmp)
   }
 }

@@ -58,8 +58,11 @@ object KMeans {
         array_min(array(cands: _*)).getField("cid"))
     }
 
+    // FIRST k by vec_id — not `vec_id < k`, which silently under-seeds
+    // (or zero-seeds, nulling every assignment) on non-0-based id spaces
+    // (review finding)
     var cents: Seq[(Int, Array[Double])] = v
-      .filter(col("vec_id") < k).orderBy("vec_id").collect()
+      .orderBy("vec_id").limit(k).collect()
       .zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Double](r.fieldIndex("x")).toArray
       }.toSeq

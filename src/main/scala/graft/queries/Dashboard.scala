@@ -90,16 +90,13 @@ object Dashboard {
   // category×occupation (= q03 + year) — get oracle-checkable testdata
   // twins here, parameterized on the same year the dashboard injects.
 
-  private val MoneyT = DecimalType(18, 2)
-  private def decSumT(c: org.apache.spark.sql.Column) =
-    sum(c.cast(MoneyT)).cast(DoubleType)
-  /** Sargable literal-year predicate (same as Workload.inYear): reaches
-    * the parquet scan as a min/max-prunable range, which `year(c) = y`
-    * (a function of the column) cannot.
-    */
+  // Shared with Workload (review finding: local copies of inYear/decSum
+  // could silently diverge from the q02/q03 semantics these twin):
+  // Workload.inYear is the sargable year range, Workload.decSum the
+  // exact-decimal money sum final-cast DOUBLE.
+  private def decSumT(c: org.apache.spark.sql.Column) = Workload.decSum(c)
   private def inYear(c: org.apache.spark.sql.Column, y: Int) =
-    c >= lit(s"$y-01-01").cast(TimestampType) &&
-      c < lit(s"${y + 1}-01-01").cast(TimestampType)
+    Workload.inYear(c, y)
 
   /** dashboard.py:98-108 on the testdata star: q02's segment×nation
     * revenue, year-scoped. The year filter prunes ORDERS before the fact
@@ -137,10 +134,8 @@ object Dashboard {
         col("o_orderpriority"))
   }
 
-  private val SumRev =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
-  private val SumQty =
-    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val SumRev = Workload.RevSum
+  private val SumQty = Workload.QtySum
 
   /** The two panels pinned at year=2000 (the densest testdata year) for
     * the driver's oracle gate — the dashboard passes the year live.

@@ -283,14 +283,15 @@ object EtlQueries {
       .orderBy("event_id"),
     Some("""
       WITH f AS (
-        -- chr(1) = StreamOps.FpNullSentinel, used as BOTH the NULL
-        -- sentinel (concat_ws skips NULL slots) and the separator (a '|'
-        -- inside a value must not shift content across slot boundaries)
+        -- chr(1) = StreamOps.FpSeparator: a '|' inside a value must not
+        -- shift content across slot boundaries. chr(2) = FpNullSentinel,
+        -- DISTINCT from the separator so (NULL,'') and ('',NULL) cannot
+        -- render identically (concat_ws skips NULL slots entirely)
         SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value,
                md5(concat_ws(chr(1),
-                 COALESCE(CAST(user_id AS VARCHAR), chr(1)),
-                 COALESCE(event_type, chr(1)),
-                 COALESCE(props, chr(1)))) AS fp
+                 COALESCE(CAST(user_id AS VARCHAR), chr(2)),
+                 COALESCE(event_type, chr(2)),
+                 COALESCE(props, chr(2)))) AS fp
         FROM events),
       d AS (
         SELECT *,

@@ -1864,13 +1864,13 @@ object LlmQueries {
     "llm_kmeans",
     (s, dir) => graft.llm.KMeans.fit(embeddings(s, dir), k = 8, iters = 2)
       .orderBy("vec_id"),
-    Some("""
+    Some(s"""
       WITH v AS (
         SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
       c0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                  AS cid, x AS c
-        FROM v WHERE vec_id < 8),
+        FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT 8)),
       a1 AS (
         SELECT vec_id, x, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
@@ -1880,7 +1880,7 @@ object LlmQueries {
       m1 AS (SELECT vec_id, x, cid FROM a1 WHERE rn = 1),
       e1 AS (
         SELECT cid, i, CAST(x[i] AS DECIMAL(27,12)) AS val
-        FROM m1, generate_series(1, 64) t(i)),
+        FROM m1, generate_series(1, $EmbeddingDim) t(i)),
       u1 AS (
         SELECT cid, i, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mu
         FROM e1 GROUP BY cid, i),

@@ -46,7 +46,7 @@ object Workload {
     * columns hash-mismatch the driver's canonicalizer on trailing-zero cents
     * — the q07/q24 pattern is the one that survives.
     */
-  private def decSum(c: Column): Column = sum(money(c)).cast(DoubleType)
+  private[queries] def decSum(c: Column): Column = sum(money(c)).cast(DoubleType)
   /** Weekend test; Spark dayofweek: 1=Sunday .. 7=Saturday. */
   private def isWeekend(c: Column): Column = dayofweek(c).isin(1, 7)
 
@@ -56,7 +56,7 @@ object Workload {
     * sargable — it reaches the parquet scan as a min/max-prunable filter,
     * where year(c) = y (a function of the column) cannot.
     */
-  private def inYear(c: Column, y: Int): Column =
+  private[queries] def inYear(c: Column, y: Int): Column =
     c >= lit(s"$y-01-01").cast(TimestampType) &&
       c < lit(s"${y + 1}-01-01").cast(TimestampType)
 
@@ -74,8 +74,8 @@ object Workload {
   }
 
   // Shared oracle fragments (DuckDB dialect).
-  private val RevSum = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
-  private val QtySum = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private[queries] val RevSum = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+  private[queries] val QtySum = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
   /** Decimal-typed variant for CTEs whose sums feed further exact math. */
   private val RevSumDec = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))"
 
@@ -1024,6 +1024,10 @@ object Workload {
     // so the per-bucket custkey tie-break is the global tie-break.
     val base = per.withColumn("__b",
       lit(0L) - (col("spend") / lit(100)).cast(LongType))
+      // feeds BOTH the bucket-count frame and the rank join — without
+      // staging, the per-customer aggregation upstream executes twice
+      // (review finding; the passageDupImpl/sessionOverlap discipline)
+      .localCheckpoint(false)
     // Per-bucket counts -> running offsets + global N: the only
     // unpartitioned windows in the query, over the tiny bucket-count
     // frame (≈ spend-range/$100 rows), never the per-customer frame.

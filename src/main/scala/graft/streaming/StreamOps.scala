@@ -61,22 +61,26 @@ object StreamOps {
 
   /** Content fingerprint for ingest dedup: md5 over the identity columns.
     * Columns are cast to string explicitly so Spark and any oracle engine
-    * agree on the rendered bytes, and NULLs are coalesced to a \u0001
+    * agree on the rendered bytes, and NULLs are coalesced to a \u0002
     * sentinel BEFORE concat_ws — concat_ws SKIPS null slots entirely, so
     * without the sentinel (a=NULL, b="x") and (a="x", b=NULL) both render
     * "x" and two genuinely different rows dedup into one (review
-    * finding). \u0001 is ALSO the separator (review finding 2: with '|'
-    * as separator, values containing '|' shift content across slot
-    * boundaries — ("a|b","c") vs ("a","b|c") render identically). The
-    * encoding is injective for values that don't contain \u0001 itself
-    * (true of every text/JSON column here; a corpus embedding control
-    * chars in identity columns should length-prefix instead).
+    * finding). The separator is \u0001 (review finding 2: with '|' as
+    * separator, values containing '|' shift content across slot
+    * boundaries — ("a|b","c") vs ("a","b|c") render identically); the
+    * null sentinel is \u0002, a DIFFERENT control char (review finding
+    * 3: when sentinel == separator, (NULL, "") and ("", NULL) both
+    * render "\u0001\u0001\u0001" and collide). The encoding is injective
+    * for values containing neither control char (true of every text/JSON
+    * column here; a corpus embedding control chars in identity columns
+    * should length-prefix instead).
     */
-  val FpNullSentinel = "\u0001"
+  val FpSeparator = "\u0001"
+  val FpNullSentinel = "\u0002"
 
   def contentFingerprint(cols: org.apache.spark.sql.Column*)
       : org.apache.spark.sql.Column =
-    md5(concat_ws(FpNullSentinel,
+    md5(concat_ws(FpSeparator,
       cols.map(c => coalesce(c.cast("string"), lit(FpNullSentinel))): _*)
       .cast(org.apache.spark.sql.types.BinaryType))
 

@@ -21,5 +21,6 @@ class StreamBenchSpec extends SparkSpec {
     val commits = new java.io.File(s"${r.checkpoint}/commits")
       .listFiles().count(f => f.getName.forall(_.isDigit))
     assert(commits == 3, s"expected 3 committed batches, saw $commits")
+    StreamBench.cleanup(r)
   }
 }
