@@ -49,6 +49,19 @@ object StreamBench {
   def run(spark: SparkSession, sfDir: String, nFiles: Int = 20,
       maxFilesPerTrigger: Int = 4): Result = {
     val tmp = Files.createTempDirectory("graft_streambench").toString
+    // A mid-drain failure must not leak the rendered CSV tree (advice
+    // finding: the caller's cleanup(Result) can never run when run()
+    // throws — and the tree is the full events table per lap).
+    try runInner(spark, sfDir, nFiles, maxFilesPerTrigger, tmp)
+    catch {
+      case e: Throwable =>
+        cleanup(Result(0L, 0L, 0.0, 0L, "", tmp))
+        throw e
+    }
+  }
+
+  private def runInner(spark: SparkSession, sfDir: String, nFiles: Int,
+      maxFilesPerTrigger: Int, tmp: String): Result = {
     val srcDir = s"$tmp/src"
     val outDir = s"$tmp/fact"
     val ckpt = s"$tmp/ckpt"

@@ -34,10 +34,12 @@ class KMeansSpec extends SparkSpec {
     assert(round1.keySet == vecs.keySet && round2.keySet == vecs.keySet)
     assert(round2.values.forall(c => c >= 0 && c < 8))
 
-    // recompute the two centroid sets the fit used
-    val init = vecs.filter(_._1 < 8).map { case (vid, x) =>
-      vid.toInt -> x
-    }
+    // recompute the two centroid sets the fit used — FIRST k by vec_id,
+    // mirroring fit's orderBy/limit init (a `vec_id < k` filter would
+    // silently test the wrong init on a non-0-based id space)
+    val init = vecs.toSeq.sortBy(_._1).take(8).zipWithIndex.map {
+      case ((_, x), i) => i -> x
+    }.toMap
     val updated = round1.groupBy(_._2).map { case (cid, members) =>
       val xs = members.keys.map(vecs).toSeq
       cid -> xs.head.indices.map(i => xs.map(_(i)).sum / xs.size).toArray

@@ -15,7 +15,7 @@ class HeavyHittersSpec extends SparkSpec {
   test("CMS estimates dominate true counts; sketch HH set ⊇ exact HH set") {
     val dir = "/root/testdata/sf0.01"
     val ev = graft.Tables.events(spark, dir)
-      .select(concat_ws("", col("event_type"), col("user_id"))
+      .select(concat_ws("\u0001", col("event_type"), col("user_id"))
         .as("key"))
     val n = ev.count()
     val eps = 0.0005 // w = 4000 counters/row: tight enough to bound slack
@@ -25,7 +25,7 @@ class HeavyHittersSpec extends SparkSpec {
     val exact = graft.Tables.events(spark, dir)
       .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
       .collect()
-      .map(r => (s"${r.getString(0)}${r.getLong(1)}", r.getLong(2)))
+      .map(r => (s"${r.getString(0)}\u0001${r.getLong(1)}", r.getLong(2)))
     val slack = (eps * n).toLong // CMS error bound per key
     for ((key, true_n) <- exact) {
       val est = cms.estimateCount(key)
