@@ -167,7 +167,178 @@ object Dashboard {
       GROUP BY 1,2
       ORDER BY p_type, total_revenue DESC, o_orderpriority"""))
 
-  val oracled: Seq[QueryDef] = Seq(dashSegmentNation, dashTypePriority)
+  // The remaining four panels, oracled the same way (r7 verdict #7): each
+  // is the panel's shape on the testdata star with the dashboard's
+  // injected year pinned at 2000 — the year filter lands on ORDERS (the
+  // transaction-date dim the dashboard scopes by), pruning the fact join
+  // input exactly as the panel's date-dim join does at scale. This closes
+  // E3 parity oracle-side: all six panel shapes now carry a green
+  // cross-engine row, not just walmart fixture specs.
+
+  /** dashboard.py:54-78 on the testdata star: q11's top-5 parts per
+    * (month, weekend) cell, but cell-keyed by the ORDER date (the
+    * dashboard's date dim), not the ship date.
+    */
+  def topProductsYear(s: org.apache.spark.sql.SparkSession, dir: String,
+      year: Int): DataFrame = {
+    import graft.Tables._
+    val base = lineitem(s, dir)
+      .join(orders(s, dir).filter(inYear(col("o_orderdate"), year)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("part_key"), col("p_brand"),
+        month(col("o_orderdate")).as("mnth"),
+        Workload.isWeekend(col("o_orderdate")).as("is_weekend"))
+      .agg(decSumT(col("l_extendedprice")).as("revenue"))
+    val w = Window.partitionBy(col("mnth"), col("is_weekend"))
+      .orderBy(col("revenue").desc, col("part_key"))
+    base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("mnth", "is_weekend", "rn")
+  }
+
+  /** dashboard.py:153-165 on the testdata star: q04's quarterly trend
+    * with the dashboard's injected year instead of the latest-year
+    * scalar subquery.
+    */
+  def quarterlyTrendYear(s: org.apache.spark.sql.SparkSession, dir: String,
+      year: Int): DataFrame = {
+    import graft.Tables._
+    lineitem(s, dir)
+      .join(orders(s, dir).filter(inYear(col("o_orderdate"), year)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(quarter(col("o_orderdate")).as("quarter_num"),
+        col("c_mktsegment"))
+      .agg(decSumT(col("l_extendedprice")).as("total_revenue"),
+        decSumT(col("l_quantity")).as("units_sold"))
+      .orderBy("quarter_num", "c_mktsegment")
+  }
+
+  /** dashboard.py:190-209 on the testdata star: q08's top-5 customer
+    * nations per part type (the city-category analog), year-scoped.
+    */
+  def topCitiesYear(s: org.apache.spark.sql.SparkSession, dir: String,
+      year: Int): DataFrame = {
+    import graft.Tables._
+    val base = lineitem(s, dir)
+      .join(orders(s, dir).filter(inYear(col("o_orderdate"), year)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "n_name")
+      .agg(decSumT(col("l_extendedprice")).as("total_revenue"))
+    val w = Window.partitionBy(col("p_type"))
+      .orderBy(col("total_revenue").desc, col("n_name"))
+    base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("p_type", "rn")
+  }
+
+  /** dashboard.py:228-252 on the testdata star: q09's month-over-month
+    * growth per brand with the injected year; growth stays unrounded
+    * double (Workload.growthPct) for cross-engine bit-stability.
+    */
+  def monthlyGrowthYear(s: org.apache.spark.sql.SparkSession, dir: String,
+      year: Int): DataFrame = {
+    import graft.Tables._
+    val monthly = lineitem(s, dir)
+      .join(orders(s, dir).filter(inYear(col("o_orderdate"), year)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), month(col("o_orderdate")).as("mnth"))
+      .agg(decSumT(col("l_extendedprice")).as("revenue"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("mnth"))
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("growth_pct",
+        Workload.growthPct(col("revenue").cast(DoubleType),
+          col("prev_revenue").cast(DoubleType)))
+      .orderBy("p_brand", "mnth")
+  }
+
+  private val Y2000 =
+    """o_orderdate >= TIMESTAMP '2000-01-01'
+        AND o_orderdate < TIMESTAMP '2001-01-01'"""
+
+  val dashTopProducts = QueryDef(
+    "dash_top_products_y2000",
+    (s, dir) => topProductsYear(s, dir, 2000),
+    Some(s"""
+      WITH base AS (
+        SELECT l_partkey AS part_key, p_brand,
+               CAST(month(o_orderdate) AS INTEGER) AS mnth,
+               isodow(o_orderdate) IN (6,7) AS is_weekend,
+               $SumRev AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE $Y2000
+        GROUP BY 1,2,3,4)
+      SELECT * FROM (
+        SELECT part_key, p_brand, mnth, is_weekend, revenue,
+               CAST(ROW_NUMBER() OVER (PARTITION BY mnth, is_weekend
+                 ORDER BY revenue DESC, part_key) AS INTEGER) AS rn
+        FROM base) t
+      WHERE rn <= 5 ORDER BY mnth, is_weekend, rn"""))
+
+  val dashQuarterlyTrend = QueryDef(
+    "dash_quarterly_trend_y2000",
+    (s, dir) => quarterlyTrendYear(s, dir, 2000),
+    Some(s"""
+      SELECT CAST(quarter(o_orderdate) AS INTEGER) AS quarter_num,
+             c_mktsegment,
+             $SumRev AS total_revenue, $SumQty AS units_sold
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE $Y2000
+      GROUP BY 1,2 ORDER BY quarter_num, c_mktsegment"""))
+
+  val dashTopCities = QueryDef(
+    "dash_top_cities_y2000",
+    (s, dir) => topCitiesYear(s, dir, 2000),
+    Some(s"""
+      WITH base AS (
+        SELECT p_type, n_name, $SumRev AS total_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE $Y2000
+        GROUP BY 1,2)
+      SELECT * FROM (
+        SELECT p_type, n_name, total_revenue,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p_type
+                 ORDER BY total_revenue DESC, n_name) AS INTEGER) AS rn
+        FROM base) t
+      WHERE rn <= 5 ORDER BY p_type, rn"""))
+
+  val dashMonthlyGrowth = QueryDef(
+    "dash_monthly_growth_y2000",
+    (s, dir) => monthlyGrowthYear(s, dir, 2000),
+    Some(s"""
+      WITH monthly AS (
+        SELECT p_brand, CAST(month(o_orderdate) AS INTEGER) AS mnth,
+               $SumRev AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE $Y2000
+        GROUP BY 1,2)
+      SELECT p_brand, mnth, revenue,
+             LAG(revenue) OVER (PARTITION BY p_brand ORDER BY mnth)
+               AS prev_revenue,
+             (CAST(revenue AS DOUBLE)
+               - CAST(LAG(revenue) OVER (PARTITION BY p_brand ORDER BY mnth) AS DOUBLE))
+               / NULLIF(CAST(LAG(revenue) OVER (PARTITION BY p_brand ORDER BY mnth) AS DOUBLE), 0)
+               * 100 AS growth_pct
+      FROM monthly ORDER BY p_brand, mnth"""))
+
+  val oracled: Seq[QueryDef] = Seq(dashSegmentNation, dashTypePriority,
+    dashTopProducts, dashQuarterlyTrend, dashTopCities, dashMonthlyGrowth)
 
   /** All six panels for one year — what a dashboard tick computes. */
   def allPanels(w: WalmartStar, year: Int): Map[String, DataFrame] = Map(

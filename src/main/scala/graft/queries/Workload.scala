@@ -47,8 +47,11 @@ object Workload {
     * — the q07/q24 pattern is the one that survives.
     */
   private[queries] def decSum(c: Column): Column = sum(money(c)).cast(DoubleType)
-  /** Weekend test; Spark dayofweek: 1=Sunday .. 7=Saturday. */
-  private def isWeekend(c: Column): Column = dayofweek(c).isin(1, 7)
+  /** Weekend test; Spark dayofweek: 1=Sunday .. 7=Saturday. Shared with
+    * the dashboard twins (Dashboard.scala) so panel semantics cannot
+    * drift from the base queries they mirror.
+    */
+  private[queries] def isWeekend(c: Column): Column = dayofweek(c).isin(1, 7)
 
   import Tables._
 
@@ -341,7 +344,7 @@ object Workload {
     * ((rev - prev) / NULLIF(prev,0)) * 100, computed in double from
     * decimal-exact inputs, unrounded for bit-stability.
     */
-  private def growthPct(revD: Column, prevD: Column): Column =
+  private[queries] def growthPct(revD: Column, prevD: Column): Column =
     (revD - prevD) / when(prevD === 0.0, lit(null)).otherwise(prevD) * 100
 
   /** Q9 analog (queries.sql:102-121): month-over-month revenue growth per
