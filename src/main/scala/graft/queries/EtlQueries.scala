@@ -557,6 +557,69 @@ object EtlQueries {
       FROM r WHERE rn = 1 AND event_type <> 'error'
       ORDER BY user_id"""))
 
+  /** INCREMENTAL CDC apply — the steady-state daily-lakehouse shape of
+    * [[cdcApply]] (r7 verdict #4): a NEW changelog batch merges into an
+    * EXISTING compacted table instead of recompacting the world. The
+    * split is by event_id (every 5th event is "today's batch"), so batch
+    * timestamps INTERLEAVE with the base — late data included, which is
+    * what makes the merge a real max_by fold rather than
+    * "newer-batch-always-wins".
+    *
+    * Merge discipline (the `llm_dedup_incremental` pattern applied to the
+    * warehouse, = the steady-state form of the reference's batched upsert
+    * contract, hybridjoin.py:449-486):
+    *  - the base compaction RETAINS tombstones ('error' rows) — a
+    *    compacted CDC table must keep them mergeable until a fold
+    *    horizon, else a late non-delete could resurrect behind one;
+    *  - touched = the new batch's distinct keys — an id-only frame,
+    *    broadcast-sized by the batch, never by the table;
+    *  - untouched base rows pass through with NO recompute (one
+    *    broadcast anti join — at 100 TB this is the whole point: cost
+    *    scales with the batch, not the table);
+    *  - touched keys recompact over (base candidate row ∪ new rows) —
+    *    max_by over the same (ts, event_id) order struct, correct
+    *    because the base row is already the max of the old changes;
+    *  - tombstones drop only in the final SERVING view.
+    *
+    * The oracle is the full-changelog window rank — the incremental
+    * merge is proven row-equal to compacting the concatenated changelog
+    * from scratch.
+    */
+  val cdcApplyIncremental = QueryDef(
+    "etl_cdc_apply_incremental",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id"))
+      val isNew = pmod(col("event_id"), lit(5)) === 0
+      def compact(changes: org.apache.spark.sql.DataFrame) = changes
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_type"), col("value"), col("ts"), col("event_id")),
+          struct(col("ts"), col("event_id"))).as("__last"))
+        .select(col("user_id"),
+          col("__last.event_type").as("event_type"),
+          col("__last.value").as("value"),
+          col("__last.ts").as("ts"),
+          col("__last.event_id").as("event_id"))
+      val base = compact(ev.filter(!isNew)) // yesterday's compacted table
+      val newBatch = ev.filter(isNew)       // today's changelog
+      val touched = newBatch.select("user_id").distinct()
+      val untouched = base.join(broadcast(touched), Seq("user_id"), "left_anti")
+      val recompacted = compact(
+        base.join(broadcast(touched), Seq("user_id"), "left_semi")
+          .unionByName(newBatch))
+      untouched.unionByName(recompacted)
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"),
+          col("event_type").as("last_type"),
+          col("value").cast(Money).cast(DoubleType).as("last_value"),
+          col("ts").as("updated_at"),
+          col("event_id").as("last_event_id"))
+        .orderBy("user_id")
+    },
+    cdcApply.oracle)
+
   /** Concurrent-session analysis via the bucketed interval-overlap join
     * (operators.IntervalJoin): per session, how many OTHER users had a
     * session overlapping it in time. The overlap join is interval-vs-
@@ -753,6 +816,7 @@ object EtlQueries {
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
     scd2AsAt, jsonProps, asofEnrich, asofWindow, heavyHitters,
-    sessionOverlap, sessionOverlapFast, cdcApply, skewSalted,
+    sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
+    skewSalted,
     constraintReport)
 }
