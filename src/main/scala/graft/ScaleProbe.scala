@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe
   *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]
-  *    | hotgram [docs] [hotPct]]
+  *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -82,6 +82,13 @@ object ScaleProbe {
       overlapProbe(spark,
         if (args.length > 1) args(1).toLong else 50000L,
         if (args.length > 2) args(2).toInt else 8)
+      spark.stop()
+      return
+    }
+    if (mode == "hotbucket") {
+      hotBucketProbe(spark,
+        if (args.length > 1) args(1).toLong else 50000L,
+        if (args.length > 2) args(2).toLong else 2000L)
       spark.stop()
       return
     }
@@ -242,6 +249,70 @@ object ScaleProbe {
       f"join=$tpm%.2fs rank=$trm%.2fs")
     println(f"PROBE overlap slopes: join x${tpm / tp1}%.1f " +
       f"rank x${trm / tr1}%.1f (pairs grew x${pm.toDouble / p1}%.1f)")
+  }
+
+  /** Hot-bucket guard measurement (operators.IntervalJoin maxBucketRows):
+    * nBg 10-minute background sessions uniform over 30 days (a few rows
+    * per bucket) plus `hot` sessions planted inside ONE 10-minute bucket
+    * — the pathological co-tenancy hour. The uncapped join's intermediate
+    * grows ∝ hot² (that one bucket is a self-cross-join); the capped join
+    * blacklists the bucket before any wide move, so its time must stay
+    * ~flat as the plant quadruples. On the clean corpus (no plant) capped
+    * and uncapped are asserted pair-identical — the cap only ever
+    * touches over-cap buckets.
+    */
+  private def hotBucketProbe(spark: SparkSession, nBg: Long,
+      hot: Long): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val bucketMs = 600000L
+    def bg: DataFrame = spark.range(nBg).select(
+      col("id").as("sid"),
+      timestamp_millis(lit(1704067200000L) +
+        pmod(hash(col("id")).cast("long"), lit(2592000000L))).as("st"))
+      .withColumn("en", timestamp_millis(unix_millis(col("st")) + bucketMs))
+    // planted sessions all start inside one bucket far past the
+    // background span, so every planted pair lands in that bucket
+    def planted(h: Long): DataFrame = spark.range(h).select(
+      (col("id") + 1000000000L).as("sid"),
+      timestamp_millis(lit(1709067200000L) +
+        pmod(hash(col("id")).cast("long"), lit(bucketMs / 2))).as("st"))
+      .withColumn("en", timestamp_millis(unix_millis(col("st")) + 60000L))
+    def pairs(s: DataFrame, cap: Long): Long = {
+      val a = s.select(col("sid").as("a_sid"), col("st").as("a_st"),
+        col("en").as("a_en"))
+      val b = s.select(col("sid").as("b_sid"), col("st").as("b_st"),
+        col("en").as("b_en"))
+      operators.IntervalJoin
+        .overlapJoin(a, b, "a_st", "a_en", "b_st", "b_en", bucketMs,
+          maxBucketRows = cap)
+        .filter(col("a_sid") =!= col("b_sid"))
+        .count()
+    }
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val cap = 1000L // >> any background bucket, << the plant
+    val clean = bg.localCheckpoint(true)
+    pairs(clean, Long.MaxValue) // warm-up
+    val (pClean, _) = time(pairs(clean, Long.MaxValue))
+    val (pCleanCap, _) = time(pairs(clean, cap))
+    require(pClean == pCleanCap,
+      s"cap changed a clean corpus: $pClean vs $pCleanCap")
+    for (h <- Seq(hot, hot * 4)) {
+      val c = clean.unionByName(planted(h)).localCheckpoint(true)
+      // past ~2e9 intermediate pairs the uncapped lap is not a
+      // measurement, it's a hang — which is the guard's whole point;
+      // run capped-only there (the 10⁶-concurrency demonstration)
+      val uncapped =
+        if (h * h <= 2000000000L) {
+          val (pu, tu) = time(pairs(c, Long.MaxValue))
+          f"uncapped=$tu%.2fs/$pu pairs"
+        } else f"uncapped=SKIPPED (~${h * h} intermediate pairs)"
+      val (pc, tc) = time(pairs(c, cap))
+      println(f"PROBE hotbucket bg=$nBg hot=$h $uncapped " +
+        f"capped=$tc%.2fs/$pc pairs (clean bg pairs=$pClean)")
+    }
   }
 
   /** Stage timings of the dedup ladder on the real corpus: pairs alone,

@@ -25,18 +25,52 @@ import org.apache.spark.sql.functions._
 object IntervalJoin {
 
   /** @param left/right  frames with DISTINCT column names (caller renames)
-    * @param lStart,lEnd,rStart,rEnd  timestamp column names
+    * @param lStart,lEnd,rStart,rEnd  timestamp column names. CONTRACT:
+    *        start <= end on every row — rows violating it are DROPPED
+    *        (a backwards interval has no defined overlap semantics, and
+    *        letting it through would silently skew the bucket explode).
     * @param bucketMillis bucket width in milliseconds
+    * @param maxBucketRows hot-bucket guard (the hotgram-blacklist
+    *        discipline from llm/Dedup applied to `__bk`): buckets holding
+    *        more than this many exploded rows on EITHER side are
+    *        blacklisted via a groupBy-count → broadcast anti join before
+    *        the equi join, because one bucket with B concurrent intervals
+    *        contributes ~B² pairs — a single pathological hour with 10⁶
+    *        co-tenant sessions is a 10¹²-row one-bucket explosion no
+    *        consumer wants. POLICY SEMANTICS: a pair whose crediting
+    *        bucket (the one containing the later start) is blacklisted is
+    *        dropped, so with a finite cap the output is exact on every
+    *        bucket under the cap and empty on buckets over it — identical
+    *        to the uncapped join whenever no bucket is hot (the capped
+    *        path is oracled row-equal on the real corpus in
+    *        etl_session_overlap; measured: `ScaleProbe hotbucket`).
+    *        Default = no cap.
     */
   def overlapJoin(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
-      bucketMillis: Long): DataFrame = {
+      bucketMillis: Long, maxBucketRows: Long = Long.MaxValue): DataFrame = {
     def buckets(s: String, e: String) = sequence(
       floor(unix_millis(col(s)) / bucketMillis),
       floor(unix_millis(col(e)) / bucketMillis))
-    val l = left.withColumn("__bk", explode(buckets(lStart, lEnd)))
-    val r = right.withColumn("__bk", explode(buckets(rStart, rEnd)))
-    l.join(r, Seq("__bk"))
+    val l = left.filter(col(lStart) <= col(lEnd))
+      .withColumn("__bk", explode(buckets(lStart, lEnd)))
+    val r = right.filter(col(rStart) <= col(rEnd))
+      .withColumn("__bk", explode(buckets(rStart, rEnd)))
+    // hot-bucket blacklist: tiny by construction (only over-cap buckets
+    // survive the HAVING), so the anti joins stay broadcast — no wide
+    // move happens before the cap is applied
+    val (lc, rc) =
+      if (maxBucketRows == Long.MaxValue) (l, r)
+      else {
+        val hot = l.groupBy("__bk").agg(count(lit(1)).as("__n"))
+          .unionByName(r.groupBy("__bk").agg(count(lit(1)).as("__n")))
+          .groupBy("__bk").agg(max(col("__n")).as("__n"))
+          .filter(col("__n") > maxBucketRows)
+          .select("__bk")
+        (l.join(broadcast(hot), Seq("__bk"), "left_anti"),
+          r.join(broadcast(hot), Seq("__bk"), "left_anti"))
+      }
+    lc.join(rc, Seq("__bk"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .filter(col("__bk") === floor(
         greatest(unix_millis(col(lStart)), unix_millis(col(rStart)))
@@ -65,6 +99,14 @@ object IntervalJoin {
     * Returns the input plus `n_overlap` (count EXCLUDING self; intervals
     * of the same group that merely touch are counted — boundaries
     * inclusive, same semantics as overlapJoin).
+    *
+    * CONTRACT: `startCol <= endCol` on every row. The rank identity
+    * assumes it — a backwards interval contributes its endpoints to the
+    * wrong side of both counts and silently skews n_overlap for every
+    * row it brackets (it cannot be dropped here because the output
+    * carries one row per input row). Validate upstream; the session
+    * frames feeding this operator satisfy it by construction
+    * (session_start = MIN(ts), session_end = MAX(ts)).
     */
   def overlapCounts(intervals: DataFrame, startCol: String, endCol: String,
       bucketMillis: Long): DataFrame = {

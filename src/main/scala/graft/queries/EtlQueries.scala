@@ -709,9 +709,14 @@ object EtlQueries {
         col("session_start").as("a_start"), col("session_end").as("a_end"))
       val b = sessions.select(col("user_id").as("b_user"),
         col("session_start").as("b_start"), col("session_end").as("b_end"))
+      // maxBucketRows runs the HOT-BUCKET-GUARDED code path (the __bk
+      // blacklist) with a cap generously above any real bucket here, so
+      // the oracle proves the capped plan row-equal to the quadratic
+      // definition; the cap's effect on a planted pathological bucket is
+      // measured by `ScaleProbe hotbucket`
       val counts = graft.operators.IntervalJoin
         .overlapJoin(a, b, "a_start", "a_end", "b_start", "b_end",
-          bucketMillis = 600000L)
+          bucketMillis = 600000L, maxBucketRows = 100000L)
         .filter(col("a_user") =!= col("b_user"))
         .groupBy(col("a_user").as("user_id"),
           col("a_start").as("session_start"))

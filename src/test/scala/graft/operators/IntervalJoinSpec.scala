@@ -53,6 +53,52 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("hot-bucket cap is inert under the cap and drops exactly the " +
+    "over-cap bucket's pairs") {
+    val rng = new scala.util.Random(13)
+    // background: day-one intervals, a few per 30-min bucket
+    val bg = (1 to 100).map { i =>
+      val s = rng.nextInt(86400); val len = rng.nextInt(3600)
+      (s"bg$i", new Timestamp(1704067200000L + s * 1000L),
+        new Timestamp(1704067200000L + (s + len) * 1000L))
+    }
+    // plant: 40 intervals inside ONE far-away 30-min bucket (day 30)
+    val plant = (1 to 40).map { i =>
+      val s = rng.nextInt(900)
+      (s"hot$i", new Timestamp(1706659200000L + s * 1000L),
+        new Timestamp(1706659200000L + (s + 600) * 1000L))
+    }
+    def pairsOf(rows: Seq[(String, Timestamp, Timestamp)], cap: Long) = {
+      val l = rows.toDF("l_id", "l_start", "l_end")
+      val r = rows.map { case (id, s, e) => (id, s, e) }
+        .toDF("r_id", "r_start", "r_end")
+      IntervalJoin.overlapJoin(l, r, "l_start", "l_end", "r_start", "r_end",
+        bucketMillis = 1800000L, maxBucketRows = cap)
+        .filter($"l_id" =!= $"r_id")
+        .select("l_id", "r_id").as[(String, String)].collect().toSet
+    }
+    val all = bg ++ plant
+    // generous cap: identical to uncapped on the same corpus
+    assert(pairsOf(all, 1000L) == pairsOf(all, Long.MaxValue))
+    // tight cap (> any bg bucket, < the plant): exactly the planted
+    // bucket's pairs disappear — the rest of the output is untouched
+    val capped = pairsOf(all, 30L)
+    assert(capped == pairsOf(bg, Long.MaxValue))
+  }
+
+  test("rows violating start <= end are dropped, not exploded") {
+    val l = Seq(
+      ("ok", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")),
+      ("bad", ts("2024-01-01 00:30:00"), ts("2024-01-01 00:00:00")))
+      .toDF("l_id", "l_start", "l_end")
+    val r = Seq(("r", ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00")))
+      .toDF("r_id", "r_start", "r_end")
+    val got = IntervalJoin.overlapJoin(l, r,
+      "l_start", "l_end", "r_start", "r_end", bucketMillis = 600000L)
+      .select("l_id", "r_id").as[(String, String)].collect().toSeq
+    assert(got == Seq("ok" -> "r"))
+  }
+
   test("overlapCounts equals the quadratic definition on random intervals") {
     val rng = new scala.util.Random(11)
     val iv = (1 to 150).map { i =>
