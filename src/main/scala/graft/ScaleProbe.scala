@@ -85,6 +85,20 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "kmeans") {
+      val emb = Tables.embeddings(spark, sfDir)
+      val n = emb.count()
+      val t0 = System.nanoTime()
+      val (asn, rounds) = llm.KMeans.fitConverged(emb,
+        k = if (args.length > 1) args(1).toInt else 8,
+        maxIters = 100, eps = 1e-9)
+      val nOut = asn.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE kmeans: vecs=$n assigned=$nOut rounds=$rounds " +
+        f"time=$dt%.1fs (${dt / rounds}%.2fs/round)")
+      spark.stop()
+      return
+    }
     if (mode == "hotbucket") {
       hotBucketProbe(spark,
         if (args.length > 1) args(1).toLong else 50000L,

@@ -50,4 +50,23 @@ class KMeansSpec extends SparkSpec {
     assert(mid <= before + 1e-9, s"update increased inertia: $before -> $mid")
     assert(after <= mid + 1e-9, s"reassignment increased inertia: $mid -> $after")
   }
+
+  test("convergence stop is exact at the fixed point: more rounds cannot " +
+    "change any assignment") {
+    val emb = graft.Tables.embeddings(spark, Dir)
+    val (asn, rounds) = KMeans.fitConverged(emb, k = 8, maxIters = 60,
+      eps = 1e-9)
+    assert(rounds < 60, "did not converge within the safety bound")
+    val converged = asn.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // fitConverged ran `rounds` centroid updates; fit(iters = rounds + 1)
+    // runs the same updates, fit(rounds + 2) runs one MORE — at the
+    // fixed point both must reproduce the converged assignment exactly
+    val same = KMeans.fit(emb, k = 8, iters = rounds + 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val onePast = KMeans.fit(emb, k = 8, iters = rounds + 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(converged == same)
+    assert(converged == onePast,
+      "an extra round past the eps stop changed assignments")
+  }
 }
