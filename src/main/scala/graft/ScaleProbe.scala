@@ -85,6 +85,35 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "bpetrain") {
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        .cache()
+      docs.count()
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      llm.BpeTrain.trainMerges(spark, docs, 4) // warm-up
+      // sequential: one Spark round per merge — the per-round constant
+      // is the scheduler overhead a 32k vocab multiplies by 32k
+      for (n <- Seq(16, 64, 256)) {
+        val (m, t) = time(llm.BpeTrain.trainMerges(spark, docs, n))
+        println(f"PROBE bpetrain seq nMerges=$n learned=${m.size} " +
+          f"time=$t%.1fs (${t / m.size}%.3fs/merge-round)")
+      }
+      val bk = if (args.length > 1) args(1).toInt else 8
+      for (n <- Seq(64, 256)) {
+        val (m, t) = time(
+          llm.BpeTrain.trainMergesBatched(spark, docs, n, batchK = bk))
+        val rounds = m.map(_._5).distinct.size
+        println(f"PROBE bpetrain batched nMerges=$n batchK=$bk " +
+          f"learned=${m.size} rounds=$rounds time=$t%.1fs " +
+          f"(${t / rounds}%.3fs/round)")
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
     if (mode == "kmeans") {
       val emb = Tables.embeddings(spark, sfDir)
       val n = emb.count()

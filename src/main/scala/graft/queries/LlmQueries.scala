@@ -1840,8 +1840,10 @@ object LlmQueries {
     * unique). The merge loop is iterative → no DuckDB oracle;
     * golden-pinned, and DifferentialOracleSpec retrains with a plain
     * dictionary implementation and checks table equality plus the
-    * compression identity Σ freq_k = initial_symbols − encoded_tokens
-    * under the independent naive encoder.
+    * compression bound Σ freq_k ≥ initial_symbols − encoded_tokens
+    * under the independent naive encoder (≥, not =: classic BPE counts
+    * overlapping pair occurrences while the merge applies
+    * non-overlapping).
     */
   val bpeTrain = QueryDef(
     "llm_bpe_train",
@@ -1850,6 +1852,27 @@ object LlmQueries {
         .trainMerges(s, documents(s, dir), nMerges = 16)
       import s.implicits._
       learned.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
+    },
+    None)
+
+  /** BATCHED BPE training (llm/BpeTrain.trainMergesBatched) — the
+    * production-vocab scale path: one pair-count round learns up to 4
+    * symbol-disjoint merges, cutting the sequential trainer's
+    * one-Spark-round-per-merge schedule by ~batchK (32k merges: days →
+    * hours of scheduler overhead; measured per-round constants in
+    * `ScaleProbe bpetrain`). Iterative → no DuckDB oracle; golden-pinned
+    * ×3 SFs + adversarial, and DifferentialOracleSpec re-trains with a
+    * from-scratch dictionary implementation of the same batched rule
+    * (and pins batchK=1 ≡ the sequential trainer).
+    */
+  val bpeTrainBatched = QueryDef(
+    "llm_bpe_train_batched",
+    (s, dir) => {
+      val learned = graft.llm.BpeTrain
+        .trainMergesBatched(s, documents(s, dir), nMerges = 16, batchK = 4)
+      import s.implicits._
+      learned.toDF("rank", "left", "right", "pair_freq", "round")
+        .orderBy("rank")
     },
     None)
 
@@ -1896,7 +1919,8 @@ object LlmQueries {
       ORDER BY vec_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    bpeTrain, kmeans, dedupExact, dedupMinhash, dedupSimhash, ngramProfile,
+    bpeTrain, bpeTrainBatched, kmeans, dedupExact, dedupMinhash,
+    dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
