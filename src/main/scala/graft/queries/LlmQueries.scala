@@ -489,10 +489,16 @@ object LlmQueries {
   private def recallAgainstTruth(bf: org.apache.spark.sql.DataFrame,
       approx: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val hits = bf.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+    // both frames are ≤ NQueries×k rows (policy-bounded model output),
+    // but post-aggregation stats are opaque to the planner — without the
+    // hints these become sort-merge joins (PlanSweep SMJ-inventory
+    // finding); broadcast is the right call at ANY corpus size because
+    // the frames scale with the query set, not the data
+    val hits = bf.join(broadcast(approx), Seq("query_id", "neighbor_id"),
+        "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
     bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("query_id"), "left")
+      .join(broadcast(hits), Seq("query_id"), "left")
       .select(col("query_id"), col("n_true"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall",

@@ -241,7 +241,10 @@ object Workload {
         .select(col("p_type"), posexplode(col("top")).as(Seq("pos", "t")))
         .select(col("p_type"), col("t.tag").as("c_mktsegment"),
           (col("pos") + 1).cast(IntegerType).as("rn"))
-      tops.join(base, Seq("p_type", "c_mktsegment"))
+      // tops is ≤ k rows per p_type (the aggregate's whole point) but
+      // post-agg stats are opaque — without the hint the join-back
+      // becomes a sort-merge join (PlanSweep SMJ-inventory finding)
+      base.join(broadcast(tops), Seq("p_type", "c_mktsegment"))
         .select(col("p_type"), col("c_mktsegment"), col("total_revenue"),
           col("rn"))
         .orderBy("p_type", "rn")

@@ -89,6 +89,64 @@ class PlanSweepSpec extends SparkSpec {
   private val DeclaredBroadcastAnn = Set(
     "llm_ann_bruteforce", "llm_ann_ivf", "llm_ann_recall", "llm_ann_recall_ivf")
 
+  /** Third audit (r7 verdict #8, generalizing the r5 manual SMJ read):
+    * the INVENTORY of shuffle joins (sort-merge + shuffled-hash) is
+    * pinned per query. At sf0.001 with the default 10 MB broadcast
+    * threshold every dim-sized side gets broadcast, so a shuffle join
+    * can only appear where BOTH sides are genuinely large (the fact
+    * self-joins, the full-outer q26) or where stats are opaque — every
+    * such site is a deliberate, named decision. A regression that turns
+    * a broadcast join into a shuffle join (a threshold change, a stats
+    * loss behind a new operator, an accidental repartition) now FAILS
+    * here with the query name instead of surfacing as a bench anomaly
+    * rounds later.
+    */
+  private val ExpectedShuffleJoins: Map[String, Set[String]] = Map(
+    // Every entry is a deliberate large×large (or stats-opaque iterate)
+    // shape at sf0.001 under the default 10 MB broadcast threshold.
+    // NOTE the pin is the sf0.001 inventory: queries whose self-joins
+    // broadcast at this tiny SF (q16's lineitem self-join, the span-df
+    // join-backs) are rightly ABSENT — at real scale AQE re-plans them
+    // to shuffle joins, which is correct and needs no pin. What the pin
+    // catches is a broadcast SITE regressing to a shuffle at the scale
+    // where broadcast is clearly right.
+    "q26_full_outer_nation_activity" -> Set("SortMergeJoin"), // FULL OUTER of two agg frames — not broadcastable semantics
+    "etl_session_overlap" -> Set("SortMergeJoin"), // bucket-exploded session self-join (Σbucket² pair stream)
+    "llm_dedup_clusters" -> Set("SortMergeJoin"), // pair-graph CC: edges×labels iterate (stats-opaque by round)
+    "llm_dedup_survivors" -> Set("SortMergeJoin"),
+    "llm_dedup_survivors_best" -> Set("SortMergeJoin"),
+    "llm_dedup_incremental" -> Set("SortMergeJoin"),
+    "llm_embed_clusters" -> Set("SortMergeJoin"), // LSH-bucket pair graph CC
+    "llm_curated_train" -> Set("SortMergeJoin"), // id-only anti/semi frames over the doc stream
+    "llm_dedup_minhash" -> Set("SortMergeJoin"), // band-bucket candidate equi join — the intended large×large shape
+    "llm_dedup_simhash" -> Set("SortMergeJoin"))
+
+  test("shuffle-join inventory is pinned: no query grows an unlisted " +
+    "sort-merge or shuffled-hash join") {
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val dir = "/root/testdata/sf0.001"
+    val got: Map[String, Set[String]] =
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val kinds = fn(noAqe, dir).queryExecution.executedPlan.collect {
+          case _: SortMergeJoinExec => "SortMergeJoin"
+          case _: ShuffledHashJoinExec => "ShuffledHashJoin"
+        }.toSet
+        if (kinds.isEmpty) None else Some(name -> kinds)
+      }.toMap
+    val unlisted = got.toSeq.sortBy(_._1).flatMap { case (name, kinds) =>
+      val extra = kinds -- ExpectedShuffleJoins.getOrElse(name, Set.empty)
+      if (extra.isEmpty) None else Some(s"$name: ${extra.mkString(",")}")
+    }
+    assert(unlisted.isEmpty,
+      s"unlisted shuffle joins (broadcast regression or new large-side " +
+        s"join — allowlist deliberately):\n${unlisted.mkString("\n")}")
+    // and the allowlist must not go stale: every entry still occurs
+    val stale = ExpectedShuffleJoins.keys.filterNot(got.contains).toSeq.sorted
+    assert(stale.isEmpty,
+      s"allowlisted shuffle joins no longer present (prune the list):\n" +
+        stale.mkString("\n"))
+  }
+
   test("every nested-loop/cartesian join has a provably bounded side") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
