@@ -228,12 +228,18 @@ object Workload {
   val q05b = QueryDef(
     "q05_top_segments_topk_agg",
     (s, dir) => {
+      // base feeds BOTH the top-k aggregate and the join-back probe —
+      // stage it once (the q29 discipline): without the checkpoint the
+      // broadcast build side re-runs the whole 4-way join (the SMJ form
+      // had deduped it via ReuseExchange; bench r8: 1.1 s → 2.8 s when
+      // the hint alone broke the reuse)
       val base = lineitem(s, dir)
         .join(part(s, dir), col("l_partkey") === col("p_partkey"))
         .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
         .groupBy("p_type", "c_mktsegment")
         .agg(decSum(col("l_extendedprice")).as("total_revenue"))
+        .localCheckpoint(false)
       val tops = base.groupBy("p_type")
         .agg(graft.functions.TopKAggregate.top_k(
           col("total_revenue").cast(DoubleType), col("c_mktsegment"), 5)
