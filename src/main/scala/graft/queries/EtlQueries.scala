@@ -533,17 +533,17 @@ object EtlQueries {
     */
   val cdcApply = QueryDef(
     "etl_cdc_apply",
-    (s, dir) => events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(max_by(
-        struct(col("event_type"), col("value"), col("ts"), col("event_id")),
-        struct(col("ts"), col("event_id"))).as("__last"))
-      .filter(col("__last.event_type") =!= "error")
+    (s, dir) => graft.operators.CdcMerge
+      .compact(events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id")),
+        Seq("user_id"), Seq("ts", "event_id"))
+      .filter(col("event_type") =!= "error")
       .select(col("user_id"),
-        col("__last.event_type").as("last_type"),
-        col("__last.value").cast(Money).cast(DoubleType).as("last_value"),
-        col("__last.ts").as("updated_at"),
-        col("__last.event_id").as("last_event_id"))
+        col("event_type").as("last_type"),
+        col("value").cast(Money).cast(DoubleType).as("last_value"),
+        col("ts").as("updated_at"),
+        col("event_id").as("last_event_id"))
       .orderBy("user_id"),
     Some("""
       WITH r AS (
@@ -588,28 +588,16 @@ object EtlQueries {
   val cdcApplyIncremental = QueryDef(
     "etl_cdc_apply_incremental",
     (s, dir) => {
+      import graft.operators.CdcMerge
       val ev = events(s, dir)
         .select(col("user_id"), col("event_type"), col("value"), col("ts"),
           col("event_id"))
       val isNew = pmod(col("event_id"), lit(5)) === 0
-      def compact(changes: org.apache.spark.sql.DataFrame) = changes
-        .groupBy(col("user_id"))
-        .agg(max_by(
-          struct(col("event_type"), col("value"), col("ts"), col("event_id")),
-          struct(col("ts"), col("event_id"))).as("__last"))
-        .select(col("user_id"),
-          col("__last.event_type").as("event_type"),
-          col("__last.value").as("value"),
-          col("__last.ts").as("ts"),
-          col("__last.event_id").as("event_id"))
-      val base = compact(ev.filter(!isNew)) // yesterday's compacted table
-      val newBatch = ev.filter(isNew)       // today's changelog
-      val touched = newBatch.select("user_id").distinct()
-      val untouched = base.join(broadcast(touched), Seq("user_id"), "left_anti")
-      val recompacted = compact(
-        base.join(broadcast(touched), Seq("user_id"), "left_semi")
-          .unionByName(newBatch))
-      untouched.unionByName(recompacted)
+      val key = Seq("user_id")
+      val ord = Seq("ts", "event_id")
+      val base = CdcMerge.compact(ev.filter(!isNew), key, ord) // yesterday
+      val newBatch = ev.filter(isNew)                          // today
+      CdcMerge.merge(base, newBatch, key, ord)
         .filter(col("event_type") =!= "error")
         .select(col("user_id"),
           col("event_type").as("last_type"),
