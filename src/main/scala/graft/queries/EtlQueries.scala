@@ -716,6 +716,57 @@ object EtlQueries {
     },
     SessionOverlapOracle)
 
+  /** Click→purchase conversion funnel — the event-sequence shape every
+    * product warehouse computes: per user, the FIRST click, the first
+    * purchase AT OR AFTER that click, and the seconds between. The
+    * sequence constraint (purchase after click) is NOT a range join:
+    * clicks reduce to one min-ts row per user first, purchases then
+    * equi-join on user_id and the "after" condition folds into a
+    * conditional MIN aggregate — two partial-aggregating shuffles on the
+    * same key, no interval machinery, skew-bounded by events-per-user.
+    * Left join keeps never-converting clickers (converted = false).
+    * Integer-division seconds (millis div 1000) — identical truncation
+    * in both engines on the non-negative diff.
+    */
+  val funnel = QueryDef(
+    "etl_click_purchase_funnel",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click_ts"))
+      val conv = firstClick
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts")),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("first_click_ts"))
+        .agg(min(when(col("pts") >= col("first_click_ts"), col("pts")))
+          .as("first_purchase_ts"))
+      conv
+        .withColumn("converted", col("first_purchase_ts").isNotNull)
+        .withColumn("secs_to_convert",
+          expr("(unix_millis(first_purchase_ts) " +
+            "- unix_millis(first_click_ts)) div 1000"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH fc AS (
+        SELECT user_id, MIN(ts::TIMESTAMP) AS first_click_ts
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      conv AS (
+        SELECT fc.user_id, fc.first_click_ts,
+               MIN(CASE WHEN p.pts >= fc.first_click_ts THEN p.pts END)
+                 AS first_purchase_ts
+        FROM fc LEFT JOIN (
+          SELECT user_id, ts::TIMESTAMP AS pts
+          FROM events WHERE event_type = 'purchase') p
+          ON fc.user_id = p.user_id
+        GROUP BY 1, 2)
+      SELECT user_id, first_click_ts, first_purchase_ts,
+             first_purchase_ts IS NOT NULL AS converted,
+             (epoch_ms(first_purchase_ts) - epoch_ms(first_click_ts)) // 1000
+               AS secs_to_convert
+      FROM conv ORDER BY user_id"""))
+
   /** Exact heavy hitters — (event_type, user) pairs with at least 15
     * events (operators.HeavyHitters.exact): partial-agg groupBy then
     * threshold, the exact rung of the heavy-hitter ladder. The sketch
@@ -808,7 +859,7 @@ object EtlQueries {
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
-    scd2AsAt, jsonProps, asofEnrich, asofWindow, heavyHitters,
+    scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     skewSalted,
     constraintReport)

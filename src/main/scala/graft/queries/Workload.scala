@@ -1142,8 +1142,51 @@ object Workload {
              CAST(bucket * 1000 AS DOUBLE) AS bucket_lo
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  /** Rank-distribution window family completion (W-family): RANK,
+    * PERCENT_RANK and CUME_DIST over per-customer spend within segment —
+    * the "where does this customer sit in their segment" score every
+    * CRM-ish warehouse computes. All three are value-deterministic under
+    * ties (RANK semantics), so no tie-breaker is needed INSIDE the
+    * window; the presentation ORDER BY carries the full key. The window
+    * runs on the per-customer AGGREGATE frame (orders pre-reduced ~10×,
+    * the q05/q08 discipline); segment cardinality bounds the partition
+    * count, and if per-segment rows ever outgrew a task the q29
+    * two-phase bucketed rank is the drop-in escape hatch — the
+    * FUNCTION-FAMILY semantics are what this query pins.
+    */
+  val q31 = QueryDef(
+    "q31_customer_spend_distribution",
+    (s, dir) => {
+      val per = orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(decSumExact(col("o_totalprice")).as("spend"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("spend").desc)
+      per.select(col("c_custkey"), col("c_mktsegment"),
+          col("spend").cast(DoubleType).as("spend"),
+          rank().over(w).as("spend_rank"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume_dist"))
+        .orderBy(col("c_mktsegment"), col("spend_rank"), col("c_custkey"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS spend
+        FROM orders GROUP BY 1)
+      SELECT c_custkey, c_mktsegment,
+             CAST(spend AS DOUBLE) AS spend,
+             CAST(RANK() OVER w AS INTEGER) AS spend_rank,
+             PERCENT_RANK() OVER w AS pct_rank,
+             CUME_DIST() OVER w AS cume_dist
+      FROM per JOIN customer ON o_custkey = c_custkey
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC)
+      ORDER BY c_mktsegment, spend_rank, c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }
