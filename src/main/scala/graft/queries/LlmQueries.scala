@@ -1575,6 +1575,53 @@ object LlmQueries {
                AS tok_len
       FROM chunks ORDER BY doc_id, chunk_idx"""))
 
+  /** OVERLAPPING (sliding) chunking plan — the retrieval/RAG variant of
+    * [[chunkPlan]]: `ChunkTokens`-token windows every `ChunkStride`
+    * tokens (25% overlap), so a fact straddling a fixed-chunk boundary
+    * still lands whole in some window. Same map-side generate shape —
+    * the chunk count per doc is 1 + ceil(max(0, n − size) / stride),
+    * computed in INTEGER arithmetic with the max applied BEFORE the
+    * division (a negative numerator would floor in DuckDB but truncate
+    * in Spark — the q30 cross-engine division lesson); the last window
+    * always reaches the document's end, windows never start past it.
+    */
+  val ChunkStride = 48
+
+  val chunkOverlapPlan = QueryDef(
+    "llm_chunk_overlap_plan",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(lit(0L),
+          expr(s"(greatest(0L, n_tokens - $ChunkTokens) + " +
+            s"${ChunkStride - 1}) div $ChunkStride"))))
+      .select(col("doc_id"), col("n_tokens"),
+        col("pos").cast(IntegerType).as("chunk_idx"),
+        (col("col") * ChunkStride + 1).cast(LongType).as("tok_start"),
+        least(lit(ChunkTokens.toLong),
+          col("n_tokens") - col("col") * ChunkStride).as("tok_len"))
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '[\\s\\x0b]+'))
+               END AS n_tokens
+        FROM documents),
+      chunks AS (
+        SELECT doc_id, n_tokens, unnest(generate_series(
+                 0, (greatest(0, n_tokens - $ChunkTokens)
+                     + ${ChunkStride - 1}) // $ChunkStride)) AS c
+        FROM toks WHERE n_tokens > 0)
+      SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+             CAST(c AS INTEGER) AS chunk_idx,
+             CAST(c * $ChunkStride + 1 AS BIGINT) AS tok_start,
+             CAST(least($ChunkTokens, n_tokens - c * $ChunkStride) AS BIGINT)
+               AS tok_len
+      FROM chunks ORDER BY doc_id, chunk_idx"""))
+
   /** Sequence-packing plan (Sampling.packingPlan): documents concatenated
     * in content-hash order, cut into 512-token training sequences; each
     * doc reports its bin and offset. The global running sum is the salted
@@ -1935,5 +1982,6 @@ object LlmQueries {
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
     dedupSurvivors, dedupSurvivorsBest, dedupIncremental, chunkPlan,
+    chunkOverlapPlan,
     packPlan, contamination, decontaminated, curatedTrain)
 }
