@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe
   *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]
-  *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]]
+  *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]
+  *    | bpetrain [batchK] | kmeans [k]]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {

@@ -49,37 +49,18 @@ object BpeTrain {
   /** Learn up to `nMerges` merges; stops early when no adjacent pair
     * occurs at least `minFreq` times. Returns (rank, left, right, freq)
     * with rank 0-based in learn order.
+    *
+    * Classic sequential BPE = the batched trainer at batchK = 1 (one
+    * candidate per round IS the argmax; a 1-pair batch application IS
+    * [[mergePair]]; checkpoint cadence coincides because round == rank).
+    * The coincidence is additionally pinned by DifferentialOracleSpec,
+    * so this delegates rather than keeping a duplicate training loop
+    * (review finding).
     */
   def trainMerges(spark: SparkSession, docs: DataFrame, nMerges: Int,
-      minFreq: Long = 2L): Seq[(Int, String, String, Long)] = {
-    // (?!^)(?=.) splits between chars only: Spark's split keeps trailing
-    // empties (limit -1), so a bare (?!^) would add a phantom "" symbol
-    var hist = wordHistogram(docs)
-      .select(col("freq"),
-        split(col("word"), "(?!^)(?=.)").as("syms"))
-      .localCheckpoint(true)
-    val learned = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, String, Long)]
-    var rank = 0
-    var done = false
-    while (rank < nMerges && !done) {
-      val best = pairCounts(hist)
-        .orderBy(col("f").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getAs[Long]("f") < minFreq) done = true
-      else {
-        val l = best(0).getAs[String]("l")
-        val r = best(0).getAs[String]("r")
-        learned += ((rank, l, r, best(0).getAs[Long]("f")))
-        hist = hist.select(col("freq"),
-          mergePair(col("syms"), l, r).as("syms"))
-        // bound plan depth: each round nests another fold expression
-        if (rank % 4 == 3) hist = hist.localCheckpoint(true)
-        rank += 1
-      }
-    }
-    learned.toSeq
-  }
+      minFreq: Long = 2L): Seq[(Int, String, String, Long)] =
+    trainMergesBatched(spark, docs, nMerges, batchK = 1, minFreq)
+      .map { case (k, l, r, f, _) => (k, l, r, f) }
 
   /** Weighted adjacent-pair counts over the symbol histogram (classic
     * BPE get_stats: OVERLAPPING occurrences — "aaa" counts (a,a) twice).

@@ -43,13 +43,17 @@ object StreamingCdc {
       state = Some(next.localCheckpoint(true))
     }
 
-    /** Attach to a changelog stream and drain the available backlog
-      * (Trigger.AvailableNow — the finite-drain analog StreamBench
-      * uses); each micro-batch folds into the compacted state.
+    /** Attach to a changelog stream; each micro-batch folds into the
+      * compacted state. Defaults to Trigger.AvailableNow (drain the
+      * backlog and stop — the finite-drain analog StreamBench uses);
+      * pass a processing-time trigger for a long-running query whose
+      * batch boundaries the caller controls (how StreamingCdcSpec
+      * forces three uneven batches deterministically).
       */
-    def run(changeStream: DataFrame, checkpoint: String): StreamingQuery =
+    def run(changeStream: DataFrame, checkpoint: String,
+        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
       changeStream.writeStream
-        .trigger(Trigger.AvailableNow())
+        .trigger(trigger)
         .option("checkpointLocation", checkpoint)
         .foreachBatch((b: Dataset[Row], _: Long) => absorb(b.toDF()))
         .start()

@@ -50,26 +50,40 @@ class StreamingCdcSpec extends SparkSpec {
 
     val mem = MemoryStream[(Long, String, Double, Timestamp, Long)]
     val compactor = new StreamingCdc.Compactor(key, ord)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_cdc_ckpt").toString
-    val q = compactor.run(mem.toDF().toDF(cols: _*), ckpt)
-    // three uneven batches; the third is entirely late-or-new data
-    mem.addData(rows.take(4): _*)
-    mem.addData(rows.slice(4, 8): _*)
-    mem.addData(rows.drop(8): _*)
-    q.awaitTermination()
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt")
+    try {
+      // long-running trigger + addData/processAllAvailable interleaving
+      // so the three uneven batches are DETERMINISTIC micro-batches
+      // (AvailableNow would capture the end offset at start and serve
+      // everything as one batch — never exercising the merge path)
+      val q = compactor.run(mem.toDF().toDF(cols: _*), ckptDir.toString,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      // three uneven batches; the third is entirely late-or-new data
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      assert(compactor.current.isDefined) // batch 1 took the compact branch
+      mem.addData(rows.slice(4, 8): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(8): _*)
+      q.processAllAvailable()
+      q.stop()
 
-    val streamed = compactor.current.get
-      .orderBy("user_id").collect().map(_.toSeq).toSeq
-    assert(streamed == oneShot)
+      val streamed = compactor.current.get
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(streamed == oneShot)
 
-    // served view: tombstoned key 2 gone, resurrected key 3 present
-    val served = compactor.current.get
-      .filter($"event_type" =!= "error")
-      .select("user_id").as[Long].collect().toSet
-    assert(served == Set(1L, 3L, 4L, 5L))
-    // and the late row did not displace key 1's newest write
-    val k1 = streamed.find(_.head == 1L).get
-    assert(k1(1) == "purchase" && k1(4) == 13L)
+      // served view: tombstoned key 2 gone, resurrected key 3 present
+      val served = compactor.current.get
+        .filter($"event_type" =!= "error")
+        .select("user_id").as[Long].collect().toSet
+      assert(served == Set(1L, 3L, 4L, 5L))
+      // and the late row did not displace key 1's newest write
+      val k1 = streamed.find(_.head == 1L).get
+      assert(k1(1) == "purchase" && k1(4) == 13L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }
