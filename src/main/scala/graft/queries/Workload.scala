@@ -1026,54 +1026,22 @@ object Workload {
     * single-partition window. Input: a frame with `o_custkey` and a
     * non-negative DECIMAL `spend`. Output: input columns + `decile` INT.
     *
+    * Delegates to [[graft.operators.OrderedPrefix]] (this query's
+    * two-phase plan, factored for reuse by q32–q35). The monotone value
+    * salt is the negated $100-granularity floor of spend: bucket ascends
+    * as spend descends (spend >= 0, so decimal->long cast truncation IS
+    * floor), and spend ties share a bucket by construction, so the
+    * per-bucket custkey tie-break is the global tie-break.
+    *
     * Public (not private) so DecilePlanSpec can pin bucket-plan ≡
     * single-window bit-equality on an adversarial all-one-bucket frame.
     */
-  def spendDeciles(per: DataFrame): DataFrame = {
-    // Monotone value salt: $100-granularity floor, negated so bucket
-    // ascends as spend descends (spend >= 0, so decimal->long cast
-    // truncation IS floor). Ties in spend share a bucket by construction,
-    // so the per-bucket custkey tie-break is the global tie-break.
-    val base = per.withColumn("__b",
-      lit(0L) - (col("spend") / lit(100)).cast(LongType))
-      // feeds BOTH the bucket-count frame and the rank join — without
-      // staging, the per-customer aggregation upstream executes twice
-      // (review finding; the passageDupImpl/sessionOverlap discipline)
-      .localCheckpoint(false)
-    // Per-bucket counts -> running offsets + global N: the only
-    // unpartitioned windows in the query, over the tiny bucket-count
-    // frame (≈ spend-range/$100 rows), never the per-customer frame.
-    val counts = base.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
-    val wOff = Window.orderBy(col("__b"))
-    val offs = counts
-      .withColumn("__off", coalesce(
-        sum(col("__c")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("__n", sum(col("__c")).over(
-        wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("__b"), col("__off"), col("__n"))
-    val wLocal = Window.partitionBy(col("__b"))
-      .orderBy(col("spend").desc, col("o_custkey"))
-    // NTILE(k) closed form on global rank r in 1..N: with q = N div k,
-    // rem = N % k, the first rem tiles hold q+1 rows; ceil-div is
-    // (x + d - 1) div d (integer, exact — no float rounding at any N).
-    // The when-branch covers every row when q = 0 (N < 10), so the
-    // otherwise-branch's div-by-__q is never evaluated there (CaseWhen
-    // evaluates lazily per row).
-    base
-      .withColumn("__lr", row_number().over(wLocal))
-      .join(broadcast(offs), Seq("__b"))
-      .withColumn("__r", col("__off") + col("__lr"))
-      .withColumn("__q", expr("__n div 10"))
-      .withColumn("__rem", col("__n") % 10)
-      .withColumn("decile",
-        when(col("__r") <= col("__rem") * (col("__q") + 1),
-          expr("(__r + __q) div (__q + 1)"))
-          .otherwise(col("__rem") +
-            expr("(__r - __rem * (__q + 1) + __q - 1) div __q"))
-          .cast(IntegerType))
-      .drop("__b", "__lr", "__off", "__n", "__r", "__q", "__rem")
-  }
+  def spendDeciles(per: DataFrame): DataFrame =
+    graft.operators.OrderedPrefix.rankAndPrefix(per,
+        lit(0L) - (col("spend") / lit(100)).cast(LongType),
+        Seq(col("spend").desc, col("o_custkey")))
+      .withColumn("decile", graft.operators.OrderedPrefix.ntileCol(10))
+      .drop("__rank", "__n")
 
   val q29 = QueryDef(
     "q29_spend_deciles",
@@ -1185,8 +1153,234 @@ object Workload {
       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC)
       ORDER BY c_mktsegment, spend_rank, c_custkey"""))
 
+  /** Pareto / ABC inventory classification — the 80/20 report every
+    * merchandising team runs: parts ranked by revenue; the first 70% of
+    * cumulative revenue is class A, to 90% B, the tail C. The global
+    * ordered RUNNING SUM is the scale hazard here (a naive
+    * `sum().over(Window.orderBy(...))` one-task-sorts every part —
+    * ~20 B rows at 100 TB); [[graft.operators.OrderedPrefix]] computes
+    * it two-phase, so the only single-partition work is over the
+    * $1000-bucket histogram. The class boundary is decided in exact
+    * BIGINT cents (`rc`) — both engines sum integers, so the 70%/90%
+    * comparison is `cum*10 <= tot*7` with no decimal-width or float
+    * rounding semantics in play. Output is the 3-row class summary, so
+    * a single misranked part anywhere in the prefix shifts a boundary
+    * and breaks the hash — a stronger check than per-part output.
+    */
+  val q32 = QueryDef(
+    "q32_pareto_abc",
+    (s, dir) => {
+      val per = lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(decSumExact(col("l_extendedprice")).as("revenue"))
+        .withColumn("rc", (col("revenue") * 100).cast(LongType))
+      val ranked = graft.operators.OrderedPrefix.rankAndPrefix(per,
+        lit(0L) - (col("revenue") / lit(1000)).cast(LongType),
+        Seq(col("revenue").desc, col("l_partkey")),
+        sumExpr = Some(col("rc")))
+      ranked
+        .withColumn("abc_class",
+          when(col("__prefix") * 10 <= col("__total") * 7, lit("A"))
+            .when(col("__prefix") * 10 <= col("__total") * 9, lit("B"))
+            .otherwise(lit("C")))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("revenue")).cast(DoubleType).as("class_revenue"),
+          min(col("__rank")).as("top_rank"),
+          max(col("__rank")).as("bottom_rank"))
+        .orderBy("abc_class")
+    },
+    Some("""
+      WITH per AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS revenue
+        FROM lineitem GROUP BY 1),
+      r AS (
+        SELECT l_partkey, revenue,
+               CAST(revenue * 100 AS BIGINT) AS rc,
+               ROW_NUMBER() OVER w AS rnk,
+               SUM(CAST(revenue * 100 AS BIGINT)) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(CAST(revenue * 100 AS BIGINT)) OVER () AS tot
+        FROM per
+        WINDOW w AS (ORDER BY revenue DESC, l_partkey)),
+      c AS (
+        SELECT *,
+               CASE WHEN cum * 10 <= tot * 7 THEN 'A'
+                    WHEN cum * 10 <= tot * 9 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM r)
+      SELECT abc_class, COUNT(*) AS n_parts,
+             CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
+             MIN(rnk) AS top_rank, MAX(rnk) AS bottom_rank
+      FROM c GROUP BY abc_class ORDER BY abc_class"""))
+
+  /** Association rules over order baskets — q16's pair counts promoted to
+    * the support/confidence/lift triple (the actual market-basket
+    * deliverable). Candidate generation stays EQUI-KEYED on the order key
+    * (never all-pairs: the per-order explosion is bounded by basket
+    * size); item supports join back on the part key (shuffle-partitioned
+    * aggregates on both sides); the single global scalar (order count) is
+    * a broadcast 1-row cross join. Ratios are DOUBLE computed with the
+    * identical expression tree in both engines (IEEE ops on identical
+    * long inputs are bit-identical); the min-support filter bounds the
+    * output before the top-100.
+    */
+  val q33 = QueryDef(
+    "q33_basket_rules",
+    (s, dir) => {
+      val items = lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // feeds the pair self-join (twice), supports, and the scalar —
+        // stage it so the scan+distinct runs once (q05b discipline)
+        .localCheckpoint(false)
+      val nOrd = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      val supp = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+      val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val pairs = a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("supp_ab"))
+        .filter(col("supp_ab") >= 3)
+      pairs
+        .join(supp.select(col("l_partkey").as("part_a"),
+          col("supp").as("supp_a")), Seq("part_a"))
+        .join(supp.select(col("l_partkey").as("part_b"),
+          col("supp").as("supp_b")), Seq("part_b"))
+        .crossJoin(broadcast(nOrd))
+        .withColumn("confidence",
+          col("supp_ab").cast(DoubleType) / col("supp_a").cast(DoubleType))
+        .withColumn("lift",
+          (col("supp_ab").cast(DoubleType) * col("n_orders").cast(DoubleType))
+            / (col("supp_a").cast(DoubleType) * col("supp_b").cast(DoubleType)))
+        .select("part_a", "part_b", "supp_ab", "supp_a", "supp_b",
+          "n_orders", "confidence", "lift")
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(100)
+    },
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+      supp AS (SELECT l_partkey, COUNT(*) AS supp FROM items GROUP BY 1),
+      pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS supp_ab
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT part_a, part_b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+             n.n_orders,
+             CAST(supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS confidence,
+             (CAST(supp_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+               / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)) AS lift
+      FROM pairs
+      JOIN supp sa ON part_a = sa.l_partkey
+      JOIN supp sb ON part_b = sb.l_partkey, n
+      ORDER BY lift DESC, part_a, part_b LIMIT 100"""))
+
+  /** Cohort retention — customers grouped by first-order month, counted
+    * distinct per months-since-cohort offset (the subscription-economy
+    * staple). The cohort month comes from a PARTITIONED min window over
+    * the customer key (no join-back, one shuffle); month arithmetic runs
+    * on month-TRUNCATED timestamps, where `months_between` is exactly
+    * integral in both engines. The cohort is rendered as yyyymm INT so no
+    * timestamp column crosses the oracle compare.
+    */
+  val q34 = QueryDef(
+    "q34_cohort_retention",
+    (s, dir) => {
+      val om = orders(s, dir)
+        .select(col("o_custkey"),
+          date_trunc("MONTH", col("o_orderdate")).as("om"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey"))
+      om.withColumn("cm", min(col("om")).over(w))
+        .groupBy(
+          (year(col("cm")) * 100 + month(col("cm"))).as("cohort_month"),
+          months_between(col("om"), col("cm")).cast(IntegerType)
+            .as("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("active_customers"))
+        .orderBy("cohort_month", "month_offset")
+    },
+    Some("""
+      WITH om AS (
+        SELECT DISTINCT o_custkey,
+               date_trunc('month', o_orderdate) AS om
+        FROM orders),
+      c AS (
+        SELECT o_custkey, om,
+               MIN(om) OVER (PARTITION BY o_custkey) AS cm
+        FROM om)
+      SELECT CAST(year(cm) * 100 + month(cm) AS INTEGER) AS cohort_month,
+             CAST(datediff('month', cm, om) AS INTEGER) AS month_offset,
+             COUNT(DISTINCT o_custkey) AS active_customers
+      FROM c GROUP BY 1, 2 ORDER BY cohort_month, month_offset"""))
+
+  /** RFM segmentation — recency / frequency / monetary quintiles per
+    * customer, the CRM segmentation standard. THREE independent exact
+    * global NTILE(5) assignments over the per-customer frame, each via
+    * [[graft.operators.OrderedPrefix]] (weekly-floor recency salt,
+    * identity frequency salt, $100 monetary salt) — the operator's reuse
+    * showcase: no global single-partition window anywhere, three
+    * bucket-partitioned rank passes over one staged aggregate. Output is
+    * the (r,f,m) cell summary (≤125 rows), so every quintile boundary in
+    * all three dimensions must land exactly.
+    */
+  val q35 = QueryDef(
+    "q35_rfm_segments",
+    (s, dir) => {
+      val OP = graft.operators.OrderedPrefix
+      val per = orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          decSumExact(col("o_totalprice")).as("spend"))
+        // three rank passes share this aggregate — stage it once
+        .localCheckpoint(false)
+      def quintile(df: DataFrame, bucket: Column, ord: Seq[Column],
+          as: String): DataFrame =
+        OP.rankAndPrefix(df, bucket, ord)
+          .withColumn(as, OP.ntileCol(5)).drop("__rank", "__n")
+      val r = quintile(per,
+        lit(0L) - (unix_timestamp(col("last_order")) / lit(604800L))
+          .cast(LongType),
+        Seq(col("last_order").desc, col("o_custkey")), "r_quintile")
+      val f = quintile(r, lit(0L) - col("n_orders"),
+        Seq(col("n_orders").desc, col("o_custkey")), "f_quintile")
+      val m = quintile(f, lit(0L) - (col("spend") / lit(100)).cast(LongType),
+        Seq(col("spend").desc, col("o_custkey")), "m_quintile")
+      m.groupBy("r_quintile", "f_quintile", "m_quintile")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("spend")).cast(DoubleType).as("segment_spend"))
+        .orderBy("r_quintile", "f_quintile", "m_quintile")
+    },
+    Some("""
+      WITH per AS (
+        SELECT o_custkey, MAX(o_orderdate) AS last_order,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS spend
+        FROM orders GROUP BY 1),
+      q AS (
+        SELECT o_custkey, spend,
+               CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey)
+                 AS INTEGER) AS r_quintile,
+               CAST(NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey)
+                 AS INTEGER) AS f_quintile,
+               CAST(NTILE(5) OVER (ORDER BY spend DESC, o_custkey)
+                 AS INTEGER) AS m_quintile
+        FROM per)
+      SELECT r_quintile, f_quintile, m_quintile,
+             COUNT(*) AS n_customers,
+             CAST(SUM(spend) AS DOUBLE) AS segment_spend
+      FROM q GROUP BY 1, 2, 3
+      ORDER BY r_quintile, f_quintile, m_quintile"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
+    q32, q33, q34, q35)
 }

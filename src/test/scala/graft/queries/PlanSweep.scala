@@ -14,9 +14,11 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   *
   *  - the nearest aggregate below it is grouping-free (a scalar partial
   *    agg: ≤ 1 row per map partition — the q04 max-year pattern), or
-  *  - it carries only the salted bucket-count frame (`__b`/`__c`,
-  *    ≤ 256 rows per stratum by construction — the q29/llm_pack_plan
-  *    two-phase rank offset tables).
+  *  - it carries only the salted bucket-count frame (`__b`/`__c`, plus
+  *    the per-bucket sum `__s` when OrderedPrefix carries a running sum
+  *    — ≤ 256 rows per stratum / ≈ value-range/width rows by
+  *    construction: the q29/q32/llm_pack_plan two-phase rank offset
+  *    tables).
   *
   * Anything else fails with the query name and the offending columns, so
   * a future query that sneaks in a global window/sort over an unbounded
@@ -45,7 +47,7 @@ class PlanSweepSpec extends SparkSpec {
       .headOption
     val scalarAgg = nearestAgg.exists(_.groupingExpressions.isEmpty)
     val bucketFrame =
-      e.output.map(_.name).toSet.subsetOf(Set("__b", "__c"))
+      e.output.map(_.name).toSet.subsetOf(Set("__b", "__c", "__s"))
     scalarAgg || bucketFrame
   }
 
