@@ -1971,7 +1971,102 @@ object LlmQueries {
       SELECT vec_id, cid AS cluster FROM a2 WHERE rn = 1
       ORDER BY vec_id"""))
 
+  /** Inverted-index build — the retrieval-side artifact a RAG corpus
+    * pipeline materializes: term → document frequency + first-k posting
+    * list. The posting cap rides TopKAggregate (partial aggregation
+    * keeps ≤ k doc ids per term per MAP partition), not
+    * collect_list+slice: a stop-word term at 100 TB would otherwise
+    * gather ~every doc id into one group's array before truncating, and
+    * a per-term row_number window would one-task-sort the hottest term's
+    * partition. doc_id < 2^53 so the negated-id double score is exact;
+    * "top k by -id" = "k smallest doc ids", matching the oracle's
+    * list_sort+slice.
+    */
+  val invertedIndex = QueryDef(
+    "llm_inverted_index",
+    (s, dir) => {
+      val terms = documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+")))
+            .as("term"))
+        .filter(length(col("term")) > 0)
+      terms.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          graft.functions.TopKAggregate.top_k(
+            lit(0d) - col("doc_id").cast(DoubleType),
+            col("doc_id").cast(StringType), 10).as("__tk"))
+        .withColumn("posting",
+          concat_ws(",", expr("transform(__tk, x -> x.tag)")))
+        .select("term", "df", "posting")
+        .orderBy(col("df").desc, col("term"))
+        .limit(1000)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
+        FROM documents),
+      terms AS (
+        SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks),
+      f AS (
+        SELECT term, COUNT(*) AS df,
+               array_to_string(list_transform(
+                 list_slice(list_sort(list(doc_id)), 1, 10),
+                 x -> CAST(x AS VARCHAR)), ',') AS posting
+        FROM terms WHERE length(term) > 0 GROUP BY term)
+      SELECT term, df, posting FROM f ORDER BY df DESC, term LIMIT 1000"""))
+
+  /** Fixed-point TF-IDF ranking for a constant probe-term set — the
+    * lexical half of retrieval scoring. All arithmetic is BIGINT: the
+    * scaled idf is `(N * 10^6) div df` (truncating integral division —
+    * identical in Spark `div` and DuckDB `//`), the score is
+    * Σ tf·idf_scaled summed as exact integers, so the ranking carries
+    * no float-summation order dependence — the reason this is oracle-
+    * hashable where a log-idf double sum would not be (per-group double
+    * addition order differs between engines). BM25's k1/b saturation is
+    * the same plumbing with one more scaled-integer div.
+    */
+  val tfidfTopk = QueryDef(
+    "llm_tfidf_topk",
+    (s, dir) => {
+      val probes = Seq("spark", "window", "merge")
+      val tf = documents(s, dir)
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(col("term").isin(probes: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        // feeds the df aggregate AND the score join — stage once
+        .localCheckpoint(false)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val n = documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("contrib",
+          col("tf") * expr("(n_docs * 1000000) div dfreq"))
+        .groupBy("doc_id")
+        .agg(sum(col("contrib")).as("score_scaled"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score_scaled").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '[\s\x0b]+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      dfr AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT doc_id,
+             CAST(SUM(tf * ((n.n_docs * 1000000) // dfreq)) AS BIGINT)
+               AS score_scaled,
+             COUNT(*) AS n_terms_hit
+      FROM tf JOIN dfr USING (term), n
+      GROUP BY doc_id ORDER BY score_scaled DESC, doc_id LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(
+    invertedIndex, tfidfTopk,
     bpeTrain, bpeTrainBatched, kmeans, dedupExact, dedupMinhash,
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
