@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbe
   *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]
   *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]
-  *    | bpetrain [batchK] | kmeans [k]]
+  *    | bpetrain [batchK] | kmeans [k] | prefix [rows]]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -133,6 +133,12 @@ object ScaleProbe {
       hotBucketProbe(spark,
         if (args.length > 1) args(1).toLong else 50000L,
         if (args.length > 2) args(2).toLong else 2000L)
+      spark.stop()
+      return
+    }
+    if (mode == "prefix") {
+      prefixProbe(spark,
+        if (args.length > 1) args(1).toLong else 20000000L)
       spark.stop()
       return
     }
@@ -445,6 +451,58 @@ object ScaleProbe {
     * same cached input and produce identical top-5 sets (asserted); the
     * printed times are second-lap (post-JIT).
     */
+  /** Measures operators.OrderedPrefix (two-phase bucketed global
+    * rank+running-sum, the q29/q32/q35 plan) against the single-window
+    * form it replaces, on a planted frame large enough that the one-task
+    * global sort is the visible cost. Also checks both plans produce the
+    * SAME (rank, prefix) on a 100k sample before timing — a probe that
+    * measures a wrong plan measures nothing.
+    */
+  private def prefixProbe(spark: SparkSession, rows: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(rows).select(
+      col("id"),
+      pmod(hash(col("id")), lit(1000000)).cast("long").as("v"))
+      .cache()
+    val n = df.count()
+
+    def windowPlan() = {
+      val w = Window.orderBy(col("v").desc, col("id"))
+      df.withColumn("r", row_number().over(w))
+        .withColumn("p", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+    }
+    def bucketPlan() = operators.OrderedPrefix.rankAndPrefix(
+        df, lit(0L) - (col("v") / lit(1000)).cast("long"),
+        Seq(col("v").desc, col("id")), sumExpr = Some(col("v")))
+      .withColumnRenamed("__rank", "r").withColumnRenamed("__prefix", "p")
+
+    // equivalence on a small slice first (full compare would collect n)
+    val small = spark.range(100000).select(col("id"),
+      pmod(hash(col("id")), lit(1000000)).cast("long").as("v")).cache()
+    val wS = Window.orderBy(col("v").desc, col("id"))
+    val a = small.withColumn("r", row_number().over(wS))
+      .withColumn("p", sum(col("v")).over(
+        wS.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "r", "p").collect().map(_.toSeq).toSet
+    val b = operators.OrderedPrefix.rankAndPrefix(
+        small, lit(0L) - (col("v") / lit(1000)).cast("long"),
+        Seq(col("v").desc, col("id")), sumExpr = Some(col("v")))
+      .select(col("id"), col("__rank").as("r"), col("__prefix").as("p"))
+      .collect().map(_.toSeq).toSet
+    require(a == b, s"plans disagree on the 100k sample: ${a.size} vs ${b.size}")
+
+    def time(f: () => Unit): Double = {
+      f(); val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    // collect the 1-row max (NOT .count(): column pruning would drop the
+    // max expression and the window/rank with it, timing a bare scan)
+    val tw = time(() => windowPlan().select(max(col("r") + col("p"))).collect())
+    val tb = time(() => bucketPlan().select(max(col("r") + col("p"))).collect())
+    println(f"PROBE prefix: rows=$n window=$tw%.2fs " +
+      f"two_phase=$tb%.2fs speedup=x${tw / tb}%.2f")
+  }
+
   private def topkProbe(spark: SparkSession, rows: Long, groups: Int): Unit = {
     import org.apache.spark.sql.expressions.Window
     val df = spark.range(rows).select(
