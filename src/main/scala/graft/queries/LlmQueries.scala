@@ -2065,8 +2065,82 @@ object LlmQueries {
       FROM tf JOIN dfr USING (term), n
       GROUP BY doc_id ORDER BY score_scaled DESC, doc_id LIMIT 20"""))
 
+  /** BM25 ranking for the probe-term set — TF-IDF's production successor
+    * with length normalization and tf saturation, kept EXACT-integer so it
+    * oracle-hashes. With k1 = 1.2 = 6/5 and b = 0.75 = 3/4, the saturation
+    * denominator tf + k1·(1−b + b·dl/avgdl), avgdl = T/N (T = corpus token
+    * count, N = docs), multiplied through by 20·T·N/N = 20·T clears every
+    * fraction: denom_scaled = 20·T·tf + 6·T + 18·N·dl — all BIGINT. The
+    * per-term factors are then two truncating integral divisions (`div` ≡
+    * DuckDB `//`): idf_scaled = (N·10⁴) div df and
+    * sat_scaled = (tf·(k1+1)·20·T·10⁵) div denom = (44·T·tf·10⁵) div denom,
+    * and the score is Σ idf_scaled·sat_scaled summed as exact BIGINTs.
+    * Bounds: sat ≤ 2.2·10⁵, idf ≤ N·10⁴, contrib ≤ ~10¹³ at sf0.1 — no
+    * overflow headroom issues. dl counts nonempty whitespace tokens, same
+    * filter both engines. Scale shape: one map-side tokenize feeding tf,
+    * two 1-row global aggregates broadcast (N, T), a term-keyed df join of
+    * probe cardinality, and a doc-keyed dl join — no window, no all-pairs.
+    */
+  val bm25Topk = QueryDef(
+    "llm_bm25_topk",
+    (s, dir) => {
+      val probes = Seq("spark", "window", "merge")
+      val docs = documents(s, dir)
+      val dl = docs.select(col("doc_id"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          x => length(x) > lit(0))).cast(LongType).as("dl"))
+        // feeds the corpus-total aggregate AND the per-doc score join
+        .localCheckpoint(false)
+      val totals = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("t_len"))
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(col("term").isin(probes: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      tf.join(dfreq, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(totals))
+        .withColumn("contrib",
+          expr("((n_docs * 10000L) div dfreq) * " +
+            "((tf * 44L * t_len * 100000L) div " +
+            "(20L * t_len * tf + 6L * t_len + 18L * n_docs * dl))"))
+        .groupBy("doc_id")
+        .agg(sum(col("contrib")).as("score_scaled"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score_scaled").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH dl AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                 regexp_split_to_array(trim(text), '[\s\x0b]+'),
+                 x -> length(x) > 0)) AS BIGINT) AS dl
+        FROM documents),
+      tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_len FROM dl),
+      toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '[\s\x0b]+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      dfr AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1)
+      SELECT tf.doc_id,
+             CAST(SUM(((tot.n_docs * 10000) // dfreq)
+                * ((tf.tf * 44 * tot.t_len * 100000)
+                   // (20 * tot.t_len * tf.tf + 6 * tot.t_len
+                       + 18 * tot.n_docs * dl.dl))) AS BIGINT)
+               AS score_scaled,
+             COUNT(*) AS n_terms_hit
+      FROM tf JOIN dfr USING (term) JOIN dl ON tf.doc_id = dl.doc_id, tot
+      GROUP BY tf.doc_id ORDER BY score_scaled DESC, tf.doc_id LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(
-    invertedIndex, tfidfTopk,
+    invertedIndex, tfidfTopk, bm25Topk,
     bpeTrain, bpeTrainBatched, kmeans, dedupExact, dedupMinhash,
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
