@@ -572,4 +572,49 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the embedding space with k-means, then compare vectors
+    * pairwise ONLY within their learned cluster and drop every vector
+    * that has an earlier-id cluster-mate with cosine >= `tau`. The
+    * cluster id plays exactly the role the LSH band key plays in
+    * minhashCandidates — a learned equi-join bucket — so candidate
+    * generation is a cluster-keyed self-join, never all-pairs.
+    *
+    * Keeper policy: earliest-id greedy keep. A vector is dropped iff ANY
+    * smaller-id same-cluster vector has cosine >= tau with it — even one
+    * that is itself dropped (the standard greedy chain: the policy is a pure
+    * function of the pair set, deterministic, and exactly expressible as
+    * one SQL NOT EXISTS, which is what the oracle checks).
+    *
+    * Zero-norm vectors carry no direction, so their cosine is undefined:
+    * they never enter the pair join and are always kept.
+    *
+    * 100 TB shape: k is the scale knob — production SemDeDup runs
+    * k ~ n/⟨cluster⟩ so each cluster holds thousands of rows, bounding
+    * the per-cluster quadratic term the same way MaxBucket bounds a band
+    * bucket; the self-join stays cluster-keyed (one shuffle on a learned
+    * key). The staged (vec_id, x, cluster) frame is localCheckpoint'd so
+    * the self-join's two sides reuse one materialization instead of
+    * re-running k-means per side.
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      tau: Double = 0.4): DataFrame = {
+    val assigned = KMeans.fit(emb, k, iters)
+    val v = emb
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("x"))
+      .join(assigned, Seq("vec_id"))
+      .localCheckpoint(false)
+    val nz = v.filter(Similarity.dot(col("x"), col("x")) > 0)
+    val a = nz.select(col("cluster"), col("vec_id").as("va"), col("x").as("xa"))
+    val b = nz.select(col("cluster"), col("vec_id").as("vb"), col("x").as("xb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .filter(Similarity.cosine(col("xa"), col("xb")) >= tau)
+      .select(col("vb").as("vec_id")).distinct()
+    // No broadcast hint: the dropped set is O(corpus) at real duplicate
+    // rates — the flag join is a plain vec_id-keyed equi join.
+    v.join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("__dup").isNull.as("is_kept"))
+  }
 }

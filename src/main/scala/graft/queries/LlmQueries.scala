@@ -740,6 +740,63 @@ object LlmQueries {
       FROM comp JOIN sized USING (cluster_id)
       ORDER BY vec_id"""))
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup with k-means clusters as
+    * the candidate buckets — the third rung of the embedding-dedup ladder
+    * (neardup pairs → CC clusters → learned-partition greedy keep). The
+    * oracle composes the llm_kmeans unrolled-Lloyd's CTEs (2 rounds,
+    * exact-DECIMAL centroid means) with a NOT-EXISTS earlier-id near-dup
+    * test, so the whole pipeline — clustering AND pruning — is
+    * cross-engine checked, not just the final flags. Cosines fold
+    * left-to-right in double on both engines (bit-identical, the
+    * llm_embed_neardup precedent); zero-norm vectors never pair and are
+    * always kept.
+    */
+  val semanticDedup = QueryDef(
+    "llm_semantic_dedup",
+    (s, dir) => Dedup.semanticDedup(embeddings(s, dir), k = 8, iters = 2,
+      tau = 0.4).orderBy("vec_id"),
+    Some(s"""
+      WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+      c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS cid, x AS c
+        FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT 8)),
+      a1 AS (
+        SELECT vec_id, x, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                 list_dot_product(x, x) - 2 * list_dot_product(x, c)
+                   + list_dot_product(c, c), cid) AS rn
+        FROM v CROSS JOIN c0),
+      m1 AS (SELECT vec_id, x, cid FROM a1 WHERE rn = 1),
+      e1 AS (
+        SELECT cid, i, CAST(x[i] AS DECIMAL(27,12)) AS val
+        FROM m1, generate_series(1, $EmbeddingDim) t(i)),
+      u1 AS (
+        SELECT cid, i, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mu
+        FROM e1 GROUP BY cid, i),
+      c1 AS (
+        SELECT cid, list(mu ORDER BY i) AS c FROM u1 GROUP BY cid),
+      a2 AS (
+        SELECT vec_id, x, c1.cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                 list_dot_product(x, x) - 2 * list_dot_product(x, c)
+                   + list_dot_product(c, c), c1.cid) AS rn
+        FROM v CROSS JOIN c1),
+      m2 AS (SELECT vec_id, x, cid FROM a2 WHERE rn = 1),
+      nz AS (SELECT vec_id, x, cid FROM m2
+             WHERE list_dot_product(x, x) > 0),
+      dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM nz a JOIN nz b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.x, b.x)
+                / (sqrt(list_dot_product(a.x, a.x))
+                   * sqrt(list_dot_product(b.x, b.x))) >= 0.4)
+      SELECT m2.vec_id, m2.cid AS cluster,
+             (dup.vec_id IS NULL) AS is_kept
+      FROM m2 LEFT JOIN dup ON m2.vec_id = dup.vec_id
+      ORDER BY m2.vec_id"""))
+
   /** Corpus-curation filter report: every document against every rule,
     * with per-rule reason flags and the final keep verdict — the auditable
     * shape a training-data filter pass needs (not just the survivors: you
@@ -2146,7 +2203,7 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
-    annRecallIvf, embedNearDup, embedClusters,
+    annRecallIvf, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
     sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,

@@ -121,7 +121,11 @@ class PlanSweepSpec extends SparkSpec {
     "llm_embed_clusters" -> Set("SortMergeJoin"), // LSH-bucket pair graph CC
     "llm_curated_train" -> Set("SortMergeJoin"), // id-only anti/semi frames over the doc stream
     "llm_dedup_minhash" -> Set("SortMergeJoin"), // band-bucket candidate equi join — the intended large×large shape
-    "llm_dedup_simhash" -> Set("SortMergeJoin"))
+    "llm_dedup_simhash" -> Set("SortMergeJoin"),
+    // SemDeDup: the cluster-keyed self-join over the checkpoint-staged
+    // (stats-opaque) assignment frame, and the O(corpus) dropped-flag
+    // join — both genuinely large×large at scale, deliberately unhinted.
+    "llm_semantic_dedup" -> Set("SortMergeJoin"))
 
   test("shuffle-join inventory is pinned: no query grows an unlisted " +
     "sort-merge or shuffled-hash join") {
