@@ -23,16 +23,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is a TIMESTAMP(NANOS) parquet column, which Spark's vectorized
-    * reader rejects; read it as a long (legacy flag) and convert to a
-    * microsecond timestamp. Truncation is exact for whole-microsecond data
-    * and day-level derivations either way.
+  /** events.ts arrives in whatever physical type the generator used —
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as a
+    * long via the legacy flag), timestamp[us] (read as TIMESTAMP_NTZ), or
+    * a plain TIMESTAMP — so normalize by SCHEMA, not by assumption, to one
+    * session-zone TIMESTAMP column. Under the UTC session every branch is
+    * value-identical (nanos→micros truncation is exact for
+    * whole-microsecond data; NTZ→LTZ is a relabel at UTC), so queries and
+    * golden pins see the same instants regardless of generator vintage.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

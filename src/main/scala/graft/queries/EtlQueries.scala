@@ -767,6 +767,115 @@ object EtlQueries {
                AS secs_to_convert
       FROM conv ORDER BY user_id"""))
 
+  /** Batch twin of StreamOps.attributeJoin (left-outer, 30-minute
+    * horizon): every click paired with each purchase by the same user
+    * inside [click_ts, click_ts + 30 min), never-converting clicks kept
+    * with null purchase columns. Same plan the stream runs (the watermark
+    * node is a no-op in batch), so the DuckDB oracle checks the streaming
+    * operator's join semantics end-to-end; StreamAttributionSpec pins
+    * stream ≡ batch on the same rows, including the outer-side
+    * watermark-gated null emission. Unlike `etl_click_purchase_funnel`
+    * (first-click→first-purchase aggregate), this is the raw pair stream —
+    * the shape ad-attribution pipelines persist.
+    */
+  val attribBatch = QueryDef(
+    "stream_attrib_batch",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("buy_user"),
+          col("event_id").as("buy_id"), col("ts").as("buy_ts"),
+          col("value").cast(Money).cast(DoubleType).as("amount"))
+      graft.streaming.StreamOps
+        .attributeJoin(clicks, buys, "30 MINUTES", "1 hour", "left_outer")
+        .select(col("click_user").as("user_id"), col("click_id"),
+          col("click_ts"), col("buy_id"), col("buy_ts"), col("amount"))
+        // asc_nulls_last: DuckDB's ASC default is NULLS LAST, Spark's is
+        // nulls-first — the outer-side null buy_ids must sort identically
+        .orderBy(col("user_id"), col("click_id"), asc_nulls_last("buy_id"))
+    },
+    Some("""
+      SELECT c.user_id, c.click_id, c.click_ts, p.buy_id, p.buy_ts, p.amount
+      FROM (SELECT user_id, event_id AS click_id, ts::TIMESTAMP AS click_ts
+            FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT user_id, event_id AS buy_id, ts::TIMESTAMP AS buy_ts,
+                        CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS amount
+                 FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+       AND p.buy_ts >= c.click_ts
+       AND p.buy_ts < c.click_ts + INTERVAL 30 MINUTE
+      ORDER BY c.user_id, c.click_id, p.buy_id"""))
+
+  /** Time-series gap fill + LOCF — the densification every downstream
+    * forecasting/report consumer needs: each user's daily value series is
+    * completed over the user's OWN active span (sequence() explode of
+    * [first day, last day] — per-user bounded, no global calendar join),
+    * missing days get n_events = 0, and the carried value is the last
+    * observed daily total. LOCF is computed by the engine-portable
+    * gaps-and-islands trick — a running COUNT of non-null observations
+    * assigns each gap row to the island of the observation it follows,
+    * then MAX over (user, island) recovers that single non-null value —
+    * instead of IGNORE NULLS window syntax, so Spark and DuckDB provably
+    * run the same algorithm (both stay partial-agg/window-partitioned by
+    * user; nothing global). Leading-gap rows (none here by construction:
+    * every span starts at an observed day) would carry NULL.
+    */
+  val gapFill = QueryDef(
+    "etl_gap_fill",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(Money)).cast(Money).as("day_value"))
+      val calendar = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      calendar.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("island",
+          count(col("day_value"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("locf_value",
+          max(col("day_value"))
+            .over(Window.partitionBy(col("user_id"), col("island"))))
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("day_value").cast(DoubleType).as("day_value"),
+          col("locf_value").cast(DoubleType).as("locf_value"),
+          col("n_events").isNull.as("is_gap"))
+        .orderBy("user_id", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS day_value
+        FROM events GROUP BY 1, 2),
+      cal AS (
+        SELECT user_id,
+               UNNEST(generate_series(MIN(day), MAX(day),
+                 INTERVAL 1 DAY))::DATE AS day
+        FROM daily GROUP BY user_id),
+      joined AS (
+        SELECT c.user_id, c.day, d.n_events, d.day_value
+        FROM cal c LEFT JOIN daily d
+          ON c.user_id = d.user_id AND c.day = d.day),
+      isl AS (
+        SELECT *, COUNT(day_value) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM joined)
+      SELECT user_id, day, COALESCE(n_events, 0) AS n_events,
+             CAST(day_value AS DOUBLE) AS day_value,
+             CAST(MAX(day_value) OVER (PARTITION BY user_id, island)
+               AS DOUBLE) AS locf_value,
+             n_events IS NULL AS is_gap
+      FROM isl ORDER BY user_id, day"""))
+
   /** Exact heavy hitters — (event_type, user) pairs with at least 15
     * events (operators.HeavyHitters.exact): partial-agg groupBy then
     * threshold, the exact rung of the heavy-hitter ladder. The sketch
@@ -859,6 +968,7 @@ object EtlQueries {
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
+    attribBatch, gapFill,
     scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     skewSalted,

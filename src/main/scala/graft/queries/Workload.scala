@@ -1378,9 +1378,69 @@ object Workload {
       FROM q GROUP BY 1, 2, 3
       ORDER BY r_quintile, f_quintile, m_quintile"""))
 
+  /** Trailing-week moving revenue per nation — the RANGE window frame
+    * (calendar-bounded, not row-count-bounded): on a daily series with
+    * missing days, ROWS 6 PRECEDING silently reaches back seven
+    * OBSERVATIONS however old, while RANGE over the last 6 calendar days
+    * averages only what actually happened that week. The frame bound runs
+    * on an epoch-day INTEGER ordering key (datediff from 1970-01-01) so
+    * the DataFrame API's rangeBetween(-6, 0) and DuckDB's RANGE BETWEEN 6
+    * PRECEDING are the same arithmetic — no interval-literal dialect in
+    * the frame. Window stays partitioned by nation (25 partitions, never
+    * global); the trailing average divides the exact DECIMAL sum by the
+    * frame's observation count in DOUBLE.
+    */
+  val q36 = QueryDef(
+    "q36_trailing_week_range",
+    (s, dir) => {
+      val daily = orders(s, dir)
+        .join(broadcast(customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderdate").cast(DateType).as("day"))
+        .agg(decSumExact(col("o_totalprice")).as("day_rev"))
+        .withColumn("day_num",
+          datediff(col("day"), lit("1970-01-01").cast(DateType)))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("day_num"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("t7_sum", sum(col("day_rev")).over(w).cast(Money))
+        .withColumn("t7_days", count(lit(1)).over(w))
+        .select(col("n_name"), col("day"),
+          col("day_rev").cast(DoubleType).as("day_revenue"),
+          col("t7_sum").cast(DoubleType).as("t7_revenue"),
+          (col("t7_sum").cast(DoubleType) / col("t7_days")).as("t7_avg"),
+          col("t7_days"))
+        .orderBy("n_name", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS day_rev,
+               CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      t AS (
+        SELECT n_name, day, day_rev,
+               CAST(SUM(day_rev) OVER w AS DECIMAL(18,2)) AS t7_sum,
+               COUNT(*) OVER w AS t7_days
+        FROM daily
+        WINDOW w AS (PARTITION BY n_name ORDER BY day_num
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT n_name, day,
+             CAST(day_rev AS DOUBLE) AS day_revenue,
+             CAST(t7_sum AS DOUBLE) AS t7_revenue,
+             CAST(t7_sum AS DOUBLE) / t7_days AS t7_avg,
+             t7_days
+      FROM t ORDER BY n_name, day"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35)
+    q32, q33, q34, q35, q36)
 }

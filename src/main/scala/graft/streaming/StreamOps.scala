@@ -105,6 +105,41 @@ object StreamOps {
         col("r.event_type"), col("r.value"), col("fp"), col("n_dupes"))
   }
 
+  /** Watermarked stream-stream interval join: purchases attributed to the
+    * click they follow within `horizon` on the same user. Expects the two
+    * sides pre-renamed to disjoint schemas — clicks(click_user, click_id,
+    * click_ts), purchases(buy_user, buy_id, buy_ts, amount) — so the join
+    * output needs no disambiguation.
+    *
+    * The time-range predicate is what makes this runnable as a STREAM:
+    * with watermarks on both event-time columns, Spark derives exactly how
+    * long a buffered click can still match (horizon + watermark) and how
+    * long a purchase can wait for its click, then evicts that state.
+    * Without the interval bound, both sides' join state grow without limit
+    * — the unbounded-state analog of the single-partition window, and the
+    * first thing to kill a 100 TB/day attribution stream. `leftOuter`
+    * additionally emits never-converting clicks with null purchase columns
+    * — but only once the watermark PROVES no match can still arrive, which
+    * is why the parity spec must advance event time past
+    * click_ts + horizon + watermark before asserting on them.
+    *
+    * Under batch execution the watermark nodes are no-ops and this is a
+    * plain interval join (equi on user + range residual — per-user
+    * bounded, no interval machinery needed), so the oracled batch twin
+    * (`stream_attrib_batch`) checks the very plan the stream runs.
+    */
+  def attributeJoin(clicks: DataFrame, purchases: DataFrame,
+      horizon: String, watermark: String,
+      joinType: String = "inner"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val p = purchases.withWatermark("buy_ts", watermark)
+    c.join(p,
+      col("click_user") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") < col("click_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
+  }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
   case class Session(user_id: Long, session_start: Timestamp,
