@@ -1438,9 +1438,92 @@ object Workload {
              t7_days
       FROM t ORDER BY n_name, day"""))
 
+  /** PageRank over the part co-purchase graph — the iterative graph-rank
+    * complement of the connected-components ladder (llm/Dedup): nodes are
+    * parts, edges connect parts bought together in at least one order
+    * (symmetric, unweighted, so no dangling mass — every node keeps
+    * out-degree ≥ 1). Three Lloyd's-style unrolled power iterations in
+    * EXACT BIGINT micro-units (rank₀ = 10¹² div N; rank' = (15·rank₀) div
+    * 100 + (85·Σ_{u→v} rank(u) div deg(u)) div 100) — every op is integer,
+    * so the iteration is order-independent and DuckDB replays it
+    * bit-equal with `//`, the same discipline that oracles llm_kmeans and
+    * llm_semantic_dedup. Each iteration is one equi-join + partial-agg
+    * shuffle on the node key; the edge list is staged once
+    * (localCheckpoint) and reused by all three; N enters as a broadcast
+    * 1-row scalar, never a driver collect. Scale: rank state is
+    * |nodes|-sized, contributions are |edges|-sized — both shuffle-keyed,
+    * nothing global; at a 32k-vocab-equivalent graph the cost is 3
+    * scheduler rounds, not 3 sequential scans of the raw fact.
+    */
+  val q37 = QueryDef(
+    "q37_part_pagerank",
+    (s, dir) => {
+      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val half = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb")).distinct()
+      val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(half.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint(false)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.crossJoin(broadcast(n))
+        .select(col("src").as("node"), col("deg"),
+          expr("1000000000000 div n").as("r"))
+      for (_ <- 1 to 3) {
+        val contribs = edges.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        ranks = deg.join(contribs, col("src") === col("dst"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("src").as("node"), col("deg"),
+            expr("(15 * (1000000000000 div n)) div 100" +
+              " + (85 * coalesce(s, 0)) div 100").as("r"))
+      }
+      ranks
+        .select(col("node").as("part_key"), col("deg").as("n_neighbors"),
+          col("r").as("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("part_key"))
+        .limit(100)
+    },
+    Some("""
+      WITH half AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      edges AS (
+        SELECT pa AS src, pb AS dst FROM half
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM half),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM deg),
+      r0 AS (SELECT src AS node, deg, 1000000000000 // n AS r FROM deg, nn),
+      s1 AS (SELECT e.dst, SUM(r.r // r.deg) AS s
+             FROM edges e JOIN r0 r ON e.src = r.node GROUP BY 1),
+      r1 AS (SELECT d.src AS node, d.deg,
+               CAST((15 * (1000000000000 // n)) // 100
+                 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+             FROM deg d LEFT JOIN s1 s ON d.src = s.dst, nn),
+      s2 AS (SELECT e.dst, SUM(r.r // r.deg) AS s
+             FROM edges e JOIN r1 r ON e.src = r.node GROUP BY 1),
+      r2 AS (SELECT d.src AS node, d.deg,
+               CAST((15 * (1000000000000 // n)) // 100
+                 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+             FROM deg d LEFT JOIN s2 s ON d.src = s.dst, nn),
+      s3 AS (SELECT e.dst, SUM(r.r // r.deg) AS s
+             FROM edges e JOIN r2 r ON e.src = r.node GROUP BY 1),
+      r3 AS (SELECT d.src AS node, d.deg,
+               CAST((15 * (1000000000000 // n)) // 100
+                 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+             FROM deg d LEFT JOIN s3 s ON d.src = s.dst, nn)
+      SELECT node AS part_key, deg AS n_neighbors, r AS rank_micro
+      FROM r3 ORDER BY rank_micro DESC, part_key LIMIT 100"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36)
+    q32, q33, q34, q35, q36, q37)
 }

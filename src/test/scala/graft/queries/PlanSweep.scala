@@ -125,7 +125,11 @@ class PlanSweepSpec extends SparkSpec {
     // SemDeDup: the cluster-keyed self-join over the checkpoint-staged
     // (stats-opaque) assignment frame, and the O(corpus) dropped-flag
     // join — both genuinely large×large at scale, deliberately unhinted.
-    "llm_semantic_dedup" -> Set("SortMergeJoin"))
+    "llm_semantic_dedup" -> Set("SortMergeJoin"),
+    // PageRank power iterations: edges×ranks and deg×contribs equi joins
+    // over the checkpoint-staged (stats-opaque) edge list — |edges|-sized
+    // on both sides at scale, deliberately unhinted like the CC iterate.
+    "q37_part_pagerank" -> Set("SortMergeJoin"))
 
   test("shuffle-join inventory is pinned: no query grows an unlisted " +
     "sort-merge or shuffled-hash join") {
