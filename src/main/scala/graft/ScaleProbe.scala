@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbe
   *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]
   *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]
-  *    | bpetrain [batchK] | kmeans [k] | prefix [rows]]
+  *    | bpetrain [batchK] | kmeans [k] | prefix [rows] | zorder [rows]]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -138,6 +138,12 @@ object ScaleProbe {
     }
     if (mode == "prefix") {
       prefixProbe(spark,
+        if (args.length > 1) args(1).toLong else 20000000L)
+      spark.stop()
+      return
+    }
+    if (mode == "zorder") {
+      zorderProbe(spark,
         if (args.length > 1) args(1).toLong else 20000000L)
       spark.stop()
       return
@@ -501,6 +507,51 @@ object ScaleProbe {
     val tb = time(() => bucketPlan().select(max(col("r") + col("p"))).collect())
     println(f"PROBE prefix: rows=$n window=$tw%.2fs " +
       f"two_phase=$tb%.2fs speedup=x${tw / tb}%.2f")
+  }
+
+  /** File-skipping under z-order vs single-dim sort layout: N rows with
+    * two independent uniform 20-bit dims are assigned to 1024 "files"
+    * either by the top 10 bits of the (x, y) Morton key or by x-range
+    * alone (what ORDER BY x gives a writer). Each file's min/max bounding
+    * box — exactly what parquet row-group stats expose — is then tested
+    * against (a) a 1%×1% box predicate and (b) a y-only 1% predicate, and
+    * the probe reports how many files each layout cannot prune. The
+    * driver-side work is the 1024-row box table (model-sized, like the
+    * IVF centroid collect), never the data.
+    */
+  private def zorderProbe(spark: SparkSession, rows: Long): Unit = {
+    import graft.operators.ZOrder
+    val bits = 10
+    val side = 1L << 20
+    val df = spark.range(rows).select(
+      pmod(hash(col("id")), lit(side)).cast("long").as("x"),
+      pmod(hash(col("id") + 1234567L), lit(side)).cast("long").as("y"))
+    val zFiles = df
+      .withColumn("f", shiftright(ZOrder.interleave(bits,
+        ZOrder.bucket(col("x"), lit(0L), lit(side - 1), bits),
+        ZOrder.bucket(col("y"), lit(0L), lit(side - 1), bits)), bits))
+    val linFiles = df
+      .withColumn("f", ZOrder.bucket(col("x"), lit(0L), lit(side - 1), bits))
+    def boxes(d: org.apache.spark.sql.DataFrame): Array[(Long, Long, Long, Long)] =
+      d.groupBy("f").agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+        .collect().map(r => (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+    val (zb, lb) = (boxes(zFiles), boxes(linFiles))
+    val q = side / 100 // 1% of each axis
+    val (qx0, qx1, qy0, qy1) = (side / 3, side / 3 + q, side / 7, side / 7 + q)
+    def touched(bs: Array[(Long, Long, Long, Long)],
+        x0: Long, x1: Long, y0: Long, y1: Long): Int =
+      bs.count { case (bx0, bx1, by0, by1) =>
+        bx0 <= x1 && x0 <= bx1 && by0 <= y1 && y0 <= by1 }
+    val zBox = touched(zb, qx0, qx1, qy0, qy1)
+    val lBox = touched(lb, qx0, qx1, qy0, qy1)
+    val zY = touched(zb, 0L, side - 1, qy0, qy1)
+    val lY = touched(lb, 0L, side - 1, qy0, qy1)
+    println(f"PROBE zorder: rows=$rows files=${zb.length}/${lb.length} " +
+      f"box1pct z=$zBox lin=$lBox | y-only z=$zY lin=$lY " +
+      f"(skip rate z=${100.0 * (1 - zY.toDouble / zb.length)}%.1f%% " +
+      f"lin=${100.0 * (1 - lY.toDouble / lb.length)}%.1f%%)")
   }
 
   private def topkProbe(spark: SparkSession, rows: Long, groups: Int): Unit = {

@@ -876,6 +876,59 @@ object EtlQueries {
              n_events IS NULL AS is_gap
       FROM isl ORDER BY user_id, day"""))
 
+  /** Z-order clustering layout report — the write-side file-skipping
+    * story (operators/ZOrder): lineitem keyed by the Morton interleave of
+    * (l_partkey, l_suppkey) 8-bit range buckets, grouped into files by
+    * the z-key's top bits (file = z >> 6 → ≤1024 files), reporting each
+    * file's row count and min/max BOUNDING BOX in both dimensions. The
+    * boxes are the artifact that matters at 100 TB: they are what parquet
+    * row-group stats expose to scan pruning, and under z-order they stay
+    * tight in BOTH keys (ScaleProbe zorder measures the resulting skip
+    * rate vs a single-dim sort layout). Plan: one broadcast 1-row bounds
+    * aggregate, then map-only exact-integer key arithmetic (codegen
+    * column ops, no UDF) into a partial-agg groupBy — nothing global. The
+    * oracle replays the identical shift/mask arithmetic (both sides are
+    * generated from ZOrder.interleave/interleaveSql).
+    */
+  val zorderLayout = {
+    val ZO = graft.operators.ZOrder
+    val pkB = ZO.bucketSql("l_partkey", "pk_lo", "pk_hi", 8)
+    val skB = ZO.bucketSql("l_suppkey", "sk_lo", "sk_hi", 8)
+    QueryDef(
+      "etl_zorder_layout",
+      (s, dir) => {
+        val li = lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"))
+        val bounds = li.agg(
+          min(col("l_partkey")).as("pk_lo"), max(col("l_partkey")).as("pk_hi"),
+          min(col("l_suppkey")).as("sk_lo"), max(col("l_suppkey")).as("sk_hi"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("z", ZO.interleave(8,
+            ZO.bucket(col("l_partkey"), col("pk_lo"), col("pk_hi"), 8),
+            ZO.bucket(col("l_suppkey"), col("sk_lo"), col("sk_hi"), 8)))
+          .withColumn("file_id", shiftright(col("z"), 6))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("pk_min"),
+            max(col("l_partkey")).as("pk_max"),
+            min(col("l_suppkey")).as("sk_min"),
+            max(col("l_suppkey")).as("sk_max"))
+          .orderBy("file_id")
+      },
+      Some(s"""
+      WITH b AS (
+        SELECT MIN(l_partkey) AS pk_lo, MAX(l_partkey) AS pk_hi,
+               MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi
+        FROM lineitem),
+      z AS (
+        SELECT l_partkey, l_suppkey,
+               (${ZO.interleaveSql(8, pkB, skB)}) AS z
+        FROM lineitem, b)
+      SELECT z >> 6 AS file_id, COUNT(*) AS n_rows,
+             MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+             MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+      FROM z GROUP BY 1 ORDER BY file_id"""))
+  }
+
   /** Exact heavy hitters — (event_type, user) pairs with at least 15
     * events (operators.HeavyHitters.exact): partial-agg groupBy then
     * threshold, the exact rung of the heavy-hitter ladder. The sketch
@@ -968,7 +1021,7 @@ object EtlQueries {
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
-    attribBatch, gapFill,
+    attribBatch, gapFill, zorderLayout,
     scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     skewSalted,
