@@ -1521,9 +1521,57 @@ object Workload {
       SELECT node AS part_key, deg AS n_neighbors, r AS rank_micro
       FROM r3 ORDER BY rank_micro DESC, part_key LIMIT 100"""))
 
+  /** Explicit bag-to-set operators — INTERSECT and EXCEPT as first-class
+    * plan nodes (the one relational-surface family the suite exercised
+    * only implicitly through DISTINCT/anti-join shapes): per segment, the
+    * customers active in BOTH 1997 and 1998 (retention) and active in
+    * 1998 but not 1997 (acquisition). Spark's
+    * `intersect`/`except` compile to left-semi/left-anti over
+    * distinct'd children — same partial-agg + equi-join machinery as the
+    * dedup ladder, nothing new to scale — and both engines apply
+    * identical SET (not bag) semantics. Year predicates are sargable
+    * literal ranges (inYear).
+    */
+  val q38 = QueryDef(
+    "q38_customer_set_ops",
+    (s, dir) => {
+      val o = orders(s, dir)
+      def active(y: Int): DataFrame =
+        o.filter(inYear(col("o_orderdate"), y)).select("o_custkey").distinct()
+      val both = active(1997).intersect(active(1998))
+      val acquired = active(1998).except(active(1997))
+      val cust = customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      def bySeg(keys: DataFrame, label: String): DataFrame =
+        keys.join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .withColumn("cohort", lit(label))
+      bySeg(both, "retained").unionByName(bySeg(acquired, "acquired"))
+        .select(col("cohort"), col("c_mktsegment"), col("n_customers"))
+        .orderBy("cohort", "c_mktsegment")
+    },
+    Some("""
+      WITH a97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'),
+      a98 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'),
+      both_y AS (SELECT o_custkey FROM a97 INTERSECT SELECT o_custkey FROM a98),
+      acq AS (SELECT o_custkey FROM a98 EXCEPT SELECT o_custkey FROM a97),
+      lab AS (
+        SELECT 'retained' AS cohort, o_custkey FROM both_y
+        UNION ALL
+        SELECT 'acquired' AS cohort, o_custkey FROM acq)
+      SELECT cohort, c_mktsegment, COUNT(*) AS n_customers
+      FROM lab JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2 ORDER BY cohort, c_mktsegment"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37)
+    q32, q33, q34, q35, q36, q37, q38)
 }
