@@ -1464,6 +1464,12 @@ object Workload {
       val half = a.join(b, Seq("l_orderkey"))
         .filter(col("pa") < col("pb"))
         .select(col("pa"), col("pb")).distinct()
+      // Per-iteration SMJs re-exchange the staged edge list: under AQE a
+      // localCheckpoint surfaces UnknownPartitioning, so pre-partitioning
+      // edges by src here cannot be reused by the joins (measured: no
+      // composite win). On a real cluster the steady-state form is a
+      // bucketed/pre-partitioned edge table co-located with rank state —
+      // the per-round shuffle is |edges|-keyed either way, never global.
       val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
         .union(half.select(col("pb").as("src"), col("pa").as("dst")))
         .localCheckpoint(false)
