@@ -196,4 +196,37 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .drop("__ord", "__b", "__lc", "__off")
   }
+
+  /** Deterministic per-document WEIGHTED sampling without replacement
+    * (priority sampling, Duffield et al.): each doc gets an integer
+    * priority (u · 10⁶) div w — a deterministic uniform-ish key u scaled
+    * down by the doc's weight — and the sample is the k smallest
+    * priorities, so selection probability grows with weight while staying
+    * bit-reproducible (no RNG state, no float transcendentals). u folds
+    * the first [[PriorityChars]] chars of the id's md5 hex by ascii
+    * positional weights — portable to any engine with md5/ascii/substr;
+    * the fold's uniformity only affects sample QUALITY, determinism and
+    * the weight bias hold regardless. Ties (identical priorities) break
+    * on the id. Plan shape: map-only priority computation into a global
+    * top-k (TakeOrderedAndProject — bounded by k, never a full sort).
+    */
+  val PriorityChars = 6
+  val PriorityScale = 1000000L
+
+  def weightedPriority(idCol: Column, weightCol: Column): Column = {
+    val h = md5(idCol.cast(StringType).cast(BinaryType))
+    val u = (1 to PriorityChars)
+      .map(i => ascii(substring(h, i, 1)).cast(LongType) *
+        lit(math.pow(128, i - 1).toLong))
+      .reduce(_ + _)
+    call_function("div", u * lit(PriorityScale), weightCol.cast(LongType))
+  }
+
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .filter(col(weightCol).cast(LongType) > 0)
+      .withColumn("priority", weightedPriority(col(idCol), col(weightCol)))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
 }

@@ -1146,6 +1146,31 @@ object LlmQueries {
       FROM cum WHERE cum_tokens <= 5000
       ORDER BY lang, cum_tokens, doc_id"""))
 
+  /** Per-document weighted sampling (Sampling.weightedSample): 100 docs
+    * drawn with probability increasing in n_chars via exact-integer
+    * priority sampling — the per-doc-weight rung the stratum-level
+    * temperature/mixture recipes don't cover (e.g. sample by quality
+    * score). The oracle replays the identical md5-ascii fold and integer
+    * division, so the full priority rule is cross-engine proven, not just
+    * the selection.
+    */
+  val sampleWeighted = QueryDef(
+    "llm_sample_weighted",
+    (s, dir) => Sampling.weightedSample(documents(s, dir), "n_chars", 100)
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy("priority", "doc_id"),
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id, n_chars,
+               (${(1 to Sampling.PriorityChars).map(i =>
+                 s"CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) " +
+                   s"AS BIGINT) * ${math.pow(128, i - 1).toLong}")
+                 .mkString("\n                + ")})
+                 * ${Sampling.PriorityScale} AS up
+        FROM documents WHERE n_chars > 0)
+      SELECT doc_id, n_chars, up // n_chars AS priority
+      FROM p ORDER BY priority, doc_id LIMIT 100"""))
+
   /** The token-budget recipe under the REAL tokenizer's unit of account:
     * same greedy per-language selection as `llm_sample_budget`, but the
     * running sum accumulates vocab-driven BPE token counts
@@ -2206,7 +2231,7 @@ object LlmQueries {
     annRecallIvf, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
-    sampleBudgetBpe, sampleMixture, embedNormalize, dedupClusters,
+    sampleBudgetBpe, sampleWeighted, sampleMixture, embedNormalize, dedupClusters,
     dedupSurvivors, dedupSurvivorsBest, dedupIncremental, chunkPlan,
     chunkOverlapPlan,
     packPlan, contamination, decontaminated, curatedTrain)

@@ -11,6 +11,27 @@ class SamplingSpec extends SparkSpec {
     (4L, "gg hh ii jj", "de"), (5L, "kk ll", "de"))
     .toDF("doc_id", "text", "lang")
 
+  test("weightedSample biases selection toward heavy docs, " +
+      "deterministically, zero-weight rows excluded") {
+    // 500 heavy docs (weight 1000) vs 500 light docs (weight 1): the
+    // priority (u*1e6) div w shrinks heavy docs' keys ~1000x, so the
+    // k=100 smallest priorities should be (almost) all heavy
+    val corpus = ((1 to 500).map(i => (i.toLong, 1000L)) ++
+      (501 to 1000).map(i => (i.toLong, 1L)) :+ (1001L, 0L))
+      .toDF("doc_id", "w")
+    val sample = Sampling.weightedSample(corpus, "w", 100, idCol = "doc_id")
+      .collect()
+    assert(sample.length == 100)
+    val heavy = sample.count(_.getAs[Long]("doc_id") <= 500)
+    assert(heavy >= 95, s"expected heavy-doc dominance, got $heavy/100")
+    assert(!sample.exists(_.getAs[Long]("doc_id") == 1001L),
+      "zero-weight row must be excluded, not divide by zero")
+    // bit-reproducible: a second run returns the identical sample
+    val again = Sampling.weightedSample(corpus, "w", 100, idCol = "doc_id")
+      .collect()
+    assert(sample.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("temperatureSample flattens stratum shares toward sqrt(n)") {
     // 100 'en' docs vs 9 'de' docs (raw ratio ~11:1)
     val skewed = ((1 to 100).map(i => (i.toLong, s"en doc $i", "en")) ++
