@@ -58,6 +58,33 @@ object Similarity {
           .otherwise(transform(col("__v"), x => x / col("__n"))))
       .drop("__v", "__n")
 
+  /** Symmetric int8 scalar quantization — the storage rung of the
+    * embedding toolkit: q_i = floor(v_i · 127 / s + 0.5) with per-vector
+    * scale s = max|v_i| (round-half-up spelled as floor(x + 0.5) so both
+    * engines apply the same tie rule on bit-identical doubles; Spark's
+    * round() is HALF_UP but other engines' round() may be half-even).
+    * A 4-byte-float vector becomes 1 byte/dim + one scale — 4× smaller,
+    * and int8 dot products run in exact BIGINT. Reconstruction error is
+    * bounded by s/254 per element (EmbedQuantizeSpec checks the bound and
+    * the recall cost on the real corpus). Zero vectors (s = 0) quantize
+    * to all-zero, guarded like l2Normalized. Scale/maxabs are staged
+    * projections (lambda-captured aggregates would re-evaluate per
+    * element — repo expression-discipline trap #2); the plan is map-only.
+    */
+  def scalarQuantize(corpus: DataFrame,
+      embeddingCol: String = "embedding"): DataFrame =
+    corpus
+      .withColumn("__v", asDouble(col(embeddingCol)))
+      .withColumn("scale",
+        aggregate(col("__v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("qvec",
+        when(col("scale") === 0.0,
+          transform(col("__v"), _ => lit(0).cast(IntegerType)))
+          .otherwise(transform(col("__v"),
+            x => floor(x * lit(127.0) / col("scale") + lit(0.5))
+              .cast(IntegerType))))
+      .drop("__v")
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries are broadcast; ranking is a window per query id with
     * deterministic tie-breaking.

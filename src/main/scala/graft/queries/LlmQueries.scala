@@ -1968,6 +1968,45 @@ object LlmQueries {
              sqrt(list_dot_product(unit, unit)) AS unit_norm
       FROM u ORDER BY vec_id"""))
 
+  /** Int8 scalar quantization of the embedding corpus
+    * (Similarity.scalarQuantize): per-vector symmetric scale, quantized
+    * values constrained through EXACT-INTEGER derivations (first element,
+    * Σq, Σq² — any quantization drift flips an integer, unlike a float
+    * summary). The oracle replays the identical floor(x·127/s + 0.5)
+    * arithmetic on DuckDB list lambdas; EmbedQuantizeSpec checks the
+    * s/254 reconstruction bound and the recall cost vs exact cosine.
+    */
+  val embedQuantize = QueryDef(
+    "llm_embed_quantize",
+    (s, dir) => Similarity.scalarQuantize(embeddings(s, dir))
+      .select(col("vec_id"), col("scale"),
+        element_at(col("qvec"), 1).as("q_first"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x * x).as("q_norm2"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                 AS scale,
+               embedding::DOUBLE[] AS v
+        FROM embeddings),
+      qq AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v,
+                      x -> CAST(floor(x * 127.0 / scale + 0.5) AS INTEGER))
+               END AS qvec
+        FROM q)
+      SELECT vec_id, scale, qvec[1] AS q_first,
+             CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT)))
+               AS BIGINT) AS q_sum,
+             CAST(list_sum(list_transform(qvec,
+               x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT)
+               AS q_norm2
+      FROM qq ORDER BY vec_id"""))
+
   /** BPE merge-table TRAINING (llm/BpeTrain.scala) — the learn side of
     * the shipped encode loop: 16 ranked merges from the distinct-word
     * histogram (corpus scanned ONCE; every round runs on the small
@@ -2231,7 +2270,8 @@ object LlmQueries {
     annRecallIvf, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
-    sampleBudgetBpe, sampleWeighted, sampleMixture, embedNormalize, dedupClusters,
+    sampleBudgetBpe, sampleWeighted, sampleMixture, embedNormalize,
+    embedQuantize, dedupClusters,
     dedupSurvivors, dedupSurvivorsBest, dedupIncremental, chunkPlan,
     chunkOverlapPlan,
     packPlan, contamination, decontaminated, curatedTrain)
