@@ -85,6 +85,46 @@ object Similarity {
               .cast(IntegerType))))
       .drop("__v")
 
+  /** Brute-force top-k over the INT8-QUANTIZED corpus — the retrieval
+    * path that pairs with [[scalarQuantize]]: scores are exact-BIGINT
+    * integer dot products (per-vector scales cancel in the cosine, so
+    * ranking needs no dequantization), normalized by the quantized norms
+    * only for the final cosine value. Element products are ≤ 127² and
+    * corpus dims are bounded, so the integer fold is exact in both
+    * engines (the oracle's double fold over integer terms is exact below
+    * 2^53). Zero-norm QUANTIZED vectors are excluded like the float path.
+    * At scale this reads 4× fewer bytes per candidate than the float
+    * kernel and the multiply-accumulate is integer — the standard
+    * memory-bound ANN serving trade.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def quant(df: DataFrame, idAs: String, vecAs: String, n2As: String) =
+      scalarQuantize(df)
+        .select(col("vec_id").as(idAs),
+          col("qvec").cast(ArrayType(LongType)).as(vecAs))
+        .withColumn(n2As,
+          aggregate(col(vecAs), lit(0L), (a, x) => a + x * x))
+        .filter(col(n2As) > 0)
+    val q = broadcast(quant(queries, "query_id", "qq", "qn2"))
+    val c = quant(corpus, "neighbor_id", "cq", "cn2")
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("int_dot",
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("qcosine",
+        col("int_dot").cast(DoubleType) /
+          (sqrt(col("qn2").cast(DoubleType)) *
+            sqrt(col("cn2").cast(DoubleType))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("int_dot"),
+        col("qcosine"), col("rank"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors. Queries are broadcast; ranking is a window per query id with
     * deterministic tie-breaking.

@@ -2007,6 +2007,52 @@ object LlmQueries {
                AS q_norm2
       FROM qq ORDER BY vec_id"""))
 
+  /** Top-5 retrieval over the int8-quantized corpus
+    * (Similarity.quantizedTopK): exact-BIGINT dot products, scales cancel
+    * in the ranking. The oracle re-derives the same quantization then
+    * folds integer terms in double (exact below 2^53) — so quantize,
+    * score, and rank are all cross-engine proven.
+    */
+  val annQuantized = QueryDef(
+    "llm_ann_quantized",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.quantizedTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH src AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                 AS scale,
+               embedding::DOUBLE[] AS v
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                    ELSE list_transform(v,
+                      x -> floor(x * 127.0 / scale + 0.5))
+               END AS qv
+        FROM src),
+      nz AS (
+        SELECT vec_id, qv, list_dot_product(qv, qv) AS n2
+        FROM qz WHERE list_dot_product(qv, qv) > 0),
+      q AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn2
+            FROM nz WHERE vec_id < 10),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(q.qq, c.qv) AS BIGINT) AS int_dot,
+               list_dot_product(q.qq, c.qv)
+                 / (sqrt(q.qn2) * sqrt(c.n2)) AS qcosine
+        FROM nz c, q WHERE c.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, int_dot, qcosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY qcosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** BPE merge-table TRAINING (llm/BpeTrain.scala) — the learn side of
     * the shipped encode loop: 16 ranked merges from the distinct-word
     * histogram (corpus scanned ONCE; every round runs on the small
@@ -2266,7 +2312,7 @@ object LlmQueries {
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, textRollhash,
-    multimodalBinary, annBruteForce, annLsh, annIvf, annRecall,
+    multimodalBinary, annBruteForce, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
