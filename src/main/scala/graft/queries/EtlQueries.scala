@@ -929,6 +929,96 @@ object EtlQueries {
       FROM z GROUP BY 1 ORDER BY file_id"""))
   }
 
+  /** Column-profiling report (the ANALYZE/data-quality staple): one row
+    * per lineitem column with row/null/exact-distinct counts and typed
+    * min/max (numeric → DOUBLE slots, string/timestamp → VARCHAR slots,
+    * the other pair NULL). ONE scan: all aggregates run in a single wide
+    * aggregate (the multi-COUNT(DISTINCT) plans as one Expand over the
+    * scan — expand factor = |columns|, not |columns| scans; a per-column
+    * union would read 100 TB eleven times), then a `stack` unpivot of the
+    * 1-row result — driver-safe, the row is model-sized. Spark plan and
+    * DuckDB oracle are generated from the same column-spec list so the
+    * per-column slot wiring cannot drift between engines.
+    */
+  val profileTable = {
+    // (column, kind): num -> DOUBLE min/max, str -> VARCHAR, ts -> VARCHAR
+    // via an explicit second-truncating format both engines share
+    val cols: Seq[(String, String)] = Seq(
+      "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+      "l_linenumber" -> "num", "l_quantity" -> "num",
+      "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+      "l_returnflag" -> "str", "l_linestatus" -> "str",
+      "l_shipdate" -> "ts")
+    val oracle = {
+      val aggs = cols.flatMap { case (c, kind) =>
+        Seq(s"COUNT($c) AS ${c}__nn", s"COUNT(DISTINCT $c) AS ${c}__nd") ++
+          (kind match {
+            case "num" => Seq(s"CAST(MIN($c) AS DOUBLE) AS ${c}__mn",
+              s"CAST(MAX($c) AS DOUBLE) AS ${c}__mx")
+            case "str" => Seq(s"MIN($c) AS ${c}__mn", s"MAX($c) AS ${c}__mx")
+            case "ts" => Seq(
+              s"strftime(MIN($c), '%Y-%m-%d %H:%M:%S') AS ${c}__mn",
+              s"strftime(MAX($c), '%Y-%m-%d %H:%M:%S') AS ${c}__mx")
+          })
+      }.mkString(",\n               ")
+      val branches = cols.map { case (c, kind) =>
+        val (mnNum, mxNum, mnStr, mxStr) =
+          if (kind == "num") (s"${c}__mn", s"${c}__mx",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"${c}__mn", s"${c}__mx")
+        s"""SELECT '$c' AS col_name, n_rows,
+               n_rows - ${c}__nn AS n_null, ${c}__nd AS n_distinct,
+               $mnNum AS min_num, $mxNum AS max_num,
+               $mnStr AS min_str, $mxStr AS max_str FROM a"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH a AS (
+        SELECT COUNT(*) AS n_rows,
+               $aggs
+        FROM lineitem)
+      $branches
+      ORDER BY col_name"""
+    }
+    QueryDef(
+      "etl_profile_table",
+      (s, dir) => {
+        val li = lineitem(s, dir)
+        val aggs = cols.flatMap { case (c, kind) =>
+          Seq(count(col(c)).as(s"${c}__nn"),
+            countDistinct(col(c)).as(s"${c}__nd")) ++ (kind match {
+            case "num" => Seq(
+              min(col(c)).cast(DoubleType).as(s"${c}__mn"),
+              max(col(c)).cast(DoubleType).as(s"${c}__mx"))
+            case "str" => Seq(min(col(c)).as(s"${c}__mn"),
+              max(col(c)).as(s"${c}__mx"))
+            case "ts" => Seq(
+              date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__mn"),
+              date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__mx"))
+          })
+        }
+        val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        val stackArgs = cols.map { case (c, kind) =>
+          val (mnNum, mxNum, mnStr, mxStr) =
+            if (kind == "num") (s"${c}__mn", s"${c}__mx",
+              "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
+            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              s"${c}__mn", s"${c}__mx")
+          s"'$c', n_rows - ${c}__nn, ${c}__nd, $mnNum, $mxNum, $mnStr, $mxStr"
+        }.mkString(",\n            ")
+        wide.selectExpr("n_rows",
+          s"""stack(${cols.size},
+            $stackArgs)
+            AS (col_name, n_null, n_distinct, min_num, max_num,
+                min_str, max_str)""")
+          .select(col("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_num"), col("max_num"),
+            col("min_str"), col("max_str"))
+          .orderBy("col_name")
+      },
+      Some(oracle))
+  }
+
   /** Exact heavy hitters — (event_type, user) pairs with at least 15
     * events (operators.HeavyHitters.exact): partial-agg groupBy then
     * threshold, the exact rung of the heavy-hitter ladder. The sketch
@@ -1021,7 +1111,7 @@ object EtlQueries {
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
-    attribBatch, gapFill, zorderLayout,
+    attribBatch, gapFill, zorderLayout, profileTable,
     scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     skewSalted,

@@ -89,7 +89,8 @@ class PlanSweepSpec extends SparkSpec {
     * else must pass the structural bounded-side check.
     */
   private val DeclaredBroadcastAnn = Set(
-    "llm_ann_bruteforce", "llm_ann_ivf", "llm_ann_recall", "llm_ann_recall_ivf")
+    "llm_ann_bruteforce", "llm_ann_ivf", "llm_ann_recall", "llm_ann_recall_ivf",
+    "llm_ann_quantized")
 
   /** Third audit (r7 verdict #8, generalizing the r5 manual SMJ read):
     * the INVENTORY of shuffle joins (sort-merge + shuffled-hash) is
