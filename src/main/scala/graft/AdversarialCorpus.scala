@@ -67,6 +67,19 @@ object AdversarialCorpus {
     (20L, "temperature flattening keeps sixteen of these seventeen rows",
       "en", "web"),
     (21L, "the last filler line completes the seventeen document stratum",
+      "en", "web"),
+    // retrieval probes: docs containing the tfidf/bm25 probe terms
+    // ("spark", "window", "merge") — without these both rankers return
+    // ZERO rows on this corpus and their adversarial pins pin an empty
+    // table (round-8 finding: llm_tfidf_topk and llm_bm25_topk carried
+    // IDENTICAL pin hashes). 22 is short and term-dense, 23 long with
+    // single occurrences: BM25's length normalization and tf saturation
+    // score them differently than raw-tf TF-IDF, so the two pins now
+    // diverge — drift in either scoring path flips a pin.
+    (22L, "spark spark spark window merge", "en", "web"),
+    (23L, "a long engine discussion mentions spark once then window once " +
+      "then merge once among many many other ordinary filler words that " +
+      "stretch the document length well past the dense probe document",
       "en", "web"))
 
   /** One shared definition with the query layer's testdata-dim constant:

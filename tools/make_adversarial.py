@@ -76,6 +76,19 @@ docs = [
      "en", "web"),
     (21, "the last filler line completes the seventeen document stratum",
      "en", "web"),
+    # retrieval probes: docs containing the tfidf/bm25 probe terms
+    # ("spark", "window", "merge") — without these both rankers return
+    # ZERO rows on this corpus and their adversarial pins pin an empty
+    # table (found in round 8: llm_tfidf_topk and llm_bm25_topk carried
+    # IDENTICAL pin hashes). 22 is short and term-dense, 23 long with
+    # single occurrences: BM25's length normalization and tf saturation
+    # order them differently than raw-tf TF-IDF, so the two pins must
+    # now diverge — drift in either scoring path flips a pin.
+    (22, "spark spark spark window merge", "en", "web"),
+    (23, "a long engine discussion mentions spark once then window once "
+     "then merge once among many many other ordinary filler words that "
+     "stretch the document length well past the dense probe document",
+     "en", "web"),
 ]
 pq.write_table(pa.table({
     "doc_id": pa.array([d[0] for d in docs], pa.int64()),
