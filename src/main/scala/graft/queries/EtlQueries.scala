@@ -932,13 +932,16 @@ object EtlQueries {
   /** Column-profiling report (the ANALYZE/data-quality staple): one row
     * per lineitem column with row/null/exact-distinct counts and typed
     * min/max (numeric → DOUBLE slots, string/timestamp → VARCHAR slots,
-    * the other pair NULL). ONE scan: all aggregates run in a single wide
-    * aggregate (the multi-COUNT(DISTINCT) plans as one Expand over the
-    * scan — expand factor = |columns|, not |columns| scans; a per-column
-    * union would read 100 TB eleven times), then a `stack` unpivot of the
-    * 1-row result — driver-safe, the row is model-sized. Spark plan and
-    * DuckDB oracle are generated from the same column-spec list so the
-    * per-column slot wiring cannot drift between engines.
+    * the other pair NULL). Plan shape: a UNION of per-column 1-row
+    * aggregates — each branch's parquet scan is COLUMN-PRUNED to exactly
+    * one column, so the union reads one full-table-width of bytes total,
+    * each branch a clean 2-phase partial-agg distinct. The tempting
+    * "one wide aggregate" alternative (all 11 COUNT(DISTINCT)s in one
+    * agg) plans as an 11× Expand over an ALL-columns scan — measured
+    * 21.3 s vs 1.4 s at sf0.1 — because every expanded copy carries the
+    * full row and no column prunes. Spark plan and DuckDB oracle are
+    * generated from the same column-spec list so the per-column slot
+    * wiring cannot drift between engines.
     */
   val profileTable = {
     // (column, kind): num -> DOUBLE min/max, str -> VARCHAR, ts -> VARCHAR
@@ -984,37 +987,30 @@ object EtlQueries {
       "etl_profile_table",
       (s, dir) => {
         val li = lineitem(s, dir)
-        val aggs = cols.flatMap { case (c, kind) =>
-          Seq(count(col(c)).as(s"${c}__nn"),
-            countDistinct(col(c)).as(s"${c}__nd")) ++ (kind match {
-            case "num" => Seq(
-              min(col(c)).cast(DoubleType).as(s"${c}__mn"),
-              max(col(c)).cast(DoubleType).as(s"${c}__mx"))
-            case "str" => Seq(min(col(c)).as(s"${c}__mn"),
-              max(col(c)).as(s"${c}__mx"))
-            case "ts" => Seq(
-              date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__mn"),
-              date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}__mx"))
-          })
-        }
-        val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
-        val stackArgs = cols.map { case (c, kind) =>
+        val branches = cols.map { case (c, kind) =>
+          val (mn, mx) = kind match {
+            case "num" => (min(col(c)).cast(DoubleType),
+              max(col(c)).cast(DoubleType))
+            case "str" => (min(col(c)), max(col(c)))
+            case _ => (date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss"),
+              date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss"))
+          }
           val (mnNum, mxNum, mnStr, mxStr) =
-            if (kind == "num") (s"${c}__mn", s"${c}__mx",
-              "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
-            else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-              s"${c}__mn", s"${c}__mx")
-          s"'$c', n_rows - ${c}__nn, ${c}__nd, $mnNum, $mxNum, $mnStr, $mxStr"
-        }.mkString(",\n            ")
-        wide.selectExpr("n_rows",
-          s"""stack(${cols.size},
-            $stackArgs)
-            AS (col_name, n_null, n_distinct, min_num, max_num,
-                min_str, max_str)""")
-          .select(col("col_name"), col("n_rows"), col("n_null"),
-            col("n_distinct"), col("min_num"), col("max_num"),
-            col("min_str"), col("max_str"))
-          .orderBy("col_name")
+            if (kind == "num")
+              (mn, mx, lit(null).cast(StringType), lit(null).cast(StringType))
+            else
+              (lit(null).cast(DoubleType), lit(null).cast(DoubleType), mn, mx)
+          li.agg(
+            count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col(c))).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            mnNum.as("min_num"), mxNum.as("max_num"),
+            mnStr.as("min_str"), mxStr.as("max_str"))
+            .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+              col("n_distinct"), col("min_num"), col("max_num"),
+              col("min_str"), col("max_str"))
+        }
+        branches.reduce(_ unionByName _).orderBy("col_name")
       },
       Some(oracle))
   }
