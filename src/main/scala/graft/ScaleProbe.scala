@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbe
   *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]
   *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]
-  *    | bpetrain [batchK] | kmeans [k] | prefix [rows] | zorder [rows]]
+  *    | bpetrain [batchK] | kmeans [k] | prefix [rows] | zorder [rows]
+  *    | pagerank [edges] [mult]]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -145,6 +146,13 @@ object ScaleProbe {
     if (mode == "zorder") {
       zorderProbe(spark,
         if (args.length > 1) args(1).toLong else 20000000L)
+      spark.stop()
+      return
+    }
+    if (mode == "pagerank") {
+      pagerankProbe(spark,
+        if (args.length > 1) args(1).toLong else 2000000L,
+        if (args.length > 2) args(2).toInt else 10)
       spark.stop()
       return
     }
@@ -552,6 +560,49 @@ object ScaleProbe {
       f"box1pct z=$zBox lin=$lBox | y-only z=$zY lin=$lY " +
       f"(skip rate z=${100.0 * (1 - zY.toDouble / zb.length)}%.1f%% " +
       f"lin=${100.0 * (1 - lY.toDouble / lb.length)}%.1f%%)")
+  }
+
+  /** PageRank iteration-cost growth (the q37 loop on a synthetic graph):
+    * times 3 exact-integer power iterations at E and mult·E random edges
+    * (nodes = E/20, so degree stays constant as the graph grows — the
+    * web-graph shape). Each round is one equi-join + partial-agg shuffle
+    * keyed by node; time should grow ~linearly in |edges|. The pair-
+    * generation stage of q37 is excluded on purpose — this isolates the
+    * iterate, the part that multiplies with iteration count.
+    */
+  private def pagerankProbe(spark: SparkSession, baseEdges: Long,
+      mult: Int): Unit = {
+    def run(e: Long): Double = {
+      val n = math.max(e / 20, 1L)
+      val edges = spark.range(e).select(
+        pmod(hash(col("id")), lit(n)).cast("long").as("src"),
+        pmod(hash(col("id") + 777L), lit(n)).cast("long").as("dst"))
+        .localCheckpoint(false)
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nn = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.crossJoin(broadcast(nn))
+        .select(col("src").as("node"), col("deg"),
+          expr("1000000000000 div n").as("r"))
+      val t0 = System.nanoTime()
+      for (_ <- 1 to 3) {
+        val contribs = edges.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+        ranks = deg.join(contribs, col("src") === col("dst"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("src").as("node"), col("deg"),
+            expr("(15 * (1000000000000 div n)) div 100" +
+              " + (85 * coalesce(s, 0)) div 100").as("r"))
+      }
+      ranks.select(max(col("r"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(baseEdges) // warm-up
+    val t1 = run(baseEdges)
+    val tm = run(baseEdges * mult)
+    println(f"PROBE pagerank: edges=$baseEdges 3-iter=$t1%.2fs | " +
+      f"edges=${baseEdges * mult} 3-iter=$tm%.2fs -> x${tm / t1}%.2f " +
+      f"at x$mult edges (linear would be ~x$mult)")
   }
 
   private def topkProbe(spark: SparkSession, rows: Long, groups: Int): Unit = {
