@@ -130,7 +130,11 @@ class PlanSweepSpec extends SparkSpec {
     // PageRank power iterations: edges×ranks and deg×contribs equi joins
     // over the checkpoint-staged (stats-opaque) edge list — |edges|-sized
     // on both sides at scale, deliberately unhinted like the CC iterate.
-    "q37_part_pagerank" -> Set("SortMergeJoin"))
+    "q37_part_pagerank" -> Set("SortMergeJoin"),
+    // Triangle counting: wedge join and confirm join over the
+    // checkpoint-staged oriented edge list — both sides |edges|-sized at
+    // scale (the orientation bounds wedge COUNT, not the join inputs).
+    "q39_graph_triangles" -> Set("SortMergeJoin"))
 
   test("shuffle-join inventory is pinned: no query grows an unlisted " +
     "sort-merge or shuffled-hash join") {
