@@ -32,13 +32,44 @@ object Tables {
     * whole-microsecond data; NTZ→LTZ is a relabel at UTC), so queries and
     * golden pins see the same instants regardless of generator vintage.
     */
+  /** Detected epoch unit of an int64 `ts` column, memoized per directory so
+    * the one-row probe job runs once per (dir) per JVM, not per query.
+    */
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros,
+      timestamp_millis, timestamp_seconds}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType =>
+        // Regeneration-drift guard (r8 advice): a bare int64 carries no
+        // unit, and assuming nanos would be silently 1000x off if a future
+        // generator vintage writes micros/millis. Infer the unit from the
+        // magnitude of one sampled value (epoch ranges for 1973..2096 are
+        // 3 orders of magnitude apart, so the bands cannot overlap) and
+        // fail loudly outside every band rather than guess.
+        val unit = tsUnitCache.computeIfAbsent(d, _ => {
+          val first = df.select("ts").filter(col("ts").isNotNull).head(1)
+          if (first.isEmpty) throw new IllegalStateException(
+            s"events.parquet at $d: int64 ts column with no non-null rows — cannot infer epoch unit")
+          val v = math.abs(first(0).getLong(0))
+          if (v >= 1e17 && v < 4e18) "nanos"
+          else if (v >= 1e14 && v < 4e15) "micros"
+          else if (v >= 1e11 && v < 4e12) "millis"
+          else if (v >= 1e8 && v < 4e9) "seconds"
+          else throw new IllegalStateException(
+            s"events.parquet at $d: int64 ts value $v matches no plausible epoch unit (nanos/micros/millis/seconds for years ~1973..2096)")
+        })
+        unit match {
+          case "nanos"   => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case "micros"  => df.withColumn("ts", timestamp_micros(col("ts")))
+          case "millis"  => df.withColumn("ts", timestamp_millis(col("ts")))
+          case "seconds" => df.withColumn("ts", timestamp_seconds(col("ts")))
+        }
       case TimestampType => df
       case _ => df.withColumn("ts", col("ts").cast(TimestampType))
     }

@@ -212,6 +212,16 @@ object Sampling {
     */
   val PriorityChars = 6
   val PriorityScale = 1000000L
+  // Overflow headroom is a hard constraint, not an accident (r8 advice):
+  // the largest md5 hex digit is 'f' (ascii 102), so the fold's max is
+  // 102·(128^PriorityChars−1)/127 ≈ 3.5e12, and u·PriorityScale must stay
+  // under 2^63 or priorities silently wrap and corrupt the sample order.
+  // Bumping PriorityChars to 7 or PriorityScale ×10 breaks this — fail at
+  // class-init, not at query time.
+  require(
+    BigInt(102) * (BigInt(128).pow(PriorityChars) - 1) / 127 * PriorityScale
+      <= BigInt(Long.MaxValue),
+    s"weightedPriority overflows Long: 102*(128^$PriorityChars-1)/127 * $PriorityScale > 2^63-1")
 
   def weightedPriority(idCol: Column, weightCol: Column): Column = {
     val h = md5(idCol.cast(StringType).cast(BinaryType))

@@ -32,12 +32,18 @@ class StreamAttributionSpec extends SparkSpec {
       "across interleaved micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // Sorted by ts before halving (r8 advice): collect() order is
+    // arbitrary, and if the second half ever contained rows OLDER than the
+    // first half's max, the 1-hour watermark advanced after batch 2 could
+    // legitimately drop them — making streamed a strict subset of batch on
+    // some regenerated-events orderings. Ascending halves guarantee later
+    // batches never arrive behind the watermark.
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts"))
-      .as[(Long, Long, Timestamp)].collect().toSeq
+      .as[(Long, Long, Timestamp)].collect().toSeq.sortBy(_._3.getTime)
     val buys = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      .as[(Long, Long, Timestamp, Double)].collect().toSeq
+      .as[(Long, Long, Timestamp, Double)].collect().toSeq.sortBy(_._3.getTime)
 
     val cMem = MemoryStream[(Long, Long, Timestamp)]
     val bMem = MemoryStream[(Long, Long, Timestamp, Double)]
