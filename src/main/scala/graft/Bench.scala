@@ -1,5 +1,11 @@
 package graft
 
+import java.lang.management.ManagementFactory
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.GraftSparkBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
@@ -7,8 +13,59 @@ import org.apache.spark.sql.SparkSession
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   * Failed queries are recorded as -1 and excluded from the total, so a
   * time-to-throw can never masquerade as a slow success.
+  *
+  * SELF-ATTRIBUTING (r8 verdict #1): a ×44 reading on one query in the
+  * official run was undecidable between regression and environment from
+  * the artifact alone. Every lap therefore records its own telemetry —
+  * GC-time delta, shuffle read/write bytes, spill bytes, summed task
+  * peak-execution-memory, post-lap heap — and a fixed CONTROL query is
+  * re-timed every [[ControlEvery]] queries (with the cache's mem/disk
+  * residency sampled at the same instant), so the three candidate causes
+  * separate in the data:
+  *   - time-windowed co-tenant contention → the control inflates in the
+  *     same window while telemetry stays flat;
+  *   - memory pressure → GC deltas spike, heap rides the -Xmx ceiling,
+  *     cached blocks migrate mem→disk in the control samples;
+  *   - a real plan regression → the query inflates while its own GC and
+  *     the surrounding controls stay flat.
+  * The full telemetry lives in bench_full.json (committed); stdout gets
+  * one compact "bench_controls" line that survives capture truncation.
   */
 object Bench {
+
+  /** Accumulates cluster-wide work counters from completed stages.
+    * Values are SUMS over tasks (StageInfo.taskMetrics is the aggregated
+    * view), so peakExec is the summed per-task peak — a pressure signal,
+    * not a true high-water mark.
+    */
+  private final class WorkListener extends SparkListener {
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val peakExec = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakExec.addAndGet(m.peakExecutionMemory)
+      }
+    }
+    def snap(): (Long, Long, Long, Long) =
+      (shufWrite.get, shufRead.get, spill.get, peakExec.get)
+  }
+
+  /** One timed lap with its attribution telemetry. */
+  private final case class Lap(sec: Double, gcMs: Long, shufWriteB: Long,
+      shufReadB: Long, spillB: Long, peakExecB: Long, heapUsedB: Long)
+
+  private def gcMillis(): Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+
+  private val ControlEvery = 8
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,6 +81,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val work = new WorkListener
+    spark.sparkContext.addSparkListener(work)
     // Untimed warm-up: JVM/codegen/classloading, plus hot-cache the tables
     // — CacheManager matches later identical scans by logical plan, so the
     // timed queries run against memory like a warmed warehouse. (At 100 TB
@@ -55,6 +114,44 @@ object Bench {
     // llm_dedup_clusters measures (it bypasses the memo by design).
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def lap(fn: () => org.apache.spark.sql.DataFrame): Lap = {
+      GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val gc0 = gcMillis(); val (w0, r0, s0, p0) = work.snap()
+      val t0 = System.nanoTime()
+      run(fn())
+      val sec = (System.nanoTime() - t0) / 1e9
+      GraftSparkBridge.drainListenerBus(spark.sparkContext)
+      val rt = Runtime.getRuntime
+      val (w1, r1, s1, p1) = work.snap()
+      Lap(sec, gcMillis() - gc0, w1 - w0, r1 - r0, s1 - s0, p1 - p0,
+        rt.totalMemory - rt.freeMemory)
+    }
+    // Fixed control: a star-join + agg over the CACHED tables, warmed
+    // once, re-timed every ControlEvery queries. It rides the same cached
+    // scans the workload does, so both contention (its time inflates) and
+    // cache eviction (cached bytes migrate mem→disk in the paired storage
+    // sample) show up exactly where they would hurt the real queries.
+    val controlDf = {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
+    }
+    run(controlDf); run(controlDf) // warm: JIT + cached-scan match
+    // (pos, sec, cachedMemMB, cachedDiskMB, cumGcSec): pos = how many
+    // workload queries had completed when the sample was taken.
+    val controls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long, Long, Double)]
+    def sampleControl(pos: Int): Unit = {
+      val t0 = System.nanoTime()
+      run(controlDf)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val infos = spark.sparkContext.getRDDStorageInfo
+      controls += ((pos, sec, infos.map(_.memSize).sum >> 20,
+        infos.map(_.diskSize).sum >> 20, gcMillis() / 1e3))
+    }
+    sampleControl(0)
     // Per-query LAPS are recorded in the artifact (not just the min): a
     // multi-round iterative query (the CC loop) is a chain of blocking
     // jobs, so one scheduler/GC stall multiplies across rounds and a
@@ -63,33 +160,35 @@ object Bench {
     // it. When the two timed laps disagree by >1.3x, a third runs: min-of-3
     // bounds the reported number's spread without paying a third lap for
     // the ~60 stable queries.
-    val results: Seq[(String, Double, Seq[Double])] =
+    var done = 0
+    val results: Seq[(String, Double, Seq[Lap])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        try {
+        val r = try {
           run(fn(spark, sfDir)) // warm-up lap: JIT + codegen + shuffle
-          def lap(): Double = {
-            val t0 = System.nanoTime()
-            run(fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
-          }
-          var laps = Seq(lap(), lap())
-          if (laps.max > 1.3 * laps.min) laps = laps :+ lap()
+          def one(): Lap = lap(() => fn(spark, sfDir))
+          var laps = Seq(one(), one())
+          def secs = laps.map(_.sec)
+          if (secs.max > 1.3 * secs.min) laps = laps :+ one()
           // r5 finding: a single 10s stall (llm_ngram_profile read 10.16
           // vs 0.78/0.84) blows far past the 1.3x trigger — when ANY lap
           // exceeds 2x the min, keep lapping (up to 5 total) until the
           // two best laps agree within 1.3x, so one OS/GC outlier can
           // never be half of a min-of-2 readout
           while (laps.size < 5 &&
-              laps.sorted.take(2).reverse.head > 1.3 * laps.min &&
-              laps.max > 2.0 * laps.min)
-            laps = laps :+ lap()
-          (name, laps.min, laps)
+              secs.sorted.take(2).reverse.head > 1.3 * secs.min &&
+              secs.max > 2.0 * secs.min)
+            laps = laps :+ one()
+          (name, secs.min, laps)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            (name, -1.0, Seq.empty[Double])
+            (name, -1.0, Seq.empty[Lap])
         }
+        done += 1
+        if (done % ControlEvery == 0) sampleControl(done)
+        r
       }
+    sampleControl(done)
     // Locale.ROOT: plain "%.4f".format uses the JVM default locale, which
     // on e.g. a de_DE machine renders "1,2345" — malformed JSON
     def fmt(v: Double): String =
@@ -97,11 +196,26 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val lapsJson = results.map { case (k, _, ls) =>
-      "\"" + k + "\":" + ls.map(fmt).mkString("[", ",", "]")
+      "\"" + k + "\":" + ls.map(l => fmt(l.sec)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Per-lap telemetry, file-artifact only (too big for stdout capture):
+    // [sec, gc_ms, shuffle_write_b, shuffle_read_b, spill_b,
+    //  sum_task_peak_exec_b, heap_used_mb] per lap.
+    val telemetryJson = results.map { case (k, _, ls) =>
+      "\"" + k + "\":" + ls.map(l =>
+        s"[${fmt(l.sec)},${l.gcMs},${l.shufWriteB},${l.shufReadB},${l.spillB},${l.peakExecB},${l.heapUsedB >> 20}]")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val controlsJson = controls.map { case (pos, sec, mem, disk, gcS) =>
+      s"[$pos,${fmt(sec)},$mem,$disk,${fmt(gcS)}]"
+    }.mkString("[", ",", "]")
+    val envJson = {
+      val rt = Runtime.getRuntime
+      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors}}"""
+    }
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"laps":$lapsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"laps":$lapsJson,"telemetry":$telemetryJson,"controls":$controlsJson,"env":$envJson,"sf":"$sfDir"}"""
     println(fullJson)
     // r7 finding: the driver's stdout tail window truncates the big line,
     // leaving ~half the per-query times unrecoverable from the BENCH
@@ -120,13 +234,23 @@ object Bench {
     // survived): a second, laps-free line printed LAST carries the number
     // the gate reads even when the big line's head is eaten.
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact self-attribution line: control-query timeline + env. Small
+    // enough (≤ ~20 samples) to survive any capture window, so anomalies
+    // in the official run are explainable from the official artifact even
+    // if bench_full.json's telemetry block is all that's lost.
+    println(s"""{"metric":"bench_controls","env":$envJson,"every":$ControlEvery,"samples":$controlsJson}""")
     // Streaming throughput (r6 gap: the reference's headline metric is
     // ETL wall time, hybridjoin.py:493,500-501): one end-to-end
     // StreamingFact drain over the events-derived CSV stream, reported
-    // as rows/sec on its own small line.
+    // as rows/sec on its own small line. Per-micro-batch laps included
+    // (r8 verdict #5) so a throughput drop decomposes into fewer-batches
+    // vs slower-batches from the artifact alone.
     try {
       val r = StreamBench.run(spark, sfDir)
-      println(s"""{"metric":"stream_throughput","value":${fmt(r.inputRows / r.secs)},"unit":"rows/sec","rows":${r.inputRows},"fact_rows":${r.factRows},"batches":${r.batches},"secs":${fmt(r.secs)}}""")
+      val batchLaps = r.batchLaps.map { case (id, rows, ms) =>
+        s"[$id,$rows,$ms]"
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"stream_throughput","value":${fmt(r.inputRows / r.secs)},"unit":"rows/sec","rows":${r.inputRows},"fact_rows":${r.factRows},"batches":${r.batches},"secs":${fmt(r.secs)},"batch_laps":$batchLaps}""")
       StreamBench.cleanup(r)
     } catch {
       case e: Throwable =>

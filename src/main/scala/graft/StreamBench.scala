@@ -26,8 +26,14 @@ object StreamBench {
     StructField("quantity", StringType),
     StructField("date", StringType)))
 
+  /** @param batchLaps per-micro-batch (batchId, inputRows, triggerMs)
+    *   from the query's progress log — lets a throughput drop decompose
+    *   into fewer-batches vs slower-batches from the artifact alone
+    *   (r8 verdict #5: a halved rows/sec was otherwise unattributable).
+    */
   final case class Result(inputRows: Long, factRows: Long, secs: Double,
-      batches: Long, checkpoint: String, tmpRoot: String)
+      batches: Long, checkpoint: String, tmpRoot: String,
+      batchLaps: Seq[(Long, Long, Long)] = Seq.empty)
 
   /** Deletes the run's temp tree (CSV stream + fact + checkpoint) — the
     * bench renders the WHOLE events table as CSV per run, so leaking it
@@ -94,9 +100,15 @@ object StreamBench {
       maxFilesPerTrigger = maxFilesPerTrigger)
     q.awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
+    // recentProgress keeps the last ~100 entries — more than the ~5
+    // micro-batches a drain produces, so this is the complete lap list.
+    val batchLaps = q.recentProgress.toSeq.map { p =>
+      (p.batchId, p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L))
+    }
 
     val fact = spark.read.parquet(outDir)
     Result(inputRows, fact.count(), secs,
-      fact.select("batch_id").distinct().count(), ckpt, tmp)
+      fact.select("batch_id").distinct().count(), ckpt, tmp, batchLaps)
   }
 }
