@@ -2053,27 +2053,65 @@ object LlmQueries {
         FROM scored)
       SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** One unrolled BPE training round for the DuckDB oracle: pair counts
+    * over the string-encoded symbol histogram, the (freq desc, l, r)
+    * argmax, and the non-overlapping left-to-right merge application.
+    * The merge fold is the subtle part — string `replace` CANNOT express
+    * it (consuming the shared boundary breaks adjacent-chain semantics:
+    * [a,a,a,a,a] diverges) — but `list_reduce` over the chr(30)-joined
+    * symbol string can, because under that encoding "merge the last
+    * symbol l with incoming r" is exactly "append r WITHOUT a
+    * separator": acc ends with ␞l and x = r → acc || r.
+    */
+  private def bpeRoundCte(k: Int): String = s"""
+      pc$k AS (
+        SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS f FROM (
+          SELECT freq, unnest(list_transform(range(1, len(sy)), i ->
+              struct_pack(l := sy[i], r := sy[i+1]))) AS p
+          FROM (SELECT freq, string_split(s, chr(30)) AS sy FROM h${k - 1}))
+        GROUP BY p.l, p.r),
+      m$k AS (SELECT l, r, f FROM pc$k WHERE f >= 2
+              ORDER BY f DESC, l, r LIMIT 1),
+      h$k AS (SELECT word, freq,
+               list_reduce(string_split(s, chr(30)), (acc, x) ->
+                 CASE WHEN (acc = m.l OR acc LIKE '%' || chr(30) || m.l)
+                        AND x = m.r
+                      THEN acc || m.r ELSE acc || chr(30) || x END) AS s
+             FROM h${k - 1}, m$k m)"""
+
   /** BPE merge-table TRAINING (llm/BpeTrain.scala) — the learn side of
-    * the shipped encode loop: 16 ranked merges from the distinct-word
+    * the shipped encode loop: 4 ranked merges from the distinct-word
     * histogram (corpus scanned ONCE; every round runs on the small
     * histogram, argmax ties broken by symbol order so the table is
-    * unique). The merge loop is iterative → no DuckDB oracle;
-    * golden-pinned, and DifferentialOracleSpec retrains with a plain
-    * dictionary implementation and checks table equality plus the
-    * compression bound Σ freq_k ≥ initial_symbols − encoded_tokens
-    * under the independent naive encoder (≥, not =: classic BPE counts
-    * overlapping pair occurrences while the merge applies
-    * non-overlapping).
+    * unique). 4 merges (not 16) because each training round is one CTE
+    * triple in the UNROLLED DuckDB oracle below (the kmeans/pagerank
+    * discipline) — a true cross-engine row replacing the r8 golden pin;
+    * the 16-merge depth stays covered by DifferentialOracleSpec's
+    * dictionary trainer and the batched trainer's pins. The oracle's
+    * merge application rides list_reduce over a chr(30)-joined symbol
+    * string (see [[bpeRoundCte]]); symbols are [A-Za-z0-9]+ fragments,
+    * so the separator can never collide.
     */
   val bpeTrain = QueryDef(
     "llm_bpe_train",
     (s, dir) => {
       val learned = graft.llm.BpeTrain
-        .trainMerges(s, documents(s, dir), nMerges = 16)
+        .trainMerges(s, documents(s, dir), nMerges = 4)
       import s.implicits._
       learned.toDF("rank", "left", "right", "pair_freq").orderBy("rank")
     },
-    None)
+    Some(s"""
+      WITH
+      w0 AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))
+               AS word FROM documents),
+      h0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               array_to_string(list_transform(range(1, length(word) + 1),
+                 i -> substr(word, i, 1)), chr(30)) AS s
+             FROM w0 GROUP BY word),${(1 to 4).map(bpeRoundCte).mkString(",")}
+      SELECT rank, l AS "left", r AS "right", f AS pair_freq FROM (
+        SELECT 0 AS rank, * FROM m1 UNION ALL SELECT 1, * FROM m2
+        UNION ALL SELECT 2, * FROM m3 UNION ALL SELECT 3, * FROM m4)
+      ORDER BY rank"""))
 
   /** BATCHED BPE training (llm/BpeTrain.trainMergesBatched) — the
     * production-vocab scale path: one pair-count round learns up to 4

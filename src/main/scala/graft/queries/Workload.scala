@@ -1670,9 +1670,102 @@ object Workload {
       FROM cr GROUP BY 1
       ORDER BY n_triangles DESC, part_key LIMIT 20"""))
 
+  /** Approximate triangle counting over the ALL-TIME co-purchase graph —
+    * the scope `q39` documents as 18 s exact at sf0.1 (quadratic in the
+    * ~60 average degree) and therefore year-scopes. DOULION (Tsourakakis
+    * et al., KDD'09): keep each edge independently with probability
+    * p = 1/4, count triangles EXACTLY on the sparsified graph (same
+    * degree-ordered orientation as q39 — the wedge bound E·√E holds on
+    * the sample too), and scale by 1/p³ = 64; the estimator is unbiased
+    * and the ×16 wedge reduction is what buys back the year scope.
+    * The coin is NOT an RNG: an edge is kept iff the md5-ascii fold of
+    * "pa:pb" (the llm_sample_weighted discipline — ascii/substr/md5 only,
+    * portable to any engine) lands under p of a prime modulus, so the
+    * sample — and with it the whole result — is bit-deterministic and
+    * DuckDB replays it end-to-end: a true cross-engine green row, not a
+    * pin. Output: one row (est_triangles, sampled_triangles,
+    * sampled_edges) — the global-count shape DOULION answers.
+    */
+  val q40 = QueryDef(
+    "q40_graph_triangles_approx",
+    (s, dir) => {
+      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val half = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb")).distinct()
+      // deterministic p=1/4 coin on the edge identity (not on either
+      // endpoint alone — per-node coins would correlate a node's edges
+      // and bias the estimator)
+      val h = md5(concat(col("pa").cast("string"), lit(":"),
+        col("pb").cast("string")).cast("binary"))
+      val u = (1 to 6)
+        .map(i => ascii(substring(h, i, 1)).cast("long") *
+          lit(math.pow(128, i - 1).toLong))
+        .reduce(_ + _)
+      val sampled = half.filter(u % 999983L < 249996L).localCheckpoint(false)
+      val deg = sampled.select(col("pa").as("n"))
+        .union(sampled.select(col("pb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val lower = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
+      val oriented = sampled
+        .join(deg.select(col("n").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("n").as("pb"), col("d").as("db")), Seq("pb"))
+        .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+          when(lower, col("pb")).otherwise(col("pa")).as("v"))
+        .localCheckpoint(false)
+      val wedges = oriented.select(col("u").as("ta"), col("v").as("tb"))
+        .join(oriented.select(col("u").as("tb"), col("v").as("tc")), Seq("tb"))
+      val tri = wedges.join(
+        oriented.select(col("u").as("ta"), col("v").as("tc")),
+        Seq("ta", "tc"))
+      val nEdges = sampled.agg(count(lit(1)).as("sampled_edges"))
+      tri.agg(count(lit(1)).as("sampled_triangles"))
+        .crossJoin(broadcast(nEdges))
+        .select((col("sampled_triangles") * 64L).as("est_triangles"),
+          col("sampled_triangles"), col("sampled_edges"))
+    },
+    Some("""
+      WITH half AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      sampled AS (
+        SELECT pa, pb FROM half
+        WHERE (CAST(ascii(substr(md5(CAST(pa AS VARCHAR) || ':' || CAST(pb AS VARCHAR)), 1, 1)) AS BIGINT) * 1
+             + CAST(ascii(substr(md5(CAST(pa AS VARCHAR) || ':' || CAST(pb AS VARCHAR)), 2, 1)) AS BIGINT) * 128
+             + CAST(ascii(substr(md5(CAST(pa AS VARCHAR) || ':' || CAST(pb AS VARCHAR)), 3, 1)) AS BIGINT) * 16384
+             + CAST(ascii(substr(md5(CAST(pa AS VARCHAR) || ':' || CAST(pb AS VARCHAR)), 4, 1)) AS BIGINT) * 2097152
+             + CAST(ascii(substr(md5(CAST(pa AS VARCHAR) || ':' || CAST(pb AS VARCHAR)), 5, 1)) AS BIGINT) * 268435456
+             + CAST(ascii(substr(md5(CAST(pa AS VARCHAR) || ':' || CAST(pb AS VARCHAR)), 6, 1)) AS BIGINT) * 34359738368)
+              % 999983 < 249996),
+      deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+          SELECT pa AS n FROM sampled UNION ALL SELECT pb AS n FROM sampled)
+        GROUP BY 1),
+      o AS (
+        SELECT CASE WHEN (da.d, h.pa) < (db.d, h.pb)
+                    THEN h.pa ELSE h.pb END AS u,
+               CASE WHEN (da.d, h.pa) < (db.d, h.pb)
+                    THEN h.pb ELSE h.pa END AS v
+        FROM sampled h
+        JOIN deg da ON h.pa = da.n
+        JOIN deg db ON h.pb = db.n),
+      t AS (
+        SELECT 1 AS one
+        FROM (SELECT o1.u AS ta, o1.v AS tb, o2.v AS tc
+              FROM o o1 JOIN o o2 ON o1.v = o2.u) w
+        JOIN o ON o.u = w.ta AND o.v = w.tc),
+      cnts AS (SELECT COUNT(*) AS sampled_triangles FROM t),
+      es AS (SELECT COUNT(*) AS sampled_edges FROM sampled)
+      SELECT CAST(sampled_triangles * 64 AS BIGINT) AS est_triangles,
+             sampled_triangles, sampled_edges
+      FROM cnts, es"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40)
 }

@@ -134,7 +134,10 @@ class PlanSweepSpec extends SparkSpec {
     // Triangle counting: wedge join and confirm join over the
     // checkpoint-staged oriented edge list — both sides |edges|-sized at
     // scale (the orientation bounds wedge COUNT, not the join inputs).
-    "q39_graph_triangles" -> Set("SortMergeJoin"))
+    "q39_graph_triangles" -> Set("SortMergeJoin"),
+    // DOULION estimate: same wedge/confirm joins as q39 over the
+    // edge-SAMPLED oriented list — still |edges|/4-sized both sides.
+    "q40_graph_triangles_approx" -> Set("SortMergeJoin"))
 
   test("shuffle-join inventory is pinned: no query grows an unlisted " +
     "sort-merge or shuffled-hash join") {
