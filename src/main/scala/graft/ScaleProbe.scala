@@ -112,6 +112,19 @@ object ScaleProbe {
           f"learned=${m.size} rounds=$rounds time=$t%.1fs " +
           f"(${t / rounds}%.3fs/round)")
       }
+      // r8 verdict #3: the 32k-vocab extrapolation rested on a 14-round
+      // measurement — one production-round-count lap (nMerges ~ 1k)
+      // confirms (or refutes) that the per-round constant holds as the
+      // learned vocabulary and the pair-table width grow
+      if (args.length > 2) {
+        val bigN = args(2).toInt
+        val (m, t) = time(
+          llm.BpeTrain.trainMergesBatched(spark, docs, bigN, batchK = bk))
+        val rounds = m.map(_._5).distinct.size
+        println(f"PROBE bpetrain batched BIG nMerges=$bigN batchK=$bk " +
+          f"learned=${m.size} rounds=$rounds time=$t%.1fs " +
+          f"(${t / math.max(rounds, 1)}%.3fs/round)")
+      }
       docs.unpersist()
       spark.stop()
       return

@@ -1763,9 +1763,57 @@ object Workload {
              sampled_triangles, sampled_edges
       FROM cnts, es"""))
 
+  /** Exact global percentiles (p25/p50/p75/p90/p99 of order value) —
+    * the distribution report `approx_percentile` would approximate,
+    * answered EXACTLY and scale-safely instead. SURVEY §8f documents why
+    * the GK sketch is deliberately omitted (its merge is
+    * partition-dependent, so no partition-independent pin can hold);
+    * this is the replacement a real user gets: percentile_disc
+    * semantics — the value at rank ceil(p·N/100), the smallest element
+    * whose cumulative distribution ≥ p — computed from
+    * [[graft.operators.OrderedPrefix]]'s two-phase global rank, where
+    * the only single-partition window runs over the $1000-bucket
+    * histogram (≤ ~600 rows), never the orders. The naive form
+    * (`Window.orderBy` over all orders, or a driver-side sort) is the
+    * one-task scale-killer at ~1.5 B orders / 100 TB. Target ranks are
+    * exact integer arithmetic ((p·N + 99) div 100 = ceil) on a
+    * broadcast 5-row percentile frame joined to the ranked orders by
+    * rank equality — both engines pick the identical element, so the
+    * row hash-matches DuckDB with no float-rank semantics in play.
+    * A tie in o_totalprice is broken by o_orderkey on both sides; the
+    * selected VALUE at a rank is tie-break-invariant anyway (tied rows
+    * share the value).
+    */
+  val q41 = QueryDef(
+    "q41_order_value_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      val ranked = graft.operators.OrderedPrefix.rankAndPrefix(
+        orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        (col("o_totalprice") / lit(1000)).cast(LongType),
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      val n = orders(s, dir).agg(count(lit(1)).as("n"))
+      val targets = Seq(25, 50, 75, 90, 99).toDF("p")
+        .crossJoin(broadcast(n))
+        .withColumn("target", expr("(p * n + 99) div 100"))
+      ranked.join(broadcast(targets), col("__rank") === col("target"))
+        .select(col("p"), col("o_totalprice").as("value"))
+        .orderBy("p")
+    },
+    Some("""
+      WITH r AS (
+        SELECT o_totalprice AS v,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM orders),
+      ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS p)
+      SELECT p, v AS value
+      FROM ps JOIN r ON r.rn = (p * r.n + 99) // 100
+      ORDER BY p"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }
