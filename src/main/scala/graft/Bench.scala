@@ -131,6 +131,22 @@ object Bench {
     // scans the workload does, so both contention (its time inflates) and
     // cache eviction (cached bytes migrate mem→disk in the paired storage
     // sample) show up exactly where they would hurt the real queries.
+    //
+    // r9 finding: this single-job control is BLIND to the contention class
+    // that actually produced the r8 bimodal anomaly. A deliberately
+    // contended run (sbt test suite sharing the machine) reproduced the
+    // driver's signature — multi-round queries (chunk_overlap_plan ×3.6,
+    // bpe_train_batched ×3.4) inflated while THIS control sat flat at
+    // ~0.4 s: one short saturating job still gets its cores, but a chain
+    // of small scheduler round-trips pays the co-tenant tax on every hop.
+    // Two additions close the blind spot:
+    //  - a SECOND control (`ctl_sched`) that is a chain of 8 tiny
+    //    blocking jobs — the shape that magnifies contention — so the
+    //    subset-inflation class is visible in-artifact;
+    //  - OS-level attribution per sample: /proc/loadavg 1-min load vs
+    //    THIS JVM's own cpu-seconds delta (utime+stime from
+    //    /proc/self/stat). load >> own-cpu ⇒ a co-tenant exists, from
+    //    the artifact alone, no same-machine rerun needed.
     val controlDf = {
       import org.apache.spark.sql.functions._
       Tables.lineitem(spark, sfDir)
@@ -140,16 +156,47 @@ object Bench {
         .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
     }
     run(controlDf); run(controlDf) // warm: JIT + cached-scan match
-    // (pos, sec, cachedMemMB, cachedDiskMB, cumGcSec): pos = how many
-    // workload queries had completed when the sample was taken.
-    val controls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long, Long, Double)]
+    // Scheduler-latency control: 8 sequential tiny jobs over a 32-row
+    // range — near-zero work, so its time ≈ 8 × (job submit + schedule +
+    // collect round-trip), the term co-tenant load multiplies. Kept off
+    // the SQL path (no plan cache interaction with the workload).
+    def schedChain(): Unit = {
+      var i = 0
+      while (i < 8) { spark.sparkContext.range(0, 32, 1, 4).count(); i += 1 }
+    }
+    def loadAvg1m(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def ownCpuSec(): Double =
+      try {
+        // /proc/self/stat fields 14/15 (utime, stime) in clock ticks;
+        // comm (field 2) can contain spaces but is parenthesized — split
+        // after the closing paren
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/stat"))
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        (rest(11).toLong + rest(12).toLong) / 100.0
+      } catch { case _: Throwable => -1.0 }
+    schedChain(); schedChain() // warm
+    // (pos, sec, cachedMemMB, cachedDiskMB, cumGcSec, schedSec, load1m,
+    // ownCpuSec): pos = how many workload queries had completed when the
+    // sample was taken. ownCpuSec is CUMULATIVE — consumers diff
+    // neighbors and compare against wall × avail_procs and load1m to
+    // separate "we were busy" from "someone else was".
+    val controls = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Double, Long, Long, Double, Double, Double, Double)]
     def sampleControl(pos: Int): Unit = {
       val t0 = System.nanoTime()
       run(controlDf)
       val sec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      schedChain()
+      val schedSec = (System.nanoTime() - t1) / 1e9
       val infos = spark.sparkContext.getRDDStorageInfo
       controls += ((pos, sec, infos.map(_.memSize).sum >> 20,
-        infos.map(_.diskSize).sum >> 20, gcMillis() / 1e3))
+        infos.map(_.diskSize).sum >> 20, gcMillis() / 1e3,
+        schedSec, loadAvg1m(), ownCpuSec()))
     }
     sampleControl(0)
     // Per-query LAPS are recorded in the artifact (not just the min): a
@@ -206,8 +253,9 @@ object Bench {
         s"[${fmt(l.sec)},${l.gcMs},${l.shufWriteB},${l.shufReadB},${l.spillB},${l.peakExecB},${l.heapUsedB >> 20}]")
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val controlsJson = controls.map { case (pos, sec, mem, disk, gcS) =>
-      s"[$pos,${fmt(sec)},$mem,$disk,${fmt(gcS)}]"
+    val controlsJson = controls.map {
+      case (pos, sec, mem, disk, gcS, schedS, load, cpuS) =>
+        s"[$pos,${fmt(sec)},$mem,$disk,${fmt(gcS)},${fmt(schedS)},${fmt(load)},${fmt(cpuS)}]"
     }.mkString("[", ",", "]")
     val envJson = {
       val rt = Runtime.getRuntime
