@@ -129,6 +129,49 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // The testdata corpus exhausts at ~90 learnable merges, so the
+    // bpetrain mode cannot reach production ROUND counts. This mode
+    // plants a pair-diverse corpus (seeded: 4k distinct 8–12-char
+    // pseudo-words, each repeated ~4×) that sustains >1k merges, then
+    // runs a merge-count LADDER at batchK=1 (one round per merge): the
+    // MARGINAL s/round between ladder rungs is the late-round constant —
+    // super-linear growth as the learned vocabulary widens the
+    // symbol/pair tables would show as rising marginal cost.
+    if (mode == "bpetrain1k") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(42)
+      val words = (0 until 4000).map { _ =>
+        val len = 8 + rnd.nextInt(5)
+        (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      }
+      val texts = (0 until 2000).map { i =>
+        (0 until 8).map(j => words((i * 8 + j * 997) % words.size))
+          .mkString(" ")
+      }
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text").cache()
+      docs.count()
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      llm.BpeTrain.trainMergesBatched(spark, docs, 8, batchK = 4) // warm
+      val bk = if (args.length > 1) args(1).toInt else 1
+      var prevT = 0.0; var prevR = 0
+      for (n <- Seq(125, 250, 500, 1000)) {
+        val (m, t) = time(llm.BpeTrain.trainMergesBatched(spark, docs, n, bk))
+        val rounds = m.map(_._5).distinct.size
+        val marginal =
+          if (rounds > prevR) (t - prevT) / (rounds - prevR) else Double.NaN
+        println(f"PROBE bpetrain1k batchK=$bk nMerges=$n learned=${m.size} " +
+          f"rounds=$rounds time=$t%.1fs (${t / math.max(rounds, 1)}%.3fs/round, " +
+          f"marginal=$marginal%.3fs/round over rounds ${prevR + 1}..$rounds)")
+        prevT = t; prevR = rounds
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
     if (mode == "kmeans") {
       val emb = Tables.embeddings(spark, sfDir)
       val n = emb.count()

@@ -1104,6 +1104,51 @@ object EtlQueries {
       FROM lineitem
       ORDER BY constraint_name"""))
 
+  /** Fuzzy entity resolution on the customer dimension
+    * ([[graft.operators.FuzzyJoin]]): all distinct customer pairs whose
+    * names are within Levenshtein distance 1 — the fuzzy rung above
+    * `etl_dim_dedup`'s exact-key collapse. Candidate generation is the
+    * deletion-neighborhood equi join (bucket sizes structurally bounded
+    * at |alphabet|·len — never all-pairs, never corpus-dependent); the
+    * exact `levenshtein` verify runs map-side inside the join stage.
+    * Output: the first 200 pairs in (id_a, id_b) order plus the global
+    * pair count (broadcast 1-row cross join, the established scalar
+    * pattern) — the count makes the hash sensitive to a single missed
+    * or phantom pair ANYWHERE, not just in the emitted head.
+    */
+  val entityFuzzyPairs = QueryDef(
+    "etl_entity_fuzzy_pairs",
+    (s, dir) => {
+      val pairs = graft.operators.FuzzyJoin.pairsWithin1(
+        customer(s, dir), col("c_custkey"), col("c_name"))
+      val total = pairs.agg(count(lit(1)).as("total_pairs"))
+      pairs.crossJoin(broadcast(total))
+        .select(col("id_a").as("c_custkey_a"), col("str_a").as("name_a"),
+          col("id_b").as("c_custkey_b"), col("str_b").as("name_b"),
+          col("total_pairs"))
+        .orderBy("c_custkey_a", "c_custkey_b")
+        .limit(200)
+    },
+    Some("""
+      WITH k AS (
+        SELECT c_custkey, c_name, c_name AS k FROM customer
+        UNION ALL
+        SELECT c_custkey, c_name,
+               substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS k
+        FROM (SELECT c_custkey, c_name,
+                     unnest(range(1, length(c_name) + 1)) AS i
+              FROM customer) d),
+      pairs AS (
+        SELECT DISTINCT a.c_custkey AS ca, a.c_name AS na,
+                        b.c_custkey AS cb, b.c_name AS nb
+        FROM k a JOIN k b ON a.k = b.k AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      tot AS (SELECT COUNT(*) AS total_pairs FROM pairs)
+      SELECT ca AS c_custkey_a, na AS name_a,
+             cb AS c_custkey_b, nb AS name_b, total_pairs
+      FROM pairs, tot
+      ORDER BY ca, cb LIMIT 200"""))
+
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
@@ -1111,5 +1156,5 @@ object EtlQueries {
     scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     skewSalted,
-    constraintReport)
+    constraintReport, entityFuzzyPairs)
 }
