@@ -2344,8 +2344,105 @@ object LlmQueries {
       FROM tf JOIN dfr USING (term) JOIN dl ON tf.doc_id = dl.doc_id, tot
       GROUP BY tf.doc_id ORDER BY score_scaled DESC, tf.doc_id LIMIT 20"""))
 
+  /** Hybrid retrieval — Reciprocal-Rank Fusion of the lexical (BM25) and
+    * semantic (dense-cosine) rankers: score(d) = Σ_r 1/(60 + rank_r(d))
+    * over the two top-20 lists, the standard fusion a RAG stack runs when
+    * it has both an inverted index and an ANN index. Engineering shape:
+    * the two rank lists are LIMIT-bounded (≤ 20 rows) before any
+    * unpartitioned work, so the only global windows run over
+    * provably-tiny frames; fusion is a UNION + groupBy — no full-outer
+    * join, no all-pairs, and the contribution sum has ≤ 2 addends per doc
+    * (IEEE addition is commutative, so aggregation order cannot matter
+    * cross-engine). 1/(60+r) on INTEGER ranks divides exactly-rounded
+    * identically in both engines; the BM25 sub-ranking is the established
+    * exact-integer pipeline; the cosine sub-ranking is the established
+    * bit-deterministic dot-product fold. r_lex/r_sem are NULL where a doc
+    * appears in only one list — the fusion's whole point.
+    */
+  val hybridRetrieval = QueryDef(
+    "llm_hybrid_retrieval",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex0 = bm25Topk.run(s, dir).select(col("doc_id"), col("score_scaled"))
+      val wLex = Window.orderBy(col("score_scaled").desc, col("doc_id"))
+      val lex = lex0.withColumn("r", row_number().over(wLex))
+        .select(col("doc_id"), col("r"), lit("lex").as("src"))
+      val emb = embeddings(s, dir)
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("r"),
+          lit("sem").as("src"))
+      lex.unionByName(sem)
+        .withColumn("c", lit(1.0) / (lit(60) + col("r")))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("rrf_score"),
+          max(when(col("src") === "lex", col("r"))).as("r_lex"),
+          max(when(col("src") === "sem", col("r"))).as("r_sem"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some("""
+      WITH dl AS (
+        SELECT doc_id,
+               CAST(len(list_filter(
+                 regexp_split_to_array(trim(text), '[\s\x0b]+'),
+                 x -> length(x) > 0)) AS BIGINT) AS dl
+        FROM documents),
+      tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_len FROM dl),
+      toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '[\s\x0b]+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      dfr AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+      bm AS (
+        SELECT tf.doc_id,
+               CAST(SUM(((tot.n_docs * 10000) // dfreq)
+                  * ((tf.tf * 44 * tot.t_len * 100000)
+                     // (20 * tot.t_len * tf.tf + 6 * tot.t_len
+                         + 18 * tot.n_docs * dl.dl))) AS BIGINT)
+                 AS score_scaled
+        FROM tf JOIN dfr USING (term) JOIN dl ON tf.doc_id = dl.doc_id, tot
+        GROUP BY tf.doc_id ORDER BY score_scaled DESC, tf.doc_id LIMIT 20),
+      lex AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id)
+                 AS INTEGER) AS r,
+               'lex' AS src
+        FROM bm),
+      q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings
+        WHERE vec_id = 0
+          AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      scored AS (
+        SELECT c.vec_id AS doc_id,
+               list_dot_product(q.qv, c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]))) AS cosine
+        FROM embeddings c, q
+        WHERE c.vec_id <> 0
+          AND list_dot_product(c.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) > 0),
+      sem AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                 AS INTEGER) AS r,
+               'sem' AS src
+        FROM scored ORDER BY cosine DESC, doc_id LIMIT 20),
+      u AS (
+        SELECT doc_id, r, src FROM lex
+        UNION ALL SELECT doc_id, r, src FROM sem)
+      SELECT doc_id,
+             SUM(CAST(1.0 AS DOUBLE) / (60 + r)) AS rrf_score,
+             MAX(CASE WHEN src = 'lex' THEN r END) AS r_lex,
+             MAX(CASE WHEN src = 'sem' THEN r END) AS r_sem
+      FROM u GROUP BY doc_id
+      ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
+
   val all: Seq[QueryDef] = Seq(
-    invertedIndex, tfidfTopk, bm25Topk,
+    invertedIndex, tfidfTopk, bm25Topk, hybridRetrieval,
     bpeTrain, bpeTrainBatched, kmeans, dedupExact, dedupMinhash,
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,

@@ -220,10 +220,15 @@ object Workload {
     * bounded-heap aggregate shuffles at most k rows per group (map-side
     * combine), where the window realization sorts every row of every
     * group. Shares q05's oracle — the two plans must agree exactly.
-    * Measured crossover (`runMain graft.ScaleProbe topk`): at 20M rows /
-    * 200 groups the aggregate beats the window x1.87; at 60M rows x2.30 —
-    * the gap grows with rows-per-group, which is the 100 TB direction.
-    * (At bench scale q05b ≈ q05: the 4-way join dominates, not the top-k.)
+    * Measured crossover (`runMain graft.ScaleProbe topk`, re-measured r9
+    * at q05's real group count 150): DEAD HEAT at 2M rows (×1.01);
+    * aggregate wins ×1.63 at 20M and ×1.93 at 60M — the crossover sits
+    * near ~13k rows/group and the gap grows with rows-per-group, which
+    * is the 100 TB direction. At bench scale (600k lineitem, ~100-row
+    * post-join agg frame) the WINDOW form is the right pick — q05b costs
+    * ~×1.6 of q05 there because the staging checkpoint isn't free — so
+    * q05 stays the primary and this twin is the documented
+    * large-cardinality alternative, not a replacement.
     */
   val q05b = QueryDef(
     "q05_top_segments_topk_agg",

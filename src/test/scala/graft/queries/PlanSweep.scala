@@ -48,7 +48,15 @@ class PlanSweepSpec extends SparkSpec {
     val scalarAgg = nearestAgg.exists(_.groupingExpressions.isEmpty)
     val bucketFrame =
       e.output.map(_.name).toSet.subsetOf(Set("__b", "__c", "__s"))
-    scalarAgg || bucketFrame
+    // a LIMIT/top-k below the exchange caps the rows it can ever move —
+    // the llm_hybrid_retrieval shape: a global rank window re-sorted
+    // over an already-LIMITed (≤ 20-row) ranking list
+    val limitBounded = e.child.collect {
+      case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      case c: org.apache.spark.sql.execution.CollectLimitExec => c
+    }.nonEmpty
+    scalarAgg || bucketFrame || limitBounded
   }
 
   test("the detector sees a deliberately global window") {
@@ -90,7 +98,10 @@ class PlanSweepSpec extends SparkSpec {
     */
   private val DeclaredBroadcastAnn = Set(
     "llm_ann_bruteforce", "llm_ann_ivf", "llm_ann_recall", "llm_ann_recall_ivf",
-    "llm_ann_quantized")
+    "llm_ann_quantized",
+    // the semantic ranker inside RRF is the same broadcast-ANN pattern
+    // (query set = the single vec_id = 0 vector)
+    "llm_hybrid_retrieval")
 
   /** Third audit (r7 verdict #8, generalizing the r5 manual SMJ read):
     * the INVENTORY of shuffle joins (sort-merge + shuffled-hash) is
