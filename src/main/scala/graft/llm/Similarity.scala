@@ -313,4 +313,57 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
   }
+
+  /** Top principal direction of the int8-quantized corpus via `iters`
+    * power iterations in EXACT integer arithmetic — the dimensionality-
+    * reduction probe an embedding pipeline runs before choosing an index
+    * (a dominant direction means IVF/OPQ-style rotation pays; PCA-whitened
+    * ANN is the standard pre-processing). Each iteration computes
+    * y = Σ_rows q·(q·v) without ever materializing the d×d covariance:
+    * a per-row BIGINT dot product d_i = q_i·v (dim-keyed broadcast join
+    * against the ≤ dim-row v frame), then per-component re-aggregation
+    * y_j = Σ q_ij·d_i — two |rows·dim|-keyed shuffles per iteration, the
+    * k-means cost class, never all-pairs. v is then rescaled to
+    * max|v_j| = 1024 with SIGN-SPLIT truncating division
+    * (sign(y)·((|y|·1024) div m)): Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, so the operand is kept non-negative —
+    * on that domain the two agree bit-for-bit. All accumulators are
+    * exact BIGINT (|q| ≤ 127, |v| ≤ 1024, dim-bounded folds), so both
+    * engines replay the identical integer trajectory; an all-zero y
+    * (m = 0) short-circuits to the zero vector rather than dividing.
+    * Overflow headroom: per-row contribution ≤ 127²·1024·dim ≈ 10⁹ at
+    * dim 64, so corpora to ~10⁹ rows fit int64; beyond that, drop the
+    * rescale target from 1024 to 256.
+    *
+    * Returns one row per dimension: (dim, y, v) — the final raw
+    * accumulator and its rescaled direction.
+    */
+  def pcaPowerIteration(corpus: DataFrame, dim: Int,
+      iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    val qpos = scalarQuantize(corpus)
+      .select(col("vec_id"), col("qvec").cast(ArrayType(LongType)).as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "qv")))
+      // feeds both shuffles of every iteration — staged once
+      .localCheckpoint(false)
+    var v = spark.range(dim)
+      .select(col("id").cast(IntegerType).as("pos"), lit(1L).as("v"))
+    var y: DataFrame = null
+    for (_ <- 1 to iters) {
+      val d = qpos.join(broadcast(v), Seq("pos"))
+        .groupBy("vec_id").agg(sum(col("qv") * col("v")).as("d"))
+      y = qpos.join(d, Seq("vec_id"))
+        .groupBy("pos").agg(sum(col("qv") * col("d")).as("y"))
+        .localCheckpoint(false) // eager: bounds lineage across iterations
+      val m = y.agg(max(abs(col("y"))).as("m"))
+      v = y.crossJoin(broadcast(m))
+        .select(col("pos"),
+          when(col("m") === 0L, lit(0L))
+            .otherwise((when(col("y") < 0L, lit(-1L)).otherwise(lit(1L))) *
+              expr("(abs(y) * 1024) div m")).as("v"))
+    }
+    v.join(y, Seq("pos"))
+      .select(col("pos").as("dim"), col("y"), col("v"))
+      .orderBy("dim")
+  }
 }

@@ -2441,8 +2441,75 @@ object LlmQueries {
       FROM u GROUP BY doc_id
       ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
 
+  /** One unrolled PCA power-iteration round for the DuckDB oracle:
+    * d = q·v per row, y_j = Σ q_j·d per dimension, then the sign-split
+    * rescale to max|v| = 1024 (non-negative operands so DuckDB's floor
+    * `//` agrees with Spark's truncating `div`). `vk` refers to the
+    * previous round's v CTE (or the literal 1 for v0 = all-ones).
+    */
+  private def pcaRoundCte(k: Int): String = {
+    val vRef = if (k == 1) "1" else s"v${k - 1}.v"
+    val join = if (k == 1) "" else s" JOIN v${k - 1} USING (pos)"
+    s"""
+      d$k AS (
+        SELECT vec_id, CAST(SUM(qp.q * $vRef) AS BIGINT) AS d
+        FROM qp$join GROUP BY vec_id),
+      y$k AS (
+        SELECT pos, CAST(SUM(qp.q * d$k.d) AS BIGINT) AS y
+        FROM qp JOIN d$k USING (vec_id) GROUP BY pos),
+      m$k AS (SELECT MAX(abs(y)) AS m FROM y$k),
+      v$k AS (
+        SELECT pos,
+               CASE WHEN m = 0 THEN 0
+                    ELSE (CASE WHEN y < 0 THEN -1 ELSE 1 END)
+                         * ((abs(y) * 1024) // m)
+               END AS v
+        FROM y$k, m$k)"""
+  }
+
+  /** PCA power iteration over the int8-quantized embedding corpus
+    * ([[Similarity.pcaPowerIteration]]): 3 unrolled rounds of
+    * y = Σ q·(q·v), exact BIGINT throughout (the kmeans/pagerank
+    * discipline), sign-split truncating rescale to max|v| = 1024 so
+    * Spark `div` ≡ DuckDB `//` on non-negative operands. Output: one row
+    * per dimension with the final raw accumulator y and rescaled
+    * direction v — 64 rows whose every value a single misquantized
+    * element anywhere in the corpus would shift. Scale shape: two
+    * |rows·dim|-keyed shuffles per round (k-means cost class), a
+    * broadcast ≤ dim-row v frame, a broadcast 1-row max — the covariance
+    * matrix is never materialized.
+    */
+  val embedPca = QueryDef(
+    "llm_embed_pca",
+    (s, dir) => Similarity.pcaPowerIteration(
+      embeddings(s, dir), EmbeddingDim, iters = 3),
+    Some(s"""
+      WITH src AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                 AS scale,
+               embedding::DOUBLE[] AS v
+        FROM embeddings),
+      qz AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                    ELSE list_transform(v,
+                      x -> floor(x * 127.0 / scale + 0.5))
+               END AS qv
+        FROM src),
+      qp AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, qv[i] AS q
+        FROM (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i
+              FROM qz)),
+      ${pcaRoundCte(1)},
+      ${pcaRoundCte(2)},
+      ${pcaRoundCte(3)}
+      SELECT v3.pos AS dim, y3.y AS y, CAST(v3.v AS BIGINT) AS v
+      FROM v3 JOIN y3 USING (pos) ORDER BY dim"""))
+
   val all: Seq[QueryDef] = Seq(
-    invertedIndex, tfidfTopk, bm25Topk, hybridRetrieval,
+    invertedIndex, tfidfTopk, bm25Topk, hybridRetrieval, embedPca,
     bpeTrain, bpeTrainBatched, kmeans, dedupExact, dedupMinhash,
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,

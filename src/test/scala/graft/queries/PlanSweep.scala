@@ -148,7 +148,12 @@ class PlanSweepSpec extends SparkSpec {
     "q39_graph_triangles" -> Set("SortMergeJoin"),
     // DOULION estimate: same wedge/confirm joins as q39 over the
     // edge-SAMPLED oriented list — still |edges|/4-sized both sides.
-    "q40_graph_triangles_approx" -> Set("SortMergeJoin"))
+    "q40_graph_triangles_approx" -> Set("SortMergeJoin"),
+    // PCA power iterations: the per-round qpos×d re-aggregation join is
+    // |rows·dim| × |rows| over the checkpoint-staged (stats-opaque)
+    // quantized frame — the pagerank/kmeans iterate class, deliberately
+    // unhinted (the v and max frames DO broadcast).
+    "llm_embed_pca" -> Set("SortMergeJoin"))
 
   test("shuffle-join inventory is pinned: no query grows an unlisted " +
     "sort-merge or shuffled-hash join") {
