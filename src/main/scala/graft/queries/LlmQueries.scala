@@ -2508,8 +2508,100 @@ object LlmQueries {
       SELECT v3.pos AS dim, y3.y AS y, CAST(v3.v AS BIGINT) AS v
       FROM v3 JOIN y3 USING (pos) ORDER BY dim"""))
 
+  /** Sparse TF-IDF doc-doc cosine top-20 — the LEXICAL near-dup/similarity
+    * rung beside the dense-embedding one (llm_embed_neardup): documents as
+    * sparse integer TF-IDF vectors, pairwise cosine via a term-keyed
+    * posting self-join. Candidate generation is NEVER all-pairs: terms
+    * with df > 50 are dropped via the broadcast-blacklist discipline
+    * (cappedGrams' rationale — a stop word's df² explosion carries no
+    * signal), so candidate volume is ≤ cap · |postings|, linear in the
+    * corpus at fixed cap. Exactness: weights are scaled integers
+    * w = tf · ((N·1000) div df) (both engines, same truncation);
+    * dot products and norms² are exact WIDE-integer sums — Spark
+    * DECIMAL(38,0), DuckDB HUGEINT — because w² can exceed int64 (w ≤
+    * ~5·10⁹ when a rare term meets a long doc); the final cast of the
+    * same exact integer to DOUBLE is correctly rounded identically, so
+    * cosine hash-matches. ORDER BY cosine is tie-broken by the id pair.
+    */
+  val docCosineSparse = QueryDef(
+    "llm_doc_cosine_sparse",
+    (s, dir) => {
+      val maxDf = 50
+      val docs = documents(s, dir)
+      val tf = docs
+        .select(col("doc_id"),
+          explode_outer(TextAnalysis.tokenArray(col("text"))).as("term"))
+        .filter(col("term").isNotNull)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        // feeds dfreq, the blacklist, and the weight frame — one tokenize
+        .localCheckpoint(true)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val hot = dfreq.filter(col("dfreq") > maxDf).select("term")
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = tf.join(broadcast(hot), Seq("term"), "left_anti")
+        .join(dfreq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("w", col("tf") * expr("(n_docs * 1000) div dfreq"))
+        .select("doc_id", "term", "w")
+        // feeds the norm aggregate AND both posting sides
+        .localCheckpoint(false)
+      val wide = DecimalType(38, 0)
+      val norms = w.groupBy("doc_id")
+        .agg(sum(col("w").cast(wide) * col("w")).as("n2"))
+      val a = w.select(col("term"), col("doc_id").as("doc_a"),
+        col("w").as("wa"))
+      val b = w.select(col("term"), col("doc_id").as("doc_b"),
+        col("w").as("wb"))
+      a.join(b, Seq("term"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(col("wa").cast(wide) * col("wb")).as("dot"),
+          count(lit(1)).as("n_shared"))
+        .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")),
+          Seq("doc_a"))
+        .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
+          Seq("doc_b"))
+        .withColumn("cosine", col("dot").cast(DoubleType) /
+          (sqrt(col("na").cast(DoubleType)) * sqrt(col("nb").cast(DoubleType))))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("cosine"))
+        .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(
+          CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '[\s\x0b]+') END) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfr AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      w AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ((n.n_docs * 1000) // dfr.dfreq) AS w
+        FROM tf JOIN dfr USING (term), n
+        WHERE dfr.dfreq <= 50),
+      norms AS (
+        SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2 FROM w GROUP BY 1),
+      dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(CAST(a.w AS HUGEINT) * b.w) AS dot,
+               COUNT(*) AS n_shared
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared,
+             CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+               AS cosine
+      FROM dots
+      JOIN norms na ON dots.doc_a = na.doc_id
+      JOIN norms nb ON dots.doc_b = nb.doc_id
+      ORDER BY cosine DESC, doc_a, doc_b LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(
     invertedIndex, tfidfTopk, bm25Topk, hybridRetrieval, embedPca,
+    docCosineSparse,
     bpeTrain, bpeTrainBatched, kmeans, dedupExact, dedupMinhash,
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
