@@ -253,6 +253,76 @@ object TextAnalysis {
   def rollingFingerprint(text: Column): Column =
     graft.functions.RollingHash.rolling_hash(text)
 
+  // ---- winnowing (local) fingerprints ----
+
+  /** Winnowing policy knobs (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    * token-gram width, selection window, and the md5-fold width of the
+    * gram hash. The fold is the [[Sampling.PriorityChars]] discipline —
+    * portable to any engine with md5/ascii/substr — and its headroom is a
+    * hard constraint: hash < 102·(128^5−1)/127 ≈ 2.8e10, so
+    * hash·2^20 + pos < 2^56 stays well inside BIGINT.
+    */
+  val WinnowGram = 4
+  val WinnowWindow = 5
+  val WinnowFoldChars = 5
+  /** Position field width: packs (hash, rightmost-pos) into ONE BIGINT so
+    * a plain window `min` performs the winnowing argmin with the paper's
+    * rightmost-min tie-break (larger pos ⇒ smaller packed value). Bounds
+    * documents at 2^20 grams — beyond that the packing is rejected loudly
+    * (raise_error), not silently misordered.
+    */
+  val WinnowPosField = 1048576L
+
+  /** Winnowing document fingerprints: for every window of
+    * [[WinnowWindow]] consecutive [[WinnowGram]]-token gram hashes, select
+    * the minimal hash (rightmost on ties); the distinct selected
+    * (position, hash) pairs are the document's fingerprints — the
+    * guarantee is that any shared substring of length ≥ gram+window−1
+    * tokens yields at least one shared fingerprint, at ~1/window the
+    * density of the full gram set. Leading partial windows are included
+    * (positions 0..w−2 select over the prefix), so every document with ≥
+    * gram tokens gets ≥ 1 fingerprint.
+    *
+    * Plan: gram generate + hash are map-side; the selection is ONE window
+    * min partitioned by doc (per-doc sequences, shuffle-parallel — no
+    * global order anywhere); distinct is a (doc, packed)-keyed partial
+    * agg. At 100 TB this is the standard fingerprint-index build: one
+    * corpus pass, output ≈ corpus/window grams.
+    */
+  def winnowFingerprints(docs: DataFrame, textCol: String = "text")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), tokenArray(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= WinnowGram)
+    val grams = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), size(col("__t")) - WinnowGram),
+        i => concat_ws(" ", (0 until WinnowGram)
+          .map(j => element_at(col("__t"), i + j + 1)): _*)))
+        .as(Seq("pos", "gram")))
+    val hex = md5(col("gram").cast(BinaryType))
+    val h = (1 to WinnowFoldChars)
+      .map(i => ascii(substring(hex, i, 1)).cast(LongType) *
+        lit(math.pow(128, i - 1).toLong))
+      .reduce(_ + _)
+    val packed = when(col("pos") >= lit(WinnowPosField),
+      raise_error(lit(s"winnowing position field overflow: document has " +
+        s">= $WinnowPosField grams")))
+      .otherwise(h * lit(WinnowPosField) +
+        (lit(WinnowPosField - 1) - col("pos")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(WinnowWindow - 1), 0)
+    grams
+      .withColumn("__sel", min(packed).over(w))
+      .select(col("doc_id"), col("__sel")).distinct()
+      .select(col("doc_id"),
+        (lit(WinnowPosField - 1) - (col("__sel") % lit(WinnowPosField)))
+          .cast(IntegerType).as("pos"),
+        call_function("div", col("__sel"), lit(WinnowPosField))
+          .cast(LongType).as("fp"))
+  }
+
   /** Full per-document profile — tokenizes each document exactly once via
     * the staged `__toks` projection.
     */

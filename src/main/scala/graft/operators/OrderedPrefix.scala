@@ -46,18 +46,36 @@ object OrderedPrefix {
     * (its grand total). Internal columns (`__b` etc.) are dropped.
     */
   def rankAndPrefix(df: DataFrame, bucket: Column, orderCols: Seq[Column],
-      sumExpr: Option[Column] = None): DataFrame = {
+      sumExpr: Option[Column] = None): DataFrame =
+    rankAndPrefixBy(df, Nil, bucket, orderCols, sumExpr)
+
+  /** The grouped form: `__rank`/`__n` (and `__prefix`/`__total`) are
+    * computed WITHIN each group of `groupCols` — exact per-group order
+    * statistics. Same two-phase discipline, with one improvement at
+    * scale: the offset windows are partitioned by the group key, so
+    * even the bucket-histogram pass is shuffle-parallel — a grouped
+    * rank/percentile plan has NO single-partition exchange at all
+    * (the global form's histogram window is its only one). The bucket
+    * contract is per group: monotone non-decreasing along each group's
+    * `orderCols` order. `groupCols = Nil` degenerates to the global
+    * form bit-for-bit (Window.partitionBy() == Window.orderBy's empty
+    * partition spec).
+    */
+  def rankAndPrefixBy(df: DataFrame, groupCols: Seq[String], bucket: Column,
+      orderCols: Seq[Column], sumExpr: Option[Column] = None): DataFrame = {
+    val gCols = groupCols.map(col)
+    val gKeys = gCols :+ col("__b")
     // feeds BOTH the bucket-count frame and the rank join — without
     // staging, everything upstream of `df` executes twice (the
     // q05b/spendDeciles ReuseExchange lesson)
     val base = df.withColumn("__b", bucket).localCheckpoint(false)
     val counts = sumExpr match {
       case Some(s) =>
-        base.groupBy(col("__b")).agg(count(lit(1)).as("__c"), sum(s).as("__s"))
+        base.groupBy(gKeys: _*).agg(count(lit(1)).as("__c"), sum(s).as("__s"))
       case None =>
-        base.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+        base.groupBy(gKeys: _*).agg(count(lit(1)).as("__c"))
     }
-    val wOff = Window.orderBy(col("__b"))
+    val wOff = Window.partitionBy(gCols: _*).orderBy(col("__b"))
     val prevRows = wOff.rowsBetween(Window.unboundedPreceding, -1)
     val allRows =
       wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -68,11 +86,11 @@ object OrderedPrefix {
       case Some(_) => offs0
         .withColumn("__soff", coalesce(sum(col("__s")).over(prevRows), lit(0)))
         .withColumn("__total", sum(col("__s")).over(allRows))
-        .select(col("__b"), col("__off"), col("__n"),
-          col("__soff"), col("__total"))
-      case None => offs0.select(col("__b"), col("__off"), col("__n"))
+        .select(gKeys ++ Seq(col("__off"), col("__n"),
+          col("__soff"), col("__total")): _*)
+      case None => offs0.select(gKeys ++ Seq(col("__off"), col("__n")): _*)
     }
-    val wLocal = Window.partitionBy(col("__b")).orderBy(orderCols: _*)
+    val wLocal = Window.partitionBy(gKeys: _*).orderBy(orderCols: _*)
     val ranked = sumExpr match {
       case Some(s) => base
         .withColumn("__lr", row_number().over(wLocal))
@@ -80,7 +98,7 @@ object OrderedPrefix {
           sum(s).over(wLocal.rowsBetween(Window.unboundedPreceding, 0)))
       case None => base.withColumn("__lr", row_number().over(wLocal))
     }
-    val joined = ranked.join(broadcast(offs), Seq("__b"))
+    val joined = ranked.join(broadcast(offs), groupCols :+ "__b")
       .withColumn("__rank", col("__off") + col("__lr"))
     val out = sumExpr match {
       case Some(_) => joined.withColumn("__prefix", col("__soff") + col("__ls"))

@@ -277,6 +277,58 @@ object LlmQueries {
       SELECT doc_id, md5(text) AS fp_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** Winnowing fingerprints (TextAnalysis.winnowFingerprints — the MOSS
+    * local-fingerprinting scheme): min-hash-per-window selection over
+    * 4-token-gram md5-fold hashes, rightmost-min tie-break via the packed
+    * (hash, pos) BIGINT. Unlike the whole-doc fingerprints above, shared
+    * PASSAGES of ≥ gram+window−1 tokens are guaranteed a shared
+    * fingerprint at ~1/window the index density of the full gram set —
+    * the plagiarism/near-dup index a curation stack actually builds. The
+    * md5-fold and the packing are engine-portable integer arithmetic, so
+    * this is a full cross-engine row (every selected position and hash
+    * hash-matched), not a self-pin. Oracle mirrors the leading-partial-
+    * window variant: windows are `ROWS 4 PRECEDING`, all positions.
+    */
+  val winnowFingerprint = {
+    val k = TextAnalysis.WinnowGram
+    val w = TextAnalysis.WinnowWindow
+    val posF = TextAnalysis.WinnowPosField
+    val gramSql = (1 to k).map(j => s"t[i+${j - 1}]").mkString(" || ' ' || ")
+    val foldSql = (1 to TextAnalysis.WinnowFoldChars)
+      .map(i => s"CAST(ascii(substr(md5(gram), $i, 1)) AS BIGINT) * " +
+        s"${math.pow(128, i - 1).toLong}")
+      .mkString("\n               + ")
+    QueryDef(
+      "llm_winnow_fingerprint",
+      (s, dir) => TextAnalysis.winnowFingerprints(documents(s, dir))
+        .orderBy("doc_id", "pos"),
+      Some(s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\\s\\x0b]+') AS t
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(t) - $k)) AS pos,
+               unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
+                 i -> $gramSql)) AS gram
+        FROM toks WHERE len(t) >= $k),
+      h AS (
+        SELECT doc_id, pos,
+               ($foldSql) AS hv
+        FROM g),
+      sel AS (
+        SELECT doc_id,
+               min(hv * $posF + (${posF - 1} - pos)) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS m
+        FROM h),
+      f AS (SELECT DISTINCT doc_id, m FROM sel)
+      SELECT doc_id,
+             CAST(${posF - 1} - (m % $posF) AS INTEGER) AS pos,
+             m // $posF AS fp
+      FROM f ORDER BY doc_id, pos"""))
+  }
+
   /** Rolling-hash fingerprint via the custom Catalyst expression
     * (graft.functions.RollingHash, whole-stage-codegen'd). Not expressible
     * in the oracle dialect; rows-only checked + unit-tested.
@@ -2605,7 +2657,7 @@ object LlmQueries {
     bpeTrain, bpeTrainBatched, kmeans, dedupExact, dedupMinhash,
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
-    textFingerprint, textRollhash,
+    textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,

@@ -1816,9 +1816,59 @@ object Workload {
       FROM ps JOIN r ON r.rn = (p * r.n + 99) // 100
       ORDER BY p"""))
 
+  /** Q42 — per-SEGMENT exact order-value percentiles: the grouped form of
+    * q41, via `OrderedPrefix.rankAndPrefixBy`. The grouped two-phase plan
+    * is strictly better than the textbook
+    * `percentile_disc(...) OVER (PARTITION BY segment)` at scale: the
+    * window form sorts each group in ONE task (5 segments → 5 tasks
+    * carrying 20 TB each at the 100 TB mark), while here the per-group
+    * histogram offsets are a partitioned window over ≈ groups×buckets
+    * rows and the data-touching rank window is partitioned by
+    * (group, bucket) — thousands of parallel tasks, no single-partition
+    * exchange anywhere in the plan (PlanSweep-verified). Percentile
+    * targets join back as a 5-row literal frame: the broadcast side is a
+    * plan-time LocalRelation (bounded by construction — PlanSweep's
+    * literal-leaf rule), and the rank-equality filter is evaluated
+    * inside the join.
+    */
+  val q42 = QueryDef(
+    "q42_group_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      val o = orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      val seg = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_totalprice"), col("o_orderkey"))
+      val ranked = graft.operators.OrderedPrefix.rankAndPrefixBy(
+        seg, Seq("segment"),
+        (col("o_totalprice") / lit(1000)).cast(LongType),
+        Seq(col("o_totalprice"), col("o_orderkey")))
+      val ps = Seq(25, 50, 75, 90, 99).toDF("p")
+      ranked.crossJoin(broadcast(ps))
+        .filter(col("__rank") === expr("(p * __n + 99) div 100"))
+        .select(col("segment"), col("p"), col("o_totalprice").as("value"))
+        .orderBy("segment", "p")
+    },
+    Some("""
+      WITH o AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice AS v,
+               o.o_orderkey AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      r AS (
+        SELECT segment, v,
+               ROW_NUMBER() OVER (PARTITION BY segment ORDER BY v, k) AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM o),
+      ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS p)
+      SELECT segment, p, v AS value
+      FROM r JOIN ps ON r.rn = (p * r.n + 99) // 100
+      ORDER BY segment, p"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

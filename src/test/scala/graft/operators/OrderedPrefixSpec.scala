@@ -79,6 +79,56 @@ class OrderedPrefixSpec extends SparkSpec {
       === Seq(9L))
   }
 
+  test("grouped form == per-group application of the global form") {
+    // groups of very different sizes (1, 3, 20) with in-group ties; the
+    // grouped call must reproduce, per group, exactly what the global
+    // form computes on that group's rows alone — rank, prefix, n, total
+    val rows = Seq(("a", 1L, "500.00"), ("b", 2L, "120.00"),
+      ("b", 3L, "120.00"), ("b", 4L, "990.10")) ++
+      (5L to 24L).map(k => ("c", k, s"${(k % 5) * 100}.25"))
+    val df = rows.toDF("g", "id", "v")
+      .select(col("g"), col("id"), col("v").cast(DecimalType(18, 2)).as("v"))
+      .withColumn("rc", (col("v") * 100).cast(LongType))
+    val bucket = lit(0L) - (col("v") / lit(100)).cast(LongType)
+    val order = Seq(col("v").desc, col("id"))
+    val grouped = OrderedPrefix
+      .rankAndPrefixBy(df, Seq("g"), bucket, order, Some(col("rc")))
+      .select(col("g"), col("id"), col("__rank"), col("__n"),
+        col("__prefix").cast(LongType), col("__total").cast(LongType))
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = Seq("a", "b", "c").flatMap { g =>
+      OrderedPrefix.rankAndPrefix(df.filter(col("g") === g),
+          bucket, order, Some(col("rc")))
+        .select(col("g"), col("id"), col("__rank"), col("__n"),
+          col("__prefix").cast(LongType), col("__total").cast(LongType))
+        .as[(String, Long, Long, Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    }
+    assert(grouped === want)
+  }
+
+  test("grouped plan has NO single-partition exchange at all") {
+    // the global form's one bounded single-partition exchange (the bucket
+    // histogram window) becomes group-partitioned in the grouped form —
+    // the whole plan is shuffle-parallel
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    import noAqe.implicits._
+    val df = (1L to 100L).map(k => (s"g${k % 4}", k, k * 3 % 17))
+      .toDF("g", "id", "v")
+    val out = OrderedPrefix.rankAndPrefixBy(df, Seq("g"),
+      col("v"), Seq(col("v"), col("id")))
+    val hits = out.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning == SinglePartition => e
+    }
+    assert(hits.isEmpty,
+      s"grouped OrderedPrefix grew a single-partition exchange: $hits")
+  }
+
   test("ntileCol == single-window ntile across k, incl. N < k and N % k != 0") {
     val df = frame((1L to 23L).map(k => (k, s"${(k % 7) * 100}.00"))) // heavy ties
     for (k <- Seq(1, 4, 5, 10, 23, 40)) {
