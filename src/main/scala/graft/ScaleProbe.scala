@@ -199,6 +199,13 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "gprefix") {
+      groupedPrefixProbe(spark,
+        if (args.length > 1) args(1).toLong else 20000000L,
+        if (args.length > 2) args(2).toInt else 5)
+      spark.stop()
+      return
+    }
     if (mode == "zorder") {
       zorderProbe(spark,
         if (args.length > 1) args(1).toLong else 20000000L)
@@ -570,6 +577,57 @@ object ScaleProbe {
     val tw = time(() => windowPlan().select(max(col("r") + col("p"))).collect())
     val tb = time(() => bucketPlan().select(max(col("r") + col("p"))).collect())
     println(f"PROBE prefix: rows=$n window=$tw%.2fs " +
+      f"two_phase=$tb%.2fs speedup=x${tw / tb}%.2f")
+  }
+
+  /** Grouped rank/prefix (q42's shape): the partitioned-window form gives
+    * each GROUP one task — with few groups (segments: 5) most cores idle
+    * and each task sorts n/G rows — while rankAndPrefixBy's two-phase
+    * plan partitions by (group, value-bucket), so parallelism is
+    * G×buckets regardless of G. Equivalence is asserted on a 100k sample
+    * first; the timing then measures exactly the few-mega-group case the
+    * q42 docstring claims is the window form's scale hazard.
+    */
+  private def groupedPrefixProbe(spark: SparkSession, rows: Long,
+      groups: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    def frame(n: Long) = spark.range(n).select(
+      col("id"),
+      pmod(hash(col("id")), lit(groups)).cast("string").as("g"),
+      pmod(hash(col("id") + 7), lit(1000000)).cast("long").as("v"))
+    val df = frame(rows).cache()
+    val n = df.count()
+
+    def windowPlan() = {
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      df.withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("p", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+    }
+    def groupedPlan() = operators.OrderedPrefix.rankAndPrefixBy(
+        df, Seq("g"), lit(0L) - (col("v") / lit(1000)).cast("long"),
+        Seq(col("v").desc, col("id")), sumExpr = Some(col("v")))
+      .withColumnRenamed("__rank", "r").withColumnRenamed("__prefix", "p")
+
+    val small = frame(100000).cache()
+    val wS = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val a = small.withColumn("r", row_number().over(wS).cast("long"))
+      .withColumn("p", sum(col("v")).over(
+        wS.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("id", "r", "p").collect().map(_.toSeq).toSet
+    val b = operators.OrderedPrefix.rankAndPrefixBy(
+        small, Seq("g"), lit(0L) - (col("v") / lit(1000)).cast("long"),
+        Seq(col("v").desc, col("id")), sumExpr = Some(col("v")))
+      .select(col("id"), col("__rank").as("r"), col("__prefix").as("p"))
+      .collect().map(_.toSeq).toSet
+    require(a == b, s"plans disagree on the 100k sample: ${a.size} vs ${b.size}")
+
+    def time(f: () => Unit): Double = {
+      f(); val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    val tw = time(() => windowPlan().select(max(col("r") + col("p"))).collect())
+    val tb = time(() => groupedPlan().select(max(col("r") + col("p"))).collect())
+    println(f"PROBE gprefix: rows=$n groups=$groups window=$tw%.2fs " +
       f"two_phase=$tb%.2fs speedup=x${tw / tb}%.2f")
   }
 

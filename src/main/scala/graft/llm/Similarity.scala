@@ -366,4 +366,110 @@ object Similarity {
       .select(col("pos").as("dim"), col("y"), col("v"))
       .orderBy("dim")
   }
+
+  // ---- product quantization (PQ) ----
+
+  /** PQ policy knobs: M subspaces of `dim / PqSubspaces` dims each, K
+    * centroids per subspace (codes are 4 bits ⇒ a 64-dim float vector
+    * compresses 256 bytes → 4 bytes, 64×), and the global integer grid
+    * every coordinate is snapped to (floor(x·1000 + 0.5) — the
+    * scalarQuantize rounding discipline, but a GLOBAL grid: unlike the
+    * cosine path, L2 distances compare coordinates ACROSS vectors, so a
+    * per-vector scale would not cancel). On the grid every subspace
+    * distance is an exact-BIGINT sum of ≤ 8 squared diffs — engine-
+    * portable, no float summation order anywhere.
+    */
+  val PqSubspaces = 8
+  val PqCentroids = 16
+  val PqGrid = 1000.0
+
+  /** Grid-quantized components: one row per (id, pos) with the integer
+    * coordinate. Map-side generate off the corpus scan.
+    */
+  private def pqComponents(df: DataFrame, idAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs),
+      posexplode(transform(asDouble(col("embedding")),
+        x => floor(x * lit(PqGrid) + lit(0.5)).cast(LongType)))
+        .as(Seq("pos", "x")))
+
+  /** Seeded PQ codebook: centroid k of subspace m is the m-th subvector
+    * of corpus vector vec_id = k (k < PqCentroids) — the deterministic
+    * seeding step of PQ training, model-sized (M·K·subDim rows) and
+    * broadcastable by construction. Lloyd's refinement of codebooks is
+    * the proven k-means machinery (llm/KMeans.scala); keeping the
+    * codebook at its seed here is a declared policy knob so the encode
+    * and ADC arithmetic stay exactly cross-engine-checkable, not a
+    * capability gap.
+    */
+  def pqCodebook(corpus: DataFrame, subDim: Int): DataFrame =
+    pqComponents(corpus.filter(col("vec_id") < PqCentroids), "k")
+      .select(col("k").cast(IntegerType).as("k"),
+        (col("pos") / subDim).cast(IntegerType).as("m"),
+        (col("pos") % subDim).as("j"), col("x").as("c"))
+
+  /** PQ encode: each vector's code in subspace m is the argmin-distance
+    * centroid (ties to the smaller k). The candidate stage is the
+    * standard O(N·D·K) PQ-encode kernel as a broadcast equi join — the
+    * corpus component stream joins the model-sized codebook on (m, j),
+    * partial-aggregates the exact-BIGINT squared distances down to
+    * (id, m, k), and a (id, m)-partitioned window picks the argmin.
+    * Nothing here depends on corpus size except linearly.
+    */
+  def pqEncode(corpus: DataFrame, subDim: Int): DataFrame = {
+    val sub = pqComponents(corpus, "vec_id")
+      .select(col("vec_id"), (col("pos") / subDim).cast(IntegerType).as("m"),
+        (col("pos") % subDim).as("j"), col("x"))
+    val cb = broadcast(pqCodebook(corpus, subDim))
+    val d = sub.join(cb, Seq("m", "j"))
+      .groupBy("vec_id", "m", "k")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("k"))
+    d.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("m"), col("k").as("code"), col("dist"))
+  }
+
+  /** Packed PQ codes: one BIGINT per vector, 4 bits per subspace code —
+    * the 4-byte-per-vector index payload ADC serving actually ships.
+    */
+  def pqCodes(corpus: DataFrame, subDim: Int): DataFrame =
+    pqEncode(corpus, subDim)
+      .groupBy("vec_id")
+      .agg(sum(col("code").cast(LongType) *
+        expr("shiftleft(CAST(1 AS BIGINT), m * 4)")).as("pqcode"))
+
+  /** ADC (asymmetric distance computation) top-k: per query, the lookup
+    * table LUT[m][k] = exact subspace distance from the query's m-th
+    * subvector to centroid k — M·K entries per query, model-sized,
+    * broadcast — and every corpus vector's approximate distance is the
+    * sum of its M code lookups: a broadcast equi join on (m, code) plus
+    * a partial agg, never touching the original vectors. This is the
+    * billion-scale serving shape: the corpus side streams 4-byte codes,
+    * all float work happened once at LUT build.
+    */
+  def pqSearch(corpus: DataFrame, k: Int, subDim: Int,
+      nQueries: Int = 10): DataFrame = {
+    val codes = pqEncode(corpus, subDim)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    val qsub = pqComponents(queries, "query_id")
+      .select(col("query_id"),
+        (col("pos") / subDim).cast(IntegerType).as("m"),
+        (col("pos") % subDim).as("j"), col("x"))
+    val lut = qsub.join(broadcast(pqCodebook(corpus, subDim)), Seq("m", "j"))
+      .groupBy("query_id", "m", "k")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("ld"))
+    val scored = codes
+      .join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("k"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("ld")).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
 }

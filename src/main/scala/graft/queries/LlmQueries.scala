@@ -2105,6 +2105,99 @@ object LlmQueries {
         FROM scored)
       SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Shared CTE prefix for both PQ queries: grid-quantized components,
+    * the seeded codebook, and the exact-BIGINT subspace distances keyed
+    * (id, m, k) — generated FROM the Similarity policy knobs so a knob
+    * edit re-derives the oracle with it.
+    */
+  private def pqDistCtes: String = {
+    val grid = Similarity.PqGrid
+    val nc = Similarity.PqCentroids
+    val sd = EmbeddingDim / Similarity.PqSubspaces
+    s"""
+      comps AS (
+        SELECT vec_id,
+               unnest(generate_series(0, len(embedding) - 1)) AS pos,
+               unnest(list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * $grid + 0.5) AS BIGINT))) AS x
+        FROM embeddings),
+      cb AS (
+        SELECT CAST(vec_id AS INTEGER) AS k,
+               CAST(pos // $sd AS INTEGER) AS m, pos % $sd AS j, x AS c
+        FROM comps WHERE vec_id < $nc),
+      sub AS (
+        SELECT vec_id, CAST(pos // $sd AS INTEGER) AS m, pos % $sd AS j, x
+        FROM comps),
+      d AS (
+        SELECT s.vec_id, s.m, cb.k,
+               CAST(SUM((s.x - cb.c) * (s.x - cb.c)) AS BIGINT) AS dist
+        FROM sub s JOIN cb ON s.m = cb.m AND s.j = cb.j
+        GROUP BY 1, 2, 3),
+      code AS (
+        SELECT vec_id, m, k AS code FROM (
+          SELECT vec_id, m, k, ROW_NUMBER() OVER (
+            PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+          FROM d)
+        WHERE rn = 1)"""
+  }
+
+  /** Product quantization encode (Similarity.pqCodes — Jégou et al. 2011):
+    * every embedding snapped to a global integer grid, split into 8
+    * subspaces, each assigned its argmin-distance seeded centroid (16 per
+    * subspace, = the subvectors of vec_id < 16 — the deterministic
+    * seeding step of PQ training; Lloyd's refinement is the separately-
+    * proven k-means machinery, so freezing the codebook at its seed is a
+    * declared policy knob, not a gap). Output is the packed 4-bit-per-
+    * subspace BIGINT code — 64 dims × float32 (256 B) → 4 B, the 64×
+    * index-payload compression billion-vector ANN serving rests on. All
+    * distances are exact-BIGINT sums on the grid, so code assignment
+    * (incl. ties → smaller k) is bit-identical cross-engine.
+    */
+  val embedPq = QueryDef(
+    "llm_embed_pq",
+    (s, dir) => Similarity.pqCodes(embeddings(s, dir),
+      EmbeddingDim / Similarity.PqSubspaces)
+      .orderBy("vec_id"),
+    Some(s"""
+      WITH ${pqDistCtes}
+      SELECT vec_id,
+             CAST(SUM(code * (CAST(1 AS BIGINT) << (4 * m))) AS BIGINT)
+               AS pqcode
+      FROM code GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** ADC top-5 over the PQ codes (Similarity.pqSearch): per query a
+    * model-sized LUT of exact subspace distances to every centroid
+    * (M·K = 128 rows, broadcast), and each corpus vector's approximate
+    * distance is the sum of its 8 code lookups — a broadcast equi join
+    * on (m, code) + partial agg over the 4-byte code stream; the float
+    * vectors are never touched after the LUT build. This is the serving
+    * shape that makes 100 TB of embeddings scannable: the candidate pass
+    * reads 64× less data than the float kernel. L2-distance semantics
+    * (no normalization), so zero vectors need no guard; ranking
+    * tie-breaks on neighbor_id.
+    */
+  val annPq = QueryDef(
+    "llm_ann_pq",
+    (s, dir) => Similarity.pqSearch(embeddings(s, dir), 5,
+      EmbeddingDim / Similarity.PqSubspaces)
+      .orderBy("query_id", "rank"),
+    Some(s"""
+      WITH ${pqDistCtes},
+      lut AS (SELECT vec_id AS query_id, m, k, dist AS ld
+              FROM d WHERE vec_id < 10),
+      adist AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(SUM(l.ld) AS BIGINT) AS adist
+        FROM code c JOIN lut l ON c.m = l.m AND c.code = l.k
+        WHERE c.vec_id <> l.query_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, adist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+        FROM adist)
+      SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** One unrolled BPE training round for the DuckDB oracle: pair counts
     * over the string-encoded symbol histogram, the (freq desc, l, r)
     * argmax, and the non-overlapping left-to-right merge application.
@@ -2659,7 +2752,7 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annQuantized, annLsh, annIvf, annRecall,
-    annRecallIvf, embedNearDup, embedClusters, semanticDedup,
+    annRecallIvf, embedPq, annPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
     sampleBudgetBpe, sampleWeighted, sampleMixture, embedNormalize,
