@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CDC changelog compaction + incremental merge, generalized from the
@@ -55,5 +55,47 @@ object CdcMerge {
         .unionByName(batch),
       keyCols, orderCols)
     untouched.unionByName(recompacted)
+  }
+
+  /** Incremental AGGREGATE maintenance (materialized-view delta apply):
+    * given yesterday's [[compact]] snapshot (tombstones retained) and
+    * today's changelog batch, returns the per-`groupCol` serving
+    * aggregate (key count + exact sum of `valueCol`) of the MERGED state
+    * — computed as yesterday's aggregate MINUS the touched keys' old
+    * serving contributions PLUS their new ones, never by re-aggregating
+    * the table. A key that moved groups decrements its old group and
+    * increments the new; a tombstoned key only decrements; a new key
+    * only increments; a batch row older than the base row retracts and
+    * re-inserts the SAME row (net zero — late data is safe). Rows where
+    * `isServing` is false (tombstones) contribute on NEITHER side: they
+    * were never in the serving aggregate, so they must not be retracted.
+    *
+    * Cost shape: one pass over the base snapshot for yesterday's
+    * aggregate (stands in for reading back the persisted MV — at steady
+    * state a |groups|-row table) — every other frame is keyed by the
+    * batch's broadcast touched-ids, so delta cost scales with the batch.
+    * `valueCol` must be an exact type (DECIMAL/BIGINT): the fold
+    * introduces negative contributions, which exact addition handles
+    * order-independently where a float fold would not. Groups folded to
+    * zero keys drop (matching a from-scratch recompute).
+    */
+  def maintainAgg(base: DataFrame, batch: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], groupCol: String, valueCol: Column,
+      isServing: Column): DataFrame = {
+    val touched = batch.select(keyCols.map(col): _*).distinct()
+    def serving(df: DataFrame) = df.filter(isServing)
+    val baseAgg = serving(base).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("dn"), sum(valueCol).as("dv"))
+    val touchedBase = base.join(broadcast(touched), keyCols, "left_semi")
+    val retract = serving(touchedBase)
+      .select(col(groupCol), lit(-1L).as("dn"), (-valueCol).as("dv"))
+    val insert = serving(
+      compact(touchedBase.unionByName(batch), keyCols, orderCols))
+      .select(col(groupCol), lit(1L).as("dn"), valueCol.as("dv"))
+    baseAgg.select(col(groupCol), col("dn"), col("dv"))
+      .unionByName(retract).unionByName(insert)
+      .groupBy(col(groupCol))
+      .agg(sum(col("dn")).as("n_keys"), sum(col("dv")).as("total"))
+      .filter(col("n_keys") > 0)
   }
 }

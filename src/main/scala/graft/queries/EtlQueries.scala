@@ -608,6 +608,65 @@ object EtlQueries {
     },
     cdcApply.oracle)
 
+  /** INCREMENTAL AGGREGATE maintenance — the materialized-view rung above
+    * [[cdcApplyIncremental]]: a per-type serving aggregate
+    * (users, total value) over the compacted CDC snapshot, maintained
+    * under today's changelog batch by RETRACT/INSERT deltas instead of
+    * recomputation — the near-real-time-warehouse op the reference's
+    * dashboard would run between full loads. Delta discipline:
+    *
+    *  - the maintained aggregate = yesterday's aggregate (stands in for
+    *    the persisted MV; at steady state it is a |groups|-row table)
+    *    MINUS the touched keys' OLD serving contributions PLUS their NEW
+    *    ones — a moved key (type A → B) decrements A and increments B,
+    *    a tombstoned key only decrements, a new key only increments;
+    *  - touched = the batch's distinct ids (broadcast, batch-sized);
+    *    retract reads the base snapshot via a broadcast SEMI join
+    *    (key-pruned at scale), insert is the batch-keys recompaction —
+    *    every delta-side frame scales with the BATCH, never the table;
+    *  - tombstones ('error') never contribute on either side: they were
+    *    not in the serving aggregate, so they must not be retracted;
+    *  - contributions fold as (±1, ±value) with the value summed in
+    *    exact DECIMAL (order-independent; the fold introduces negatives,
+    *    which decimal addition handles exactly where a float fold would
+    *    reorder error); groups folded to zero users drop.
+    *
+    * The oracle recomputes the aggregate from the FULL changelog from
+    * scratch — maintained ≡ recomputed, proven cross-engine.
+    */
+  val cdcAggIncremental = QueryDef(
+    "etl_cdc_agg_incremental",
+    (s, dir) => {
+      import graft.operators.CdcMerge
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id"))
+      val isNew = pmod(col("event_id"), lit(5)) === 0
+      val key = Seq("user_id")
+      val ord = Seq("ts", "event_id")
+      val baseSnap = CdcMerge.compact(ev.filter(!isNew), key, ord)
+      val batch = ev.filter(isNew)
+      CdcMerge.maintainAgg(baseSnap, batch, key, ord,
+        "event_type", col("value").cast(Money),
+        col("event_type") =!= "error")
+        .select(col("event_type").as("last_type"),
+          col("n_keys").as("n_users"),
+          col("total").cast(DoubleType).as("total_value"))
+        .orderBy("last_type")
+    },
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      s AS (SELECT * FROM r WHERE rn = 1 AND event_type <> 'error')
+      SELECT event_type AS last_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+      FROM s GROUP BY 1 ORDER BY 1"""))
+
   /** Concurrent-session analysis via the bucketed interval-overlap join
     * (operators.IntervalJoin): per session, how many OTHER users had a
     * session overlapping it in time. The overlap join is interval-vs-
@@ -1155,6 +1214,6 @@ object EtlQueries {
     attribBatch, gapFill, zorderLayout, profileTable,
     scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
-    skewSalted,
+    cdcAggIncremental, skewSalted,
     constraintReport, entityFuzzyPairs)
 }
