@@ -81,18 +81,39 @@ object CdcMerge {
     */
   def maintainAgg(base: DataFrame, batch: DataFrame, keyCols: Seq[String],
       orderCols: Seq[String], groupCol: String, valueCol: Column,
-      isServing: Column): DataFrame = {
+      isServing: Column): DataFrame =
+    maintainAggFrom(servingAgg(base, groupCol, valueCol, isServing),
+      base, batch, keyCols, orderCols, groupCol, valueCol, isServing)
+
+  /** The serving aggregate of a [[compact]] snapshot from scratch:
+    * (groupCol, n_keys, total). What [[maintainAgg]] maintains; a
+    * deployment computes it once at MV creation, then only folds deltas.
+    */
+  def servingAgg(snapshot: DataFrame, groupCol: String, valueCol: Column,
+      isServing: Column): DataFrame =
+    snapshot.filter(isServing).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"), sum(valueCol).as("total"))
+
+  /** [[maintainAgg]] with the previous aggregate PASSED IN instead of
+    * recomputed — the true steady-state fold (the streaming form holds
+    * the |groups|-row MV across batches, so per-batch work is ONLY the
+    * broadcast-touched-key deltas plus the key-pruned base-snapshot
+    * semi join). `baseAgg` must be the (groupCol, n_keys, total) frame
+    * this function (or [[servingAgg]]) produced over `base`.
+    */
+  def maintainAggFrom(baseAgg: DataFrame, base: DataFrame, batch: DataFrame,
+      keyCols: Seq[String], orderCols: Seq[String], groupCol: String,
+      valueCol: Column, isServing: Column): DataFrame = {
     val touched = batch.select(keyCols.map(col): _*).distinct()
     def serving(df: DataFrame) = df.filter(isServing)
-    val baseAgg = serving(base).groupBy(col(groupCol))
-      .agg(count(lit(1)).as("dn"), sum(valueCol).as("dv"))
     val touchedBase = base.join(broadcast(touched), keyCols, "left_semi")
     val retract = serving(touchedBase)
       .select(col(groupCol), lit(-1L).as("dn"), (-valueCol).as("dv"))
     val insert = serving(
       compact(touchedBase.unionByName(batch), keyCols, orderCols))
       .select(col(groupCol), lit(1L).as("dn"), valueCol.as("dv"))
-    baseAgg.select(col(groupCol), col("dn"), col("dv"))
+    baseAgg
+      .select(col(groupCol), col("n_keys").as("dn"), col("total").as("dv"))
       .unionByName(retract).unionByName(insert)
       .groupBy(col(groupCol))
       .agg(sum(col("dn")).as("n_keys"), sum(col("dv")).as("total"))
