@@ -415,17 +415,25 @@ object Similarity {
     * (id, m, k), and a (id, m)-partitioned window picks the argmin.
     * Nothing here depends on corpus size except linearly.
     */
-  def pqEncode(corpus: DataFrame, subDim: Int): DataFrame = {
+  /** The exact-BIGINT subspace distance frame (id, m, k, dist) — every
+    * vector against every centroid of every subspace. Shared kernel of
+    * [[pqEncode]] (per-subspace argmin) and [[ivfPqSearch]] (whose
+    * COARSE distance is the sum over m — the full-vector L2 to seed k —
+    * and whose query LUT is this frame filtered to the query ids).
+    */
+  def pqSubDists(corpus: DataFrame, subDim: Int): DataFrame = {
     val sub = pqComponents(corpus, "vec_id")
       .select(col("vec_id"), (col("pos") / subDim).cast(IntegerType).as("m"),
         (col("pos") % subDim).as("j"), col("x"))
-    val cb = broadcast(pqCodebook(corpus, subDim))
-    val d = sub.join(cb, Seq("m", "j"))
+    sub.join(broadcast(pqCodebook(corpus, subDim)), Seq("m", "j"))
       .groupBy("vec_id", "m", "k")
       .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist"))
+  }
+
+  def pqEncode(corpus: DataFrame, subDim: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist"), col("k"))
-    d.withColumn("__rn", row_number().over(w))
+    pqSubDists(corpus, subDim).withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id"), col("m"), col("k").as("code"), col("dist"))
   }
@@ -463,6 +471,62 @@ object Similarity {
       .join(broadcast(lut),
         codes("m") === lut("m") && codes("code") === lut("k"))
       .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("ld")).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank"))
+  }
+
+  /** IVF-PQ: the composed billion-scale index (coarse routing × code
+    * compression — the FAISS IndexIVFPQ serving shape). Every vector is
+    * assigned to the inverted list of its nearest coarse centroid —
+    * which here is the SAME 16 seeds as the PQ codebooks, so the coarse
+    * distance is simply Σ over m of the subspace distances already
+    * computed (full-vector exact-BIGINT L2, one extra partial agg over
+    * the shared [[pqSubDists]] frame, no second corpus pass). A query
+    * probes its `nprobe` nearest lists (ties → smaller k) and runs the
+    * [[pqSearch]] ADC over ONLY those lists' candidates: at scale the
+    * candidate stream is nprobe/nlist of the corpus, each candidate 4
+    * bytes. Residual encoding (PQ over x − coarse centroid) is a
+    * declared policy omission: it refines quality, not the serving
+    * shape, and skipping it keeps every number exactly
+    * cross-engine-checkable on the shared integer grid.
+    */
+  def ivfPqSearch(corpus: DataFrame, k: Int, subDim: Int,
+      nQueries: Int = 10, nprobe: Int = 4): DataFrame = {
+    val d = pqSubDists(corpus, subDim).localCheckpoint(false)
+    val coarse = d.groupBy("vec_id", "k")
+      .agg(sum(col("dist")).as("cdist"))
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist"), col("k"))
+    val assign = coarse.withColumn("__rn", row_number().over(wa))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("k").as("list"))
+    val probes = coarse.filter(col("vec_id") < nQueries)
+      .withColumn("__rn", row_number().over(wa))
+      .filter(col("__rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("k").as("list"))
+    val codes = {
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("dist"), col("k"))
+      d.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("m"), col("k").as("code"))
+    }
+    val lut = d.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("m"), col("k"),
+        col("dist").as("ld"))
+    val cands = assign.join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("vec_id"), col("query_id"))
+    val scored = cands
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(lut.withColumnRenamed("k", "code")),
+        Seq("query_id", "m", "code"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("ld")).as("adist"))
     val w = Window.partitionBy(col("query_id"))

@@ -2198,6 +2198,59 @@ object LlmQueries {
         FROM adist)
       SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** IVF-PQ (Similarity.ivfPqSearch — the composed FAISS-IndexIVFPQ
+    * serving shape): coarse routing × code compression. The coarse
+    * quantizer shares the 16 PQ seeds, so coarse distance = Σ over
+    * subspaces of the shared distance frame (full-vector exact-BIGINT
+    * L2, no second corpus pass); each query probes its 4 nearest lists
+    * and runs ADC over only those candidates — at scale the candidate
+    * stream is nprobe/nlist of the corpus at 4 bytes each, which is the
+    * whole reason this index exists. Residual encoding is a declared
+    * policy omission (quality refinement, not serving shape — keeping
+    * the arithmetic exactly cross-engine-checkable). Assignment,
+    * probing, encoding, and ranking are all integer argmins with
+    * ties → smaller id, so the full pipeline hash-matches DuckDB.
+    */
+  val annIvfPq = QueryDef(
+    "llm_ann_ivfpq",
+    (s, dir) => Similarity.ivfPqSearch(embeddings(s, dir), 5,
+      EmbeddingDim / Similarity.PqSubspaces)
+      .orderBy("query_id", "rank"),
+    Some(s"""
+      WITH ${pqDistCtes},
+      coarse AS (
+        SELECT vec_id, k, CAST(SUM(dist) AS BIGINT) AS cdist
+        FROM d GROUP BY 1, 2),
+      assign AS (
+        SELECT vec_id, k AS list FROM (
+          SELECT vec_id, k, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cdist, k) AS rn
+          FROM coarse)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, k AS list FROM (
+          SELECT vec_id, k, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cdist, k) AS rn
+          FROM coarse WHERE vec_id < 10)
+        WHERE rn <= 4),
+      lut AS (SELECT vec_id AS query_id, m, k, dist AS ld
+              FROM d WHERE vec_id < 10),
+      adist AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               CAST(SUM(l.ld) AS BIGINT) AS adist
+        FROM assign a
+        JOIN probes p ON a.list = p.list AND a.vec_id <> p.query_id
+        JOIN code c ON c.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = p.query_id AND l.m = c.m
+                  AND l.k = c.code
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, neighbor_id, adist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adist, neighbor_id) AS INTEGER) AS rank
+        FROM adist)
+      SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** One unrolled BPE training round for the DuckDB oracle: pair counts
     * over the string-encoded symbol histogram, the (freq desc, l, r)
     * argmax, and the non-overlapping left-to-right merge application.
@@ -2752,7 +2805,7 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, annBruteForce, annQuantized, annLsh, annIvf, annRecall,
-    annRecallIvf, embedPq, annPq, embedNearDup, embedClusters, semanticDedup,
+    annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
     sampleBudgetBpe, sampleWeighted, sampleMixture, embedNormalize,

@@ -112,4 +112,34 @@ class PqAnnSpec extends SparkSpec {
         s"query $q retrieved out-of-cluster neighbor $n")
     }
   }
+
+  test("IVF-PQ agrees with flat PQ where lists were probed, and stays " +
+    "in-cluster on the planted corpus") {
+    val members = for {
+      k <- 0 until 16; i <- 0 until 6
+    } yield ((100L * (k + 1) + i),
+      seed(k).zipWithIndex.map { case (x, d) => x + 0.02f * ((i + d) % 3) })
+    val rows = (0 until 16).map(k => (k.toLong, seed(k))) ++ members
+    val ivfpq = Similarity.ivfPqSearch(toDF(rows), 5, SubDim)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Long)].collect()
+    // same-cluster recall survives the coarse routing: a member's nearest
+    // coarse centroid is its own cluster's seed, and the query probes its
+    // own list first
+    ivfpq.foreach { case (q, n, _) =>
+      val cluster = 100L * (q + 1)
+      assert(n >= cluster && n < cluster + 100L,
+        s"ivfpq query $q retrieved out-of-cluster neighbor $n")
+    }
+    // ADC arithmetic is identical to the flat PQ scan — every pair both
+    // indexes scored must carry the same approximate distance
+    val flat = Similarity.pqSearch(toDF(rows), 5, SubDim)
+      .select("query_id", "neighbor_id", "adist")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, n, a) => (q, n) -> a }.toMap
+    ivfpq.foreach { case (q, n, a) =>
+      flat.get((q, n)).foreach(fa =>
+        assert(fa === a, s"adist mismatch for ($q, $n)"))
+    }
+  }
 }

@@ -153,7 +153,13 @@ class PlanSweepSpec extends SparkSpec {
     // |rows·dim| × |rows| over the checkpoint-staged (stats-opaque)
     // quantized frame — the pagerank/kmeans iterate class, deliberately
     // unhinted (the v and max frames DO broadcast).
-    "llm_embed_pca" -> Set("SortMergeJoin"))
+    "llm_embed_pca" -> Set("SortMergeJoin"),
+    // IVF-PQ: candidate×codes equi join over the checkpoint-staged
+    // (stats-opaque) subspace-distance frame — both sides corpus-sized
+    // at scale (codes = |corpus|·M rows; candidates = the probed
+    // corpus fraction per query), deliberately unhinted like the other
+    // iterate-class joins. The probes/LUT sides DO broadcast.
+    "llm_ann_ivfpq" -> Set("SortMergeJoin"))
 
   test("shuffle-join inventory is pinned: no query grows an unlisted " +
     "sort-merge or shuffled-hash join") {
