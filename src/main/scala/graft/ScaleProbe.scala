@@ -199,6 +199,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "pq") {
+      pqProbe(spark, sfDir, if (args.length > 1) args(1).toInt else 10)
+      spark.stop()
+      return
+    }
     if (mode == "gprefix") {
       groupedPrefixProbe(spark,
         if (args.length > 1) args(1).toLong else 20000000L,
@@ -578,6 +583,80 @@ object ScaleProbe {
     val tb = time(() => bucketPlan().select(max(col("r") + col("p"))).collect())
     println(f"PROBE prefix: rows=$n window=$tw%.2fs " +
       f"two_phase=$tb%.2fs speedup=x${tw / tb}%.2f")
+  }
+
+  /** ANN serving-ladder scaling: the flat int8 scan (quantizedTopK), the
+    * PQ ADC scan (pqSearch), and the routed IVF-PQ (ivfPqSearch) timed on
+    * the corpus and on an m×-replicated corpus (vec_id-strided copies;
+    * queries and codebook seeds stay the base vectors). All three are
+    * structurally linear; what the probe quantifies is the CONSTANT —
+    * ADC touches 8 code rows per candidate where the flat scan folds
+    * 64-element arrays, and IVF-PQ touches only nprobe/nlist of the
+    * candidates.
+    */
+  private def pqProbe(spark: SparkSession, sfDir: String, mult: Int): Unit = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val stride = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    val subDim = llm.Similarity.embeddingDim(emb) / llm.Similarity.PqSubspaces
+    def rep(m: Int) = (0 until m)
+      .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * stride)))
+      .reduce(_ union _).cache()
+    def time(f: () => Unit): Double = {
+      f(); val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    // The serving/build split mirrors deployment: codes, lists, and the
+    // query LUT are the INDEX (built once, amortized over queries); a
+    // query pays only the ADC join. Timing pqSearch end-to-end would
+    // charge every query the index build — the r9 first-cut probe did,
+    // and "flat beats PQ" was the build cost, not the serving cost.
+    def lap(corpus: org.apache.spark.sql.DataFrame)
+        : (Long, Double, Double, Double, Double) = {
+      import org.apache.spark.sql.DataFrame
+      val n = corpus.count()
+      val flat = time(() => llm.Similarity
+        .quantizedTopK(corpus.filter(col("vec_id") < 10), corpus, 5)
+        .agg(sum(col("rank").cast("long"))).collect())
+      def built(df: DataFrame): DataFrame = { df.cache(); df.count(); df }
+      val t0 = System.nanoTime()
+      val d = built(llm.Similarity.pqSubDists(corpus, subDim))
+      val codes = built({
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("k"))
+        d.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("vec_id"), col("m"), col("k").as("code"))
+      })
+      val coarse = d.groupBy("vec_id", "k").agg(sum(col("dist")).as("cdist"))
+      val wa = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cdist"), col("k"))
+      val assign = built(coarse.withColumn("__rn", row_number().over(wa))
+        .filter(col("__rn") === 1).select(col("vec_id"), col("k").as("list")))
+      val build = (System.nanoTime() - t0) / 1e9
+      val lut = built(d.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("m"),
+          col("k").as("code"), col("dist").as("ld")))
+      val probes = built(coarse.filter(col("vec_id") < 10)
+        .withColumn("__rn", row_number().over(wa)).filter(col("__rn") <= 4)
+        .select(col("vec_id").as("query_id"), col("k").as("list")))
+      val servePq = time(() => llm.Similarity.adcTopK(codes, lut, 5)
+        .agg(sum(col("rank").cast("long"))).collect())
+      val cands = assign.join(broadcast(probes), Seq("list"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("vec_id"), col("query_id"))
+      val serveIvf = time(() => llm.Similarity
+        .adcTopK(codes, lut, 5, Some(cands))
+        .agg(sum(col("rank").cast("long"))).collect())
+      Seq(d, codes, assign, lut, probes).foreach(_.unpersist())
+      (n, flat, build, servePq, serveIvf)
+    }
+    val (n1, f1, b1, p1, i1) = lap(rep(1))
+    val (nm, fm, bm, pm, im) = lap(rep(mult))
+    println(f"PROBE pq base: n=$n1 flat=$f1%.2fs build=$b1%.2fs " +
+      f"adc=$p1%.2fs ivf_adc=$i1%.2fs")
+    println(f"PROBE pq ${mult}x: n=$nm flat=$fm%.2fs build=$bm%.2fs " +
+      f"adc=$pm%.2fs ivf_adc=$im%.2fs")
+    println(f"PROBE pq ratios at x$mult: flat x${fm / f1}%.2f " +
+      f"build x${bm / b1}%.2f adc x${pm / p1}%.2f ivf_adc x${im / i1}%.2f " +
+      f"(adc/flat ${pm / fm}%.2f, ivf_adc/adc ${im / pm}%.2f)")
   }
 
   /** Grouped rank/prefix (q42's shape): the partitioned-window form gives

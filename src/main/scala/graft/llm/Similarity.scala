@@ -456,22 +456,22 @@ object Similarity {
     * billion-scale serving shape: the corpus side streams 4-byte codes,
     * all float work happened once at LUT build.
     */
-  def pqSearch(corpus: DataFrame, k: Int, subDim: Int,
-      nQueries: Int = 10): DataFrame = {
-    val codes = pqEncode(corpus, subDim)
-    val queries = corpus.filter(col("vec_id") < nQueries)
-    val qsub = pqComponents(queries, "query_id")
-      .select(col("query_id"),
-        (col("pos") / subDim).cast(IntegerType).as("m"),
-        (col("pos") % subDim).as("j"), col("x"))
-    val lut = qsub.join(broadcast(pqCodebook(corpus, subDim)), Seq("m", "j"))
-      .groupBy("query_id", "m", "k")
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("ld"))
-    val scored = codes
-      .join(broadcast(lut),
-        codes("m") === lut("m") && codes("code") === lut("k"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
+  /** The ADC serving kernel shared by [[pqSearch]], [[ivfPqSearch]], and
+    * the `ScaleProbe pq` build-vs-serve split: codes (vec_id, m, code) ×
+    * broadcast LUT (query_id, m, code, ld) equi join, partial-agg sum,
+    * per-query rank. `cands` optionally restricts to routed
+    * (query_id, vec_id) candidates (the IVF path).
+    */
+  def adcTopK(codes: DataFrame, lut: DataFrame, k: Int,
+      cands: Option[DataFrame] = None): DataFrame = {
+    val stream = cands match {
+      case Some(c) => c.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "m", "code"))
+      case None => codes
+        .join(broadcast(lut), Seq("m", "code"))
+        .filter(col("vec_id") =!= col("query_id"))
+    }
+    val scored = stream.groupBy("query_id", "vec_id")
       .agg(sum(col("ld")).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("vec_id"))
@@ -480,6 +480,28 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("adist"), col("rank"))
   }
+
+  /** Per-query ADC lookup table (query_id, m, code, ld): the exact
+    * subspace distance from each query subvector to each centroid —
+    * M·K rows per query, model-sized, the only float→int work serving
+    * does per query.
+    */
+  def pqLut(corpus: DataFrame, subDim: Int, nQueries: Int): DataFrame = {
+    val qsub = pqComponents(corpus.filter(col("vec_id") < nQueries),
+      "query_id")
+      .select(col("query_id"),
+        (col("pos") / subDim).cast(IntegerType).as("m"),
+        (col("pos") % subDim).as("j"), col("x"))
+    qsub.join(broadcast(pqCodebook(corpus, subDim)), Seq("m", "j"))
+      .groupBy("query_id", "m", "k")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("ld"))
+      .withColumnRenamed("k", "code")
+  }
+
+  def pqSearch(corpus: DataFrame, k: Int, subDim: Int,
+      nQueries: Int = 10): DataFrame =
+    adcTopK(pqEncode(corpus, subDim).drop("dist"),
+      pqLut(corpus, subDim, nQueries), k)
 
   /** IVF-PQ: the composed billion-scale index (coarse routing × code
     * compression — the FAISS IndexIVFPQ serving shape). Every vector is
@@ -518,22 +540,11 @@ object Similarity {
         .select(col("vec_id"), col("m"), col("k").as("code"))
     }
     val lut = d.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("m"), col("k"),
-        col("dist").as("ld"))
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("k").as("code"), col("dist").as("ld"))
     val cands = assign.join(broadcast(probes), Seq("list"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("vec_id"), col("query_id"))
-    val scored = cands
-      .join(codes, Seq("vec_id"))
-      .join(broadcast(lut.withColumnRenamed("k", "code")),
-        Seq("query_id", "m", "code"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("ld")).as("adist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("adist"), col("rank"))
+    adcTopK(codes, lut, k, Some(cands))
   }
 }

@@ -1178,8 +1178,12 @@ object EtlQueries {
   val entityFuzzyPairs = QueryDef(
     "etl_entity_fuzzy_pairs",
     (s, dir) => {
+      // staged: feeds BOTH the global count and the output head — without
+      // it the whole deletion-join pipeline executes twice (the
+      // OrderedPrefix staging lesson)
       val pairs = graft.operators.FuzzyJoin.pairsWithin1(
         customer(s, dir), col("c_custkey"), col("c_name"))
+        .localCheckpoint(false)
       val total = pairs.agg(count(lit(1)).as("total_pairs"))
       pairs.crossJoin(broadcast(total))
         .select(col("id_a").as("c_custkey_a"), col("str_a").as("name_a"),
