@@ -330,8 +330,18 @@ object LlmQueries {
   }
 
   /** Rolling-hash fingerprint via the custom Catalyst expression
-    * (graft.functions.RollingHash, whole-stage-codegen'd). Not expressible
-    * in the oracle dialect; rows-only checked + unit-tested.
+    * (graft.functions.RollingHash, whole-stage-codegen'd):
+    * h = fold over UTF-8 bytes of h·1000003 + byte, wrapping mod 2^64,
+    * returned as the signed 64-bit reinterpretation. Long a no-oracle
+    * row (the wraparound seemed inexpressible) — but DuckDB's HUGEINT
+    * list_reduce expresses the EXACT same fold: bytes come from
+    * `lower(to_hex(encode(text)))` two hex chars at a time (to_hex is
+    * UPPERCASE — the lowercase lookup silently produced byte 95s until
+    * lower()ed, caught by the cross-engine compare during conversion),
+    * each step mods by 2^64 in 128-bit arithmetic, and the final value
+    * re-biases to signed. A true cross-engine row now; the BigInt
+    * differential in `DifferentialOracleSpec` remains as the in-repo
+    * third implementation.
     */
   val textRollhash = QueryDef(
     "llm_text_rollhash",
@@ -339,7 +349,26 @@ object LlmQueries {
       .select(col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("fp_roll"))
       .orderBy("doc_id"),
-    None)
+    Some("""
+      WITH h AS (
+        SELECT doc_id, list_reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(generate_series(1, octet_length(encode(text))),
+              i -> CAST(strpos('0123456789abcdef',
+                     substr(lower(to_hex(encode(text))), 2*i-1, 1)) - 1
+                     AS HUGEINT) * 16
+                 + CAST(strpos('0123456789abcdef',
+                     substr(lower(to_hex(encode(text))), 2*i, 1)) - 1
+                     AS HUGEINT))),
+          (acc, b) -> (acc * 1000003 + b)
+            % CAST('18446744073709551616' AS HUGEINT)) AS hv
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN hv >= CAST('9223372036854775808' AS HUGEINT)
+                  THEN CAST(hv - CAST('18446744073709551616' AS HUGEINT)
+                            AS BIGINT)
+                  ELSE CAST(hv AS BIGINT) END AS fp_roll
+      FROM h ORDER BY doc_id"""))
 
   /** Multimodal plumbing: binary payload + metadata struct + deterministic
     * feature columns. The decode stub is exercised in unit tests; this
