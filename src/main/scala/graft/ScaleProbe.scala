@@ -199,6 +199,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "fuzzy") {
+      fuzzyProbe(spark, sfDir, if (args.length > 1) args(1).toInt else 10)
+      spark.stop()
+      return
+    }
     if (mode == "pq") {
       pqProbe(spark, sfDir, if (args.length > 1) args(1).toInt else 10)
       spark.stop()
@@ -583,6 +588,50 @@ object ScaleProbe {
     val tb = time(() => bucketPlan().select(max(col("r") + col("p"))).collect())
     println(f"PROBE prefix: rows=$n window=$tw%.2fs " +
       f"two_phase=$tb%.2fs speedup=x${tw / tb}%.2f")
+  }
+
+  /** Fuzzy-join scaling on its two independent axes. Axis 1 (DISTINCT
+    * growth): m× the customer names made distinct by an id-derived digit
+    * suffix — candidate work must grow ~linearly (deletion buckets stay
+    * |alphabet|·len-bounded). Axis 2 (DUPLICATE multiplicity): the same
+    * names replicated VERBATIM m× under fresh ids — the realistic
+    * entity-corpus shape. The distinct-string candidate stage must stay
+    * FLAT on this axis (the per-row key generation the operator replaced
+    * would go ×m² through the verify); only the output expansion grows,
+    * and that growth IS the answer (the pair list is ×m² by definition),
+    * so the probe reports the pair count next to the time.
+    */
+  private def fuzzyProbe(spark: SparkSession, sfDir: String,
+      mult: Int): Unit = {
+    val names = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"), col("c_name").as("s"))
+    val stride = names.agg(max(col("id"))).collect()(0).getLong(0) + 1L
+    def run(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+      val d = df.cache(); val n = d.count()
+      val t0 = System.nanoTime()
+      val pairs = operators.FuzzyJoin.pairsWithin1(d, col("id"), col("s"))
+        .agg(count(lit(1))).collect()(0).getLong(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      d.unpersist()
+      (n, pairs, dt)
+    }
+    def distinctRep(m: Int) = (0 until m).map(i =>
+      names.select((col("id") + lit(i * stride)).as("id"),
+        concat(col("s"), lit("#"), lit(i.toString)).as("s")))
+      .reduce(_ union _)
+    def dupRep(m: Int) = (0 until m).map(i =>
+      names.select((col("id") + lit(i * stride)).as("id"), col("s")))
+      .reduce(_ union _)
+    run(distinctRep(1)) // warm-up
+    val (n1, p1, t1) = run(distinctRep(1))
+    val (nd, pd, td) = run(distinctRep(mult))
+    val (nm, pm, tm) = run(dupRep(mult))
+    println(f"PROBE fuzzy base: rows=$n1 pairs=$p1 time=$t1%.2fs")
+    println(f"PROBE fuzzy distinct x$mult: rows=$nd pairs=$pd time=$td%.2fs" +
+      f" (x${td / t1}%.2f; linear ~x$mult)")
+    println(f"PROBE fuzzy dup x$mult: rows=$nm pairs=$pm time=$tm%.2fs" +
+      f" (x${tm / t1}%.2f; pairs x${pm.toDouble / math.max(p1, 1)}%.0f" +
+      f" — output-bound, candidate stage flat)")
   }
 
   /** ANN serving-ladder scaling: the flat int8 scan (quantizedTopK), the

@@ -43,20 +43,56 @@ object FuzzyJoin {
   /** Distinct id-ordered pairs with Levenshtein(a, b) ≤ 1 (including 0:
     * distinct ids carrying identical strings are the classic duplicate
     * entity). Output columns: id_a, str_a, id_b, str_b.
+    *
+    * Duplicate-robustness (the realistic 100 TB hazard): entity corpora
+    * are duplicate-HEAVY, and generating deletion keys per ROW would
+    * multiply every bucket by the duplicate multiplicity m — candidate
+    * volume ×m², a quadratic term the structural |alphabet|·len bucket
+    * bound does not cover (it assumes distinct strings). So candidates
+    * are generated over DISTINCT strings only: the deletion join + exact
+    * verify runs once per string PAIR regardless of how many rows carry
+    * the strings, and id pairs materialize afterwards through two
+    * output-bound equi join-backs — distance-0 pairs as the per-string
+    * id self-join, distance-1 pairs as the id expansion of each verified
+    * string pair. The output is inherently quadratic in multiplicity
+    * (that IS the pair list); the candidate stage no longer is.
+    * `ScaleProbe fuzzy` measures both axes.
     */
   def pairsWithin1(df: DataFrame, id: Column, str: Column): DataFrame = {
-    val keys = deletionKeys(df, id, str)
-    val a = keys.select(col("__id").as("id_a"), col("__s").as("str_a"),
-      col("__k"))
-    val b = keys.select(col("__id").as("id_b"), col("__s").as("str_b"),
-      col("__k"))
-    // verify BEFORE distinct: the levenshtein runs map-side inside the
-    // join stage (cheap codegen on duplicated candidates — an identical-
-    // string pair appears once per shared key), so the distinct's
+    // slim (id, string) rows, deduped so repeated input rows cannot
+    // duplicate output pairs (the old per-row form deduped at the end)
+    val rows = df.select(id.as("__id"), str.as("__s")).distinct()
+    val strings = rows.select(col("__s")).distinct()
+    // exact-duplicate pairs: per-string id self-join — equi on the
+    // string, output-sized
+    val dist0 = rows.select(col("__s"), col("__id").as("id_a"))
+      .join(rows.select(col("__s"), col("__id").as("id_b")), Seq("__s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("__s").as("str_a"),
+        col("id_b"), col("__s").as("str_b"))
+    // distance-1 STRING pairs over distinct strings: verify BEFORE
+    // distinct — levenshtein runs map-side inside the join stage (a
+    // candidate pair appears once per shared key), so the distinct's
     // shuffle carries only verified pairs, not the distance-2 noise
-    a.join(b, Seq("__k"))
-      .filter(col("id_a") < col("id_b") &&
-        levenshtein(col("str_a"), col("str_b")) <= 1)
-      .select("id_a", "str_a", "id_b", "str_b").distinct()
+    val keys = deletionKeys(strings, col("__s"), col("__s"))
+    val sa = keys.select(col("__s").as("sa"), col("__k"))
+    val sb = keys.select(col("__s").as("sb"), col("__k"))
+    val strPairs = sa.join(sb, Seq("__k"))
+      .filter(col("sa") < col("sb") &&
+        levenshtein(col("sa"), col("sb")) === 1)
+      .select("sa", "sb").distinct()
+    // id expansion of each verified string pair (output-bound); pair
+    // orientation follows the IDS, so the strings swap with them
+    val dist1 = strPairs
+      .join(rows.select(col("__s").as("sa"), col("__id").as("ia")), Seq("sa"))
+      .join(rows.select(col("__s").as("sb"), col("__id").as("ib")), Seq("sb"))
+      .select(
+        least(col("ia"), col("ib")).as("id_a"),
+        when(col("ia") < col("ib"), col("sa")).otherwise(col("sb"))
+          .as("str_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        when(col("ia") < col("ib"), col("sb")).otherwise(col("sa"))
+          .as("str_b"))
+    dist0.unionByName(dist1)
   }
 }

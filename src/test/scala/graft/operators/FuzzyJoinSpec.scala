@@ -58,4 +58,30 @@ class FuzzyJoinSpec extends SparkSpec {
   test("empty-string guard: no fabricated keys from sequence(1, 0)") {
     check(Seq("", "", "a"))
   }
+
+  test("duplicate-heavy corpus: full cross-multiplicity pairs, " +
+    "orientation follows the ids") {
+    // a distance-1 chain with multiplicities: 4 copies of "entity", 3 of
+    // "entitx" (1 from entity), 2 of "entixx" (1 from entitx, 2 from
+    // entity). Pairs: every same-string pair (C(4,2)+C(3,2)+C(2,2) = 10),
+    // full cross-multiplicity for both adjacent string pairs (4·3 + 3·2),
+    // nothing across the distance-2 ends — and str_a/str_b must follow
+    // id order even where the string pair was discovered in the other
+    // orientation
+    val strs = Seq.fill(4)("entity") ++ Seq.fill(3)("entitx") ++
+      Seq.fill(2)("entixx")
+    check(strs)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val out = FuzzyJoin.pairsWithin1(df, col("id"), col("s"))
+      .select("id_a", "str_a", "id_b", "str_b")
+      .as[(Long, String, Long, String)].collect()
+    assert(out.length === 10 + 12 + 6)
+    val byId = strs.zipWithIndex.map { case (s, i) => i.toLong -> s }.toMap
+    out.foreach { case (ia, sa, ib, sb) =>
+      assert(ia < ib)
+      assert(sa === byId(ia), s"str_a of ($ia,$ib)")
+      assert(sb === byId(ib), s"str_b of ($ia,$ib)")
+    }
+  }
 }
