@@ -1866,9 +1866,75 @@ object Workload {
       FROM r JOIN ps ON r.rn = (p * r.n + 99) // 100
       ORDER BY segment, p"""))
 
+  /** Q43 — item-item collaborative filtering: cosine similarity over the
+    * order-item incidence matrix (sim(a,b) = co(a,b) / √(n(a)·n(b))),
+    * top-5 neighbors per part — the "customers who bought X also
+    * bought Y" recommender the reference's basket analysis (q16) feeds.
+    * Scale shape: co-occurrence is q16's pair-keyed partial agg (never
+    * all-pairs — pairs exist only within an order), the per-part order
+    * counts are a dimension-sized frame joined back (broadcast at any
+    * realistic part count), and ranking is an item-partitioned window.
+    * sim is a DOUBLE from three integers — bit-identical cross-engine —
+    * with the neighbor id as rank tie-breaker.
+    */
+  val q43 = QueryDef(
+    "q43_item_similarity",
+    (s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val n = li.groupBy(col("l_partkey").as("p"))
+        .agg(count(lit(1)).as("np"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val co = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      val sym = co.select(col("pa").as("item"), col("pb").as("nb"), col("c"))
+        .unionByName(
+          co.select(col("pb").as("item"), col("pa").as("nb"), col("c")))
+      val scored = sym
+        .join(broadcast(n.select(col("p").as("item"), col("np").as("ni"))),
+          Seq("item"))
+        .join(broadcast(n.select(col("p").as("nb"), col("np").as("nn"))),
+          Seq("nb"))
+        .select(col("item"), col("nb").as("neighbor"),
+          (col("c").cast(DoubleType) /
+            sqrt(col("ni").cast(DoubleType) * col("nn").cast(DoubleType)))
+            .as("sim"))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("sim").desc, col("neighbor"))
+      scored.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= 5)
+        .select("item", "neighbor", "sim", "rank")
+        .orderBy("item", "rank")
+    },
+    Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT l_partkey AS p, COUNT(*) AS np FROM li GROUP BY 1),
+      co AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS c
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT pa AS item, pb AS nb, c FROM co
+        UNION ALL SELECT pb, pa, c FROM co),
+      s AS (
+        SELECT item, nb AS neighbor,
+               CAST(c AS DOUBLE)
+                 / sqrt(CAST(ni.np AS DOUBLE) * CAST(nn.np AS DOUBLE)) AS sim
+        FROM sym JOIN n ni ON ni.p = sym.item JOIN n nn ON nn.p = sym.nb),
+      r AS (
+        SELECT item, neighbor, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item
+                 ORDER BY sim DESC, neighbor) AS INTEGER) AS rank
+        FROM s)
+      SELECT item, neighbor, sim, rank
+      FROM r WHERE rank <= 5 ORDER BY item, rank"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }
