@@ -196,13 +196,20 @@ class PlanSweepSpec extends SparkSpec {
       case l: org.apache.spark.sql.execution.GlobalLimitExec => l
       case l: org.apache.spark.sql.execution.LocalLimitExec => l
     }.nonEmpty || {
-      // a side whose every leaf is a literal in-memory relation (the q42
-      // 5-row percentile frame: Catalyst folds limit-over-LocalRelation
-      // away, so no Limit node survives) has a row count fixed at plan
-      // time — bounded by construction
+      // a side whose every leaf is bounded by construction: a literal
+      // in-memory relation (the q42 5-row percentile frame — Catalyst
+      // folds limit-over-LocalRelation away, so no Limit node survives),
+      // or a REUSED exchange whose original subtree is itself bounded
+      // (the etl_scd2_incremental frontier scalar: the second crossJoin
+      // reuses the first's broadcast, and ReusedExchangeExec is a leaf
+      // that hides the aggregate from collect)
       val leaves = p.collectLeaves()
-      leaves.nonEmpty && leaves.forall(
-        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+      leaves.nonEmpty && leaves.forall {
+        case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          boundedSide(r.child)
+        case _ => false
+      }
     }
     val dir = "/root/testdata/sf0.001"
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
