@@ -1280,6 +1280,97 @@ object EtlQueries {
       FROM pairs, tot
       ORDER BY ca, cb LIMIT 200"""))
 
+  /** Portable Bloom-filter semi-join reduction (operators/BloomPrefilter):
+    * the persistable runtime-filter rung. A selectively filtered dimension
+    * (parts with p_size ≤ 5, ~10%) compiles to a 32768-bit bitmap
+    * (1 KB per 32-bit word frame); the fact scan applies it MAP-SIDE (k=3
+    * broadcast word lookups, no shuffle) so non-matching fact rows die
+    * before the join exchange — at 100 TB the shuffle carries
+    * selectivity + fp of the fact instead of all of it, and unlike
+    * Catalyst's injected `bloom_filter_agg` (RuntimeBloomSpec) the bitmap
+    * is an ordinary DataFrame a pipeline can persist and re-apply across
+    * jobs. Hash is the md5-ascii-fold, so bitmap and pass set are
+    * bit-reproducible cross-engine: the oracle rebuilds the bitmap in SQL
+    * and must agree on probed/passed/matched/false-positive row counts
+    * AND the exact revenue over the verified join (any hash divergence
+    * anywhere shows up as a count mismatch). The oracle probes at
+    * DISTINCT-key level (bloom pass is a key property) — same counts,
+    * |keys| hashes instead of |rows|.
+    */
+  val bloomPrefilter = QueryDef(
+    "etl_bloom_prefilter",
+    (s, dir) => {
+      val mBits = 1 << 15
+      val k = 3
+      val keys = part(s, dir).filter(col("p_size") <= 5)
+        .select(col("p_partkey"))
+      val bitmap = graft.operators.BloomPrefilter
+        .buildBitmap(keys, col("p_partkey"), mBits, k)
+        .localCheckpoint(false)
+      val li = lineitem(s, dir).select("l_partkey", "l_extendedprice")
+      // staged: feeds the passed-count AND the verify join
+      val passed = graft.operators.BloomPrefilter
+        .prefilter(li, col("l_partkey"), bitmap, mBits, k)
+        .localCheckpoint(false)
+      val matched = passed.join(keys,
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      val probedN = li.agg(count(lit(1)).as("probed_rows"))
+      val passedN = passed.agg(count(lit(1)).as("passed_rows"))
+      val matchedN = matched.agg(count(lit(1)).as("matched_rows"),
+        coalesce(sum(col("l_extendedprice").cast(Money)), lit(0).cast(Money))
+          .cast(DoubleType).as("revenue"))
+      probedN.crossJoin(broadcast(passedN)).crossJoin(broadcast(matchedN))
+        .select(col("probed_rows"), col("passed_rows"), col("matched_rows"),
+          (col("passed_rows") - col("matched_rows"))
+            .as("false_positive_rows"),
+          col("revenue"))
+    },
+    Some(s"""
+      WITH keys AS (SELECT p_partkey AS key FROM part WHERE p_size <= 5),
+      js AS (SELECT unnest([0, 1, 2]) AS j),
+      kpos AS (
+        SELECT key, j,
+               (${(1 to 5).map(i =>
+                 s"CAST(ascii(substr(md5(CAST(key AS VARCHAR)), j*5+$i, 1)) " +
+                 s"AS BIGINT) * ${math.pow(128, i - 1).toLong}")
+                 .mkString(" + ")}) % 32768 AS pos
+        FROM keys CROSS JOIN js),
+      bitmap AS (
+        SELECT pos // 32 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+        FROM kpos GROUP BY 1),
+      pk AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS nrows,
+                    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+             FROM lineitem GROUP BY 1),
+      ppos AS (
+        SELECT key, j,
+               (${(1 to 5).map(i =>
+                 s"CAST(ascii(substr(md5(CAST(key AS VARCHAR)), j*5+$i, 1)) " +
+                 s"AS BIGINT) * ${math.pow(128, i - 1).toLong}")
+                 .mkString(" + ")}) % 32768 AS pos
+        FROM pk CROSS JOIN js),
+      hits AS (
+        SELECT p.key, COUNT(*) AS nh
+        FROM ppos p JOIN bitmap b ON b.word = p.pos // 32
+          AND (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER)))
+              <> 0
+        GROUP BY 1),
+      passk AS (SELECT pk.key, pk.nrows, pk.rev
+                FROM pk JOIN hits ON pk.key = hits.key WHERE hits.nh = 3),
+      matchedk AS (SELECT p.nrows, p.rev
+                   FROM passk p JOIN keys k ON p.key = k.key)
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS probed_rows,
+        (SELECT CAST(COALESCE(SUM(nrows), 0) AS BIGINT) FROM passk)
+          AS passed_rows,
+        (SELECT CAST(COALESCE(SUM(nrows), 0) AS BIGINT) FROM matchedk)
+          AS matched_rows,
+        (SELECT CAST(COALESCE(SUM(nrows), 0) AS BIGINT) FROM passk)
+          - (SELECT CAST(COALESCE(SUM(nrows), 0) AS BIGINT) FROM matchedk)
+          AS false_positive_rows,
+        CAST((SELECT COALESCE(SUM(rev), 0) FROM matchedk) AS DOUBLE)
+          AS revenue"""))
+
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
@@ -1287,5 +1378,5 @@ object EtlQueries {
     scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
-    constraintReport, entityFuzzyPairs)
+    constraintReport, entityFuzzyPairs, bloomPrefilter)
 }

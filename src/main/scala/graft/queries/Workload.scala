@@ -1932,9 +1932,148 @@ object Workload {
       SELECT item, neighbor, sim, rank
       FROM r WHERE rank <= 5 ORDER BY item, rank"""))
 
+  /** Q44 — per-brand monthly revenue TREND (ordinary-least-squares slope
+    * and intercept over month index 1..12 of year 2000): the regr_slope/
+    * regr_intercept family, computed from the five exact-BIGINT moment
+    * sums (n, Σx, Σy, Σxy, Σx²) so the final slope = (nΣxy − ΣxΣy) /
+    * (nΣx² − (Σx)²) is one DOUBLE division of two bit-identical integers
+    * — hash-matches any engine, unlike built-in `regr_slope` whose
+    * per-partition float folds are merge-order-dependent. Scale shape:
+    * one fact shuffle to (brand, month) cents, then a brand-keyed partial
+    * agg over ≤ |brands|×12 rows — the regression itself costs nothing.
+    * Overflow headroom: Σy is cents (< 2⁵³ by the Money contract),
+    * Σxy ≤ 12·Σy, so n·Σxy < 2⁶³ while Σy < 6×10¹⁶ cents — far past
+    * 100 TB of revenue. Brands with a single active month are excluded
+    * (slope undefined: the denominator is the x-variance, zero at n=1).
+    */
+  val q44 = QueryDef(
+    "q44_brand_trend_slope",
+    (s, dir) => {
+      val o = orders(s, dir).filter(inYear(col("o_orderdate"), 2000))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+      val p = part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val monthly = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          month(col("o_orderdate")).cast(LongType).as("m"))
+        .agg((decSumExact(col("l_extendedprice")) * 100).cast(LongType)
+          .as("rev"))
+      val st = monthly.groupBy("brand").agg(
+        count(lit(1)).as("nm"),
+        sum(col("m")).as("sx"),
+        sum(col("rev")).as("sy"),
+        sum(col("m") * col("rev")).as("sxy"),
+        sum(col("m") * col("m")).as("sxx"))
+        .filter(col("nm") >= 2)
+      val den = (col("nm") * col("sxx") - col("sx") * col("sx"))
+        .cast(DoubleType)
+      st.select(col("brand"), col("nm").cast(IntegerType).as("n_months"),
+        ((col("nm") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / den / lit(100.0)).as("slope"),
+        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast(DoubleType)
+          / den / lit(100.0)).as("intercept"))
+        .orderBy("brand")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT p.p_brand AS brand,
+               CAST(EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS m,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+          AND o.o_orderdate < TIMESTAMP '2001-01-01'
+        GROUP BY 1, 2),
+      st AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS nm,
+               CAST(SUM(m) AS BIGINT) AS sx, CAST(SUM(rev) AS BIGINT) AS sy,
+               CAST(SUM(m * rev) AS BIGINT) AS sxy,
+               CAST(SUM(m * m) AS BIGINT) AS sxx
+        FROM monthly GROUP BY 1)
+      SELECT brand, CAST(nm AS INTEGER) AS n_months,
+             CAST(nm * sxy - sx * sy AS DOUBLE)
+               / CAST(nm * sxx - sx * sx AS DOUBLE) / 100.0 AS slope,
+             CAST(sy * sxx - sx * sxy AS DOUBLE)
+               / CAST(nm * sxx - sx * sx AS DOUBLE) / 100.0 AS intercept
+      FROM st WHERE nm >= 2 ORDER BY brand"""))
+
+  /** Q45 — per-segment MEDIAN and MAD (median absolute deviation) of
+    * order value: the robust dispersion statistic (outlier-insensitive
+    * where stddev is not), as TWO passes of the grouped two-phase rank
+    * operator (`OrderedPrefix.rankAndPrefixBy`): pass 1 ranks values
+    * within each segment and picks rank ⌈n/2⌉ (percentile_disc lower
+    * median — q41's discipline); pass 2 ranks |value − median| the same
+    * way. The per-segment medians flow into pass 2 as a broadcast
+    * |segments|-row frame, values are exact cents BIGINT throughout, and
+    * neither pass has a single-partition exchange (grouped form) — at
+    * 100 TB both passes are ordinary shuffles over (segment, $1000-bucket)
+    * keys. The input frame is checkpoint-staged once and feeds both
+    * passes.
+    */
+  val q45 = QueryDef(
+    "q45_segment_mad",
+    (s, dir) => {
+      val seg = orders(s, dir)
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          (money(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+          col("o_orderkey"))
+        .localCheckpoint(false)
+      val r1 = graft.operators.OrderedPrefix.rankAndPrefixBy(
+        seg, Seq("segment"), expr("cents div 100000"),
+        Seq(col("cents"), col("o_orderkey")))
+      val med = r1.filter(col("__rank") === expr("(__n + 1) div 2"))
+        .select(col("segment"), col("cents").as("med_cents"))
+      val dev = seg.join(broadcast(med), Seq("segment"))
+        .withColumn("dev", abs(col("cents") - col("med_cents")))
+      val r2 = graft.operators.OrderedPrefix.rankAndPrefixBy(
+        dev, Seq("segment"), expr("dev div 100000"),
+        Seq(col("dev"), col("o_orderkey")))
+      r2.filter(col("__rank") === expr("(__n + 1) div 2"))
+        .select(col("segment"),
+          (col("med_cents").cast(DoubleType) / 100.0).as("median"),
+          (col("dev").cast(DoubleType) / 100.0).as("mad"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH seg AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               o.o_orderkey AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      r1 AS (
+        SELECT segment, cents,
+               ROW_NUMBER() OVER (PARTITION BY segment ORDER BY cents, k)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM seg),
+      med AS (SELECT segment, cents AS med_cents
+              FROM r1 WHERE rn = (n + 1) // 2),
+      dev AS (
+        SELECT s.segment, abs(s.cents - m.med_cents) AS dev, s.k,
+               m.med_cents
+        FROM seg s JOIN med m ON s.segment = m.segment),
+      r2 AS (
+        SELECT segment, dev, med_cents,
+               ROW_NUMBER() OVER (PARTITION BY segment ORDER BY dev, k)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM dev)
+      SELECT segment, CAST(med_cents AS DOUBLE) / 100.0 AS median,
+             CAST(dev AS DOUBLE) / 100.0 AS mad
+      FROM r2 WHERE rn = (n + 1) // 2 ORDER BY segment"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+    q44, q45)
 }
