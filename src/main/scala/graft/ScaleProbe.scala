@@ -209,6 +209,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "bloom") {
+      bloomProbe(spark, sfDir, if (args.length > 1) args(1).toInt else 10)
+      spark.stop()
+      return
+    }
     if (mode == "gprefix") {
       groupedPrefixProbe(spark,
         if (args.length > 1) args(1).toLong else 20000000L,
@@ -632,6 +637,74 @@ object ScaleProbe {
     println(f"PROBE fuzzy dup x$mult: rows=$nm pairs=$pm time=$tm%.2fs" +
       f" (x${tm / t1}%.2f; pairs x${pm.toDouble / math.max(p1, 1)}%.0f" +
       f" — output-bound, candidate stage flat)")
+  }
+
+  /** Bloom-prefilter payoff: the semi-join (fact ⋈ filtered-dim keys,
+    * forced shuffle-hash — the "dim too big to broadcast" scenario the
+    * operator exists for) timed plain vs behind the map-side Bloom
+    * prefilter (BOTH hash families), on the corpus and an m×-replicated
+    * fact. What the probe quantifies: the prefilter trades per-row hash
+    * CPU for a shuffle that carries only pass-fraction of the fact — on
+    * a single box the shuffle is RAM-speed, so the md5 family loses on
+    * hash cost alone while the integer multiplicative family is the
+    * honest local crossover; on a cluster the shuffle is network-bound
+    * and both win by the pass fraction. Also reports the measured pass
+    * fraction and false-positive rate at the operator's policy m/k
+    * against the real sf key count.
+    */
+  private def bloomProbe(spark: SparkSession, sfDir: String,
+      mult: Int): Unit = {
+    val mBits = 1 << 15
+    val k = 3
+    val keys = Tables.part(spark, sfDir).filter(col("p_size") <= 5)
+      .select(col("p_partkey")).cache()
+    val nKeys = keys.count()
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_extendedprice")
+    def rep(m: Int) = (0 until m).map(_ => li).reduce(_ union _)
+    val bitmapMd5 = operators.BloomPrefilter
+      .buildBitmap(keys, col("p_partkey"), mBits, k).cache()
+    bitmapMd5.count()
+    val bitmapLong = operators.BloomPrefilter
+      .buildBitmapLong(keys, col("p_partkey"), mBits, k).cache()
+    bitmapLong.count()
+    def semiCount(df: org.apache.spark.sql.DataFrame): Long =
+      df.join(keys.hint("shuffle_hash"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val probe1 = rep(1).cache(); val n1 = probe1.count()
+    val probeM = rep(mult).cache(); val nM = probeM.count()
+    val passed = operators.BloomPrefilter
+      .prefilterLong(probe1, col("l_partkey"), bitmapLong, mBits, k).count()
+    val matched = semiCount(probe1)
+    // warm each timed form once (codegen compile + broadcast build are
+    // one-time costs a serving deployment amortizes)
+    def plainRun(df: org.apache.spark.sql.DataFrame): Long = semiCount(df)
+    def md5Run(df: org.apache.spark.sql.DataFrame): Long =
+      semiCount(operators.BloomPrefilter
+        .prefilter(df, col("l_partkey"), bitmapMd5, mBits, k))
+    def longRun(df: org.apache.spark.sql.DataFrame): Long =
+      semiCount(operators.BloomPrefilter
+        .prefilterLong(df, col("l_partkey"), bitmapLong, mBits, k))
+    plainRun(probeM); md5Run(probeM); longRun(probeM)
+    val (m1p, t1p) = time(plainRun(probe1))
+    val (mMp, tMp) = time(plainRun(probeM))
+    val (mMm, tMm) = time(md5Run(probeM))
+    val (mML, tML) = time(longRun(probeM))
+    require(mMp == mMm && mMp == mML, "bloom changed join results")
+    val fpRate = (passed - matched).toDouble / math.max(n1 - matched, 1L)
+    println(f"PROBE bloom keys=$nKeys mBits=$mBits k=$k: " +
+      f"pass=${passed.toDouble / n1}%.4f of $n1 rows " +
+      f"(matched=${matched.toDouble / n1}%.4f, fpRate=$fpRate%.5f)")
+    println(f"PROBE bloom base rows=$n1: plain=$t1p%.2fs")
+    println(f"PROBE bloom x$mult (rows=$nM): plain=$tMp%.2fs " +
+      f"md5=$tMm%.2fs (x${tMp / tMm}%.2f) " +
+      f"long=$tML%.2fs (x${tMp / tML}%.2f)")
   }
 
   /** ANN serving-ladder scaling: the flat int8 scan (quantizedTopK), the

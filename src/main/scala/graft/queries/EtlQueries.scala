@@ -1283,19 +1283,23 @@ object EtlQueries {
   /** Portable Bloom-filter semi-join reduction (operators/BloomPrefilter):
     * the persistable runtime-filter rung. A selectively filtered dimension
     * (parts with p_size ≤ 5, ~10%) compiles to a 32768-bit bitmap
-    * (1 KB per 32-bit word frame); the fact scan applies it MAP-SIDE (k=3
-    * broadcast word lookups, no shuffle) so non-matching fact rows die
-    * before the join exchange — at 100 TB the shuffle carries
-    * selectivity + fp of the fact instead of all of it, and unlike
-    * Catalyst's injected `bloom_filter_agg` (RuntimeBloomSpec) the bitmap
-    * is an ordinary DataFrame a pipeline can persist and re-apply across
-    * jobs. Hash is the md5-ascii-fold, so bitmap and pass set are
-    * bit-reproducible cross-engine: the oracle rebuilds the bitmap in SQL
-    * and must agree on probed/passed/matched/false-positive row counts
-    * AND the exact revenue over the verified join (any hash divergence
-    * anywhere shows up as a count mismatch). The oracle probes at
-    * DISTINCT-key level (bloom pass is a key property) — same counts,
-    * |keys| hashes instead of |rows|.
+    * (1 KB as 32-bit words); the fact scan applies it MAP-SIDE (k=3
+    * bit tests against the dense word-array literal — one codegen'd
+    * filter, no shuffle) so non-matching fact rows die before the join
+    * exchange — at 100 TB the shuffle carries selectivity + fp of the
+    * fact instead of all of it, and unlike Catalyst's injected
+    * `bloom_filter_agg` (RuntimeBloomSpec) the bitmap is an ordinary
+    * DataFrame a pipeline can persist and re-apply across jobs. The key
+    * is integral, so the hash is the Knuth multiplicative family (exact
+    * BIGINT arithmetic — ~6× cheaper per row than the md5 family, which
+    * ScaleProbe bloom measures losing to a RAM-speed local shuffle on
+    * hash cost alone): bitmap and pass set are bit-reproducible
+    * cross-engine, the oracle rebuilds the bitmap in SQL and must agree
+    * on probed/passed/matched/false-positive row counts AND the exact
+    * revenue over the verified join (any hash divergence anywhere shows
+    * up as a count mismatch). The oracle probes at DISTINCT-key level
+    * (bloom pass is a key property) — same counts, |keys| hashes instead
+    * of |rows|.
     */
   val bloomPrefilter = QueryDef(
     "etl_bloom_prefilter",
@@ -1305,12 +1309,12 @@ object EtlQueries {
       val keys = part(s, dir).filter(col("p_size") <= 5)
         .select(col("p_partkey"))
       val bitmap = graft.operators.BloomPrefilter
-        .buildBitmap(keys, col("p_partkey"), mBits, k)
+        .buildBitmapLong(keys, col("p_partkey"), mBits, k)
         .localCheckpoint(false)
       val li = lineitem(s, dir).select("l_partkey", "l_extendedprice")
       // staged: feeds the passed-count AND the verify join
       val passed = graft.operators.BloomPrefilter
-        .prefilter(li, col("l_partkey"), bitmap, mBits, k)
+        .prefilterLong(li, col("l_partkey"), bitmap, mBits, k)
         .localCheckpoint(false)
       val matched = passed.join(keys,
         col("l_partkey") === col("p_partkey"), "left_semi")
@@ -1330,10 +1334,10 @@ object EtlQueries {
       js AS (SELECT unnest([0, 1, 2]) AS j),
       kpos AS (
         SELECT key, j,
-               (${(1 to 5).map(i =>
-                 s"CAST(ascii(substr(md5(CAST(key AS VARCHAR)), j*5+$i, 1)) " +
-                 s"AS BIGINT) * ${math.pow(128, i - 1).toLong}")
-                 .mkString(" + ")}) % 32768 AS pos
+               (((key % 2147483648) *
+                 (CASE j WHEN 0 THEN 1640531527
+                         WHEN 1 THEN 1013904223
+                         ELSE 668265261 END)) % 2147483648) // 65536 AS pos
         FROM keys CROSS JOIN js),
       bitmap AS (
         SELECT pos // 32 AS word,
@@ -1344,10 +1348,10 @@ object EtlQueries {
              FROM lineitem GROUP BY 1),
       ppos AS (
         SELECT key, j,
-               (${(1 to 5).map(i =>
-                 s"CAST(ascii(substr(md5(CAST(key AS VARCHAR)), j*5+$i, 1)) " +
-                 s"AS BIGINT) * ${math.pow(128, i - 1).toLong}")
-                 .mkString(" + ")}) % 32768 AS pos
+               (((key % 2147483648) *
+                 (CASE j WHEN 0 THEN 1640531527
+                         WHEN 1 THEN 1013904223
+                         ELSE 668265261 END)) % 2147483648) // 65536 AS pos
         FROM pk CROSS JOIN js),
       hits AS (
         SELECT p.key, COUNT(*) AS nh
@@ -1371,6 +1375,56 @@ object EtlQueries {
         CAST((SELECT COALESCE(SUM(rev), 0) FROM matchedk) AS DOUBLE)
           AS revenue"""))
 
+  /** Small-file compaction planning (the OPTIMIZE/bin-packing layout op a
+    * lakehouse table needs continuously): per partition (event_type), the
+    * day-files — (type, day) leaf files with a declared 100 B/row size
+    * model — are packed into contiguous target-sized merge bins by
+    * GROUPED prefix sum: bin = (running size BEFORE this file) div
+    * target, via `OrderedPrefix.rankAndPrefixBy`'s per-group `__prefix`
+    * (bucket = month — a monotone coarsening of the day order). The
+    * contiguous-by-order packing is what table formats actually ship
+    * (preserves clustering, one pass), and the grouped two-phase prefix
+    * has NO single-partition exchange — at 100 TB the plan is a
+    * file-manifest-sized shuffle keyed by (partition, month-bucket),
+    * never the data. Exact integers throughout → full cross-engine row.
+    */
+  val compactionPlan = QueryDef(
+    "etl_compaction_plan",
+    (s, dir) => {
+      val target = 20000L
+      val files = events(s, dir)
+        .groupBy(col("event_type"),
+          (year(col("ts")) * 10000 + month(col("ts")) * 100 +
+            dayofmonth(col("ts"))).cast(IntegerType).as("date_id"))
+        .agg((count(lit(1)) * 100L).as("size_bytes"))
+      val ranked = graft.operators.OrderedPrefix.rankAndPrefixBy(
+        files, Seq("event_type"),
+        expr("date_id div 100"), Seq(col("date_id")),
+        Some(col("size_bytes")))
+      ranked
+        .withColumn("bin",
+          expr(s"((__prefix - size_bytes) div $target)").cast(IntegerType))
+        .select(col("event_type"), col("date_id"), col("size_bytes"),
+          col("bin"))
+        .orderBy("event_type", "date_id")
+    },
+    Some("""
+      WITH files AS (
+        SELECT event_type,
+               CAST(EXTRACT(year FROM ts) * 10000
+                 + EXTRACT(month FROM ts) * 100
+                 + EXTRACT(day FROM ts) AS INTEGER) AS date_id,
+               CAST(COUNT(*) * 100 AS BIGINT) AS size_bytes
+        FROM events GROUP BY 1, 2),
+      pre AS (
+        SELECT event_type, date_id, size_bytes,
+               SUM(size_bytes) OVER (PARTITION BY event_type ORDER BY date_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+        FROM files)
+      SELECT event_type, date_id, size_bytes,
+             CAST((pfx - size_bytes) // 20000 AS INTEGER) AS bin
+      FROM pre ORDER BY event_type, date_id"""))
+
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
@@ -1378,5 +1432,5 @@ object EtlQueries {
     scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
-    constraintReport, entityFuzzyPairs, bloomPrefilter)
+    constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan)
 }

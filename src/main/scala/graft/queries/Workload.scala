@@ -2070,10 +2070,82 @@ object Workload {
              CAST(dev AS DOUBLE) / 100.0 AS mad
       FROM r2 WHERE rn = (n + 1) // 2 ORDER BY segment"""))
 
+  /** Q46 — trailing exponential smoothing (EWMA, α = 1/2) of monthly
+    * revenue per nation: the time-series smoothing rung beside q44's
+    * trend. Defined over the OBSERVATION sequence (LAG terms, full
+    * (nation, month) tie-broken order) with binary weights 2⁷⁻ⁱ over the
+    * trailing 8 observations, truncated-and-renormalized at the series
+    * head: numerator and denominator are exact BIGINTs (cents × powers
+    * of two), so the final smoothed value is one DOUBLE division of
+    * bit-identical integers — cross-engine where a float recurrence
+    * (s ← αx + (1−α)s) would accumulate engine-ordered rounding. Plan:
+    * one (nation, month) agg, then a nation-partitioned window of 8
+    * codegen'd LAGs over ≤ |nations|×12 rows — free at any fact scale.
+    */
+  val q46 = QueryDef(
+    "q46_nation_ewma",
+    (s, dir) => {
+      val monthly = lineitem(s, dir)
+        .join(orders(s, dir).filter(inYear(col("o_orderdate"), 2000))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, dir).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          month(col("o_orderdate")).cast(IntegerType).as("m"))
+        .agg((decSumExact(col("l_extendedprice")) * 100).cast(LongType)
+          .as("rev"))
+      val w = Window.partitionBy(col("nation")).orderBy(col("m"))
+      val terms = (0 to 7).map { i =>
+        val l = if (i == 0) col("rev") else lag(col("rev"), i).over(w)
+        (coalesce(l * lit(1L << (7 - i)), lit(0L)),
+          when(l.isNotNull, lit(1L << (7 - i))).otherwise(lit(0L)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      monthly
+        .withColumn("ewma",
+          num.cast(DoubleType) / den.cast(DoubleType) / lit(100.0))
+        .select(col("nation"), col("m"),
+          (col("rev").cast(DoubleType) / 100.0).as("revenue"), col("ewma"))
+        .orderBy("nation", "m")
+    },
+    Some(s"""
+      WITH monthly AS (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(month FROM o.o_orderdate) AS INTEGER) AS m,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+          AND o.o_orderdate < TIMESTAMP '2001-01-01'
+        GROUP BY 1, 2),
+      sm AS (
+        SELECT nation, m, rev,
+               (${(0 to 7).map { i =>
+                   val l = if (i == 0) "rev"
+                     else s"LAG(rev, $i) OVER (PARTITION BY nation ORDER BY m)"
+                   s"COALESCE($l * ${1L << (7 - i)}, 0)"
+                 }.mkString(" + ")}) AS num,
+               (${(0 to 7).map { i =>
+                   val l = if (i == 0) "rev"
+                     else s"LAG(rev, $i) OVER (PARTITION BY nation ORDER BY m)"
+                   s"CASE WHEN $l IS NOT NULL THEN ${1L << (7 - i)} ELSE 0 END"
+                 }.mkString(" + ")}) AS den
+        FROM monthly)
+      SELECT nation, m, CAST(rev AS DOUBLE) / 100.0 AS revenue,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS ewma
+      FROM sm ORDER BY nation, m"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45)
+    q44, q45, q46)
 }
