@@ -269,9 +269,16 @@ object Bench {
     // leaving ~half the per-query times unrecoverable from the BENCH
     // artifact. The COMPLETE map is therefore also written to a file in
     // the repo — per-query regression tracking reads this, not stdout.
+    // r9 finding: a smoke run at another SF silently CLOBBERED the
+    // committed sf0.1 anchor (the cross-run control comparison then read
+    // nonsense) — only the anchor SF writes the anchor file; other SFs
+    // write a -smoke sidecar.
+    val benchPath =
+      if (sfDir.endsWith("sf0.1")) "/root/repo/bench_full.json"
+      else "/root/repo/bench_full_smoke.json"
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/bench_full.json"),
+        java.nio.file.Paths.get(benchPath),
         (fullJson + "\n").getBytes("UTF-8"))
     } catch {
       case e: Throwable =>
