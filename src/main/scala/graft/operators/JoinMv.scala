@@ -34,15 +34,20 @@ import org.apache.spark.sql.functions._
   * decision; the operator keeps the recompute an ordinary equi join so
   * AQE's skew split applies.
   *
-  * Contract: `view` must equal
-  * `serving(compact(aBase)) ⋈ serving(compact(bBase))` on `joinCols`
-  * (both sides must expose the join columns under the SAME names; the
-  * joined frame carries A's columns then B's non-join columns — the
-  * exact frame this function returns, so the output feeds back in as
-  * next batch's `view`). `aOrd`/`bOrd` must be total writer orders
-  * (the CdcMerge determinism contract). Proven maintained ≡ from-scratch
-  * by the `etl_join_mv_incremental` oracle and `JoinMvSpec`'s crafted
-  * move/delete/late/resurrect frames.
+  * Contract: `aBase`/`bBase` must be COMPACTED tables (one row per
+  * key — [[CdcMerge.compact]] output, the same precondition as
+  * [[CdcMerge.merge]]; a raw changelog base leaks every old version of
+  * a b-side-touched key into the recompute — `JoinMvSpec`'s chain test
+  * caught exactly this), and `view` must equal
+  * `serving(aBase) ⋈ serving(bBase)` on `joinCols` (both sides must
+  * expose the join columns under the SAME names; the joined frame
+  * carries A's columns then B's non-join columns — the exact frame this
+  * function returns, so the output feeds back in as next batch's
+  * `view`, with [[CdcMerge.merge]] advancing the base tables beside
+  * it). `aOrd`/`bOrd` must be total writer orders (the CdcMerge
+  * determinism contract). Proven maintained ≡ from-scratch by the
+  * `etl_join_mv_incremental` oracle and `JoinMvSpec`'s crafted
+  * move/delete/late/resurrect/chain frames.
   */
 object JoinMv {
 

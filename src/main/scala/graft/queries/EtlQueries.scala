@@ -1425,6 +1425,85 @@ object EtlQueries {
              CAST((pfx - size_bytes) // 20000 AS INTEGER) AS bin
       FROM pre ORDER BY event_type, date_id"""))
 
+  /** Incremental JOIN-view maintenance (`operators/JoinMv`) — the delta
+    * rule for a materialized equi-join view, completing the MV family
+    * beside `etl_cdc_agg_incremental`'s aggregate maintenance: the
+    * enriched user-state view (user CDC state ⋈ customer dim) kept
+    * current under CDC batches to BOTH sides. The A side replays the
+    * etl_cdc_apply_incremental split (every 5th event = today's batch,
+    * timestamps interleave → late data is real); the B side upserts
+    * every 10th customer (acctbal + 100, version 2) and TOMBSTONES every
+    * 50th — so the batch exercises upsert, delete, insert and
+    * pass-through in one run. V' = V ⋉̄ J ∪ (A' ⋉ J) ⋈ (B' ⋉ J) where J
+    * = the affected join keys (old + new version of every touched row,
+    * both sides, broadcast — batch-sized, never table-sized): untouched
+    * view rows pass through one broadcast anti join with NO recompute;
+    * only the touched join groups re-join. The oracle is the
+    * from-scratch join of both fully-compacted changelogs — the
+    * incremental fold is proven row-equal to rebuilding the view.
+    */
+  val joinMvIncremental = QueryDef(
+    "etl_join_mv_incremental",
+    (s, dir) => {
+      import graft.operators.{CdcMerge, JoinMv}
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id"))
+      val isNew = pmod(col("event_id"), lit(5)) === 0
+      // bases must be COMPACTED (the JoinMv/CdcMerge.merge contract —
+      // a raw changelog base leaks old versions of b-touched keys)
+      val aBase = CdcMerge.compact(ev.filter(!isNew),
+        Seq("user_id"), Seq("ts", "event_id"))
+      val aBatch = ev.filter(isNew)
+      val aKey = Seq("user_id"); val aOrd = Seq("ts", "event_id")
+      val aServ = col("event_type") =!= "error"
+      val cust = customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_name"),
+          col("c_acctbal").cast(Money).as("bal"), col("c_mktsegment"))
+      val bBase = cust
+        .withColumn("ver", lit(1L)).withColumn("is_del", lit(false))
+      val bBatch = cust.filter(pmod(col("user_id"), lit(10)) === 0)
+        .withColumn("bal", (col("bal") + 100).cast(Money))
+        .withColumn("ver", lit(2L))
+        .withColumn("is_del", pmod(col("user_id"), lit(50)) === 0)
+      val bKey = Seq("user_id"); val bOrd = Seq("ver")
+      val bServ = !col("is_del")
+      val view = JoinMv.fromScratch(aBase, aKey, aOrd, aServ,
+        bBase, bKey, bOrd, bServ, Seq("user_id"))
+      JoinMv.maintain(view, aBase, aBatch, aKey, aOrd, aServ,
+        bBase, bBatch, bKey, bOrd, bServ, Seq("user_id"))
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").cast(Money).cast(DoubleType).as("last_value"),
+          col("ts").as("updated_at"), col("c_name"),
+          col("bal").cast(DoubleType).as("acctbal"), col("c_mktsegment"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH a AS (
+        SELECT user_id, event_type, value, ts::TIMESTAMP AS ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      acur AS (SELECT user_id, event_type, value, ts FROM a
+               WHERE rn = 1 AND event_type <> 'error'),
+      b0 AS (SELECT c_custkey AS user_id, c_name,
+                    CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_mktsegment,
+                    1 AS ver, FALSE AS is_del
+             FROM customer),
+      b1 AS (SELECT user_id, c_name, CAST(bal + 100 AS DECIMAL(18,2)) AS bal,
+                    c_mktsegment, 2 AS ver, user_id % 50 = 0 AS is_del
+             FROM b0 WHERE user_id % 10 = 0),
+      b AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ver DESC) AS rn
+            FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1)),
+      bcur AS (SELECT user_id, c_name, bal, c_mktsegment FROM b
+               WHERE rn = 1 AND NOT is_del)
+      SELECT acur.user_id, acur.event_type AS last_type,
+             CAST(CAST(acur.value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+             acur.ts AS updated_at, bcur.c_name,
+             CAST(bcur.bal AS DOUBLE) AS acctbal, bcur.c_mktsegment
+      FROM acur JOIN bcur USING (user_id) ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
@@ -1432,5 +1511,6 @@ object EtlQueries {
     scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
-    constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan)
+    constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan,
+    joinMvIncremental)
 }

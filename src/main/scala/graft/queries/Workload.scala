@@ -2142,10 +2142,102 @@ object Workload {
              CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS ewma
       FROM sm ORDER BY nation, m"""))
 
+  /** Q47 — approximate order-price percentiles via the equi-width
+    * histogram sketch (`operators/HistogramQuantile`): the
+    * partition-independent, fully-oracleable counterpart to built-in
+    * `approx_percentile`, whose GK summary is merge-order-dependent and
+    * therefore CANNOT hold a cross-engine oracle (SURVEY §8f). The
+    * sketch is a pure function of (data, min, max, B=256): two scans +
+    * a 256-row bucket frame, zero data shuffles beyond the partial-agg
+    * combine — at 100 TB this answers "p99 order value" without the
+    * exact two-phase rank's data shuffle, with error ≤ one bucket width
+    * and bit-identical results on any engine. Beside it, q41/q42 remain
+    * the EXACT percentile rungs; this is the sketch rung of the same
+    * ladder.
+    */
+  val q47 = QueryDef(
+    "q47_price_quantile_sketch",
+    (s, dir) => {
+      val cents = orders(s, dir)
+        .select((money(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      graft.operators.HistogramQuantile
+        .percentiles(cents, col("cents"), 256, Seq(1, 25, 50, 75, 90, 99))
+        .withColumn("est_price", col("estimate") / 100.0)
+        .orderBy("pct")
+    },
+    Some("""
+      WITH v AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS cents FROM orders),
+      s AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx, COUNT(cents) AS n
+            FROM v),
+      h AS (SELECT ((cents - mn) * 256) // (mx - mn + 1) AS b,
+                   COUNT(*) AS c
+            FROM v, s GROUP BY 1),
+      cum AS (SELECT b, c,
+                CAST(COALESCE(SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+              FROM h),
+      t AS (SELECT CAST(p AS INTEGER) AS pct, (p * n + 99) // 100 AS tr,
+                   mn, mx, n
+            FROM (SELECT UNNEST([1, 25, 50, 75, 90, 99]) AS p), s),
+      e AS (SELECT pct, n, b,
+              mn + (b * (mx - mn + 1) + 255) // 256 AS lo,
+              mn + ((b + 1) * (mx - mn + 1) + 255) // 256 - 1 AS hi,
+              cb, c, tr
+            FROM cum JOIN t ON cb < tr AND tr <= cb + c)
+      SELECT pct, n, b AS bucket, lo, hi, cb AS cum_before, c AS in_bucket,
+             CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE)
+               * CAST(tr - cb - 1 AS DOUBLE) / CAST(c AS DOUBLE) AS estimate,
+             (CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE)
+               * CAST(tr - cb - 1 AS DOUBLE) / CAST(c AS DOUBLE)) / 100.0
+               AS est_price
+      FROM e ORDER BY pct"""))
+
+  /** Q48 — event-transition matrix (Markov path analysis): per-user
+    * next-event bigrams via ONE user-partitioned LEAD window (events are
+    * the stream table — at scale already bucketed by user/time, so the
+    * window shuffle is the natural layout), then a (src, dst) count over
+    * the |types|² ≤ 64-row domain and a broadcast per-src total
+    * join-back. Transition probability is one DOUBLE division of two
+    * exact counts — bit-identical cross-engine. The product-analytics
+    * "what do users do next" query; the per-src rows normalize to 1.
+    */
+  val q48 = QueryDef(
+    "q48_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("dst", lead(col("event_type"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+      val srcTot = pairs.groupBy("src").agg(sum("n").as("src_n"))
+      pairs.join(broadcast(srcTot), "src")
+        .select(col("src"), col("dst"), col("n"),
+          (col("n").cast(DoubleType) / col("src_n").cast(DoubleType))
+            .as("p"))
+        .orderBy("src", "dst")
+    },
+    Some("""
+      WITH pr AS (
+        SELECT event_type AS src,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS dst
+        FROM events),
+      c AS (SELECT src, dst, COUNT(*) AS n FROM pr
+            WHERE dst IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT src, SUM(n) AS src_n FROM c GROUP BY 1)
+      SELECT c.src, c.dst, c.n,
+             CAST(c.n AS DOUBLE) / CAST(t.src_n AS DOUBLE) AS p
+      FROM c JOIN t USING (src) ORDER BY src, dst"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46)
+    q44, q45, q46, q47, q48)
 }
