@@ -16,11 +16,12 @@ import org.apache.spark.sql.types.DoubleType
   * rebuilds the whole construction in SQL and must match bit-for-bit.
   *
   * Construction over an exact integer value column v (cents discipline):
-  *  - pass 1: scalar (min, max, count) — broadcast 1-row frame;
+  *  - pass 1: (min, max, count) — global scalar or per-group frame
+  *    (broadcast either way; the caller's group domain must be
+  *    model-sized, the k-centroids discipline);
   *  - pass 2: bucket = ((v − mn)·B) div span, span = mx − mn + 1 —
-  *    map-side expression into a ≤ B-row count frame (`__b`/`__c`, the
-  *    PlanSweep-bounded bucket-frame discipline; the only
-  *    single-partition exchange of the plan carries it);
+  *    map-side expression into a ≤ |groups|·B-row count frame
+  *    (`__b`/`__c`, the PlanSweep-bounded bucket-frame discipline);
   *  - estimate for rank target t (1-based): the bucket where the running
   *    count first reaches t, linearly interpolated inside it:
   *    est = lo + (hi − lo) · (t − cumBefore − 1) / __c, every operand an
@@ -32,60 +33,90 @@ import org.apache.spark.sql.types.DoubleType
   *    (≤ span/B + 1).
   *
   * Scale shape at 100 TB: two scans (one if min/max are known from
-  * table stats / zone maps), a B-row aggregate, zero data shuffles
-  * beyond the partial-agg combine — vs the exact two-phase rank
-  * (`OrderedPrefix`), which shuffles the data once to rank it. The
-  * sketch is also trivially MERGEABLE (histograms add), so per-partition
-  * or per-day histograms roll up without re-scanning — the property GK
-  * has only approximately and non-deterministically.
+  * table stats / zone maps), a bucket-frame aggregate, zero data
+  * shuffles beyond the partial-agg combine — vs the exact two-phase
+  * rank (`OrderedPrefix`), which shuffles the data once to rank it.
+  * The sketch is also trivially MERGEABLE (histograms add), so
+  * per-partition or per-day histograms roll up without re-scanning —
+  * the property GK has only approximately and non-deterministically.
+  * The GROUPED form ([[percentilesBy]]) inherits OrderedPrefix's
+  * grouped improvement: its running-count window is partitioned by the
+  * group key, so the plan has NO single-partition exchange at all.
   *
-  * Quantile targets are passed as exact rationals (`pNum/pDen`, e.g.
-  * 25/100) and resolved to ranks t = ceil(p·n) = (pNum·n + pDen − 1)
-  * div pDen in integer arithmetic — no float thresholds anywhere before
-  * the single final DOUBLE expression.
+  * Quantile targets are passed as exact rationals (pct/100) and
+  * resolved to ranks t = ceil(p·n) = (pct·n + 99) div 100 in integer
+  * arithmetic — no float thresholds anywhere before the single final
+  * DOUBLE expression.
   */
 object HistogramQuantile {
 
-  /** Per-percentile one row: (pct, n, bucket, lo, hi, cum_before, in_bucket,
-    * estimate). `value` must be an exact integral column; `pcts` are
-    * percentages in 1..100. Empty input → empty result (no NULL row).
+  /** Global percentiles: one row per pct — (pct, n, bucket, lo, hi,
+    * cum_before, in_bucket, estimate). `value` must be an exact
+    * integral column; `pcts` are percentages in 1..100. Empty input →
+    * empty result (no NULL row).
     */
   def percentiles(df: DataFrame, value: Column, buckets: Int,
-      pcts: Seq[Int]): DataFrame = {
+      pcts: Seq[Int]): DataFrame =
+    percentilesBy(df, Nil, value, buckets, pcts)
+
+  /** Per-group percentiles: one row per (group, pct), each group
+    * sketched against its OWN min/max range (a shared global range
+    * would waste resolution on narrow groups). The group domain must be
+    * model-sized — the per-group stats frame is broadcast back into the
+    * scan.
+    */
+  def percentilesBy(df: DataFrame, groupCols: Seq[String], value: Column,
+      buckets: Int, pcts: Seq[Int]): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
       s"pcts=$pcts must be percentages in 1..100")
     val spark = df.sparkSession
     import spark.implicits._
+    val gCols = groupCols.map(col)
 
     // integral division (Spark's `/` on BIGINTs returns DOUBLE)
     def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
-    val stats = df.agg(min(value).as("__mn"), max(value).as("__mx"),
+    val aggs = Seq(min(value).as("__mn"), max(value).as("__mx"),
       count(value).as("__n"))
+    val stats =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(gCols: _*).agg(aggs.head, aggs.tail: _*)
+    def withStats(d: DataFrame): DataFrame =
+      if (groupCols.isEmpty) d.crossJoin(broadcast(stats))
+      else d.join(broadcast(stats), groupCols)
+
     // span = mx - mn + 1; bucket of v = ((v - mn) * B) div span ∈ [0, B)
-    val hist = df.filter(value.isNotNull).crossJoin(broadcast(stats))
-      .groupBy(idiv((value - col("__mn")) * buckets,
-        col("__mx") - col("__mn") + 1).as("__b"))
+    val bucket = idiv((value - col("__mn")) * buckets,
+      col("__mx") - col("__mn") + 1).as("__b")
+    val hist = withStats(df.filter(value.isNotNull))
+      .groupBy(gCols :+ bucket: _*)
       .agg(count(lit(1)).as("__c"))
-    // running count over the ≤ B-row bucket frame — the plan's only
-    // single-partition exchange, bounded by construction (PlanSweep's
-    // __b/__c allowance)
-    val w = Window.orderBy(col("__b"))
+    // running count over the bucket frame: grouped → partitioned window
+    // (shuffle-parallel, zero single-partition exchanges); global → the
+    // plan's only single-partition exchange, carrying ≤ B __b/__c rows
+    // (the PlanSweep allowance)
+    val w = Window.partitionBy(gCols: _*).orderBy(col("__b"))
     val cum = hist
       .withColumn("__cb",
         coalesce(sum(col("__c")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
 
-    val targets = pcts.map(p => (p, p.toLong, 100L)).toDF("pct", "__pn", "__pd")
-    // t = ceil(p·n): the rank the percentile must cover (nearest-rank)
-    // non-equi crossing join: broadcast the |pcts|-row target frame into
-    // the ≤ B-row cumulative frame (both sides bounded by construction)
-    val withRank = targets.crossJoin(broadcast(stats))
+    // per-(group, pct) rank targets: t = ceil(pct·n/100), nearest-rank.
+    // Group columns renamed so the crossing join below can mix its equi
+    // keys with the range condition unambiguously.
+    val targets = pcts.toDF("pct")
+    val withRank = stats.crossJoin(targets)
       .withColumn("__t",
-        idiv(col("__pn") * col("__n") + col("__pd") - 1, col("__pd")))
-    val joined = cum.join(broadcast(withRank),
-      col("__cb") < col("__t") && col("__t") <= col("__cb") + col("__c"))
+        idiv(col("pct").cast("long") * col("__n") + 99, lit(100L)))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) ++
+        Seq(col("pct"), col("__t"), col("__n"), col("__mn"),
+          col("__mx")): _*)
+    val crossing = groupCols.map(c => col(c) === col(s"__g_$c"))
+      .foldLeft(col("__cb") < col("__t") &&
+        col("__t") <= col("__cb") + col("__c"))(_ && _)
+    val joined = cum.join(broadcast(withRank), crossing)
+
     // lo(b) = mn + ceil(b·span/B); hi(b) = lo(b+1) − 1 (inclusive range)
     def lo(b: Column): Column =
       col("__mn") + idiv(b * (col("__mx") - col("__mn") + 1) + (buckets - 1),
@@ -93,12 +124,12 @@ object HistogramQuantile {
     joined
       .withColumn("lo", lo(col("__b")))
       .withColumn("hi", lo(col("__b") + 1) - 1)
-      .select(col("pct"), col("__n").as("n"), col("__b").as("bucket"),
-        col("lo"), col("hi"), col("__cb").as("cum_before"),
-        col("__c").as("in_bucket"),
+      .select(gCols ++ Seq(col("pct"), col("__n").as("n"),
+        col("__b").as("bucket"), col("lo"), col("hi"),
+        col("__cb").as("cum_before"), col("__c").as("in_bucket"),
         (col("lo").cast(DoubleType) +
           (col("hi") - col("lo")).cast(DoubleType) *
             (col("__t") - col("__cb") - 1).cast(DoubleType) /
-            col("__c").cast(DoubleType)).as("estimate"))
+            col("__c").cast(DoubleType)).as("estimate")): _*)
   }
 }

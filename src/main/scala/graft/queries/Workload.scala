@@ -2234,10 +2234,70 @@ object Workload {
              CAST(c.n AS DOUBLE) / CAST(t.src_n AS DOUBLE) AS p
       FROM c JOIN t USING (src) ORDER BY src, dst"""))
 
+  /** Q49 — the GROUPED histogram sketch: per-market-segment order-price
+    * percentiles, each segment sketched against its own min/max range.
+    * Inherits OrderedPrefix's grouped improvement: the running-count
+    * window is partitioned by segment, so unlike the global q47 this
+    * plan has ZERO single-partition exchanges — per-group approximate
+    * percentiles at 100 TB are a broadcast stats join + one
+    * |groups|·B-row aggregate, fully shuffle-parallel. Exact twin:
+    * q42_group_percentiles (two-phase rank). B = 128.
+    */
+  val q49 = QueryDef(
+    "q49_segment_price_sketch",
+    (s, dir) => {
+      val priced = orders(s, dir)
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          (money(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+      graft.operators.HistogramQuantile
+        .percentilesBy(priced, Seq("segment"), col("cents"), 128,
+          Seq(25, 50, 90, 99))
+        .withColumn("est_price", col("estimate") / 100.0)
+        .orderBy("segment", "pct")
+    },
+    Some("""
+      WITH v AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      s AS (SELECT segment, MIN(cents) AS mn, MAX(cents) AS mx,
+                   COUNT(cents) AS n
+            FROM v GROUP BY 1),
+      h AS (SELECT v.segment,
+                   ((cents - mn) * 128) // (mx - mn + 1) AS b,
+                   COUNT(*) AS c
+            FROM v JOIN s ON v.segment = s.segment GROUP BY 1, 2),
+      cum AS (SELECT segment, b, c,
+                CAST(COALESCE(SUM(c) OVER (PARTITION BY segment ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+              FROM h),
+      t AS (SELECT segment, CAST(p AS INTEGER) AS pct,
+                   (p * n + 99) // 100 AS tr, mn, mx, n
+            FROM s, (SELECT UNNEST([25, 50, 90, 99]) AS p)),
+      e AS (SELECT cum.segment, pct, n, b,
+              mn + (b * (mx - mn + 1) + 127) // 128 AS lo,
+              mn + ((b + 1) * (mx - mn + 1) + 127) // 128 - 1 AS hi,
+              cb, c, tr
+            FROM cum JOIN t ON cum.segment = t.segment
+              AND cb < tr AND tr <= cb + c)
+      SELECT segment, pct, n, b AS bucket, lo, hi, cb AS cum_before,
+             c AS in_bucket,
+             CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE)
+               * CAST(tr - cb - 1 AS DOUBLE) / CAST(c AS DOUBLE) AS estimate,
+             (CAST(lo AS DOUBLE) + CAST(hi - lo AS DOUBLE)
+               * CAST(tr - cb - 1 AS DOUBLE) / CAST(c AS DOUBLE)) / 100.0
+               AS est_price
+      FROM e ORDER BY segment, pct"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48)
+    q44, q45, q46, q47, q48, q49)
 }

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{CdcMerge, JoinMv}
+
+/** Streaming steady-state of incremental JOIN-view maintenance
+  * (operators/JoinMv): TWO changelog streams continuously folded into
+  * compacted side tables and their materialized equi-join view — the
+  * "enriched serving table stays fresh" contract (user state ⋈ dim)
+  * beside StreamingMv's aggregate MV. Per micro-batch the view absorbs
+  * only the affected join keys J (old + new version of every touched
+  * row, both sides — batch-sized broadcast); untouched view rows pass
+  * through a map-side anti join, and the side tables advance via
+  * CdcMerge.merge — so per-batch cost scales with the batch and the
+  * touched join groups' fanout, never the tables. State is driver-held
+  * and localCheckpoint'ed one batch deep (the StreamingCdc discipline);
+  * `StreamingJoinMvSpec` pins the fold equal to a one-shot from-scratch
+  * join of both full changelogs regardless of how batches interleave
+  * across the two sides.
+  *
+  * Batches for the two sides arrive independently (two streams, or one
+  * stream demultiplexed); [[Maintainer.absorbA]]/[[Maintainer.absorbB]]
+  * serialize on the maintainer, which is the same single-writer
+  * assumption every foreachBatch sink makes.
+  */
+object StreamingJoinMv {
+
+  final class Maintainer(aKey: Seq[String], aOrd: Seq[String],
+      aServing: Column, bKey: Seq[String], bOrd: Seq[String],
+      bServing: Column, joinCols: Seq[String]) {
+    @volatile private var aSnap: Option[DataFrame] = None
+    @volatile private var bSnap: Option[DataFrame] = None
+    @volatile private var view: Option[DataFrame] = None
+
+    /** The maintained join view (A's columns ++ B's non-join columns);
+      * None until both sides have seen at least one batch.
+      */
+    def currentView: Option[DataFrame] = view
+
+    def currentA: Option[DataFrame] = aSnap
+    def currentB: Option[DataFrame] = bSnap
+
+    private def rebuildOrMaintain(aBatch: Option[DataFrame],
+        bBatch: Option[DataFrame]): Unit = {
+      val empty: DataFrame => DataFrame = b => b.limit(0)
+      (aSnap, bSnap) match {
+        case (Some(a), Some(b)) =>
+          val v = view match {
+            case Some(v0) =>
+              JoinMv.maintain(v0,
+                a, aBatch.getOrElse(empty(a)), aKey, aOrd, aServing,
+                b, bBatch.getOrElse(empty(b)), bKey, bOrd, bServing,
+                joinCols)
+            case None =>
+              // first moment both sides exist: from-scratch join of the
+              // compacted snapshots (MV creation) — batches already
+              // merged into them below
+              a.filter(aServing).join(b.filter(bServing), joinCols)
+          }
+          view = Some(v.localCheckpoint(true))
+        case _ => () // one side still empty: no view to maintain yet
+      }
+    }
+
+    /** Fold one micro-batch of the A-side changelog. */
+    def absorbA(batch: DataFrame): Unit = synchronized {
+      val prior = aSnap
+      aSnap = Some((prior match {
+        case None => CdcMerge.compact(batch, aKey, aOrd)
+        case Some(base) => CdcMerge.merge(base, batch, aKey, aOrd)
+      }).localCheckpoint(true))
+      prior match {
+        case Some(base0) =>
+          // view fold reads the PRE-merge base (JoinMv's contract);
+          // restore it just for the maintain call
+          val hold = aSnap
+          aSnap = Some(base0)
+          rebuildOrMaintain(Some(batch), None)
+          aSnap = hold
+        case None => rebuildOrMaintain(None, None)
+      }
+    }
+
+    /** Fold one micro-batch of the B-side changelog. */
+    def absorbB(batch: DataFrame): Unit = synchronized {
+      val prior = bSnap
+      bSnap = Some((prior match {
+        case None => CdcMerge.compact(batch, bKey, bOrd)
+        case Some(base) => CdcMerge.merge(base, batch, bKey, bOrd)
+      }).localCheckpoint(true))
+      prior match {
+        case Some(base0) =>
+          val hold = bSnap
+          bSnap = Some(base0)
+          rebuildOrMaintain(None, Some(batch))
+          bSnap = hold
+        case None => rebuildOrMaintain(None, None)
+      }
+    }
+
+    def runA(changeStream: DataFrame, checkpoint: String,
+        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      changeStream.writeStream
+        .trigger(trigger)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch((b: Dataset[Row], _: Long) => absorbA(b.toDF()))
+        .start()
+
+    def runB(changeStream: DataFrame, checkpoint: String,
+        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      changeStream.writeStream
+        .trigger(trigger)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch((b: Dataset[Row], _: Long) => absorbB(b.toDF()))
+        .start()
+  }
+}

@@ -85,6 +85,29 @@ class HistogramQuantileSpec extends SparkSpec {
       "null values must be excluded from n and ranks")
   }
 
+  test("grouped form: each group equals its own global sketch") {
+    val g1 = (1L to 500L)
+    val g2 = Seq.tabulate(300)(i => (i.toLong * 31) % 7001 - 3000)
+    val df = (g1.map(("a", _)) ++ g2.map(("b", _))).toDF("g", "v")
+      .repartition(5)
+    val grouped = HistogramQuantile
+      .percentilesBy(df, Seq("g"), col("v"), 32, Seq(10, 50, 95))
+      .select(col("g"), col("pct"), col("lo"), col("hi"), col("n"),
+        col("estimate"))
+      .as[(String, Int, Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3, r._4, r._5, r._6)).toSet
+      }
+    def global(vs: Seq[Long]) = HistogramQuantile
+      .percentiles(vs.toDF("v"), col("v"), 32, Seq(10, 50, 95))
+      .select(col("pct"), col("lo"), col("hi"), col("n"), col("estimate"))
+      .as[(Int, Long, Long, Long, Double)].collect().toSet
+    assert(grouped("a") == global(g1),
+      "group a diverges from its standalone sketch")
+    assert(grouped("b") == global(g2),
+      "group b diverges from its standalone sketch — per-group ranges leak")
+  }
+
   test("parameter guards") {
     val df = Seq(1L).toDF("v")
     intercept[IllegalArgumentException] {
