@@ -214,6 +214,16 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "joinmv") {
+      joinMvProbe(spark, sfDir, if (args.length > 1) args(1).toInt else 10)
+      spark.stop()
+      return
+    }
+    if (mode == "histq") {
+      histQProbe(spark, sfDir, if (args.length > 1) args(1).toInt else 10)
+      spark.stop()
+      return
+    }
     if (mode == "gprefix") {
       groupedPrefixProbe(spark,
         if (args.length > 1) args(1).toLong else 20000000L,
@@ -705,6 +715,127 @@ object ScaleProbe {
     println(f"PROBE bloom x$mult (rows=$nM): plain=$tMp%.2fs " +
       f"md5=$tMm%.2fs (x${tMp / tMm}%.2f) " +
       f"long=$tML%.2fs (x${tMp / tML}%.2f)")
+  }
+
+  /** Incremental join-view maintenance payoff: the maintained fold
+    * (JoinMv.maintain — pass-through anti join + J-slice recompute)
+    * timed against the from-scratch rebuild (compact both changelogs,
+    * join) on the corpus and an m×-replicated corpus (user_id-strided
+    * copies, so keys and join groups scale with m while the batch
+    * fraction stays ~2%). What the probe quantifies: the rebuild pays a
+    * compaction window + join shuffle over the TABLE at every refresh;
+    * the fold pays map-side broadcast tests over the same scans plus a
+    * batch-sized recompute — the gap is the whole point of the delta
+    * rule, and it must WIDEN with m if the operator's cost really is
+    * batch-scaled.
+    */
+  private def joinMvProbe(spark: SparkSession, sfDir: String,
+      mult: Int): Unit = {
+    import graft.operators.{CdcMerge, JoinMv}
+    // changelog synthesized from lineitem (the big table): key = line id,
+    // join col = partkey, "newer version" = higher linenumber per id
+    val ev0 = Tables.lineitem(spark, sfDir)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_partkey").as("pk"), col("l_quantity").as("qty"),
+        col("l_linenumber").as("ver"))
+    val dim0 = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("pk"), col("p_brand"))
+    def rep(df: org.apache.spark.sql.DataFrame, m: Int,
+        idCols: Seq[String]): org.apache.spark.sql.DataFrame =
+      (0 until m).map { i =>
+        idCols.foldLeft(df)((d, c) =>
+          d.withColumn(c, col(c) + lit(i * 100000000L)))
+      }.reduce(_ unionAll _)
+    val aKey = Seq("id"); val aOrd = Seq("ver")
+    val serv = lit(true)
+    val ev = rep(ev0, mult, Seq("id")).localCheckpoint(false)
+    val dim = rep(dim0, mult, Seq("pk"))
+      .unionAll(dim0) // originals too: replicated rows keep original pk
+      .dropDuplicates("pk").withColumn("dver", lit(1L))
+      .localCheckpoint(false)
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = f
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    def cnt(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(count(lit(1))).collect()(0).getLong(0)
+    val results = Seq(5L, 50L, 500L).map { denom =>
+      val isNew = pmod(col("id"), lit(denom)) === 0
+      val aBase = CdcMerge.compact(ev.filter(!isNew), aKey, aOrd)
+        .localCheckpoint(false)
+      val aBatch = ev.filter(isNew)
+      val view = aBase.join(dim, Seq("pk")).localCheckpoint(false)
+      def fold() = cnt(JoinMv.maintain(view, aBase, aBatch, aKey, aOrd,
+        serv, dim, dim.limit(0), Seq("pk"), Seq("dver"), serv, Seq("pk")))
+      def rebuild() = cnt(CdcMerge.compact(ev, aKey, aOrd)
+        .join(dim, Seq("pk")))
+      fold(); rebuild() // warm codegen + broadcasts
+      val (nF, tF) = time(fold())
+      val (nR, tR) = time(rebuild())
+      require(nF == nR, s"maintained ($nF) != rebuilt ($nR)")
+      (denom, nF, tF, tR)
+    }
+    val nAll = ev.count()
+    results.foreach { case (d, n, tF, tR) =>
+      println(f"PROBE joinmv x$mult rows=$nAll batch=1/$d (view=$n): " +
+        f"fold=$tF%.2fs rebuild=$tR%.2fs (x${tR / tF}%.2f)")
+    }
+    val f = results.map(_._3)
+    println(f"PROBE joinmv batch-scaling: fold ${f(0)}%.2f → ${f(1)}%.2f → " +
+      f"${f(2)}%.2f s as batch shrinks 1/5 → 1/50 → 1/500 " +
+      f"(rebuild flat ~${results.map(_._4).sum / 3}%.2f s)")
+  }
+
+  /** Histogram-sketch payoff: approximate percentiles (two scans + a
+    * B-row frame) timed against the exact two-phase rank (OrderedPrefix
+    * — one data shuffle to rank) for the same six percentiles, on the
+    * corpus and an m×-replicated value column, plus the max relative
+    * estimate error vs exact. The sketch's claim is a SHUFFLE-FREE
+    * plan: its time should track the scan while the exact form tracks
+    * the shuffle.
+    */
+  private def histQProbe(spark: SparkSession, sfDir: String,
+      mult: Int): Unit = {
+    import graft.operators.{HistogramQuantile, OrderedPrefix}
+    val pcts = Seq(1, 25, 50, 75, 90, 99)
+    val base = Tables.orders(spark, sfDir)
+      .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("v"))
+    def rep(m: Int) = (0 until m).map(_ => base).reduce(_ unionAll _)
+      .localCheckpoint(false)
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def sketch(df: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+      HistogramQuantile.percentiles(df, col("v"), 256, pcts)
+        .select(col("pct"), col("estimate")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def exact(df: org.apache.spark.sql.DataFrame): Map[Int, Double] = {
+      import spark.implicits._
+      val ranked = OrderedPrefix.rankAndPrefix(df,
+        call_function("div", col("v"), lit(100000L)), Seq(col("v")))
+      val t = pcts.map(p => (p, p.toLong)).toDF("pct", "pn")
+      ranked.join(broadcast(t.withColumn("keep", lit(1))),
+          col("__rank") === call_function("div",
+            col("pn") * col("__n") + 99, lit(100L)))
+        .select(col("pct"), col("v").cast("double")).collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    val d1 = rep(1); val n1 = d1.count()
+    sketch(d1); exact(d1) // warm
+    val (s1, ts1) = time(sketch(d1))
+    val (e1, te1) = time(exact(d1))
+    val dM = rep(mult); val nM = dM.count()
+    val (_, tsM) = time(sketch(dM))
+    val (_, teM) = time(exact(dM))
+    val maxErr = pcts.map(p =>
+      math.abs(s1(p) - e1(p)) / math.max(math.abs(e1(p)), 1.0)).max
+    println(f"PROBE histq rows=$n1: sketch=$ts1%.2fs exact=$te1%.2fs " +
+      f"maxRelErr=$maxErr%.5f")
+    println(f"PROBE histq x$mult (rows=$nM): sketch=$tsM%.2fs " +
+      f"(x${tsM / ts1}%.2f) exact=$teM%.2fs (x${teM / te1}%.2f) — " +
+      f"sketch/exact=x${teM / tsM}%.2f at scale")
   }
 
   /** ANN serving-ladder scaling: the flat int8 scan (quantizedTopK), the

@@ -2294,10 +2294,65 @@ object Workload {
                AS est_price
       FROM e ORDER BY segment, pct"""))
 
+  /** Q50 — time-weighted average event value per user (the TWAP rung of
+    * the time-series family, beside q46's EWMA): each observation holds
+    * until the next one, so its weight is the gap to the next event —
+    * ONE user-partitioned LEAD window for the gap, exact integer
+    * weighting (epoch MICROseconds × cents, sub-second-exact — Σ cents·dur
+    * ≤ max_cents · year-span_us ≈ 3×10¹⁸ < 2⁶³), and the final TWAP is
+    * one DOUBLE division of two
+    * bit-identical BIGINTs. Sensor/position/price data all average this
+    * way (uniform AVG over-weights bursts); the plan is the window
+    * shuffle plus a user-keyed partial agg — nothing global anywhere.
+    * Top 50 users by TWAP, tie-broken, so the output is bounded.
+    */
+  val q50 = QueryDef(
+    "q50_user_twap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapped = events(s, dir)
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .select(col("user_id"),
+          (unix_micros(col("next_ts")) - unix_micros(col("ts")))
+            .as("dur"),
+          (money(col("value")) * 100).cast(LongType).as("cents"))
+      gapped
+        .groupBy("user_id")
+        .agg(sum(col("cents") * col("dur")).as("wsum"),
+          sum(col("dur")).as("dsum"), count(lit(1)).as("n_obs"))
+        .filter(col("dsum") > 0)
+        .select(col("user_id"), col("n_obs"),
+          (col("wsum").cast(DoubleType) / col("dsum").cast(DoubleType)
+            / 100.0).as("twap"))
+        .orderBy(col("twap").desc, col("user_id")).limit(50)
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, value, ts,
+               LEAD(ts, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_ts
+        FROM events),
+      d AS (
+        SELECT user_id,
+               epoch_us(next_ts) - epoch_us(ts) AS dur,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM g WHERE next_ts IS NOT NULL),
+      a AS (
+        SELECT user_id, CAST(SUM(cents * dur) AS BIGINT) AS wsum,
+               CAST(SUM(dur) AS BIGINT) AS dsum, COUNT(*) AS n_obs
+        FROM d GROUP BY 1)
+      SELECT user_id, n_obs,
+             CAST(wsum AS DOUBLE) / CAST(dsum AS DOUBLE) / 100.0 AS twap
+      FROM a WHERE dsum > 0
+      ORDER BY twap DESC, user_id LIMIT 50"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49)
+    q44, q45, q46, q47, q48, q49, q50)
 }
