@@ -79,6 +79,12 @@ object HistogramQuantile {
 
     val aggs = Seq(min(value).as("__mn"), max(value).as("__mx"),
       count(value).as("__n"))
+    // stats feeds BOTH the bucket scan and the rank targets; the two
+    // references share one canonical aggregate subtree, which AQE's
+    // ReuseExchange/ReuseSubquery collapses at runtime (verified in the
+    // r9 audit: one stats scan in the executed plan). NOT localCheckpoint'd:
+    // the checkpoint's opaque RDD leaf would hide the scalar-agg
+    // boundedness proof PlanSweep's NL-join audit relies on.
     val stats =
       if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
       else df.groupBy(gCols: _*).agg(aggs.head, aggs.tail: _*)

@@ -85,9 +85,14 @@ object JoinMv {
 
     val aCur = CdcMerge.merge(aBase, aBatch, aKey, aOrd)
     val bCur = CdcMerge.merge(bBase, bBatch, bKey, bOrd)
+    // staged: j feeds THREE consumers (the pass-through anti and both
+    // recompute semis), and each unstaged reference re-expands the whole
+    // affectedJ tree — merges included — blowing the plan up to ~70
+    // joins (read in the r9 Explain audit). The frame is batch-sized by
+    // construction, so the checkpoint is free at any table size.
     val j = affectedJ(aBase, aCur, aBatch, aKey)
       .unionByName(affectedJ(bBase, bCur, bBatch, bKey))
-      .distinct()
+      .distinct().localCheckpoint(false)
 
     val pass = view.join(broadcast(j), joinCols, "left_anti")
     val recompute = aCur.filter(aServing)

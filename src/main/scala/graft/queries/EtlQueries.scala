@@ -1451,9 +1451,10 @@ object EtlQueries {
           col("event_id"))
       val isNew = pmod(col("event_id"), lit(5)) === 0
       // bases must be COMPACTED (the JoinMv/CdcMerge.merge contract —
-      // a raw changelog base leaks old versions of b-touched keys)
+      // a raw changelog base leaks old versions of b-touched keys);
+      // staged: aBase feeds the view build AND three maintain consumers
       val aBase = CdcMerge.compact(ev.filter(!isNew),
-        Seq("user_id"), Seq("ts", "event_id"))
+        Seq("user_id"), Seq("ts", "event_id")).localCheckpoint(false)
       val aBatch = ev.filter(isNew)
       val aKey = Seq("user_id"); val aOrd = Seq("ts", "event_id")
       val aServ = col("event_type") =!= "error"

@@ -1580,6 +1580,49 @@ object Workload {
       FROM lab JOIN customer ON o_custkey = c_custkey
       GROUP BY 1, 2 ORDER BY cohort, c_mktsegment"""))
 
+  /** Q38b — the ONE-PASS twin of q38 (the q05/q05b discipline): the
+    * same retained/acquired cohorts computed as conditional flags in a
+    * single custkey aggregation instead of explicit INTERSECT/EXCEPT.
+    * q38's set-op form is the operator demonstration, but its plan is
+    * 4 distinct aggregations + a semi and an anti join — ~7 small jobs
+    * whose scheduling overhead dominates at bench scale (the r9
+    * attribution: 224 KB of shuffle yet the most contention-sensitive
+    * query in the suite) and whose 4 fact scans hurt at 100 TB. This
+    * form scans orders ONCE (sargable two-year range filter pushed to
+    * the scan), shuffles custkeys once, and derives both cohorts from
+    * per-key year flags — identical semantics, proven by sharing q38's
+    * oracle verbatim. At scale this is the plan to run; q38 remains the
+    * INTERSECT/EXCEPT coverage rung.
+    */
+  val q38b = QueryDef(
+    "q38b_customer_cohorts_onepass",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val flags = o
+        .filter(inYear(col("o_orderdate"), 1997) ||
+          inYear(col("o_orderdate"), 1998))
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(when(inYear(col("o_orderdate"), 1997), 1).otherwise(0))
+            .as("a97"),
+          max(when(inYear(col("o_orderdate"), 1998), 1).otherwise(0))
+            .as("a98"))
+      val labeled = flags
+        .withColumn("cohort",
+          when(col("a97") === 1 && col("a98") === 1, "retained")
+            .when(col("a98") === 1, "acquired"))
+        .filter(col("cohort").isNotNull)
+      labeled
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("cohort"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .select(col("cohort"), col("c_mktsegment"), col("n_customers"))
+        .orderBy("cohort", "c_mktsegment")
+    },
+    q38.oracle)
+
   /** Triangle counting on the co-purchase graph — the third graph rung
     * beside CC (llm/Dedup) and PageRank (q37): top-20 parts by triangle
     * participation ("tightly clustered products"). The scale trick is the
@@ -2353,6 +2396,6 @@ object Workload {
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+    q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50)
 }

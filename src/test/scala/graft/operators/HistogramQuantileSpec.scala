@@ -108,6 +108,21 @@ class HistogramQuantileSpec extends SparkSpec {
       "group b diverges from its standalone sketch — per-group ranges leak")
   }
 
+  test("stats subtree is reused at runtime, not recomputed") {
+    // stats feeds both the bucket scan and the rank targets; the
+    // operator deliberately does NOT localCheckpoint it (that would
+    // hide the scalar-agg boundedness proof from PlanSweep's NL-join
+    // audit) and relies on AQE's ReuseExchange collapsing the two
+    // identical aggregate subtrees — pin that this actually happens,
+    // or a Spark upgrade could silently double the stats scan
+    val df = (1L to 10000L).toDF("v").repartition(4)
+    val out = HistogramQuantile.percentiles(df, col("v"), 64, Seq(50, 90))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(plan).nonEmpty,
+      "no ReusedExchange in the executed plan — the stats scan runs twice")
+  }
+
   test("parameter guards") {
     val df = Seq(1L).toDF("v")
     intercept[IllegalArgumentException] {
