@@ -2392,10 +2392,137 @@ object Workload {
       FROM a WHERE dsum > 0
       ORDER BY twap DESC, user_id LIMIT 50"""))
 
+  /** Q51 — per-brand Pearson correlation of quantity and price (the
+    * corr/covar family beside q44's regr_slope): r = (n·Σxy − Σx·Σy) /
+    * (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)), every moment an exact
+    * BIGINT from ONE fact pass (x = quantity units, y = price in WHOLE
+    * dollars — floor-quantized, identically on both engines), the final
+    * r one fixed DOUBLE tree (sqrt of bit-identical doubles is
+    * IEEE-identical) — where built-in `corr`'s per-partition float
+    * folds are merge-order-dependent and could never hash-match. The
+    * dollar quantization is a CORRECTNESS constraint, not convenience:
+    * with cents, n·Σy² passes 2⁶³ at sf0.01 already, and the engines'
+    * int128→double conversions disagree by 1 ULP (DuckDB's hugeint
+    * path double-rounds) — every cast-to-double input must stay under
+    * 2⁶³, which dollars hold up to n ≈ 2.4×10⁴ rows/brand · 10³ brands
+    * ≈ sf0.1 ×25 (beyond that, quantize to 10-dollar units). Sums still
+    * accumulate as DECIMAL(38,0) (exact, order-independent).
+    * Correlation cost after the one (brand) agg is a ≤ |brands|-row
+    * expression.
+    */
+  val q51 = QueryDef(
+    "q51_brand_qty_price_corr",
+    (s, dir) => {
+      val E = DecimalType(38, 0)
+      val li = lineitem(s, dir)
+        .join(broadcast(part(s, dir).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          col("l_quantity").cast(LongType).as("x"),
+          floor(money(col("l_extendedprice"))).cast(LongType).as("y"))
+      val m = li.groupBy("brand").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(E)).cast(E).as("sx"),
+        sum(col("y").cast(E)).cast(E).as("sy"),
+        sum((col("x") * col("x")).cast(E)).cast(E).as("sxx"),
+        sum((col("y") * col("y")).cast(E)).cast(E).as("syy"),
+        sum((col("x") * col("y")).cast(E)).cast(E).as("sxy"))
+      // every moment combination stays exact DECIMAL until ONE cast to
+      // DOUBLE per term — Spark clamps decimal products at (38,0) with
+      // ANSI overflow checks, and the values here are far inside that
+      // (worst term n·syy ≤ 1e10 · 6e19 = 6e29 at a 1e10-rows-per-brand
+      // corpus). The DuckDB oracle mirrors the same tree with widths
+      // sized to its 38-digit product rule.
+      val nD = col("n").cast(E)
+      m.select(col("brand"), col("n"),
+        ((nD * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (sqrt((nD * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)) *
+           sqrt((nD * col("syy") - col("sy") * col("sy"))
+            .cast(DoubleType)))).as("r"))
+        .orderBy("brand")
+    },
+    Some("""
+      WITH f AS (
+        SELECT p.p_brand AS brand,
+               CAST(l.l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                 AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      m AS (
+        SELECT brand, COUNT(*) AS n,
+               CAST(COUNT(*) AS DECIMAL(9,0)) AS nd,
+               CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(19,0)) AS sy,
+               CAST(SUM(x * x) AS DECIMAL(28,0)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(28,0)) AS syy,
+               CAST(SUM(x * y) AS DECIMAL(19,0)) AS sxy
+        FROM f GROUP BY 1)
+      SELECT brand, n,
+             CAST(nd * sxy - sx * sy AS DOUBLE) /
+               (SQRT(CAST(nd * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(nd * syy - sy * sy AS DOUBLE))) AS r
+      FROM m ORDER BY brand"""))
+
+  /** Q52 — longest consecutive-order-day streak per customer: the
+    * gaps-and-islands idiom (the inverse of etl_gap_fill's gap
+    * detection). Distinct (customer, day) pairs; within each customer,
+    * island id = epoch_day − row_number (consecutive days share it —
+    * pure integer arithmetic, no session window state); the longest
+    * island per customer re-aggregates the |islands| frame. Plan: one
+    * distinct shuffle, one customer-partitioned window, two partial
+    * aggs — nothing global; top 25 streaks output (bounded,
+    * tie-broken).
+    */
+  val q52 = QueryDef(
+    "q52_order_day_streaks",
+    (s, dir) => {
+      val days = orders(s, dir)
+        .select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast(LongType).as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      val islands = days
+        .withColumn("isl", col("d") - row_number().over(w))
+        .groupBy(col("o_custkey"), col("isl"))
+        .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+      islands
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("len"), col("start_d"))).as("best"))
+        .select(col("o_custkey"), col("best.len").as("streak_days"),
+          date_add(lit("1970-01-01").cast("date"),
+            col("best.start_d").cast(IntegerType)).as("streak_start"))
+        .orderBy(col("streak_days").desc, col("o_custkey")).limit(25)
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT o_custkey,
+               CAST(DATEDIFF('day', DATE '1970-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        FROM orders),
+      isl AS (
+        SELECT o_custkey, d,
+               d - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d)
+                 AS isl
+        FROM days),
+      runs AS (
+        SELECT o_custkey, isl, COUNT(*) AS len, MIN(d) AS start_d
+        FROM isl GROUP BY 1, 2),
+      best AS (
+        SELECT o_custkey, len, start_d,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY len DESC, start_d DESC) AS rn
+        FROM runs)
+      SELECT o_custkey, CAST(len AS BIGINT) AS streak_days,
+             DATE '1970-01-01' + CAST(start_d AS INTEGER) AS streak_start
+      FROM best WHERE rn = 1
+      ORDER BY streak_days DESC, o_custkey LIMIT 25"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }
