@@ -2519,10 +2519,96 @@ object Workload {
       FROM best WHERE rn = 1
       ORDER BY streak_days DESC, o_custkey LIMIT 25"""))
 
+  /** Q53 — ordered string aggregation (the LISTAGG / string_agg /
+    * group_concat class): per region, its nations with their customer
+    * counts folded into ONE deterministic text column. Determinism is
+    * the whole trick: `collect_list` is partition-order-dependent, so
+    * the list is array_sort'ed BEFORE joining — the result is a pure
+    * function of the set, matching DuckDB's `string_agg(... ORDER BY)`
+    * bit-for-bit. Counts ride inside each element ("nation:count"), so
+    * a drifted count anywhere breaks the hash. Aggregation state is
+    * ≤ |nations per region| elements — model-sized; the only data work
+    * is the customer count, a broadcast-joined partial agg.
+    */
+  val q53 = QueryDef(
+    "q53_region_nation_listing",
+    (s, dir) => {
+      val counts = customer(s, dir)
+        .join(broadcast(nation(s, dir)
+          .select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+      counts
+        .join(broadcast(region(s, dir).select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(count(lit(1)).as("n_nations"),
+          array_join(array_sort(collect_list(
+            concat(col("n_name"), lit(":"),
+              col("n_customers").cast(StringType)))), ", ")
+            .as("nations"))
+        .orderBy("region")
+    },
+    Some("""
+      WITH c AS (
+        SELECT n.n_regionkey, n.n_name, COUNT(*) AS n_customers
+        FROM customer cu JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      e AS (
+        SELECT r.r_name AS region,
+               c.n_name || ':' || CAST(c.n_customers AS VARCHAR) AS elem
+        FROM c JOIN region r ON c.n_regionkey = r.r_regionkey)
+      SELECT region, COUNT(*) AS n_nations,
+             STRING_AGG(elem, ', ' ORDER BY elem) AS nations
+      FROM e GROUP BY region ORDER BY region"""))
+
+  /** Q54 — distinct-count SKETCH with a cross-engine oracle (linear /
+    * bitmap counting): the oracleable member of the sketch family
+    * beside q27's HLL (whose register layout is Spark-internal and
+    * can only be pinned). Each order's custkey hashes to one of
+    * m = 4096 buckets via the md5 base-16 fold (the BloomPrefilter
+    * hash discipline — bit-reproducible on any engine with
+    * md5/substr); the sketch STATE is the set of occupied buckets —
+    * a pure function of the value SET (duplicate-invariant, partition-
+    * invariant), so occupancy z is a full DuckDB oracle row, not a
+    * pin. The estimate −m·ln(1−z/m) involves ln, which engines need
+    * not round identically — it is deliberately NOT in the oracled
+    * output; `LinearCountSpec` pins it within its published error
+    * bound against the exact count (also output, as the verification
+    * column). At 100 TB the sketch is a map-side expression + a
+    * ≤ m-row distinct — and bucket sets from different partitions/days
+    * UNION losslessly, the mergeability HLL only has through opaque
+    * registers.
+    */
+  val q54 = QueryDef(
+    "q54_distinct_sketch",
+    (s, dir) => {
+      val m = 4096
+      val bucket = conv(substring(
+        md5(col("o_custkey").cast(StringType).cast(BinaryType)), 1, 5),
+        16, 10).cast(LongType) % m
+      val o = orders(s, dir)
+      val occ = o.select(bucket.as("b")).distinct()
+        .agg(count(lit(1)).as("z_occupied"))
+      val exact = o.agg(countDistinct(col("o_custkey")).as("n_exact"))
+      occ.crossJoin(exact).select(lit(m).as("m"), col("z_occupied"),
+        col("n_exact"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT DISTINCT
+          CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 5))
+            AS BIGINT) % 4096 AS b
+        FROM orders),
+      z AS (SELECT COUNT(*) AS z_occupied FROM b),
+      e AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
+      SELECT CAST(4096 AS INTEGER) AS m, z_occupied, n_exact FROM z, e"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
 }
