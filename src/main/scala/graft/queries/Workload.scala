@@ -1740,9 +1740,6 @@ object Workload {
       val li = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
-      val half = a.join(b, Seq("l_orderkey"))
-        .filter(col("pa") < col("pb"))
-        .select(col("pa"), col("pb")).distinct()
       // deterministic p=1/4 coin on the edge identity (not on either
       // endpoint alone — per-node coins would correlate a node's edges
       // and bias the estimator)
@@ -1752,7 +1749,15 @@ object Workload {
         .map(i => ascii(substring(h, i, 1)).cast("long") *
           lit(math.pow(128, i - 1).toLong))
         .reduce(_ + _)
-      val sampled = half.filter(u % 999983L < 249996L).localCheckpoint(false)
+      // coin applied BEFORE the distinct (r9: it is a deterministic
+      // predicate of (pa, pb), so dedup-then-sample ≡ sample-then-dedup
+      // — and the dedup exchange, the plan's largest, now carries only
+      // the surviving quarter of the pair stream)
+      val sampled = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+        .filter(u % 999983L < 249996L)
+        .distinct().localCheckpoint(false)
       val deg = sampled.select(col("pa").as("n"))
         .union(sampled.select(col("pb").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
@@ -2487,12 +2492,18 @@ object Workload {
         .withColumn("isl", col("d") - row_number().over(w))
         .groupBy(col("o_custkey"), col("isl"))
         .agg(count(lit(1)).as("len"), min(col("d")).as("start_d"))
+      // tie order (len, start_d) packed into ONE integer (start_d is an
+      // epoch day < 100000): a struct-valued max/max_by buffer forces
+      // the SortAggregate fallback (sorts every group), where a scalar
+      // max stays in hash aggregation — the same plan-discipline reason
+      // OrderedPrefix salts with integers
       islands
         .groupBy(col("o_custkey"))
-        .agg(max(struct(col("len"), col("start_d"))).as("best"))
-        .select(col("o_custkey"), col("best.len").as("streak_days"),
+        .agg(max(col("len") * 100000L + col("start_d")).as("best"))
+        .select(col("o_custkey"),
+          call_function("div", col("best"), lit(100000L)).as("streak_days"),
           date_add(lit("1970-01-01").cast("date"),
-            col("best.start_d").cast(IntegerType)).as("streak_start"))
+            (col("best") % 100000L).cast(IntegerType)).as("streak_start"))
         .orderBy(col("streak_days").desc, col("o_custkey")).limit(25)
     },
     Some("""
