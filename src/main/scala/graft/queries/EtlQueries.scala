@@ -1231,6 +1231,73 @@ object EtlQueries {
       FROM lineitem
       ORDER BY constraint_name"""))
 
+  /** Snapshot reconciliation ([[graft.operators.TableDiff]]) — the
+    * data-recon op a warehouse runs to validate a migration/backfill or to
+    * audit what a load changed: two keyed snapshots of the per-customer
+    * order aggregate (the two latest order years), full-outer joined on
+    * the primary key and every key classified added / removed / changed /
+    * unchanged, with exact count/spend deltas per class. The value compare
+    * is exact DECIMAL — a float-summed snapshot would misclassify ties as
+    * "changed" non-deterministically.
+    *
+    * Scale shape: each snapshot is one keyed partial agg; the diff is ONE
+    * pk-keyed sort-merge join (full outer is not broadcastable semantics —
+    * the q26 class, PlanSweep-allowlisted) and the classification is
+    * map-side on the joined row; the per-class rollup is a ≤ 4-group agg.
+    * At 100 TB real snapshot tables are bucketed by pk, making the diff
+    * join shuffle-free; nothing here is ever all-pairs or driver-side.
+    * The 'unchanged' class cannot occur across two real order years —
+    * `TableDiffSpec` pins all four classes (plus NULL-value and all-NULL-
+    * row semantics) on crafted snapshots.
+    */
+  val tableDiff = QueryDef(
+    "etl_table_diff",
+    (s, dir) => {
+      val o = orders(s, dir)
+      val maxYr = o.agg(max(year(col("o_orderdate"))).as("max_yr"))
+      val scoped = o.crossJoin(broadcast(maxYr))
+      def snap(offset: Int) = scoped
+        .filter(year(col("o_orderdate")) === col("max_yr") - offset)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(Money)).cast(Money).as("spend"))
+      graft.operators.TableDiff.diff(snap(1), snap(0), Seq("o_custkey"))
+        .select(col("diff_class"),
+          (coalesce(col("cnt_b"), lit(0L)) -
+            coalesce(col("cnt_a"), lit(0L))).as("cd"),
+          (coalesce(col("spend_b"), lit(0).cast(Money)) -
+            coalesce(col("spend_a"), lit(0).cast(Money))).as("sd"))
+        .groupBy(col("diff_class"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cd")).as("cnt_delta"),
+          sum(col("sd")).cast(DoubleType).as("spend_delta"))
+        .orderBy(col("diff_class"))
+    },
+    Some("""
+      WITH maxy AS (SELECT MAX(year(o_orderdate)) AS y FROM orders),
+      a AS (
+        SELECT o_custkey, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS spend
+        FROM orders, maxy WHERE year(o_orderdate) = y - 1 GROUP BY 1),
+      b AS (
+        SELECT o_custkey, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS spend
+        FROM orders, maxy WHERE year(o_orderdate) = y GROUP BY 1),
+      d AS (
+        SELECT CASE WHEN a.cnt IS NULL THEN 'added'
+                    WHEN b.cnt IS NULL THEN 'removed'
+                    WHEN a.cnt = b.cnt AND a.spend = b.spend
+                      THEN 'unchanged'
+                    ELSE 'changed' END AS diff_class,
+               COALESCE(b.cnt, 0) - COALESCE(a.cnt, 0) AS cd,
+               COALESCE(b.spend, 0) - COALESCE(a.spend, 0) AS sd
+        FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+      SELECT diff_class, COUNT(*) AS n_keys,
+             CAST(SUM(cd) AS BIGINT) AS cnt_delta,
+             CAST(SUM(sd) AS DOUBLE) AS spend_delta
+      FROM d GROUP BY 1 ORDER BY diff_class"""))
+
   /** Fuzzy entity resolution on the customer dimension
     * ([[graft.operators.FuzzyJoin]]): all distinct customer pairs whose
     * names are within Levenshtein distance 1 — the fuzzy rung above
@@ -1513,5 +1580,5 @@ object EtlQueries {
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
     constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan,
-    joinMvIncremental)
+    joinMvIncremental, tableDiff)
 }

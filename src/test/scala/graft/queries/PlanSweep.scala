@@ -125,6 +125,7 @@ class PlanSweepSpec extends SparkSpec {
     // catches is a broadcast SITE regressing to a shuffle at the scale
     // where broadcast is clearly right.
     "q26_full_outer_nation_activity" -> Set("SortMergeJoin"), // FULL OUTER of two agg frames — not broadcastable semantics
+    "etl_table_diff" -> Set("SortMergeJoin"), // FULL OUTER snapshot diff keyed by pk — the q26 class
     "etl_session_overlap" -> Set("SortMergeJoin"), // bucket-exploded session self-join (Σbucket² pair stream)
     "llm_dedup_clusters" -> Set("SortMergeJoin"), // pair-graph CC: edges×labels iterate (stats-opaque by round)
     "llm_dedup_survivors" -> Set("SortMergeJoin"),
