@@ -2616,10 +2616,81 @@ object Workload {
       e AS (SELECT COUNT(DISTINCT o_custkey) AS n_exact FROM orders)
       SELECT CAST(4096 AS INTEGER) AS m, z_occupied, n_exact FROM z, e"""))
 
+  /** Q55 — BFS levels (single-source shortest hops) over the latest-year
+    * co-purchase graph: how many parts sit 0/1/2/3 hops from the seed
+    * part — the graph-TRAVERSAL rung beside CC (label spread), PageRank
+    * (power iteration), and triangles (pattern count). Three min-relax
+    * rounds unrolled (the kmeans/pagerank discipline, which is what makes
+    * an exact cross-engine oracle possible):
+    * d_{i}(n) = min(d_{i-1}(n), 1 + min over in-edges of d_{i-1}(m)) —
+    * each round ONE edges⋈frontier equi join + a node-keyed partial-agg
+    * MIN, the textbook BSP/Pregel BFS step: at 100 TB each round is one
+    * shuffle keyed by node id, cost |edges incident to the reached set|,
+    * and the unreached tail is never materialized (the frontier frame
+    * only holds reached nodes). Seed = MIN part id in the edge set
+    * (deterministic, engine-portable); level counts are the output so
+    * the hash pins every node's exact level through the count per level.
+    */
+  val q55 = QueryDef(
+    "q55_graph_bfs_levels",
+    (s, dir) => {
+      val li = lineitem(s, dir)
+        .join(ordersLatestYear(s, dir).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val half = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb")).distinct()
+      val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(half.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint(false)
+      val d0 = edges.agg(min(col("src")).as("n"))
+        .select(col("n"), lit(0).as("d"))
+      def relax(dist: DataFrame): DataFrame = {
+        val f = dist.select(col("n").as("fn"), col("d").as("fd"))
+        dist.select(col("n"), col("d"))
+          .union(edges.join(f, col("src") === col("fn"))
+            .select(col("dst").as("n"), (col("fd") + 1).as("d")))
+          .groupBy(col("n")).agg(min(col("d")).as("d"))
+      }
+      val d3 = relax(relax(relax(d0)))
+      d3.groupBy(col("d"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("d").cast(IntegerType).as("level"), col("n_nodes"))
+        .orderBy("level")
+    },
+    Some("""
+      WITH yr AS (
+        SELECT o_orderkey FROM orders
+        WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)),
+      half AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN yr ON a.l_orderkey = yr.o_orderkey),
+      e AS (
+        SELECT pa AS src, pb AS dst FROM half
+        UNION ALL SELECT pb, pa FROM half),
+      d0 AS (SELECT MIN(src) AS n, 0 AS d FROM e),
+      d1 AS (SELECT n, MIN(d) AS d FROM (
+        SELECT n, d FROM d0 UNION ALL
+        SELECT e.dst, d0.d + 1 FROM e JOIN d0 ON e.src = d0.n) GROUP BY n),
+      d2 AS (SELECT n, MIN(d) AS d FROM (
+        SELECT n, d FROM d1 UNION ALL
+        SELECT e.dst, d1.d + 1 FROM e JOIN d1 ON e.src = d1.n) GROUP BY n),
+      d3 AS (SELECT n, MIN(d) AS d FROM (
+        SELECT n, d FROM d2 UNION ALL
+        SELECT e.dst, d2.d + 1 FROM e JOIN d2 ON e.src = d2.n) GROUP BY n)
+      SELECT CAST(d AS INTEGER) AS level, COUNT(*) AS n_nodes
+      FROM d3 GROUP BY 1 ORDER BY level"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 }

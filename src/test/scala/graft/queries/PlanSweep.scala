@@ -150,6 +150,11 @@ class PlanSweepSpec extends SparkSpec {
     // DOULION estimate: same wedge/confirm joins as q39 over the
     // edge-SAMPLED oriented list — still |edges|/4-sized both sides.
     "q40_graph_triangles_approx" -> Set("SortMergeJoin"),
+    // BFS min-relax rounds: edges×frontier equi joins over the
+    // checkpoint-staged (stats-opaque) edge list — the pagerank/CC
+    // iterate class, |edges|-sized one side and reached-set-sized the
+    // other at scale, deliberately unhinted.
+    "q55_graph_bfs_levels" -> Set("SortMergeJoin"),
     // PCA power iterations: the per-round qpos×d re-aggregation join is
     // |rows·dim| × |rows| over the checkpoint-staged (stats-opaque)
     // quantized frame — the pagerank/kmeans iterate class, deliberately
