@@ -2687,10 +2687,66 @@ object Workload {
       SELECT CAST(d AS INTEGER) AS level, COUNT(*) AS n_nodes
       FROM d3 GROUP BY 1 ORDER BY level"""))
 
+  /** Q56 — the GROUPED form of q54's oracleable linear-counting sketch:
+    * per-segment approximate distinct ordering customers. The sketch
+    * state per group is its occupied-bucket SET ((segment, bucket)-keyed
+    * distinct — duplicate- and partition-invariant, so occupancy is a
+    * full cross-engine row), total state ≤ |groups|·m where exact
+    * per-group COUNT(DISTINCT) shuffles every distinct key — the
+    * per-partition cardinality-stats shape a 100 TB catalog collects.
+    * The exact count rides beside it so the hash also pins the error
+    * envelope the estimate would be derived from (the −m·ln(1−z/m)
+    * estimate itself stays un-oracled for the q54 reason: engines' ln
+    * rounding differs). One broadcast dim join; both aggs are
+    * shuffle-parallel partial aggs; the final occ⋈exact join is
+    * |segments|-sized.
+    */
+  val q56 = QueryDef(
+    "q56_segment_distinct_sketch",
+    (s, dir) => {
+      val m = 4096
+      val bucket = conv(substring(
+        md5(col("o_custkey").cast(StringType).cast(BinaryType)), 1, 5),
+        16, 10).cast(LongType) % m
+      val j = orders(s, dir)
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_custkey"), bucket.as("b"))
+      val occ = j.select(col("c_mktsegment"), col("b")).distinct()
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("z_occupied"))
+      val exact = j.groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      // both sides are ≤ |segments| rows, but the agg-over-join stats
+      // estimate is too big to auto-broadcast — hint the exact frame
+      // (structurally group-count-sized at any scale)
+      occ.join(broadcast(exact), Seq("c_mktsegment"))
+        .select(col("c_mktsegment"), lit(m).as("m"),
+          col("z_occupied"), col("n_exact"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      WITH j AS (
+        SELECT c_mktsegment, o_custkey,
+               CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 5))
+                 AS BIGINT) % 4096 AS b
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      occ AS (
+        SELECT c_mktsegment, COUNT(*) AS z_occupied
+        FROM (SELECT DISTINCT c_mktsegment, b FROM j) GROUP BY 1),
+      e AS (
+        SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_exact
+        FROM j GROUP BY 1)
+      SELECT occ.c_mktsegment, CAST(4096 AS INTEGER) AS m,
+             z_occupied, n_exact
+      FROM occ JOIN e ON occ.c_mktsegment = e.c_mktsegment
+      ORDER BY occ.c_mktsegment"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

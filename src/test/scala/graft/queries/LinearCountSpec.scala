@@ -50,6 +50,23 @@ class LinearCountSpec extends SparkSpec {
     assert(occupancy(base.reverse) == z)
   }
 
+  test("grouped occupancy (q56) equals each group's standalone sketch") {
+    // the bucket hash is independent of the group key, so the grouped
+    // (group, bucket)-distinct must equal running the global sketch on
+    // each group's values alone — the property that makes per-group
+    // sketches mergeable into coarser groupings without re-scanning
+    val rows = (1L to 2000L).map(v => (s"g${v % 3}", v))
+    val grouped = rows.toDF("g", "v")
+      .select(col("g"), bucketCol.as("b")).distinct()
+      .groupBy("g").count()
+      .as[(String, Long)].collect().toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val standalone = occupancy(rows.filter(_._1 == g).map(_._2))
+      assert(grouped(g) == standalone,
+        s"$g: grouped ${grouped(g)} != standalone $standalone")
+    }
+  }
+
   test("bucket sets merge losslessly across disjoint partitions") {
     val all = (1L to 3000L)
     val (p1, p2) = all.partition(_ % 3 == 0)
