@@ -2743,10 +2743,59 @@ object Workload {
       FROM occ JOIN e ON occ.c_mktsegment = e.c_mktsegment
       ORDER BY occ.c_mktsegment"""))
 
+  /** Q57 — the RELATIONAL pivot operator (RelationalGroupedDataset
+    * .pivot), beside q18's pivot-by-CASE expression form: latest-year
+    * revenue per nation spread across quarter columns. The scale
+    * discipline is the EXPLICIT value list: with values provided the
+    * pivot compiles to one pass of conditional aggregates (exactly
+    * q18's plan); omitting them makes Spark first run a driver-side
+    * distinct-values job over the pivot column — an extra full scan
+    * plus a collect that dies on high-cardinality pivot keys. Spark
+    * names pivot output columns by value, so both engines alias to
+    * q1_rev..q4_rev explicitly. Empty cells are NULL in both engines
+    * (SUM over no rows), not zero.
+    */
+  val q57 = QueryDef(
+    "q57_nation_quarter_pivot",
+    (s, dir) => {
+      val j = ordersLatestYear(s, dir)
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), quarter(col("o_orderdate")).as("qtr"),
+          col("o_totalprice"))
+      j.groupBy(col("n_name"))
+        .pivot("qtr", Seq(1, 2, 3, 4))
+        .agg(sum(money(col("o_totalprice"))).cast(DoubleType))
+        .select(col("n_name"), col("1").as("q1_rev"), col("2").as("q2_rev"),
+          col("3").as("q3_rev"), col("4").as("q4_rev"))
+        .orderBy("n_name")
+    },
+    Some("""
+      WITH o AS (
+        SELECT * FROM orders
+        WHERE year(o_orderdate) = (SELECT max(year(o_orderdate)) FROM orders)),
+      j AS (
+        SELECT n_name, quarter(o_orderdate) AS q,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM o
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey)
+      SELECT n_name,
+             CAST(SUM(CASE WHEN q = 1 THEN v END) AS DOUBLE) AS q1_rev,
+             CAST(SUM(CASE WHEN q = 2 THEN v END) AS DOUBLE) AS q2_rev,
+             CAST(SUM(CASE WHEN q = 3 THEN v END) AS DOUBLE) AS q3_rev,
+             CAST(SUM(CASE WHEN q = 4 THEN v END) AS DOUBLE) AS q4_rev
+      FROM j GROUP BY 1 ORDER BY n_name"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
-    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56)
+    q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
+    q57)
 }
