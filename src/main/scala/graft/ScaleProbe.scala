@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]
   *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]
   *    | bpetrain [batchK] | kmeans [k] | prefix [rows] | zorder [rows]
-  *    | pagerank [edges] [mult]]
+  *    | pagerank [edges] [mult] | bfs [edges] [mult]]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -239,6 +239,13 @@ object ScaleProbe {
     }
     if (mode == "pagerank") {
       pagerankProbe(spark,
+        if (args.length > 1) args(1).toLong else 2000000L,
+        if (args.length > 2) args(2).toInt else 10)
+      spark.stop()
+      return
+    }
+    if (mode == "bfs") {
+      bfsProbe(spark,
         if (args.length > 1) args(1).toLong else 2000000L,
         if (args.length > 2) args(2).toInt else 10)
       spark.stop()
@@ -1048,6 +1055,41 @@ object ScaleProbe {
     val tm = run(baseEdges * mult)
     println(f"PROBE pagerank: edges=$baseEdges 3-iter=$t1%.2fs | " +
       f"edges=${baseEdges * mult} 3-iter=$tm%.2fs -> x${tm / t1}%.2f " +
+      f"at x$mult edges (linear would be ~x$mult)")
+  }
+
+  /** BFS (q55's 3 unrolled min-relax rounds) on a synthetic edge list at
+    * ×1 and ×mult edges: per-round cost is the edges⋈frontier join, and
+    * the frontier saturates toward the reached component by round 2–3,
+    * so the scaling question is whether the round chain stays linear in
+    * |edges| (it is equi joins + node-keyed MIN all the way down).
+    */
+  private def bfsProbe(spark: SparkSession, baseEdges: Long,
+      mult: Int): Unit = {
+    def run(e: Long): Double = {
+      val n = math.max(e / 20, 1L)
+      val edges = spark.range(e).select(
+        pmod(hash(col("id")), lit(n)).cast("long").as("src"),
+        pmod(hash(col("id") + 777L), lit(n)).cast("long").as("dst"))
+        .localCheckpoint(false)
+      val t0 = System.nanoTime()
+      var dist = edges.agg(min(col("src")).as("n"))
+        .select(col("n"), org.apache.spark.sql.functions.lit(0).as("d"))
+      for (_ <- 1 to 3) {
+        val f = dist.select(col("n").as("fn"), col("d").as("fd"))
+        dist = dist.select(col("n"), col("d"))
+          .union(edges.join(f, col("src") === col("fn"))
+            .select(col("dst").as("n"), (col("fd") + 1).as("d")))
+          .groupBy(col("n")).agg(min(col("d")).as("d"))
+      }
+      dist.groupBy(col("d")).count().collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(baseEdges) // warm-up
+    val t1 = run(baseEdges)
+    val tm = run(baseEdges * mult)
+    println(f"PROBE bfs: edges=$baseEdges 3-round=$t1%.2fs | " +
+      f"edges=${baseEdges * mult} 3-round=$tm%.2fs -> x${tm / t1}%.2f " +
       f"at x$mult edges (linear would be ~x$mult)")
   }
 
