@@ -2791,11 +2791,77 @@ object Workload {
              CAST(SUM(CASE WHEN q = 4 THEN v END) AS DOUBLE) AS q4_rev
       FROM j GROUP BY 1 ORDER BY n_name"""))
 
+  /** Q58 — trailing 7-day rolling DISTINCT users per day, the classic
+    * scale-killer (COUNT(DISTINCT) doesn't decompose over sliding
+    * windows, so there is no window-function form): realized by the
+    * DAY-EXPAND trick — each distinct (event_day, key) contributes
+    * itself to target days d..d+6 (a map-side ×7 explode on the
+    * DEDUPED day-key stream, never the raw events), then one
+    * (day, key)-keyed distinct + per-day count. Both rungs computed:
+    * the EXACT foil expands the (day, user) stream — 7× the distinct-
+    * pairs volume, the cost that explodes when users-per-day is huge —
+    * and the linear-counting SKETCH rung (the q54/q56 family) expands
+    * (day, bucket), capping the expanded stream at days·m rows no
+    * matter the cardinality; its occupied-bucket union across the 7
+    * days IS the window's sketch state (bucket sets merge losslessly —
+    * LinearCountSpec). Both are exact integers, fully cross-engine.
+    * Target days are semi-joined to days PRESENT in the data.
+    */
+  val q58 = QueryDef(
+    "q58_rolling_distinct_users",
+    (s, dir) => {
+      val m = 4096
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).as("eday"), col("user_id"))
+      val present = ev.select(col("eday").as("day")).distinct()
+      def rolled(key: Column, name: String): DataFrame =
+        ev.select(col("eday"), key.as("k")).distinct()
+          .select(explode(sequence(col("eday"), date_add(col("eday"), 6)))
+            .as("day"), col("k"))
+          .join(present, Seq("day"), "left_semi")
+          .distinct()
+          .groupBy(col("day")).agg(count(lit(1)).as(name))
+      val bucket = conv(substring(
+        md5(col("user_id").cast(StringType).cast(BinaryType)), 1, 5),
+        16, 10).cast(LongType) % m
+      val z = rolled(bucket, "z_occupied")
+      val exact = rolled(col("user_id"), "n_exact")
+      z.join(broadcast(exact), Seq("day"))
+        .select(col("day"), lit(m).as("m"), col("z_occupied"),
+          col("n_exact"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH present AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      offs AS (SELECT UNNEST(generate_series(0, 6)) AS x),
+      du AS (SELECT DISTINCT CAST(ts AS DATE) AS eday, user_id FROM events),
+      exu AS (
+        SELECT DISTINCT du.eday + CAST(offs.x AS INTEGER) AS day, du.user_id
+        FROM du, offs),
+      e AS (
+        SELECT exu.day, COUNT(*) AS n_exact
+        FROM exu JOIN present p ON exu.day = p.day GROUP BY 1),
+      db AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS eday,
+               CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 5))
+                 AS BIGINT) % 4096 AS b
+        FROM events),
+      exb AS (
+        SELECT DISTINCT db.eday + CAST(offs.x AS INTEGER) AS day, db.b
+        FROM db, offs),
+      z AS (
+        SELECT exb.day, COUNT(*) AS z_occupied
+        FROM exb JOIN present p ON exb.day = p.day GROUP BY 1)
+      SELECT z.day, CAST(4096 AS INTEGER) AS m, z_occupied, n_exact
+      FROM z JOIN e ON z.day = e.day
+      ORDER BY z.day"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57)
+    q57, q58)
 }
