@@ -2811,12 +2811,18 @@ object Workload {
     "q58_rolling_distinct_users",
     (s, dir) => {
       val m = 4096
-      val ev = events(s, dir)
+      // ONE events scan: the deduped (day, user) frame `du` is staged and
+      // every other input derives from it — present days by projection,
+      // the bucket stream by mapping the hash over du (the bucket is a
+      // pure function of the user key, so distinct-then-hash ≡
+      // hash-then-distinct). The first cut scanned events 4× (du, db,
+      // present ×2) — at 100 TB that is 3 extra fact scans for nothing.
+      val du = events(s, dir)
         .select(to_date(col("ts")).as("eday"), col("user_id"))
-      val present = ev.select(col("eday").as("day")).distinct()
-      def rolled(key: Column, name: String): DataFrame =
-        ev.select(col("eday"), key.as("k")).distinct()
-          .select(explode(sequence(col("eday"), date_add(col("eday"), 6)))
+        .distinct().localCheckpoint(false)
+      val present = du.select(col("eday").as("day")).distinct()
+      def rolled(src: DataFrame, name: String): DataFrame =
+        src.select(explode(sequence(col("eday"), date_add(col("eday"), 6)))
             .as("day"), col("k"))
           .join(present, Seq("day"), "left_semi")
           .distinct()
@@ -2824,8 +2830,10 @@ object Workload {
       val bucket = conv(substring(
         md5(col("user_id").cast(StringType).cast(BinaryType)), 1, 5),
         16, 10).cast(LongType) % m
-      val z = rolled(bucket, "z_occupied")
-      val exact = rolled(col("user_id"), "n_exact")
+      val db = du.select(col("eday"), bucket.as("k")).distinct()
+      val z = rolled(db, "z_occupied")
+      val exact = rolled(du.select(col("eday"),
+        col("user_id").as("k")), "n_exact")
       z.join(broadcast(exact), Seq("day"))
         .select(col("day"), lit(m).as("m"), col("z_occupied"),
           col("n_exact"))
