@@ -2811,32 +2811,16 @@ object Workload {
     "q58_rolling_distinct_users",
     (s, dir) => {
       val m = 4096
-      // ONE events scan: the deduped (day, user) frame `du` is staged and
-      // every other input derives from it — present days by projection,
-      // the bucket stream by mapping the hash over du (the bucket is a
-      // pure function of the user key, so distinct-then-hash ≡
-      // hash-then-distinct). The first cut scanned events 4× (du, db,
-      // present ×2) — at 100 TB that is 3 extra fact scans for nothing.
-      val du = events(s, dir)
-        .select(to_date(col("ts")).as("eday"), col("user_id"))
-        .distinct().localCheckpoint(false)
-      val present = du.select(col("eday").as("day")).distinct()
-      def rolled(src: DataFrame, name: String): DataFrame =
-        src.select(explode(sequence(col("eday"), date_add(col("eday"), 6)))
-            .as("day"), col("k"))
-          .join(present, Seq("day"), "left_semi")
-          .distinct()
-          .groupBy(col("day")).agg(count(lit(1)).as(name))
-      val bucket = conv(substring(
-        md5(col("user_id").cast(StringType).cast(BinaryType)), 1, 5),
-        16, 10).cast(LongType) % m
-      val db = du.select(col("eday"), bucket.as("k")).distinct()
-      val z = rolled(db, "z_occupied")
-      val exact = rolled(du.select(col("eday"),
-        col("user_id").as("k")), "n_exact")
-      z.join(broadcast(exact), Seq("day"))
+      // ONE events scan: withSketch stages the deduped (day, user) frame
+      // once and derives present days and the bucket stream from it (the
+      // bucket is a pure function of the key, so distinct-then-hash ≡
+      // hash-then-distinct). The first cut scanned events 4×.
+      graft.operators.RollingDistinct.withSketch(
+          events(s, dir).select(to_date(col("ts")).as("eday"),
+            col("user_id")),
+          "eday", "user_id", windowDays = 7, m = m)
         .select(col("day"), lit(m).as("m"), col("z_occupied"),
-          col("n_exact"))
+          col("n_distinct").as("n_exact"))
         .orderBy("day")
     },
     Some("""
