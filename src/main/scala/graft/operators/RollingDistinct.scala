@@ -35,9 +35,15 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
   */
 object RollingDistinct {
 
-  private def fold(key: org.apache.spark.sql.Column, m: Int) =
+  /** The engine-portable m-bucket fold (the q54/q56 md5-ascii family) —
+    * public so the streaming maintainer hashes batches with the
+    * IDENTICAL fold the batch forms use.
+    */
+  def bucket(key: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column =
     conv(substring(md5(key.cast(StringType).cast(BinaryType)), 1, 5),
       16, 10).cast(LongType) % m
+
+  private def fold(key: org.apache.spark.sql.Column, m: Int) = bucket(key, m)
 
   /** Expand each (day, key) to its windowDays target days, keep days
     * present in the data, dedup, count per day.
@@ -79,6 +85,19 @@ object RollingDistinct {
     val du = dedup(df, dayCol, fold(col(keyCol), m))
     rolled(du, du.select(col("__day").as("day")).distinct(), windowDays,
       "z_occupied")
+  }
+
+  /** Roll an ALREADY-DEDUPED (day, key-or-bucket) pair frame — the
+    * streaming maintainer's entry (its held state IS the deduped pair
+    * set). (day, count-of-distinct-pairs-in-window) for each day
+    * present.
+    */
+  def rolledFromDeduped(pairs: DataFrame, dayCol: String, keyCol: String,
+      windowDays: Int, outName: String): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val du = pairs.select(col(dayCol).as("__day"), col(keyCol).as("__k"))
+    rolled(du, du.select(col("__day").as("day")).distinct(), windowDays,
+      outName)
   }
 
   /** Both rungs from ONE staged dedup of the input (one source scan):
