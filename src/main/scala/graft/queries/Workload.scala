@@ -2849,11 +2849,61 @@ object Workload {
       FROM z JOIN e ON z.day = e.day
       ORDER BY z.day"""))
 
+  /** Q59 — FIRST_VALUE / LAST_VALUE with explicit frames (the W-family
+    * rung LAG/LEAD/RANK/RANGE left uncovered): each customer's first
+    * versus latest order value and their exact-cents delta, top-25 by
+    * delta. The semantic trap this query pins: the DEFAULT window frame
+    * is RANGE UNBOUNDED PRECEDING..CURRENT ROW, under which LAST_VALUE
+    * returns the CURRENT row — both engines need the explicit ROWS
+    * BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING frame for
+    * "latest". Window ORDER BY carries (date, orderkey) so ties are
+    * deterministic; one customer-partitioned window + per-customer
+    * collapse, nothing global until the bounded top-25.
+    */
+  val q59 = QueryDef(
+    "q59_first_last_order_value",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      orders(s, dir)
+        .select(col("o_custkey"),
+          first_value(money(col("o_totalprice"))).over(full).as("first_v"),
+          last_value(money(col("o_totalprice"))).over(full).as("last_v"),
+          count(lit(1)).over(full).as("n_orders"))
+        .distinct()
+        .select(col("o_custkey"),
+          col("first_v").cast(DoubleType).as("first_value"),
+          col("last_v").cast(DoubleType).as("last_value"),
+          (col("last_v") - col("first_v")).cast(DoubleType).as("delta"),
+          col("n_orders"))
+        .orderBy(col("delta").desc, col("o_custkey")).limit(25)
+    },
+    Some("""
+      WITH f AS (
+        SELECT o_custkey,
+               FIRST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                 AS first_v,
+               LAST_VALUE(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                 AS last_v,
+               COUNT(*) OVER w AS n_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)),
+      d AS (SELECT DISTINCT o_custkey, first_v, last_v, n_orders FROM f)
+      SELECT o_custkey, CAST(first_v AS DOUBLE) AS first_value,
+             CAST(last_v AS DOUBLE) AS last_value,
+             CAST(last_v - first_v AS DOUBLE) AS delta, n_orders
+      FROM d ORDER BY delta DESC, o_custkey LIMIT 25"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58)
+    q57, q58, q59)
 }
