@@ -2899,11 +2899,96 @@ object Workload {
              CAST(last_v - first_v AS DOUBLE) AS delta, n_orders
       FROM d ORDER BY delta DESC, o_custkey LIMIT 25"""))
 
+  /** Q60 — time-SERIES similarity search (the EDBT'19 streaming-series
+    * class of the retrieved corpus): which nations' monthly-revenue
+    * series move together — top-10 nation PAIRS by Pearson correlation
+    * of their aligned series. Distinct from q51 (which correlates two
+    * columns WITHIN a group): here the join is BETWEEN series —
+    * alignment is a month-keyed equi self-join of the |entities|×|months|
+    * series frame (staged once), pair moments are exact-DECIMAL sums
+    * (the q51 overflow discipline: values in whole dollars so every
+    * int64 product stays under 2⁶³), and r is the fixed DOUBLE tree of
+    * bit-identical integers. Degenerate pairs (n < 3 or zero variance)
+    * are filtered on EXACT integer variance terms — a NaN from a 0/0
+    * division would hit engine-specific NaN sort placement. Scale: the
+    * per-month pair fanout is |series active that month|² — fine for
+    * dimension-sized entity counts; at large entity counts the
+    * candidate step is where a PAA/LSH prune slots in (the ANN-ladder
+    * discipline), with the moment math unchanged.
+    */
+  val q60 = QueryDef(
+    "q60_nation_series_similarity",
+    (s, dir) => {
+      val E = DecimalType(38, 0)
+      val series = orders(s, dir)
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .as("ym"))
+        .agg(floor(sum(money(col("o_totalprice")))).cast(LongType).as("v"))
+        .localCheckpoint(false)
+      val a = series.select(col("n_name").as("na"), col("ym"),
+        col("v").as("va"))
+      val b = series.select(col("n_name").as("nb"), col("ym"),
+        col("v").as("vb"))
+      val m = a.join(b, Seq("ym")).filter(col("na") < col("nb"))
+        .groupBy(col("na"), col("nb")).agg(
+          count(lit(1)).as("n"),
+          sum(col("va").cast(E)).cast(E).as("sx"),
+          sum(col("vb").cast(E)).cast(E).as("sy"),
+          sum((col("va") * col("va")).cast(E)).cast(E).as("sxx"),
+          sum((col("vb") * col("vb")).cast(E)).cast(E).as("syy"),
+          sum((col("va") * col("vb")).cast(E)).cast(E).as("sxy"))
+      val nD = col("n").cast(E)
+      val vx = nD * col("sxx") - col("sx") * col("sx")
+      val vy = nD * col("syy") - col("sy") * col("sy")
+      m.filter(col("n") >= 3 && vx > 0 && vy > 0)
+        .select(col("na"), col("nb"), col("n"),
+          ((nD * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+            (sqrt(vx.cast(DoubleType)) * sqrt(vy.cast(DoubleType))))
+            .as("r"))
+        .orderBy(col("r").desc, col("na"), col("nb")).limit(10)
+    },
+    Some("""
+      WITH series AS (
+        SELECT n_name,
+               CAST(year(o_orderdate) AS INTEGER) * 100
+                 + CAST(month(o_orderdate) AS INTEGER) AS ym,
+               CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))))
+                 AS BIGINT) AS v
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      m AS (
+        SELECT a.n_name AS na, b.n_name AS nb, COUNT(*) AS n,
+               CAST(COUNT(*) AS DECIMAL(9,0)) AS nd,
+               CAST(SUM(a.v) AS DECIMAL(19,0)) AS sx,
+               CAST(SUM(b.v) AS DECIMAL(19,0)) AS sy,
+               CAST(SUM(a.v * a.v) AS DECIMAL(28,0)) AS sxx,
+               CAST(SUM(b.v * b.v) AS DECIMAL(28,0)) AS syy,
+               CAST(SUM(a.v * b.v) AS DECIMAL(28,0)) AS sxy
+        FROM series a JOIN series b
+          ON a.ym = b.ym AND a.n_name < b.n_name
+        GROUP BY 1, 2)
+      SELECT na, nb, n,
+             CAST(nd * sxy - sx * sy AS DOUBLE) /
+               (SQRT(CAST(nd * sxx - sx * sx AS DOUBLE))
+                * SQRT(CAST(nd * syy - sy * sy AS DOUBLE))) AS r
+      FROM m
+      WHERE n >= 3 AND nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
+      ORDER BY r DESC, na, nb LIMIT 10"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59)
+    q57, q58, q59, q60)
 }

@@ -150,6 +150,11 @@ class PlanSweepSpec extends SparkSpec {
     // DOULION estimate: same wedge/confirm joins as q39 over the
     // edge-SAMPLED oriented list — still |edges|/4-sized both sides.
     "q40_graph_triangles_approx" -> Set("SortMergeJoin"),
+    // Series-pair alignment: the month-keyed self-join of the
+    // checkpoint-staged (stats-opaque) |entities|×|months| series frame
+    // — both sides series-sized at scale (the candidate step a PAA/LSH
+    // prune would bound at large entity counts), deliberately unhinted.
+    "q60_nation_series_similarity" -> Set("SortMergeJoin"),
     // BFS min-relax rounds: edges×frontier equi joins over the
     // checkpoint-staged (stats-opaque) edge list — the pagerank/CC
     // iterate class, |edges|-sized one side and reached-set-sized the
