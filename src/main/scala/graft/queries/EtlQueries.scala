@@ -119,7 +119,8 @@ object EtlQueries {
   /** Gap-based sessionization over the events stream table — the batch
     * twin of StreamOps.sessionize (10-minute gap), fully oracle-checked:
     * LAG-gap boundary detection, running session ids, per-session
-    * aggregates with exact decimal sums.
+    * aggregates with exact decimal sums. The DEDICATED operator form
+    * ([[sessionsWindow]]) shares this oracle verbatim.
     */
   val sessionsBatch = QueryDef(
     "stream_sessions_batch",
@@ -162,6 +163,36 @@ object EtlQueries {
              CAST(SUM(v) AS DOUBLE) AS total_value
       FROM z GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
+
+  /** The DEDICATED sessionization operator (`session_window`, Spark's
+    * native gap-session aggregate — also the streaming-state form) as a
+    * twin of [[sessionsBatch]]'s LAG construction, proven equivalent by
+    * sharing its oracle VERBATIM (the q38/q38b twin discipline). Plan
+    * difference at scale: session_window is ONE partial-aggregable
+    * session-merge aggregation (and the only form that runs under
+    * Structured Streaming state); the LAG form is a window sort + two
+    * aggs. Boundary semantics ALIGN even at exactly the gap: the LAG
+    * form merges a diff == gap event (`> 600000` test) and
+    * session_window's merge test is empirically INCLUSIVE at the
+    * previous window end despite the docs' half-open "[start,
+    * start+gap)" notation — `SessionWindowBoundarySpec` pins the
+    * agreement on crafted exact-gap rows, so the twins are equivalent
+    * at EVERY gap value, not just on gap-free data.
+    */
+  val sessionsWindow = QueryDef(
+    "stream_sessions_window",
+    (s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(Money)).cast(DoubleType).as("total_value"))
+        .drop("session_window")
+        .orderBy("user_id", "session_start")
+    },
+    sessionsBatch.oracle)
 
   /** Tumbling-window event stats over the events table — the batch twin
     * of StreamOps.windowedEventStats (the SAME groupBy(window(...)) plan;
@@ -1573,6 +1604,7 @@ object EtlQueries {
       FROM acur JOIN bcur USING (user_id) ORDER BY user_id"""))
 
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
+    sessionsWindow,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
     attribBatch, gapFill, zorderLayout, profileTable,
