@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]
   *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]
   *    | bpetrain [batchK] | kmeans [k] | prefix [rows] | zorder [rows]
-  *    | pagerank [edges] [mult] | bfs [edges] [mult]]
+  *    | pagerank [edges] [mult] | bfs [edges] [mult]
+  *    | rollingdistinct [users] [mult]]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -247,6 +248,13 @@ object ScaleProbe {
     if (mode == "bfs") {
       bfsProbe(spark,
         if (args.length > 1) args(1).toLong else 2000000L,
+        if (args.length > 2) args(2).toInt else 10)
+      spark.stop()
+      return
+    }
+    if (mode == "rollingdistinct") {
+      rollingDistinctProbe(spark,
+        if (args.length > 1) args(1).toLong else 500000L,
         if (args.length > 2) args(2).toInt else 10)
       spark.stop()
       return
@@ -1091,6 +1099,42 @@ object ScaleProbe {
     println(f"PROBE bfs: edges=$baseEdges 3-round=$t1%.2fs | " +
       f"edges=${baseEdges * mult} 3-round=$tm%.2fs -> x${tm / t1}%.2f " +
       f"at x$mult edges (linear would be ~x$mult)")
+  }
+
+  /** Rolling distinct (q58's operator) at ×1 and ×mult planted USER
+    * cardinality over 30 days: the exact rung's expanded stream is
+    * 7 × the (day, user) distinct pairs — it must grow ~linearly with
+    * cardinality — while the sketch rung's is capped at days·m rows no
+    * matter the cardinality, so its time should go FLAT. This is the
+    * measured version of the operator's central claim.
+    */
+  private def rollingDistinctProbe(spark: SparkSession, baseUsers: Long,
+      mult: Int): Unit = {
+    import graft.operators.RollingDistinct
+    def mk(users: Long) =
+      spark.range(users * 3).select(
+        expr("DATE '2024-01-01' + CAST(pmod(hash(id), 30) AS INT)")
+          .as("day"),
+        pmod(hash(col("id") + 31L), lit(users)).cast("long").as("k"))
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(users: Long): (Double, Double) = {
+      val df = mk(users).localCheckpoint(false)
+      val te = time(RollingDistinct.exact(df, "day", "k", 7)
+        .write.format("noop").mode("overwrite").save())
+      val ts = time(RollingDistinct
+        .sketchOccupancy(df, "day", "k", 7, 4096)
+        .write.format("noop").mode("overwrite").save())
+      (te, ts)
+    }
+    run(baseUsers) // warm-up
+    val (e1, s1) = run(baseUsers)
+    val (em, sm) = run(baseUsers * mult)
+    println(f"PROBE rollingdistinct: users=$baseUsers exact=$e1%.2fs " +
+      f"sketch=$s1%.2fs | users=${baseUsers * mult} exact=$em%.2fs " +
+      f"sketch=$sm%.2fs -> exact x${em / e1}%.2f sketch x${sm / s1}%.2f " +
+      f"at x$mult cardinality (sketch state capped at 30*4096)")
   }
 
   private def topkProbe(spark: SparkSession, rows: Long, groups: Int): Unit = {
