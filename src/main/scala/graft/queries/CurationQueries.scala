@@ -373,6 +373,61 @@ object CurationQueries {
                AS avg_tokens_per_doc
       FROM d GROUP BY source ORDER BY source"""))
 
+  /** k-anonymity audit (Sweeney 2002) — the data-governance pass a
+    * training/release pipeline runs over quasi-identifier columns: every
+    * (source, lang, size-band) QI group with fewer than k = 5 members
+    * is a re-identification risk (its docs need suppression or
+    * generalization before release). Output: the 20 smallest QI groups
+    * (full tie-breakers) with their violation flag, each row carrying
+    * the corpus-wide totals (violating groups / docs at risk) via a
+    * broadcast 1-row cross join — the q16 global-count discipline, so
+    * the hash is sensitive to a miscount anywhere. Plan: ONE groupBy on
+    * the QI tuple + a grouping-free rollup; shuffle-parallel at any
+    * scale (the QI-group count is the state, never the corpus).
+    */
+  val kAnonymity = QueryDef(
+    "llm_k_anonymity",
+    (s, dir) => {
+      val k = 5
+      val groups = documents(s, dir)
+        .groupBy(col("source"), col("lang"),
+          (col("n_chars") - pmod(col("n_chars"), lit(100L))).as("size_band"))
+        .agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(false)
+      val totals = groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_docs") < k, 1L).otherwise(0L)).as("violating_groups"),
+        sum(when(col("n_docs") < k, col("n_docs")).otherwise(0L))
+          .as("docs_at_risk"))
+      groups.crossJoin(broadcast(totals))
+        .select(col("source"), col("lang"), col("size_band"),
+          col("n_docs"), (col("n_docs") < k).as("violates_k"),
+          col("n_groups"), col("violating_groups"), col("docs_at_risk"))
+        .orderBy(col("n_docs"), col("source"), col("lang"),
+          col("size_band"))
+        .limit(20)
+    },
+    Some("""
+      WITH g AS (
+        SELECT source, lang,
+               n_chars - (n_chars % 100) AS size_band,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1, 2, 3),
+      t AS (
+        SELECT COUNT(*) AS n_groups,
+               SUM(CASE WHEN n_docs < 5 THEN 1 ELSE 0 END)
+                 AS violating_groups,
+               SUM(CASE WHEN n_docs < 5 THEN n_docs ELSE 0 END)
+                 AS docs_at_risk
+        FROM g)
+      SELECT source, lang, size_band, n_docs,
+             n_docs < 5 AS violates_k,
+             n_groups, CAST(violating_groups AS BIGINT) AS violating_groups,
+             CAST(docs_at_risk AS BIGINT) AS docs_at_risk
+      FROM g, t
+      ORDER BY n_docs, source, lang, size_band
+      LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(spanDedup, spanDedupHashed, gopherRules,
-    splitAssign, bigramLm, sourceCard)
+    splitAssign, bigramLm, sourceCard, kAnonymity)
 }
