@@ -2984,11 +2984,74 @@ object Workload {
       WHERE n >= 3 AND nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0
       ORDER BY r DESC, na, nb LIMIT 10"""))
 
+  /** Q61 — year-over-year growth with CALENDAR alignment (the retail
+    * dashboard op beside q09's month-over-month LAG): each nation-month's
+    * revenue against the SAME month one year earlier. The correctness
+    * lesson is the alignment mechanism: `LAG(12)` over the month sequence
+    * silently mis-aligns whenever any month is missing from a series
+    * (it reads "12 observations back", not "12 months back") — the sound
+    * form is a self-join on (nation, year − 1, month), which is also the
+    * scale-right plan: the joined frame is the |nations|×|months|
+    * AGGREGATE, so the join is model-sized at any fact scale, keyed and
+    * shuffle-parallel, with no window sort at all. Growth% is one DOUBLE
+    * division of exact cents (NULL where no prior-year month — left
+    * join, no fabricated zeros).
+    */
+  val q61 = QueryDef(
+    "q61_yoy_calendar_growth",
+    (s, dir) => {
+      val monthly = orders(s, dir)
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mon"))
+        .agg(decSumExact(col("o_totalprice")).as("rev"))
+        .localCheckpoint(false)
+      val prev = monthly.select(col("n_name"), (col("yr") + 1).as("yr"),
+        col("mon"), col("rev").as("prev_rev"))
+      // the prev side is the |nations|×|months| aggregate — broadcast is
+      // structurally right at dimension cardinality (the checkpoint's
+      // opaque stats would otherwise force an SMJ); at SKU-level YoY
+      // (millions of entities) drop the hint and let the keyed join
+      // shuffle both model-sized sides
+      monthly.join(broadcast(prev), Seq("n_name", "yr", "mon"), "left")
+        .select(col("n_name"), col("yr").cast(IntegerType).as("yr"),
+          col("mon").cast(IntegerType).as("mon"),
+          col("rev").cast(DoubleType).as("rev"),
+          col("prev_rev").cast(DoubleType).as("prev_rev"),
+          ((col("rev") - col("prev_rev")).cast(DoubleType) * 100.0 /
+            col("prev_rev").cast(DoubleType)).as("yoy_pct"))
+        .orderBy("n_name", "yr", "mon")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mon,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3)
+      SELECT m.n_name, m.yr, m.mon,
+             CAST(m.rev AS DOUBLE) AS rev,
+             CAST(p.rev AS DOUBLE) AS prev_rev,
+             CAST(m.rev - p.rev AS DOUBLE) * 100.0
+               / CAST(p.rev AS DOUBLE) AS yoy_pct
+      FROM monthly m
+      LEFT JOIN monthly p
+        ON m.n_name = p.n_name AND m.yr = p.yr + 1 AND m.mon = p.mon
+      ORDER BY m.n_name, m.yr, m.mon"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59, q60)
+    q57, q58, q59, q60, q61)
 }
