@@ -3047,11 +3047,105 @@ object Workload {
         ON m.n_name = p.n_name AND m.yr = p.yr + 1 AND m.mon = p.mon
       ORDER BY m.n_name, m.yr, m.mon"""))
 
+  /** Q62 — conversion rate with a 95% WILSON SCORE interval per customer
+    * segment (the A/B-test / experiment-readout rung beside the point
+    * estimates the rest of the suite reports): of users with a `view`
+    * event, what fraction also `purchase`, with the interval that says
+    * whether two segments actually differ. Wilson (not normal/Wald)
+    * because it is well-behaved at small n and p near 0/1 — the regime
+    * experiment cells live in. Cross-engine discipline: trials and
+    * successes are exact BIGINTs from one per-user flag aggregation
+    * (user-keyed, partial-agg friendly; the per-user frame is
+    * |users|-sized, never |events|), and the bound is ONE fixed DOUBLE
+    * tree over those integers with the literal z = 1.96 spelled
+    * identically in both engines — products/quotients of bit-identical
+    * doubles and a correctly-rounded sqrt are IEEE-identical, so the
+    * interval hash-matches where any engine-ordered float fold would
+    * not (the q51 lesson). Zero-trial segments are filtered (0/0 is
+    * NaN and engines disagree on NaN placement in ORDER BY).
+    */
+  val q62 = QueryDef(
+    "q62_segment_conversion_ci",
+    (s, dir) => {
+      val perUser = events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0))
+            .as("has_view"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("has_buy"))
+      perUser
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(
+          sum(col("has_view")).cast(LongType).as("n_view"),
+          sum(when(col("has_view") === 1 && col("has_buy") === 1, 1)
+            .otherwise(0)).cast(LongType).as("n_conv"))
+        .where(col("n_view") > 0)
+        .selectExpr(
+          "segment", "n_view", "n_conv",
+          "CAST(n_conv AS DOUBLE) / CAST(n_view AS DOUBLE) AS rate",
+          """(CAST(n_conv AS DOUBLE) / CAST(n_view AS DOUBLE)
+             + (1.96*1.96) / (2.0*CAST(n_view AS DOUBLE))
+             - 1.96 * sqrt(CAST(n_conv AS DOUBLE)/CAST(n_view AS DOUBLE)
+                 * (1.0 - CAST(n_conv AS DOUBLE)/CAST(n_view AS DOUBLE))
+                 / CAST(n_view AS DOUBLE)
+               + (1.96*1.96)
+                 / (4.0*CAST(n_view AS DOUBLE)*CAST(n_view AS DOUBLE))))
+             / (1.0 + (1.96*1.96)/CAST(n_view AS DOUBLE)) AS wilson_lo""",
+          """(CAST(n_conv AS DOUBLE) / CAST(n_view AS DOUBLE)
+             + (1.96*1.96) / (2.0*CAST(n_view AS DOUBLE))
+             + 1.96 * sqrt(CAST(n_conv AS DOUBLE)/CAST(n_view AS DOUBLE)
+                 * (1.0 - CAST(n_conv AS DOUBLE)/CAST(n_view AS DOUBLE))
+                 / CAST(n_view AS DOUBLE)
+               + (1.96*1.96)
+                 / (4.0*CAST(n_view AS DOUBLE)*CAST(n_view AS DOUBLE))))
+             / (1.0 + (1.96*1.96)/CAST(n_view AS DOUBLE)) AS wilson_hi""")
+        .orderBy("segment")
+    },
+    Some("""
+      WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS has_view,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS has_buy
+        FROM events GROUP BY user_id),
+      seg AS (
+        SELECT c_mktsegment AS segment,
+               CAST(SUM(has_view) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN has_view = 1 AND has_buy = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+        FROM per_user JOIN customer ON user_id = c_custkey
+        GROUP BY 1)
+      SELECT segment, n_view, n_conv,
+        CAST(n_conv AS DOUBLE) / CAST(n_view AS DOUBLE) AS rate,
+        (CAST(n_conv AS DOUBLE) / CAST(n_view AS DOUBLE)
+           + (1.96*1.96) / (2.0*CAST(n_view AS DOUBLE))
+           - 1.96 * sqrt(CAST(n_conv AS DOUBLE)/CAST(n_view AS DOUBLE)
+               * (1.0 - CAST(n_conv AS DOUBLE)/CAST(n_view AS DOUBLE))
+               / CAST(n_view AS DOUBLE)
+             + (1.96*1.96)
+               / (4.0*CAST(n_view AS DOUBLE)*CAST(n_view AS DOUBLE))))
+           / (1.0 + (1.96*1.96)/CAST(n_view AS DOUBLE)) AS wilson_lo,
+        (CAST(n_conv AS DOUBLE) / CAST(n_view AS DOUBLE)
+           + (1.96*1.96) / (2.0*CAST(n_view AS DOUBLE))
+           + 1.96 * sqrt(CAST(n_conv AS DOUBLE)/CAST(n_view AS DOUBLE)
+               * (1.0 - CAST(n_conv AS DOUBLE)/CAST(n_view AS DOUBLE))
+               / CAST(n_view AS DOUBLE)
+             + (1.96*1.96)
+               / (4.0*CAST(n_view AS DOUBLE)*CAST(n_view AS DOUBLE))))
+           / (1.0 + (1.96*1.96)/CAST(n_view AS DOUBLE)) AS wilson_hi
+      FROM seg WHERE n_view > 0 ORDER BY segment"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59, q60, q61)
+    q57, q58, q59, q60, q61, q62)
 }
