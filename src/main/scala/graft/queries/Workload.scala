@@ -3141,11 +3141,55 @@ object Workload {
            / (1.0 + (1.96*1.96)/CAST(n_view AS DOUBLE)) AS wilson_hi
       FROM seg WHERE n_view > 0 ORDER BY segment"""))
 
+  /** Q63 — cumulative distinct users by day (the growth-curve /
+    * "total uniques to date" dashboard line). The scale lesson is the
+    * EXPANDING-window COUNT(DISTINCT) decomposition: unlike the trailing
+    * window (q58, which must expand day×key because a sliding window
+    * FORGETS), the cumulative count is monotone — a user counts on
+    * exactly one day, their FIRST — so distinct-to-date(d) ≡ Σ_{d'≤d}
+    * |{users first seen on d'}|. The plan is one user-keyed MIN agg
+    * (|users|-sized, partial-agg friendly), one day-keyed count
+    * (|days|-sized), and a prefix sum over the day frame via
+    * [[graft.operators.OrderedPrefix]] with a month bucket — so the
+    * only single-partition exchange in the plan is the month-histogram
+    * frame (PlanSweep's `__b`/`__c`/`__s` bounded class), never data.
+    * A naive `COUNT(DISTINCT) OVER (ORDER BY day)` either re-scans per
+    * day (quadratic) or holds the full user set in one window state.
+    */
+  val q63 = QueryDef(
+    "q63_cumulative_distinct_users",
+    (s, dir) => {
+      val firstSeen = events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id").agg(min(col("day")).as("d0"))
+      val daily = firstSeen
+        .groupBy(col("d0").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      graft.operators.OrderedPrefix
+        .rankAndPrefix(daily, trunc(col("day"), "month"), Seq(col("day")),
+          Some(col("new_users")))
+        .select(col("day"), col("new_users").cast(LongType).as("new_users"),
+          col("__prefix").cast(LongType).as("cum_users"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      daily AS (
+        SELECT d0 AS day, COUNT(*) AS new_users FROM first_seen GROUP BY 1)
+      SELECT day, CAST(new_users AS BIGINT) AS new_users,
+             CAST(SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_users
+      FROM daily ORDER BY day"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59, q60, q61, q62)
+    q57, q58, q59, q60, q61, q62, q63)
 }
