@@ -108,6 +108,24 @@ object HistogramQuantile {
         coalesce(sum(col("__c")).over(
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
 
+    estimateFrom(cum, stats, groupCols, buckets, pcts)
+  }
+
+  /** The rank-target resolution + estimate tree, shared between the
+    * batch forms above and the streaming maintainer
+    * ([[graft.streaming.StreamingHistogram]]), which builds `cum` from
+    * its HELD bucket-count state instead of a scan. `cum` must carry
+    * `groupCols ++ (__b, __c, __cb)`; `stats` must carry
+    * `groupCols ++ (__mn, __mx, __n)` with the SAME (mn, mx, buckets)
+    * the histogram was bucketed under — the layout contract that makes
+    * histograms mergeable.
+    */
+  private[graft] def estimateFrom(cum: DataFrame, stats: DataFrame,
+      groupCols: Seq[String], buckets: Int, pcts: Seq[Int]): DataFrame = {
+    val spark = cum.sparkSession
+    import spark.implicits._
+    val gCols = groupCols.map(col)
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
     // per-(group, pct) rank targets: t = ceil(pct·n/100), nearest-rank.
     // Group columns renamed so the crossing join below can mix its equi
     // keys with the range condition unambiguously.
