@@ -874,6 +874,105 @@ object EtlQueries {
     },
     SessionOverlapOracle)
 
+  /** Multi-touch attribution — the marketing readout one step past the
+    * raw pair stream (stream_attrib_batch) and the single-touch funnel:
+    * each purchase splits ONE unit of credit across ALL clicks by the
+    * same user in the preceding 24 hours (the standard one-day click
+    * window), credit summed per campaign (the
+    * JSON props key of the click, the etl_json_props parse, mod 10).
+    * The cross-engine trick is the credit arithmetic: equal-split 1/k
+    * is not exactly representable and a DOUBLE 1/k fold sums
+    * engine-ordered — so credit is integer PARTS-PER-MILLION with the
+    * remainder assigned deterministically to the EARLIEST clicks:
+    * ppm = 10⁶ div k + (1 if rank ≤ 10⁶ mod k else 0), which sums to
+    * exactly 10⁶ per attributed purchase and keeps the whole readout
+    * exact BIGINTs. Plan: user-keyed equi join with the time-range
+    * residual (the attributeJoin shape — per-user bounded, the
+    * IntervalJoin hot-bucket guard is the skew escape), ONE
+    * purchase-partitioned window carrying both frames (rank + full
+    * count — same partition and order spec, one sort), campaign-keyed
+    * partial agg. Unattributed purchases simply contribute no rows
+    * (inner join) — the readout is about where credit LANDED.
+    */
+  val multitouch = QueryDef(
+    "etl_multitouch_attribution",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click" && col("user_id").isNotNull)
+        .withColumn("camp",
+          from_json(col("props"),
+            StructType(Seq(StructField("k", IntegerType))))
+            .getField("k") % 10)
+        .where(col("camp").isNotNull)
+        .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"), col("camp"))
+      val buys = ev
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id").as("bu"), col("event_id").as("buy_id"),
+          col("ts").as("buy_ts"),
+          (coalesce(col("value").cast(Money), lit(0).cast(Money)) * 100)
+            .cast(LongType).as("buy_cents"))
+      val touch = buys.join(clicks,
+        col("bu") === col("cu") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") < col("click_ts") + expr("INTERVAL 24 HOUR"))
+      val wr = Window.partitionBy(col("buy_id"))
+        .orderBy(col("click_ts"), col("click_id"))
+      touch
+        .withColumn("r", row_number().over(wr))
+        .withColumn("k", count(lit(1)).over(wr.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("ppm",
+          expr("1000000 div k") +
+            when(col("r") <= expr("1000000 % k"), 1L).otherwise(0L))
+        .groupBy(col("camp").as("campaign"))
+        .agg(count(lit(1)).cast(LongType).as("n_touches"),
+          sum(col("ppm")).cast(LongType).as("attributed_ppm"),
+          // revenue attribution: Σ cents·ppm, exact BIGINT (credited
+          // revenue = this / 10⁶ cents — the division stays with the
+          // reader, not the engine's float unit)
+          sum(col("buy_cents") * col("ppm")).cast(LongType)
+            .as("attributed_cents_ppm"))
+        .orderBy("campaign")
+    },
+    Some("""
+      WITH clicks AS (
+        SELECT user_id AS cu, event_id AS click_id,
+               ts::TIMESTAMP AS click_ts,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+                 AS camp
+        FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
+          AND props IS NOT NULL AND json_valid(props)
+          AND CAST(json_extract_string(props, '$.k') AS INTEGER)
+              IS NOT NULL),
+      buys AS (
+        SELECT user_id AS bu, event_id AS buy_id, ts::TIMESTAMP AS buy_ts,
+               CAST(COALESCE(CAST(value AS DECIMAL(18,2)),
+                             CAST(0 AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 AS buy_cents
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+      touch AS (
+        SELECT buy_id, camp, click_ts, click_id, buy_cents
+        FROM buys JOIN clicks ON bu = cu
+          AND buy_ts >= click_ts
+          AND buy_ts < click_ts + INTERVAL 24 HOUR),
+      credit AS (
+        SELECT camp, buy_cents,
+               1000000 // (COUNT(*) OVER (PARTITION BY buy_id))
+               + CASE WHEN (ROW_NUMBER() OVER (PARTITION BY buy_id
+                              ORDER BY click_ts, click_id))
+                        <= 1000000 % (COUNT(*) OVER (PARTITION BY buy_id))
+                      THEN 1 ELSE 0 END AS ppm
+        FROM touch)
+      SELECT camp AS campaign, CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(SUM(ppm) AS BIGINT) AS attributed_ppm,
+             CAST(SUM(buy_cents * ppm) AS BIGINT) AS attributed_cents_ppm
+      FROM credit GROUP BY 1 ORDER BY campaign"""))
+
   /** Click→purchase conversion funnel — the event-sequence shape every
     * product warehouse computes: per user, the FIRST click, the first
     * purchase AT OR AFTER that click, and the seconds between. The
@@ -1608,7 +1707,8 @@ object EtlQueries {
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
     streamDedupBatch, scd2Dim,
     attribBatch, gapFill, zorderLayout, profileTable,
-    scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel, heavyHitters,
+    scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel,
+    multitouch, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
     constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan,
