@@ -3185,11 +3185,88 @@ object Workload {
                AS BIGINT) AS cum_users
       FROM daily ORDER BY day"""))
 
+  /** Q64 — WEIGHTED quantiles (per-nation p25/50/75 of line discount,
+    * weighted by units sold): "half the UNITS moved at a discount at or
+    * below X bps" — the pricing-analytics stat where each row carries a
+    * weight, distinct from the row-count percentiles of q41/q42. The
+    * construction generalizes the two-phase rank: `OrderedPrefix`'s
+    * running SUM (`__prefix` over qty, not `__rank` over rows) is the
+    * weighted CDF, and the p-quantile is the unique crossing row
+    * `__prefix − qty < t ≤ __prefix` with t = ceil(p·W/100) in integer
+    * arithmetic (uniqueness because positive weights make the running
+    * sum strictly increasing — qty ≤ 0 rows are filtered, documented).
+    * The selected VALUE is tie-order invariant: rows tying on bps may
+    * reorder under a different tie-break, but the crossing row's bps is
+    * the same. Grouped form ⇒ zero single-partition exchanges; targets
+    * ride a 3-row literal crossJoin (the q42 discipline). Discount is
+    * exact basis points (DECIMAL(18,4)·10⁴ — the Money round-trip),
+    * quantity an exact BIGINT.
+    */
+  val q64 = QueryDef(
+    "q64_weighted_discount_quantiles",
+    (s, dir) => {
+      import s.implicits._
+      val li = lineitem(s, dir).select(col("l_suppkey"),
+        (col("l_discount").cast(DecimalType(18, 4)) * 10000)
+          .cast(LongType).as("bps"),
+        col("l_quantity").cast(DecimalType(18, 0)).cast(LongType).as("qty"),
+        col("l_orderkey"), col("l_linenumber"))
+        .where(col("qty") > 0)
+      val rows = li
+        .join(broadcast(supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("bps"), col("qty"),
+          col("l_orderkey"), col("l_linenumber"))
+      val pref = graft.operators.OrderedPrefix.rankAndPrefixBy(
+        rows, Seq("n_name"), col("bps"),
+        Seq(col("bps"), col("l_orderkey"), col("l_linenumber")),
+        Some(col("qty")))
+      val ps = Seq(25, 50, 75).toDF("pct")
+      pref.crossJoin(broadcast(ps))
+        .withColumn("t", expr("(pct * __total + 99) div 100"))
+        .where(col("__prefix") - col("qty") < col("t") &&
+          col("t") <= col("__prefix"))
+        .select(col("n_name"), col("pct"),
+          col("__total").cast(LongType).as("total_qty"),
+          col("t").cast(LongType).as("target_qty"),
+          col("bps").as("discount_bps"))
+        .orderBy("n_name", "pct")
+    },
+    Some("""
+      WITH rows_ AS (
+        SELECT n_name,
+               CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                 AS bps,
+               CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS qty,
+               l_orderkey, l_linenumber
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) > 0),
+      pref AS (
+        SELECT n_name, bps, qty,
+               SUM(qty) OVER (PARTITION BY n_name
+                 ORDER BY bps, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+               SUM(qty) OVER (PARTITION BY n_name) AS w
+        FROM rows_)
+      SELECT n_name, pct, CAST(w AS BIGINT) AS total_qty,
+             CAST((pct * w + 99) // 100 AS BIGINT) AS target_qty,
+             bps AS discount_bps
+      FROM pref CROSS JOIN (VALUES (25), (50), (75)) AS p(pct)
+      WHERE run - qty < (pct * w + 99) // 100
+        AND (pct * w + 99) // 100 <= run
+      ORDER BY n_name, pct"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59, q60, q61, q62, q63)
+    q57, q58, q59, q60, q61, q62, q63, q64)
 }
