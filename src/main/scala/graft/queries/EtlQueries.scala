@@ -1186,6 +1186,102 @@ object EtlQueries {
       FROM z GROUP BY 1 ORDER BY file_id"""))
   }
 
+  /** Distribution-drift monitor (the MLOps / data-quality op a pipeline
+    * runs before trusting a new period's data against a reference
+    * period): the latest order year's order-value distribution vs the
+    * previous year's, over a FIXED 20-bucket equi-width layout spanning
+    * the combined range (one shared layout is what makes the two
+    * histograms comparable — the StreamingHistogram lesson). Per bucket,
+    * a smoothed chi-square-style contribution
+    * d² · (N_ref+B)/(ref_n+1) with d = obs_n/N_obs − (ref_n+1)/(N_ref+B)
+    * (add-one smoothing so never-seen-before buckets — drift INTO new
+    * value ranges, the case that matters most — are defined rather than
+    * divide-by-zero), flagged at 3.84 (the χ²₁ 95% critical value).
+    * Cross-engine: counts and bucket bounds are exact integers and the
+    * contribution is ONE fixed DOUBLE tree over them (the Wilson/q51
+    * discipline — `d` bound once as a column so the squared term is the
+    * same tree on both engines). The per-bucket TOTAL is deliberately
+    * not emitted: a Σ of doubles is engine-fold-ordered; the per-bucket
+    * rows carry strictly more information anyway. Plan: one orders
+    * scan feeding year-flagged counts, scalar stats broadcast back, a
+    * ≤ B-row bucket aggregate — drift at 100 TB costs one pass.
+    */
+  val distDrift = QueryDef(
+    "etl_dist_drift",
+    (s, dir) => {
+      val B = 20
+      val o = orders(s, dir).select(
+        (col("o_totalprice").cast(Money) * 100).cast(LongType).as("cents"),
+        year(col("o_orderdate")).as("y"))
+      val my = o.agg(max(col("y")).as("ymax"))
+      val base = o.crossJoin(broadcast(my))
+        .where(col("y") >= col("ymax") - 1)
+        .select(col("cents"), (col("y") === col("ymax")).as("is_obs"))
+      val stats = base.agg(
+        min(col("cents")).as("mn"), max(col("cents")).as("mx"),
+        sum(when(col("is_obs"), 1L).otherwise(0L)).as("n_obs"),
+        sum(when(!col("is_obs"), 1L).otherwise(0L)).as("n_ref"))
+      val hist = base.crossJoin(broadcast(stats))
+        .groupBy(expr(s"((cents - mn) * $B) div (mx - mn + 1)").as("bucket"))
+        .agg(sum(when(col("is_obs"), 1L).otherwise(0L)).as("obs_n"),
+          sum(when(!col("is_obs"), 1L).otherwise(0L)).as("ref_n"))
+      hist.crossJoin(broadcast(stats))
+        .withColumn("lo",
+          expr(s"mn + (bucket * (mx - mn + 1) + ${B - 1}) div $B"))
+        .withColumn("hi",
+          expr(s"mn + ((bucket + 1) * (mx - mn + 1) + ${B - 1}) div $B - 1"))
+        .withColumn("d",
+          col("obs_n").cast(DoubleType) / col("n_obs").cast(DoubleType) -
+            (col("ref_n") + 1).cast(DoubleType) /
+            (col("n_ref") + B).cast(DoubleType))
+        .withColumn("contrib",
+          col("d") * col("d") * (col("n_ref") + B).cast(DoubleType) /
+            (col("ref_n") + 1).cast(DoubleType))
+        .select(col("bucket").cast(IntegerType).as("bucket"),
+          col("lo"), col("hi"),
+          col("ref_n").cast(LongType).as("ref_n"),
+          col("obs_n").cast(LongType).as("obs_n"),
+          col("contrib"), (col("contrib") > 3.84).as("flagged"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               year(o_orderdate) AS y
+        FROM orders),
+      my AS (SELECT MAX(y) AS ymax FROM o),
+      base AS (
+        SELECT cents, (y = ymax) AS is_obs FROM o, my
+        WHERE y >= ymax - 1),
+      stats AS (
+        SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+               SUM(CASE WHEN is_obs THEN 1 ELSE 0 END) AS n_obs,
+               SUM(CASE WHEN NOT is_obs THEN 1 ELSE 0 END) AS n_ref
+        FROM base),
+      hist AS (
+        SELECT ((cents - mn) * 20) // (mx - mn + 1) AS bucket,
+               SUM(CASE WHEN is_obs THEN 1 ELSE 0 END) AS obs_n,
+               SUM(CASE WHEN NOT is_obs THEN 1 ELSE 0 END) AS ref_n
+        FROM base, stats GROUP BY 1),
+      calc AS (
+        SELECT bucket, ref_n, obs_n,
+               mn + (bucket * (mx - mn + 1) + 19) // 20 AS lo,
+               mn + ((bucket + 1) * (mx - mn + 1) + 19) // 20 - 1 AS hi,
+               CAST(obs_n AS DOUBLE) / CAST(n_obs AS DOUBLE)
+                 - CAST(ref_n + 1 AS DOUBLE) / CAST(n_ref + 20 AS DOUBLE)
+                 AS d,
+               n_ref
+        FROM hist, stats)
+      SELECT CAST(bucket AS INTEGER) AS bucket, lo, hi,
+             CAST(ref_n AS BIGINT) AS ref_n,
+             CAST(obs_n AS BIGINT) AS obs_n,
+             d * d * CAST(n_ref + 20 AS DOUBLE) / CAST(ref_n + 1 AS DOUBLE)
+               AS contrib,
+             d * d * CAST(n_ref + 20 AS DOUBLE) / CAST(ref_n + 1 AS DOUBLE)
+               > 3.84 AS flagged
+      FROM calc ORDER BY bucket"""))
+
   /** Column-profiling report (the ANALYZE/data-quality staple): one row
     * per lineitem column with row/null/exact-distinct counts and typed
     * min/max (numeric → DOUBLE slots, string/timestamp → VARCHAR slots,
@@ -1708,7 +1804,7 @@ object EtlQueries {
     streamDedupBatch, scd2Dim,
     attribBatch, gapFill, zorderLayout, profileTable,
     scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel,
-    multitouch, heavyHitters,
+    multitouch, distDrift, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
     constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan,
