@@ -1202,9 +1202,13 @@ object EtlQueries {
     * discipline — `d` bound once as a column so the squared term is the
     * same tree on both engines). The per-bucket TOTAL is deliberately
     * not emitted: a Σ of doubles is engine-fold-ordered; the per-bucket
-    * rows carry strictly more information anyway. Plan: one orders
-    * scan feeding year-flagged counts, scalar stats broadcast back, a
-    * ≤ B-row bucket aggregate — drift at 100 TB costs one pass.
+    * rows carry strictly more information anyway. Plan: THREE
+    * column-pruned passes over (o_totalprice, o_orderdate) — the year
+    * scalar, the range stats, the bucket counts; the sketch's inherent
+    * two passes plus the latest-year scalar subquery — with the
+    * duplicated scalar subtrees collapsed at runtime by AQE's
+    * ReuseExchange (the q47 discipline, pinned in DistDriftSpec), and
+    * everything after the scans a ≤ B-row frame.
     */
   val distDrift = QueryDef(
     "etl_dist_drift",

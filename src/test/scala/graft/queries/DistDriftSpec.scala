@@ -45,4 +45,18 @@ class DistDriftSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("duplicated scalar subtrees are reused at runtime, not " +
+    "recomputed") {
+    // base feeds stats AND the bucket scan, stats feeds the bucket key
+    // AND the final calc — the static plan shows the subtrees expanded.
+    // AQE's ReuseExchange must collapse them (the q47 discipline): pin
+    // it so a Spark upgrade cannot silently multiply the orders passes.
+    val out = EtlQueries.distDrift.run(spark, "/root/testdata/sf0.001")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(plan).nonEmpty,
+      "no ReusedExchange in the executed plan — duplicated subtrees " +
+        "are running multiple times")
+  }
 }
