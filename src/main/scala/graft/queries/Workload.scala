@@ -3262,11 +3262,91 @@ object Workload {
         AND (pct * w + 99) // 100 <= run
       ORDER BY n_name, pct"""))
 
+  /** Q65 — multi-step ORDERED funnel (view → click → purchase, each step
+    * at-or-after the previous): the product-analytics funnel proper,
+    * past the 2-step etl_click_purchase_funnel. The sequencing is
+    * chained conditional MINs — t₂ = min click ts ≥ t₁, t₃ = min
+    * purchase ts ≥ t₂ — realized as three stacked window expressions
+    * over ONE user partition: same partition spec, so Spark reuses a
+    * single user-keyed exchange for all three Window nodes (one
+    * shuffle of the events, no joins, no interval machinery; the
+    * per-user frame is events-per-user bounded, the funnel's natural
+    * skew bound). Per-user step times collapse by distinct, then one
+    * scalar agg counts each step's survivors; conversion is a DOUBLE
+    * division of exact counts. Boundary: an event AT the previous
+    * step's instant counts (≥, the multitouch convention).
+    */
+  val q65 = QueryDef(
+    "q65_ordered_funnel_steps",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val staged = events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("ts") >= col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("t2"), col("ts"))).over(w))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .distinct()
+      val counts = staged.agg(
+        count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      counts.where(col("n1") > 0).selectExpr(
+        """stack(3,
+             1, n1, CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE),
+             2, n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE),
+             3, n3, CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           AS (step, users, conv_from_first)""")
+        .select(col("step").cast(IntegerType).as("step"),
+          col("users").cast(LongType).as("users"),
+          col("conv_from_first"))
+        .orderBy("step")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, ts::TIMESTAMP AS ts
+        FROM events WHERE user_id IS NOT NULL),
+      u1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM e GROUP BY 1),
+      u2 AS (
+        SELECT u1.user_id, t1,
+               MIN(CASE WHEN event_type = 'click' AND ts >= t1
+                        THEN ts END) AS t2
+        FROM u1 JOIN e ON u1.user_id = e.user_id GROUP BY 1, 2),
+      u3 AS (
+        SELECT u2.user_id, t1, t2,
+               MIN(CASE WHEN event_type = 'purchase' AND ts >= t2
+                        THEN ts END) AS t3
+        FROM u2 JOIN e ON u2.user_id = e.user_id GROUP BY 1, 2, 3),
+      s AS (SELECT COUNT(t1) AS n1, COUNT(t2) AS n2, COUNT(t3) AS n3
+            FROM u3)
+      SELECT CAST(step AS INTEGER) AS step, CAST(users AS BIGINT) AS users,
+             conv_from_first
+      FROM (
+        SELECT 1 AS step, n1 AS users,
+               CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_from_first
+        FROM s WHERE n1 > 0
+        UNION ALL
+        SELECT 2, n2, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        FROM s WHERE n1 > 0
+        UNION ALL
+        SELECT 3, n3, CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        FROM s WHERE n1 > 0)
+      ORDER BY step"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59, q60, q61, q62, q63, q64)
+    q57, q58, q59, q60, q61, q62, q63, q64, q65)
 }
