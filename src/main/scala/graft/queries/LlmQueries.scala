@@ -428,6 +428,50 @@ object LlmQueries {
         FROM scored)
       SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** FILTERED vector search — top-k restricted to a metadata predicate
+    * (the "top matches among lang='en' docs" serving shape every RAG
+    * stack hits). The correctness lesson is PRE- vs POST-filtering:
+    * applying the predicate BEFORE scoring guarantees k true neighbors
+    * among the eligible set, where filtering an unfiltered top-k
+    * afterwards returns fewer than k and silently drops eligible
+    * neighbors ranked k+1..∞ (`AnnFilteredSpec` pins the divergence on
+    * the real corpus). Composition-first: the predicate is an ordinary
+    * filter on the corpus side of the SAME bruteForceTopK operator —
+    * and that is also the scale story: pushed before distance work, the
+    * predicate prunes the candidate scan (partition/zone pruning on the
+    * metadata column at 100 TB); an index-then-filter plan cannot
+    * recover the lost recall after the fact.
+    */
+  val annFiltered = QueryDef(
+    "llm_ann_filtered",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10),
+        emb.filter(col("label") % 3 === 0), 5)
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 10
+                   AND list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]) > 0),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.qv, c.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]))) AS cosine
+        FROM embeddings c, q WHERE c.vec_id <> q.query_id
+          AND c.label % 3 = 0
+          AND list_dot_product(c.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) > 0),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored)
+      SELECT * FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   /** The testdata embedding dimensionality (TESTDATA.md; constant across
     * scale factors, and tools/make_adversarial.py inherits it from its
     * source dir). Passing it explicitly skips the one-row probe job AND
@@ -2833,7 +2877,7 @@ object LlmQueries {
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
-    multimodalBinary, annBruteForce, annQuantized, annLsh, annIvf, annRecall,
+    multimodalBinary, annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
