@@ -42,6 +42,28 @@ import graft.operators.HistogramQuantile
   */
 object StreamingHistogram {
 
+  private def idiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
+
+  /** One batch's (__b, __c) bucket counts under the declared layout —
+    * clamped at the edges, NULLs dropped. Shared by the maintainer's
+    * fold and by reference-histogram construction
+    * ([[StreamingDrift]]): comparing two histograms is only meaningful
+    * when both were bucketed by exactly this arithmetic.
+    */
+  def bucketCounts(df: DataFrame, valueCol: String, mn: Long, mx: Long,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    require(mx >= mn, s"declared range [$mn, $mx] is empty")
+    val v0 = col(valueCol).cast(LongType)
+    // clamp to the declared layout: below-range → bucket 0,
+    // above-range → bucket B−1; NULLs drop (they carry no value)
+    val v = greatest(lit(mn), least(lit(mx), v0))
+    df.filter(v0.isNotNull)
+      .select(idiv((v - mn) * buckets, lit(mx - mn + 1)).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__c"))
+  }
+
   final class Maintainer(valueCol: String, mn: Long, mx: Long,
       buckets: Int) {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
@@ -54,17 +76,8 @@ object StreamingHistogram {
       */
     def currentHistogram: Option[DataFrame] = hist
 
-    private def idiv(a: Column, b: Column): Column =
-      call_function("div", a, b)
-
     def absorb(batch: DataFrame): Unit = synchronized {
-      val v0 = col(valueCol).cast(LongType)
-      // clamp to the declared layout: below-range → bucket 0,
-      // above-range → bucket B−1; NULLs drop (they carry no value)
-      val v = greatest(lit(mn), least(lit(mx), v0))
-      val b = batch.filter(v0.isNotNull)
-        .select(idiv((v - mn) * buckets, lit(mx - mn + 1)).as("__b"))
-        .groupBy("__b").agg(count(lit(1)).as("__c"))
+      val b = bucketCounts(batch, valueCol, mn, mx, buckets)
       val next = hist match {
         case None => b
         case Some(h) =>
