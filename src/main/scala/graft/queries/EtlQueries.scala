@@ -1286,6 +1286,73 @@ object EtlQueries {
                > 3.84 AS flagged
       FROM calc ORDER BY bucket"""))
 
+  /** Late-arriving dimension / INFERRED MEMBERS (the Kimball pattern the
+    * reference's FK constraints push to load time): facts referencing a
+    * dimension row that has not arrived yet must not be dropped (revenue
+    * vanishes) nor fail the load (one early fact kills the batch) — the
+    * warehouse inserts a placeholder "inferred member" per missing key,
+    * carrying what the FACTS already know (first-seen date, exact order
+    * count and spend), to be type-1-overwritten when the real row lands
+    * (that update is the CdcMerge/SCD2 machinery). The generated data
+    * has zero orphan keys, so the late feed is SIMULATED by a
+    * deterministic policy knob — the dimension stream is missing every
+    * c_custkey % 97 = 0 row (~1%) — which keeps the inferred path
+    * exercised and oracled at every SF instead of pinning an empty
+    * table. Plan: one fact pass left-joined to the dim's id frame
+    * (broadcast at dim scale; keyed equi beyond), orphan keys partial-
+    * agg to the inferred frame, corpus-wide matched/inferred totals
+    * ride every row via a broadcast 1-row crossJoin (the q16 global-
+    * count discipline — a misclassified fact anywhere breaks the hash).
+    */
+  val inferredMembers = QueryDef(
+    "etl_inferred_members",
+    (s, dir) => {
+      val o = orders(s, dir).select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast(Money).as("price"))
+      val dimLate = customer(s, dir)
+        .filter(!(col("c_custkey") % 97 === 0))
+        .select(col("c_custkey"))
+      val flagged = o.join(broadcast(dimLate),
+        col("o_custkey") === col("c_custkey"), "left")
+        .withColumn("is_matched", col("c_custkey").isNotNull)
+      val totals = flagged.agg(
+        sum(when(col("is_matched"), 1L).otherwise(0L))
+          .as("total_matched_orders"),
+        sum(when(!col("is_matched"), 1L).otherwise(0L))
+          .as("total_inferred_orders"))
+      flagged.filter(!col("is_matched"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_seen"),
+          count(lit(1)).as("n_orders"),
+          sum(col("price")).cast(DoubleType).as("spend"))
+        .crossJoin(broadcast(totals))
+        .orderBy("custkey")
+    },
+    Some("""
+      WITH dim_late AS (
+        SELECT c_custkey FROM customer WHERE NOT (c_custkey % 97 = 0)),
+      flagged AS (
+        SELECT o_custkey, o_orderdate,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               (c_custkey IS NOT NULL) AS is_matched
+        FROM orders LEFT JOIN dim_late ON o_custkey = c_custkey),
+      totals AS (
+        SELECT SUM(CASE WHEN is_matched THEN 1 ELSE 0 END)
+                 AS total_matched_orders,
+               SUM(CASE WHEN NOT is_matched THEN 1 ELSE 0 END)
+                 AS total_inferred_orders
+        FROM flagged)
+      SELECT o_custkey AS custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS first_seen,
+             COUNT(*) AS n_orders,
+             CAST(SUM(price) AS DOUBLE) AS spend,
+             CAST(total_matched_orders AS BIGINT) AS total_matched_orders,
+             CAST(total_inferred_orders AS BIGINT) AS total_inferred_orders
+      FROM flagged, totals
+      WHERE NOT is_matched
+      GROUP BY o_custkey, total_matched_orders, total_inferred_orders
+      ORDER BY custkey"""))
+
   /** Column-profiling report (the ANALYZE/data-quality staple): one row
     * per lineitem column with row/null/exact-distinct counts and typed
     * min/max (numeric → DOUBLE slots, string/timestamp → VARCHAR slots,
@@ -1808,7 +1875,7 @@ object EtlQueries {
     streamDedupBatch, scd2Dim,
     attribBatch, gapFill, zorderLayout, profileTable,
     scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel,
-    multitouch, distDrift, heavyHitters,
+    multitouch, distDrift, inferredMembers, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
     constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan,
