@@ -3342,11 +3342,69 @@ object Workload {
         FROM s WHERE n1 > 0)
       ORDER BY step"""))
 
+  /** Q66 — share-of-parent contribution (ratio_to_report): each nation's
+    * revenue as a % of its region and of the grand total — the BI
+    * "contribution" rung beside the ROLLUP absolutes (q17). Scale shape:
+    * all ratio work happens AFTER the one fact aggregation, on the
+    * |nations|-sized frame — the region subtotal is a region-partitioned
+    * window over that model-sized frame (shuffle-parallel), and the
+    * grand total is a scalar aggregate broadcast back (the bounded
+    * form PlanSweep accepts; a window-over-() would be an unbounded
+    * single-partition exchange signature even though the frame is
+    * small). Numerators/denominators are exact DECIMAL cents; each pct
+    * is one fixed DOUBLE tree.
+    */
+  val q66 = QueryDef(
+    "q66_nation_region_share",
+    (s, dir) => {
+      val nat = orders(s, dir)
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(decSumExact(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy(col("r_name"))
+      val total = nat.agg(sum(col("rev")).as("grand"))
+      nat.withColumn("region_rev", sum(col("rev")).over(w))
+        .crossJoin(broadcast(total))
+        .select(col("r_name"), col("n_name"),
+          col("rev").cast(DoubleType).as("revenue"),
+          (col("rev").cast(DoubleType) * 100.0 /
+            col("region_rev").cast(DoubleType)).as("pct_of_region"),
+          (col("rev").cast(DoubleType) * 100.0 /
+            col("grand").cast(DoubleType)).as("pct_of_total"))
+        .orderBy("r_name", "n_name")
+    },
+    Some("""
+      WITH nat AS (
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS DECIMAL(18,2)) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2)
+      SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+             CAST(rev AS DOUBLE) * 100.0
+               / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+               AS pct_of_region,
+             CAST(rev AS DOUBLE) * 100.0
+               / CAST((SELECT SUM(rev) FROM nat) AS DOUBLE)
+               AS pct_of_total
+      FROM nat ORDER BY r_name, n_name"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 }
