@@ -3400,11 +3400,86 @@ object Workload {
                AS pct_of_total
       FROM nat ORDER BY r_name, n_name"""))
 
+  /** Q67 — time-to-convert percentiles (p50/90/99 seconds from first
+    * view to the ordered purchase): the funnel LATENCY readout beside
+    * q65's counts — "half our converters convert within X". Composes
+    * q65's one-exchange window staging with the two-phase exact rank
+    * (`OrderedPrefix`, hour buckets): the delay frame is one row per
+    * converter, the only single-partition work is the bucket histogram,
+    * and the percentile is exact (`percentile_disc` semantics, integer
+    * rank targets — the q41/q42 discipline). Delay in integer seconds
+    * (millis div 1000, identical truncation both engines on the
+    * non-negative diff — the funnel guarantees t3 ≥ t1).
+    */
+  val q67 = QueryDef(
+    "q67_conversion_delay_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val staged = events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" &&
+            col("ts") >= col("t1"), col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" &&
+            col("ts") >= col("t2"), col("ts"))).over(w))
+        .select(col("user_id"), col("t1"), col("t3"))
+        .distinct()
+      val delays = staged.where(col("t3").isNotNull)
+        .select(col("user_id"),
+          expr("(unix_millis(t3) - unix_millis(t1)) div 1000").as("delay_s"))
+      val ranked = graft.operators.OrderedPrefix.rankAndPrefix(
+        delays, expr("delay_s div 3600"),
+        Seq(col("delay_s"), col("user_id")))
+      val ps = Seq(50, 90, 99).toDF("p")
+      ranked.crossJoin(broadcast(ps))
+        .filter(col("__rank") === expr("(p * __n + 99) div 100"))
+        .select(col("p"), col("__n").cast(LongType).as("n_converters"),
+          col("delay_s"))
+        .orderBy("p")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, ts::TIMESTAMP AS ts
+        FROM events WHERE user_id IS NOT NULL),
+      u1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM e GROUP BY 1),
+      u2 AS (
+        SELECT u1.user_id, t1,
+               MIN(CASE WHEN event_type = 'click' AND ts >= t1
+                        THEN ts END) AS t2
+        FROM u1 JOIN e ON u1.user_id = e.user_id GROUP BY 1, 2),
+      u3 AS (
+        SELECT u2.user_id, t1, t2,
+               MIN(CASE WHEN event_type = 'purchase' AND ts >= t2
+                        THEN ts END) AS t3
+        FROM u2 JOIN e ON u2.user_id = e.user_id GROUP BY 1, 2, 3),
+      d AS (
+        SELECT user_id,
+               (epoch_ms(t3) - epoch_ms(t1)) // 1000 AS delay_s
+        FROM u3 WHERE t3 IS NOT NULL),
+      r AS (
+        SELECT delay_s, user_id,
+               ROW_NUMBER() OVER (ORDER BY delay_s, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM d),
+      ps AS (SELECT unnest([50, 90, 99]) AS p)
+      SELECT p, CAST(n AS BIGINT) AS n_converters, delay_s
+      FROM r JOIN ps ON r.rn = (p * r.n + 99) // 100
+      ORDER BY p"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 }

@@ -99,6 +99,10 @@ class PlanSweepSpec extends SparkSpec {
   private val DeclaredBroadcastAnn = Set(
     "llm_ann_bruteforce", "llm_ann_ivf", "llm_ann_recall", "llm_ann_recall_ivf",
     "llm_ann_quantized",
+    // filtered search: the same vec_id < 10 query set against the
+    // predicate-pruned corpus — the corpus-side filter only shrinks the
+    // stream side
+    "llm_ann_filtered",
     // the semantic ranker inside RRF is the same broadcast-ANN pattern
     // (query set = the single vec_id = 0 vector)
     "llm_hybrid_retrieval")
