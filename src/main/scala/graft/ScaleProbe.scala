@@ -194,6 +194,12 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "multitouch") {
+      multitouchProbe(spark, sfDir,
+        if (args.length > 1) args(1).toLong else 20000L)
+      spark.stop()
+      return
+    }
     if (mode == "prefix") {
       prefixProbe(spark,
         if (args.length > 1) args(1).toLong else 20000000L)
@@ -479,6 +485,85 @@ object ScaleProbe {
       val (pc, tc) = time(pairs(c, cap))
       println(f"PROBE hotbucket bg=$nBg hot=$h $uncapped " +
         f"capped=$tc%.2fs/$pc pairs (clean bg pairs=$pClean)")
+    }
+  }
+
+  /** The bot-user blowup in multi-touch attribution
+    * (etl_multitouch_attribution's user-keyed join): a user's touch
+    * fanout is clicks×purchases, so one bot with h clicks and h/10
+    * purchases inside the window injects ~h²/10 pair rows through the
+    * join AND the per-purchase window — the quadratic term the clean
+    * per-user bound hides. The escape is the cappedGrams discipline:
+    * count clicks per user, broadcast-blacklist users over the cap, and
+    * drop them from attribution entirely (production bot filtering —
+    * crediting a bot's clicks is wrong anyway, so the cap is a
+    * correctness policy, not an approximation). The probe measures the
+    * real events corpus clean, then with planted bots at h and 4h:
+    * capped time must stay at clean-corpus level while uncapped grows
+    * ~quadratically (skipped where the pair count makes it a hang).
+    */
+  private def multitouchProbe(spark: SparkSession, sfDir: String,
+      hot: Long): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables.events(spark, sfDir)
+    val clicks0 = ev
+      .filter(col("event_type") === "click" && col("user_id").isNotNull)
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys0 = ev
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("user_id").as("bu"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"))
+    val base = 1700000000000L
+    def bot(h: Long): (DataFrame, DataFrame) = (
+      spark.range(h).select(lit(999999999L).as("cu"),
+        (col("id") + 2000000000L).as("click_id"),
+        timestamp_millis(lit(base) + col("id") % 3600000L).as("click_ts")),
+      spark.range(math.max(h / 10, 1L)).select(lit(999999999L).as("bu"),
+        (col("id") + 3000000000L).as("buy_id"),
+        timestamp_millis(lit(base) + 3600000L + col("id") % 3600000L)
+          .as("buy_ts")))
+    def attrib(clicks: DataFrame, buys: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val touch = buys.join(clicks,
+        col("bu") === col("cu") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") < col("click_ts") + expr("INTERVAL 24 HOUR"))
+      val wr = Window.partitionBy(col("buy_id"))
+        .orderBy(col("click_ts"), col("click_id"))
+      touch.withColumn("r", row_number().over(wr))
+        .withColumn("k", count(lit(1)).over(wr.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("r"), col("k")).count()
+    }
+    def capped(clicks: DataFrame, buys: DataFrame, cap: Long): Long = {
+      val bots = clicks.groupBy("cu").agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap).select(col("cu"))
+      attrib(clicks.join(broadcast(bots), Seq("cu"), "left_anti"), buys)
+    }
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val cap = 1000L
+    attrib(clicks0, buys0) // warm-up
+    val (nClean, tClean) = time(attrib(clicks0, buys0))
+    val (nCleanCap, _) = time(capped(clicks0, buys0, cap))
+    require(nClean == nCleanCap,
+      s"cap changed the clean corpus: $nClean vs $nCleanCap")
+    println(f"PROBE multitouch clean: touches=$nClean time=$tClean%.2fs")
+    for (h <- Seq(hot, hot * 4)) {
+      val (bc, bb) = bot(h)
+      val c = clicks0.unionByName(bc).localCheckpoint(true)
+      val b = buys0.unionByName(bb).localCheckpoint(true)
+      val uncapped =
+        if (h * (h / 10) <= 2000000000L) {
+          val (nu, tu) = time(attrib(c, b))
+          f"uncapped=$tu%.2fs/$nu touches"
+        } else f"uncapped=SKIPPED (~${h * (h / 10)} bot pairs)"
+      val (nc, tc) = time(capped(c, b, cap))
+      println(f"PROBE multitouch bot h=$h $uncapped " +
+        f"capped=$tc%.2fs/$nc touches (clean=$nClean)")
     }
   }
 

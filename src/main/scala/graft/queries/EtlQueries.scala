@@ -887,12 +887,19 @@ object EtlQueries {
     * ppm = 10⁶ div k + (1 if rank ≤ 10⁶ mod k else 0), which sums to
     * exactly 10⁶ per attributed purchase and keeps the whole readout
     * exact BIGINTs. Plan: user-keyed equi join with the time-range
-    * residual (the attributeJoin shape — per-user bounded, the
-    * IntervalJoin hot-bucket guard is the skew escape), ONE
-    * purchase-partitioned window carrying both frames (rank + full
-    * count — same partition and order spec, one sort), campaign-keyed
-    * partial agg. Unattributed purchases simply contribute no rows
-    * (inner join) — the readout is about where credit LANDED.
+    * residual (the attributeJoin shape), ONE purchase-partitioned
+    * window carrying both frames (rank + full count — same partition
+    * and order spec, one sort), campaign-keyed partial agg.
+    * Unattributed purchases simply contribute no rows (inner join) —
+    * the readout is about where credit LANDED. Skew: per-user fanout is
+    * clicks×purchases, so a BOT user is a quadratic term — the escape
+    * is a clicks-per-user cap (count → broadcast blacklist → drop from
+    * attribution; crediting a bot is wrong anyway, so the cap is a
+    * correctness policy). `ScaleProbe multitouch` measures it: a
+    * planted 80k-click bot injects 640M pair rows uncapped (×4 bot →
+    * ×3.8 time, quadratic) while the capped path stays at clean-corpus
+    * time — flat at 0.6 s even at 1.28M bot clicks (164 G would-be
+    * pairs, structurally un-runnable uncapped).
     */
   val multitouch = QueryDef(
     "etl_multitouch_attribution",
