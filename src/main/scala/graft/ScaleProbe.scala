@@ -200,6 +200,13 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "cumdistinct") {
+      cumDistinctProbe(spark,
+        if (args.length > 1) args(1).toInt else 365,
+        if (args.length > 2) args(2).toLong else 100000L)
+      spark.stop()
+      return
+    }
     if (mode == "prefix") {
       prefixProbe(spark,
         if (args.length > 1) args(1).toLong else 20000000L)
@@ -564,6 +571,60 @@ object ScaleProbe {
       val (nc, tc) = time(capped(c, b, cap))
       println(f"PROBE multitouch bot h=$h $uncapped " +
         f"capped=$tc%.2fs/$nc touches (clean=$nClean)")
+    }
+  }
+
+  /** The expanding-window COUNT(DISTINCT) decomposition behind
+    * q63_cumulative_distinct_users, measured: the NAIVE realization
+    * expands each distinct (day, user) to every later day (the only
+    * window-free way to make each day's cumulative set groupable) —
+    * Σ over days of days-remaining ≈ D²/2 expanded rows, quadratic in
+    * the horizon — while the first-seen form is one user-keyed MIN +
+    * a |days|-frame prefix, linear in the data and independent of the
+    * horizon beyond the day frame. Doubling the horizon at constant
+    * rows/day should ~quadruple the naive expansion and merely double
+    * the first-seen work.
+    */
+  private def cumDistinctProbe(spark: SparkSession, days: Int,
+      usersPerDay: Long): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def corpus(d: Int): DataFrame = {
+      val n = d.toLong * usersPerDay
+      spark.range(n).select(
+        pmod(hash(col("id")), lit(d)).cast("int").as("day"),
+        pmod(hash(col("id") * 31 + 7), lit(usersPerDay * 5)).as("u"))
+        .localCheckpoint(true)
+    }
+    def naive(c: DataFrame, d: Int): Long =
+      c.distinct()
+        .select(explode(sequence(col("day"), lit(d - 1))).as("target"),
+          col("u"))
+        .distinct()
+        .groupBy("target").agg(count(lit(1)).as("cum"))
+        .count()
+    def firstSeen(c: DataFrame): Long =
+      c.groupBy("u").agg(min(col("day")).as("d0"))
+        .groupBy("d0").agg(count(lit(1)).as("nu"))
+        .count()
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    firstSeen(corpus(days / 4)) // warm-up
+    for (d <- Seq(days, days * 2)) {
+      val c = corpus(d)
+      // expanded rows ≈ distinct pairs × d/2; past ~8e9 the naive lap
+      // is an OOM/hang, not a measurement — which is the decomposition's
+      // whole point, so report it as structurally un-runnable
+      val expandedEst = d.toLong * usersPerDay * d / 2
+      val naiveRes =
+        if (expandedEst <= 8000000000L) {
+          val (nn, tn) = time(naive(c, d))
+          f"naive=$tn%.2fs/$nn days"
+        } else f"naive=SKIPPED (~$expandedEst expanded rows)"
+      val (nf, tf) = time(firstSeen(c))
+      println(f"PROBE cumdistinct days=$d rows=${d.toLong * usersPerDay} " +
+        f"$naiveRes firstseen=$tf%.2fs/$nf days")
     }
   }
 
