@@ -1360,6 +1360,42 @@ object EtlQueries {
       GROUP BY o_custkey, total_matched_orders, total_inferred_orders
       ORDER BY custkey"""))
 
+  /** Data-freshness report (the ingestion-SLA panel an ops dashboard
+    * serves beside the drift monitor): per event type, the latest event
+    * time, row count, and the LAG in whole seconds behind the freshest
+    * type — "clicks are current but purchases stopped arriving 3 hours
+    * ago" is an ingestion incident the totals alone cannot show. One
+    * |types|-sized aggregate + a broadcast scalar max; lag is integer
+    * millis div 1000 (identical truncation, non-negative by
+    * construction). NULL event types group and sort NULLS FIRST on
+    * both engines (the check.py ASC-nullable discipline).
+    */
+  val freshnessReport = QueryDef(
+    "etl_freshness_report",
+    (s, dir) => {
+      val fresh = events(s, dir)
+        .where(col("ts").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(max(col("ts")).as("latest"), count(lit(1)).as("n_events"))
+      val g = fresh.agg(max(col("latest")).as("global_latest"))
+      fresh.crossJoin(broadcast(g))
+        .select(col("event_type"), col("latest"),
+          col("n_events").cast(LongType).as("n_events"),
+          expr("(unix_millis(global_latest) - unix_millis(latest)) div 1000")
+            .as("lag_s"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH fresh AS (
+        SELECT event_type, MAX(ts::TIMESTAMP) AS latest,
+               COUNT(*) AS n_events
+        FROM events WHERE ts IS NOT NULL GROUP BY 1),
+      g AS (SELECT MAX(latest) AS global_latest FROM fresh)
+      SELECT event_type, latest, CAST(n_events AS BIGINT) AS n_events,
+             (epoch_ms(global_latest) - epoch_ms(latest)) // 1000 AS lag_s
+      FROM fresh, g
+      ORDER BY event_type NULLS FIRST"""))
+
   /** Column-profiling report (the ANALYZE/data-quality staple): one row
     * per lineitem column with row/null/exact-distinct counts and typed
     * min/max (numeric → DOUBLE slots, string/timestamp → VARCHAR slots,
@@ -1882,7 +1918,7 @@ object EtlQueries {
     streamDedupBatch, scd2Dim,
     attribBatch, gapFill, zorderLayout, profileTable,
     scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel,
-    multitouch, distDrift, inferredMembers, heavyHitters,
+    multitouch, distDrift, inferredMembers, freshnessReport, heavyHitters,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
     constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan,
