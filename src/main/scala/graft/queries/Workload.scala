@@ -3475,11 +3475,82 @@ object Workload {
       FROM r JOIN ps ON r.rn = (p * r.n + 99) // 100
       ORDER BY p"""))
 
+  /** Q68 — 5%-trimmed mean of order value per segment: the robust
+    * LOCATION estimate beside q45's robust dispersion (median/MAD) —
+    * the average a pricing dashboard shows when a handful of whale
+    * orders would otherwise drag the plain mean. Exact semantics: drop
+    * floor(n·5/100) rows from EACH end of the per-segment value order
+    * (integer arithmetic, rank from the grouped two-phase
+    * `OrderedPrefix` — zero single-partition exchanges), then ONE
+    * DOUBLE division of exact summed cents by the kept count. The
+    * plain mean rides beside it so the whale effect is visible in the
+    * same row. Cents sums stay under 2⁵³ to ~sf25 (exact in DOUBLE);
+    * beyond that emit DECIMAL and divide in the reader.
+    */
+  val q68 = QueryDef(
+    "q68_segment_trimmed_mean",
+    (s, dir) => {
+      val seg = orders(s, dir)
+        .join(broadcast(customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          (col("o_totalprice").cast(Money) * 100).cast(LongType)
+            .as("cents"),
+          col("o_orderkey"))
+      val ranked = graft.operators.OrderedPrefix.rankAndPrefixBy(
+        seg, Seq("segment"), expr("cents div 100000"),
+        Seq(col("cents"), col("o_orderkey")))
+      ranked
+        .withColumn("trim", expr("(__n * 5) div 100"))
+        .withColumn("keep",
+          col("__rank") > col("trim") &&
+            col("__rank") <= col("__n") - col("trim"))
+        .groupBy(col("segment"))
+        .agg(max(col("__n")).cast(LongType).as("n_total"),
+          max(col("trim")).cast(LongType).as("n_trimmed_each"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast(LongType)
+            .as("n_kept"),
+          (sum(when(col("keep"), col("cents"))).cast(DoubleType) /
+            sum(when(col("keep"), 1L).otherwise(0L)).cast(DoubleType))
+            .as("trimmed_mean_cents"),
+          (sum(col("cents")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("plain_mean_cents"))
+        .orderBy("segment")
+    },
+    Some("""
+      WITH seg AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS cents,
+               o_orderkey
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      r AS (
+        SELECT segment, cents,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                 ORDER BY cents, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM seg),
+      k AS (
+        SELECT segment, cents, n, (n * 5) // 100 AS trim,
+               (rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100) AS keep
+        FROM r)
+      SELECT segment, CAST(MAX(n) AS BIGINT) AS n_total,
+             CAST(MAX(trim) AS BIGINT) AS n_trimmed_each,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN keep THEN cents END) AS DOUBLE)
+               / CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+               AS trimmed_mean_cents,
+             CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS plain_mean_cents
+      FROM k GROUP BY segment ORDER BY segment"""))
+
   val all: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q05b, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }
