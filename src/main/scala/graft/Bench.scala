@@ -273,8 +273,16 @@ object Bench {
     // committed sf0.1 anchor (the cross-run control comparison then read
     // nonsense) — only the anchor SF writes the anchor file; other SFs
     // write a -smoke sidecar.
+    // r9 advice: endsWith("sf0.1") mis-routed both ways — a trailing
+    // slash demoted a real anchor run to the smoke file, and any
+    // directory merely ENDING in "sf0.1" (alt-sf0.1) clobbered the
+    // committed anchor. Normalize and compare the final path segment.
+    val isAnchorSf =
+      try java.nio.file.Paths.get(sfDir).normalize()
+        .getFileName.toString == "sf0.1"
+      catch { case _: Throwable => false }
     val benchPath =
-      if (sfDir.endsWith("sf0.1")) "/root/repo/bench_full.json"
+      if (isAnchorSf) "/root/repo/bench_full.json"
       else "/root/repo/bench_full_smoke.json"
     try {
       java.nio.file.Files.write(

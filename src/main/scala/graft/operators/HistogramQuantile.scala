@@ -93,7 +93,26 @@ object HistogramQuantile {
       else d.join(broadcast(stats), groupCols)
 
     // span = mx - mn + 1; bucket of v = ((v - mn) * B) div span ∈ [0, B)
-    val bucket = idiv((value - col("__mn")) * buckets,
+    //
+    // Layout-contract guard (r9 advice): (v − mn)·B silently overflows
+    // BIGINT when the span exceeds 2^63/B (with ANSI off it would yield
+    // WRONG buckets, not an error). min/max are data-dependent, so a
+    // driver-side require would cost an extra stats action; instead the
+    // guard is an in-plan assert_true folded into the bucket expression
+    // (coalesce keeps it from being pruned: NULL→0 when valid, a named
+    // error naming the contract when not).
+    // the second conjunct makes the guard wrap-proof: with ANSI off the
+    // span expression itself wraps negative when mx - mn >= 2^63, and a
+    // wrapped-negative span would otherwise satisfy the <= bound
+    val guard = coalesce(
+      assert_true(col("__mx") - col("__mn") + 1 >= 1 &&
+        col("__mx") - col("__mn") + 1 <= Long.MaxValue / buckets,
+        lit(s"HistogramQuantile layout contract violated: value span " +
+          s"(mx - mn + 1) must be <= Long.MaxValue/$buckets = " +
+          s"${Long.MaxValue / buckets} so the bucket expression " +
+          s"(v - mn) * $buckets stays within BIGINT")),
+      lit(0L))
+    val bucket = idiv((value - col("__mn")) * buckets + guard,
       col("__mx") - col("__mn") + 1).as("__b")
     val hist = withStats(df.filter(value.isNotNull))
       .groupBy(gCols :+ bucket: _*)

@@ -27,9 +27,33 @@ object TableDiff {
   /** Per-key classified diff: key columns, every value column as
     * `<col>_a` / `<col>_b`, and `diff_class`. Both inputs must share the
     * exact schema (same columns, same order).
+    *
+    * PRECONDITION (r9 advice — mirrors JoinMv's compacted-base
+    * contract): each snapshot must carry at most ONE row per key.
+    * Duplicate keys fan out through the full-outer join (every a-row ×
+    * every b-row of the key gets its own diff_class) and silently
+    * inflate [[summary]] counts. The check is a full extra aggregation
+    * per snapshot, so it is opt-in: pass `assertUniqueKeys = true` in
+    * debug/validation runs; production pipelines that diff
+    * CdcMerge-compacted snapshots hold the invariant by construction.
     */
-  def diff(a: DataFrame, b: DataFrame, key: Seq[String]): DataFrame = {
-    require(key.nonEmpty, "diff key must be non-empty")
+  def diff(a: DataFrame, b: DataFrame, key: Seq[String],
+      assertUniqueKeys: Boolean = false): DataFrame = {
+    require(key.nonEmpty,
+      "diff key must be non-empty (and each snapshot must have at most " +
+        "one row per key — duplicate keys fan out through the full-outer " +
+        "join; run with assertUniqueKeys = true to validate)")
+    if (assertUniqueKeys) {
+      def check(df: DataFrame, side: String): Unit = {
+        val n = df.count()
+        val d = df.select(key.map(col): _*).distinct().count()
+        require(n == d,
+          s"TableDiff precondition violated: snapshot $side has $n rows " +
+            s"but only $d distinct keys on (${key.mkString(",")}) — " +
+            "compact to one row per key (CdcMerge.compact) before diffing")
+      }
+      check(a, "a"); check(b, "b")
+    }
     require(a.columns.sameElements(b.columns),
       s"snapshot schemas differ: ${a.columns.mkString(",")} vs " +
         b.columns.mkString(","))

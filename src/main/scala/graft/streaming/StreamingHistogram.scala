@@ -55,6 +55,14 @@ object StreamingHistogram {
       buckets: Int): DataFrame = {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
     require(mx >= mn, s"declared range [$mn, $mx] is empty")
+    // layout contract (r9 advice): (v - mn) * buckets must stay within
+    // BIGINT — here the range is DECLARED, so the guard is a cheap
+    // construction-time require rather than the batch form's in-plan assert
+    require(java.lang.Long.compareUnsigned(mx - mn,
+        Long.MaxValue / buckets - 1) <= 0,
+      s"declared range [$mn, $mx] too wide: (mx - mn + 1) must be <= " +
+        s"Long.MaxValue/$buckets = ${Long.MaxValue / buckets} so the " +
+        s"bucket expression (v - mn) * $buckets stays within BIGINT")
     val v0 = col(valueCol).cast(LongType)
     // clamp to the declared layout: below-range → bucket 0,
     // above-range → bucket B−1; NULLs drop (they carry no value)
@@ -68,6 +76,14 @@ object StreamingHistogram {
       buckets: Int) {
     require(buckets >= 1, s"buckets=$buckets must be >= 1")
     require(mx >= mn, s"declared range [$mn, $mx] is empty")
+    // layout contract (r9 advice): (v - mn) * buckets must stay within
+    // BIGINT — here the range is DECLARED, so the guard is a cheap
+    // construction-time require rather than the batch form's in-plan assert
+    require(java.lang.Long.compareUnsigned(mx - mn,
+        Long.MaxValue / buckets - 1) <= 0,
+      s"declared range [$mn, $mx] too wide: (mx - mn + 1) must be <= " +
+        s"Long.MaxValue/$buckets = ${Long.MaxValue / buckets} so the " +
+        s"bucket expression (v - mn) * $buckets stays within BIGINT")
 
     @volatile private var hist: Option[DataFrame] = None
 

@@ -41,10 +41,19 @@ object StreamingJoinMv {
     def currentA: Option[DataFrame] = aSnap
     def currentB: Option[DataFrame] = bSnap
 
-    private def rebuildOrMaintain(aBatch: Option[DataFrame],
+    /** View fold against explicit side SNAPSHOT ARGUMENTS (the pre-merge
+      * base for the side that just advanced — JoinMv's contract). The
+      * bases are parameters, not reads of aSnap/bSnap: the earlier form
+      * temporarily swapped the @volatile field back to the pre-merge
+      * base around this call, so an exception mid-maintain left the
+      * field stale and a concurrent dashboard reader could observe an A
+      * snapshot inconsistent with the just-advanced view (r9 advice).
+      */
+    private def rebuildOrMaintain(aBase: Option[DataFrame],
+        bBase: Option[DataFrame], aBatch: Option[DataFrame],
         bBatch: Option[DataFrame]): Unit = {
       val empty: DataFrame => DataFrame = b => b.limit(0)
-      (aSnap, bSnap) match {
+      (aBase, bBase) match {
         case (Some(a), Some(b)) =>
           val v = view match {
             case Some(v0) =>
@@ -63,7 +72,11 @@ object StreamingJoinMv {
       }
     }
 
-    /** Fold one micro-batch of the A-side changelog. */
+    /** Fold one micro-batch of the A-side changelog. The view fold
+      * reads the PRE-merge base (passed as an argument, never written
+      * back into the field), so aSnap always points at the merged
+      * snapshot from the moment it advances.
+      */
     def absorbA(batch: DataFrame): Unit = synchronized {
       val prior = aSnap
       aSnap = Some((prior match {
@@ -72,13 +85,8 @@ object StreamingJoinMv {
       }).localCheckpoint(true))
       prior match {
         case Some(base0) =>
-          // view fold reads the PRE-merge base (JoinMv's contract);
-          // restore it just for the maintain call
-          val hold = aSnap
-          aSnap = Some(base0)
-          rebuildOrMaintain(Some(batch), None)
-          aSnap = hold
-        case None => rebuildOrMaintain(None, None)
+          rebuildOrMaintain(Some(base0), bSnap, Some(batch), None)
+        case None => rebuildOrMaintain(aSnap, bSnap, None, None)
       }
     }
 
@@ -91,11 +99,8 @@ object StreamingJoinMv {
       }).localCheckpoint(true))
       prior match {
         case Some(base0) =>
-          val hold = bSnap
-          bSnap = Some(base0)
-          rebuildOrMaintain(None, Some(batch))
-          bSnap = hold
-        case None => rebuildOrMaintain(None, None)
+          rebuildOrMaintain(aSnap, Some(base0), None, Some(batch))
+        case None => rebuildOrMaintain(aSnap, bSnap, None, None)
       }
     }
 
