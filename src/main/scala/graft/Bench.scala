@@ -83,6 +83,68 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val work = new WorkListener
     spark.sparkContext.addSparkListener(work)
+    def fmt(v: Double): String =
+      "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    def loadAvg1m(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def ownCpuSec(): Double =
+      try {
+        // /proc/self/stat fields 14/15 (utime, stime) in clock ticks;
+        // comm (field 2) can contain spaces but is parenthesized — split
+        // after the closing paren
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/stat"))
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        (rest(11).toLong + rest(12).toLong) / 100.0
+      } catch { case _: Throwable => -1.0 }
+    // Scheduler-latency control: 8 sequential tiny jobs over a 32-row
+    // range — near-zero work, so its time ≈ 8 × (job submit + schedule +
+    // collect round-trip), the term co-tenant load multiplies. Kept off
+    // the SQL path (no plan cache interaction with the workload).
+    def schedChain(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 8) { spark.sparkContext.range(0, 32, 1, 4).count(); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Minimal telemetry snapshot (no SQL control — usable before the
+    // table cache is warm): sched-chain secs, loadavg, cumulative GC,
+    // cumulative own-cpu, listener-bus depth, cleaner reference count.
+    def miniSampleJson(): String = {
+      val sched = schedChain()
+      s"""{"sched":${fmt(sched)},"load1m":${fmt(loadAvg1m())},"gc_cum":${fmt(gcMillis() / 1e3)},"own_cpu_cum":${fmt(ownCpuSec())},"bus_depth":${GraftSparkBridge.listenerQueueDepth(spark.sparkContext)},"cleaner_refs":${GraftSparkBridge.cleanerRefCount(spark.sparkContext)}}"""
+    }
+    // ---- Streaming throughput, FIRST POSITION (r9 verdict #1) --------
+    // Three driver rounds read 25.9k → 15.3k → 8.3k rows/sec with the
+    // measurement sitting AFTER the (now 179-query) suite, inside the
+    // exact window where the run's own controls read ×5–9 inflated — the
+    // absolute number was unattributable. The HEADLINE stream_throughput
+    // is therefore measured here, before the suite touches the driver
+    // (one untimed warm-up drain first: JIT/codegen for the streaming
+    // path, exactly the discipline every batch query gets), bracketed by
+    // its own telemetry samples. A second, LATE drain at the original
+    // position is reported as stream_throughput_late so the first-vs-late
+    // delta — the driver-accumulation tax — is in-artifact every round.
+    schedChain(); schedChain() // warm the sched control itself
+    def streamLine(metric: String): Unit = {
+      val pre = miniSampleJson()
+      val r = StreamBench.run(spark, sfDir)
+      val post = miniSampleJson()
+      val batchLaps = r.batchLaps.map { case (id, rows, ms) =>
+        s"[$id,$rows,$ms]"
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"$metric","value":${fmt(r.inputRows / r.secs)},"unit":"rows/sec","rows":${r.inputRows},"fact_rows":${r.factRows},"batches":${r.batches},"secs":${fmt(r.secs)},"batch_laps":$batchLaps,"pre":$pre,"post":$post}""")
+      StreamBench.cleanup(r)
+    }
+    try {
+      val warm = StreamBench.run(spark, sfDir); StreamBench.cleanup(warm)
+      streamLine("stream_throughput")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] stream_throughput FAILED: ${e.getMessage}")
+    }
     // Untimed warm-up: JVM/codegen/classloading, plus hot-cache the tables
     // — CacheManager matches later identical scans by logical plan, so the
     // timed queries run against memory like a warmed warehouse. (At 100 TB
@@ -156,47 +218,31 @@ object Bench {
         .agg(sum(col("l_quantity")).as("q"), count(lit(1)).as("n"))
     }
     run(controlDf); run(controlDf) // warm: JIT + cached-scan match
-    // Scheduler-latency control: 8 sequential tiny jobs over a 32-row
-    // range — near-zero work, so its time ≈ 8 × (job submit + schedule +
-    // collect round-trip), the term co-tenant load multiplies. Kept off
-    // the SQL path (no plan cache interaction with the workload).
-    def schedChain(): Unit = {
-      var i = 0
-      while (i < 8) { spark.sparkContext.range(0, 32, 1, 4).count(); i += 1 }
-    }
-    def loadAvg1m(): Double =
-      try java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    def ownCpuSec(): Double =
-      try {
-        // /proc/self/stat fields 14/15 (utime, stime) in clock ticks;
-        // comm (field 2) can contain spaces but is parenthesized — split
-        // after the closing paren
-        val s = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("/proc/self/stat"))
-        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-        (rest(11).toLong + rest(12).toLong) / 100.0
-      } catch { case _: Throwable => -1.0 }
-    schedChain(); schedChain() // warm
     // (pos, sec, cachedMemMB, cachedDiskMB, cumGcSec, schedSec, load1m,
-    // ownCpuSec): pos = how many workload queries had completed when the
-    // sample was taken. ownCpuSec is CUMULATIVE — consumers diff
-    // neighbors and compare against wall × avail_procs and load1m to
-    // separate "we were busy" from "someone else was".
-    val controls = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, Double, Long, Long, Double, Double, Double, Double)]
+    // ownCpuSec, busDepth, cleanerRefs): pos = how many workload queries
+    // had completed when the sample was taken. ownCpuSec is CUMULATIVE —
+    // consumers diff neighbors and compare against wall × avail_procs
+    // and load1m to separate "we were busy" from "someone else was".
+    // busDepth/cleanerRefs (r9 verdict #2) probe the driver-internal-
+    // accumulation hypothesis for the late-run sched-×9 signature: a
+    // backlogged listener bus stalls every drainListenerBus() in the lap
+    // protocol, and a monotone cleaner-reference climb is the "driver
+    // fills up after ~170 queries" signature — both previously invisible.
+    final case class Ctl(pos: Int, sec: Double, memMB: Long, diskMB: Long,
+        gcSec: Double, schedSec: Double, load1m: Double, ownCpu: Double,
+        busDepth: Long, cleanerRefs: Long)
+    val controls = scala.collection.mutable.ArrayBuffer.empty[Ctl]
     def sampleControl(pos: Int): Unit = {
       val t0 = System.nanoTime()
       run(controlDf)
       val sec = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      schedChain()
-      val schedSec = (System.nanoTime() - t1) / 1e9
+      val schedSec = schedChain()
       val infos = spark.sparkContext.getRDDStorageInfo
-      controls += ((pos, sec, infos.map(_.memSize).sum >> 20,
+      controls += Ctl(pos, sec, infos.map(_.memSize).sum >> 20,
         infos.map(_.diskSize).sum >> 20, gcMillis() / 1e3,
-        schedSec, loadAvg1m(), ownCpuSec()))
+        schedSec, loadAvg1m(), ownCpuSec(),
+        GraftSparkBridge.listenerQueueDepth(spark.sparkContext),
+        GraftSparkBridge.cleanerRefCount(spark.sparkContext))
     }
     sampleControl(0)
     // Per-query LAPS are recorded in the artifact (not just the min): a
@@ -207,9 +253,19 @@ object Bench {
     // it. When the two timed laps disagree by >1.3x, a third runs: min-of-3
     // bounds the reported number's spread without paying a third lap for
     // the ~60 stable queries.
+    // Seeded deterministic SHUFFLE of execution order (r9 verdict #2):
+    // alphabetical order coupled whole query families to whatever the
+    // machine does late in the run — the stream_*/q6x families ate the
+    // contended tail window two rounds running, reading as family-wide
+    // regressions. A recorded-seed shuffle decorrelates name from
+    // position (any contention window now hits a random cross-section),
+    // while staying replayable: the same seed reproduces the order.
+    val benchSeed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "10").toLong
+    val execOrder = new scala.util.Random(benchSeed)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
     var done = 0
     val results: Seq[(String, Double, Seq[Lap])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      execOrder.map { case (name, fn) =>
         val r = try {
           run(fn(spark, sfDir)) // warm-up lap: JIT + codegen + shuffle
           def one(): Lap = lap(() => fn(spark, sfDir))
@@ -236,34 +292,34 @@ object Bench {
         r
       }
     sampleControl(done)
-    // Locale.ROOT: plain "%.4f".format uses the JVM default locale, which
-    // on e.g. a de_DE machine renders "1,2345" — malformed JSON
-    def fmt(v: Double): String =
-      "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    // Emission maps are name-sorted regardless of execution order (stable
+    // cross-round diffs); the executed order is recorded separately.
+    val sorted = results.sortBy(_._1)
+    val qs = sorted.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val lapsJson = results.map { case (k, _, ls) =>
+    val lapsJson = sorted.map { case (k, _, ls) =>
       "\"" + k + "\":" + ls.map(l => fmt(l.sec)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // Per-lap telemetry, file-artifact only (too big for stdout capture):
     // [sec, gc_ms, shuffle_write_b, shuffle_read_b, spill_b,
     //  sum_task_peak_exec_b, heap_used_mb] per lap.
-    val telemetryJson = results.map { case (k, _, ls) =>
+    val telemetryJson = sorted.map { case (k, _, ls) =>
       "\"" + k + "\":" + ls.map(l =>
         s"[${fmt(l.sec)},${l.gcMs},${l.shufWriteB},${l.shufReadB},${l.spillB},${l.peakExecB},${l.heapUsedB >> 20}]")
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val controlsJson = controls.map {
-      case (pos, sec, mem, disk, gcS, schedS, load, cpuS) =>
-        s"[$pos,${fmt(sec)},$mem,$disk,${fmt(gcS)},${fmt(schedS)},${fmt(load)},${fmt(cpuS)}]"
+    val controlsJson = controls.map { c =>
+      s"[${c.pos},${fmt(c.sec)},${c.memMB},${c.diskMB},${fmt(c.gcSec)},${fmt(c.schedSec)},${fmt(c.load1m)},${fmt(c.ownCpu)},${c.busDepth},${c.cleanerRefs}]"
     }.mkString("[", ",", "]")
     val envJson = {
       val rt = Runtime.getRuntime
-      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors}}"""
+      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors},"bench_seed":$benchSeed}"""
     }
+    val orderJson =
+      execOrder.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"laps":$lapsJson,"telemetry":$telemetryJson,"controls":$controlsJson,"env":$envJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"laps":$lapsJson,"telemetry":$telemetryJson,"controls":$controlsJson,"env":$envJson,"exec_order":$orderJson,"sf":"$sfDir"}"""
     println(fullJson)
     // r7 finding: the driver's stdout tail window truncates the big line,
     // leaving ~half the per-query times unrecoverable from the BENCH
@@ -302,22 +358,15 @@ object Bench {
     // in the official run are explainable from the official artifact even
     // if bench_full.json's telemetry block is all that's lost.
     println(s"""{"metric":"bench_controls","env":$envJson,"every":$ControlEvery,"samples":$controlsJson}""")
-    // Streaming throughput (r6 gap: the reference's headline metric is
-    // ETL wall time, hybridjoin.py:493,500-501): one end-to-end
-    // StreamingFact drain over the events-derived CSV stream, reported
-    // as rows/sec on its own small line. Per-micro-batch laps included
-    // (r8 verdict #5) so a throughput drop decomposes into fewer-batches
-    // vs slower-batches from the artifact alone.
-    try {
-      val r = StreamBench.run(spark, sfDir)
-      val batchLaps = r.batchLaps.map { case (id, rows, ms) =>
-        s"[$id,$rows,$ms]"
-      }.mkString("[", ",", "]")
-      println(s"""{"metric":"stream_throughput","value":${fmt(r.inputRows / r.secs)},"unit":"rows/sec","rows":${r.inputRows},"fact_rows":${r.factRows},"batches":${r.batches},"secs":${fmt(r.secs)},"batch_laps":$batchLaps}""")
-      StreamBench.cleanup(r)
-    } catch {
+    // Late-position streaming drain (the pre-r10 position): same
+    // measurement after the full suite has filled the driver. The
+    // first-vs-late delta, with each line's own pre/post telemetry, IS
+    // the attribution the r9 slide lacked.
+    try streamLine("stream_throughput_late")
+    catch {
       case e: Throwable =>
-        System.err.println(s"[bench] stream_throughput FAILED: ${e.getMessage}")
+        System.err.println(
+          s"[bench] stream_throughput_late FAILED: ${e.getMessage}")
     }
     // r6 finding: at 89 queries even the laps-free line outgrows the tail
     // window, losing its head (and the total with it). The LAST line is
