@@ -779,17 +779,28 @@ object ScaleProbe {
     */
   private def fuzzyProbe(spark: SparkSession, sfDir: String,
       mult: Int): Unit = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
     val names = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("id"), col("c_name").as("s"))
     val stride = names.agg(max(col("id"))).collect()(0).getLong(0) + 1L
-    def run(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+    val shuffle = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def run(df: org.apache.spark.sql.DataFrame, hashed: Boolean)
+        : (Long, Long, Double, Long) = {
       val d = df.cache(); val n = d.count()
+      Thread.sleep(1000); shuffle.set(0L)
       val t0 = System.nanoTime()
-      val pairs = operators.FuzzyJoin.pairsWithin1(d, col("id"), col("s"))
+      val pairs = operators.FuzzyJoin
+        .pairsWithin1(d, col("id"), col("s"), hashedKeys = hashed)
         .agg(count(lit(1))).collect()(0).getLong(0)
       val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
       d.unpersist()
-      (n, pairs, dt)
+      (n, pairs, dt, shuffle.get)
     }
     def distinctRep(m: Int) = (0 until m).map(i =>
       names.select((col("id") + lit(i * stride)).as("id"),
@@ -798,16 +809,29 @@ object ScaleProbe {
     def dupRep(m: Int) = (0 until m).map(i =>
       names.select((col("id") + lit(i * stride)).as("id"), col("s")))
       .reduce(_ union _)
-    run(distinctRep(1)) // warm-up
-    val (n1, p1, t1) = run(distinctRep(1))
-    val (nd, pd, td) = run(distinctRep(mult))
-    val (nm, pm, tm) = run(dupRep(mult))
-    println(f"PROBE fuzzy base: rows=$n1 pairs=$p1 time=$t1%.2fs")
+    run(distinctRep(1), hashed = true) // warm-up
+    val (n1, p1, t1, b1) = run(distinctRep(1), hashed = true)
+    val (nd, pd, td, bd) = run(distinctRep(mult), hashed = true)
+    val (nm, pm, tm, bm) = run(dupRep(mult), hashed = true)
+    // string-key A/B (r9 verdict #5): same outputs asserted, shuffle
+    // bytes compared — the hashed form's whole claim
+    val (_, pS1, tS1, bS1) = run(distinctRep(1), hashed = false)
+    val (_, pSd, tSd, bSd) = run(distinctRep(mult), hashed = false)
+    require(p1 == pS1 && pd == pSd,
+      s"hashed/string pair counts disagree: $p1/$pS1 base, $pd/$pSd x$mult")
+    println(f"PROBE fuzzy base: rows=$n1 pairs=$p1 time=$t1%.2fs" +
+      f" shuffle=${b1 / 1048576.0}%.1fMB")
     println(f"PROBE fuzzy distinct x$mult: rows=$nd pairs=$pd time=$td%.2fs" +
-      f" (x${td / t1}%.2f; linear ~x$mult)")
+      f" (x${td / t1}%.2f; linear ~x$mult) shuffle=${bd / 1048576.0}%.1fMB")
     println(f"PROBE fuzzy dup x$mult: rows=$nm pairs=$pm time=$tm%.2fs" +
       f" (x${tm / t1}%.2f; pairs x${pm.toDouble / math.max(p1, 1)}%.0f" +
-      f" — output-bound, candidate stage flat)")
+      f" — output-bound, candidate stage flat) shuffle=${bm / 1048576.0}%.1fMB")
+    println(f"PROBE fuzzy stringkeys base: time=$tS1%.2fs" +
+      f" shuffle=${bS1 / 1048576.0}%.1fMB (hashed x${bS1.toDouble / b1}%.2f" +
+      f" fewer bytes, time x${tS1 / t1}%.2f)")
+    println(f"PROBE fuzzy stringkeys x$mult: time=$tSd%.2fs" +
+      f" shuffle=${bSd / 1048576.0}%.1fMB (hashed x${bSd.toDouble / bd}%.2f" +
+      f" fewer bytes, time x${tSd / td}%.2f)")
   }
 
   /** Bloom-prefilter payoff: the semi-join (fact ⋈ filtered-dim keys,

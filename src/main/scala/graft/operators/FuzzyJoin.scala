@@ -57,8 +57,23 @@ object FuzzyJoin {
     * string pair. The output is inherently quadratic in multiplicity
     * (that IS the pair list); the candidate stage no longer is.
     * `ScaleProbe fuzzy` measures both axes.
+    *
+    * Key hashing (r9 verdict #5, the `llm_span_dedup_hashed` precedent):
+    * the candidate join's shuffle KEY is `xxhash64(deletion)` — a fixed
+    * 8-byte integer — rather than the deletion string itself, which
+    * averages the full string length and dominates the shuffle's bytes
+    * (keys ≈ (len+1)× the corpus). Recall is preserved structurally:
+    * equal strings hash equal, so every true deletion-key match
+    * survives; a hash COLLISION can only ADD candidate pairs, and any
+    * added pair either fails the exact `levenshtein === 1` verify
+    * (dropped) or passes it — in which case lev ≤ 1 guarantees the pair
+    * also shares a true deletion key and was already found (the final
+    * `distinct` collapses the double sighting). `hashedKeys = false`
+    * keeps the plain-string join for A/B measurement (`ScaleProbe
+    * fuzzy` reports both).
     */
-  def pairsWithin1(df: DataFrame, id: Column, str: Column): DataFrame = {
+  def pairsWithin1(df: DataFrame, id: Column, str: Column,
+      hashedKeys: Boolean = true): DataFrame = {
     // slim (id, string) rows, deduped so repeated input rows cannot
     // duplicate output pairs (the old per-row form deduped at the end)
     val rows = df.select(id.as("__id"), str.as("__s")).distinct()
@@ -74,7 +89,10 @@ object FuzzyJoin {
     // distinct — levenshtein runs map-side inside the join stage (a
     // candidate pair appears once per shared key), so the distinct's
     // shuffle carries only verified pairs, not the distance-2 noise
-    val keys = deletionKeys(strings, col("__s"), col("__s"))
+    val rawKeys = deletionKeys(strings, col("__s"), col("__s"))
+    val keys =
+      if (hashedKeys) rawKeys.select(col("__s"), xxhash64(col("__k")).as("__k"))
+      else rawKeys
     val sa = keys.select(col("__s").as("sa"), col("__k"))
     val sb = keys.select(col("__s").as("sb"), col("__k"))
     val strPairs = sa.join(sb, Seq("__k"))
