@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]
   *    | bpetrain [batchK] | kmeans [k] | prefix [rows] | zorder [rows]
   *    | pagerank [edges] [mult] | bfs [edges] [mult]
-  *    | rollingdistinct [users] [mult]]
+  *    | rollingdistinct [users] [mult] | trisample]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -220,6 +220,11 @@ object ScaleProbe {
     }
     if (mode == "pq") {
       pqProbe(spark, sfDir, if (args.length > 1) args(1).toInt else 10)
+      spark.stop()
+      return
+    }
+    if (mode == "trisample") {
+      triSampleProbe(spark, sfDir)
       spark.stop()
       return
     }
@@ -847,6 +852,75 @@ object ScaleProbe {
     * fraction and false-positive rate at the operator's policy m/k
     * against the real sf key count.
     */
+  /** DOULION p-ladder (r9 verdict #4): q40 ships p = 1/4 fixed, and it
+    * is the suite's most expensive query — but DOULION's variance is a
+    * known function of p (relative std-err ≈ sqrt((1/p³ − 1)/T) for T
+    * true triangles, dominated by 1/(p√p) when triangles are plentiful),
+    * so smaller p may buy most of the speed at negligible error on this
+    * graph. The probe runs the EXACT q40 pipeline (deterministic
+    * md5-ascii coin, degree-ordered orientation) on the ALL-TIME
+    * co-purchase graph at p ∈ {1, 1/4, 1/16, 1/64} and reports wall
+    * time, sampled edges, the 1/p³-scaled estimate, and relative error
+    * vs the exact count — the cheapness frontier behind q40's p policy.
+    */
+  private def triSampleProbe(spark: SparkSession, sfDir: String): Unit = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val h = md5(concat(col("pa").cast("string"), lit(":"),
+      col("pb").cast("string")).cast("binary"))
+    val u = (1 to 6)
+      .map(i => ascii(substring(h, i, 1)).cast("long") *
+        lit(math.pow(128, i - 1).toLong))
+      .reduce(_ + _)
+    // (label, threshold over the 999983 modulus, 1/p³ scale)
+    val ladder = Seq(
+      ("exact  p=1   ", 999983L, 1L),
+      ("approx p=1/4 ", 249996L, 64L),
+      ("approx p=1/16", 62499L, 4096L),
+      ("approx p=1/64", 15625L, 262144L))
+    def lap(threshold: Long): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val sampled = a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+        .filter(u % 999983L < threshold)
+        .distinct().localCheckpoint(false)
+      val deg = sampled.select(col("pa").as("n"))
+        .union(sampled.select(col("pb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val lower = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
+      val oriented = sampled
+        .join(deg.select(col("n").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("n").as("pb"), col("d").as("db")), Seq("pb"))
+        .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+          when(lower, col("pb")).otherwise(col("pa")).as("v"))
+        .localCheckpoint(false)
+      val wedges = oriented.select(col("u").as("ta"), col("v").as("tb"))
+        .join(oriented.select(col("u").as("tb"), col("v").as("tc")),
+          Seq("tb"))
+      val tri = wedges.join(
+        oriented.select(col("u").as("ta"), col("v").as("tc")),
+        Seq("ta", "tc"))
+      val row = tri.agg(count(lit(1)).as("t"))
+        .crossJoin(broadcast(sampled.agg(count(lit(1)).as("e"))))
+        .collect()(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      (row.getLong(0), row.getLong(1), dt)
+    }
+    lap(249996L) // warm-up: JIT + codegen for the whole pipeline
+    val exact = ladder.head
+    val (tExact, _, _) = lap(exact._2)
+    ladder.foreach { case (label, thr, scale) =>
+      val (t, e, dt) = lap(thr)
+      val est = t * scale
+      val err = (est - tExact).toDouble / tExact
+      println(f"PROBE trisample $label: time=$dt%6.2fs edges=$e%9d " +
+        f"sampled_tri=$t%9d est=$est%9d err=${err * 100}%+.2f%%")
+    }
+  }
+
   private def bloomProbe(spark: SparkSession, sfDir: String,
       mult: Int): Unit = {
     val mBits = 1 << 15

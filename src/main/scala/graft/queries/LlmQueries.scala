@@ -397,6 +397,63 @@ object LlmQueries {
              CAST((n_chars * 7) % 480 AS INTEGER) AS height
       FROM documents ORDER BY media_id"""))
 
+  /** REAL header decode over the binary media column
+    * (functions/ImageDims — PNG IHDR + JPEG SOFn marker walk, public
+    * byte-level specs, codegen'd): the honest multimodal rung the
+    * declared-fake codec decode left open (r9 verdict #8). The query
+    * CONSTRUCTS spec-conformant image headers from document fields
+    * (four shapes per doc_id mod: PNG with IHDR; JPEG with the standard
+    * 16-byte JFIF APP0 before SOF0; JPEG with a VARIABLE-length COM
+    * segment before a progressive SOF2 — the marker walk actually has
+    * to walk; and two corrupt shapes — raw text bytes and a truncated
+    * PNG signature — that must yield NULLs) and parses them back with
+    * the expression. The oracle never parses: it computes the expected
+    * dimensions ARITHMETICALLY from n_chars, so any endianness/offset
+    * slip between construction and parse mismatches immediately; known
+    * real-file header bytes are additionally pinned in ImageDimsSpec.
+    */
+  val multimodalDims = QueryDef(
+    "llm_multimodal_dims",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val w = (pmod(col("n_chars"), lit(1000)) + 1).cast(IntegerType)
+      val h = (pmod(col("n_chars") * 7, lit(800)) + 1).cast(IntegerType)
+      def hx(x: String): Column = unhex(lit(x))
+      def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+      def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+      val png = concat(hx("89504E470D0A1A0A0000000D49484452"),
+        be32(w), be32(h), hx("0806000000"))
+      def sof(marker: String): Column =
+        concat(hx(marker + "000B08"), be16(h), be16(w), hx("01011100"))
+      val jfif = concat(hx("FFD8FFE000104A46494600010100000100010000"),
+        sof("FFC0"), hx("FFD9"))
+      val com = concat(hx("FFD8FFFE"),
+        be16(pmod(col("doc_id"), lit(7)).cast(IntegerType) + 3),
+        expr("cast(repeat('x', cast(pmod(doc_id, 7) + 1 as int)) as binary)"),
+        sof("FFC2"), hx("FFD9"))
+      val media = when(pmod(col("doc_id"), lit(4)) === 0, png)
+        .when(pmod(col("doc_id"), lit(4)) === 1, jfif)
+        .when(pmod(col("doc_id"), lit(4)) === 2, com)
+        .when(pmod(col("doc_id"), lit(8)) === 3,
+          substring(col("text"), 1, 16).cast(BinaryType))
+        .otherwise(hx("89504E470D0A1A0A"))
+      documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          graft.functions.ImageDims.image_dims(media).as("__d"))
+        .select(col("media_id"), col("__d.format").as("format"),
+          col("__d.width").as("width"), col("__d.height").as("height"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  WHEN doc_id % 4 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  ELSE CAST(n_chars % 1000 + 1 AS INTEGER) END AS width,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  ELSE CAST((n_chars * 7) % 800 + 1 AS INTEGER) END AS height
+      FROM documents ORDER BY media_id"""))
+
   /** Brute-force cosine top-k over the embeddings table: 10 broadcast query
     * vectors against the full corpus, one scan.
     */
@@ -2940,7 +2997,8 @@ object LlmQueries {
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
-    multimodalBinary, annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
+    multimodalBinary, multimodalDims,
+    annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,

@@ -1733,6 +1733,25 @@ object Workload {
     * DuckDB replays it end-to-end: a true cross-engine green row, not a
     * pin. Output: one row (est_triangles, sampled_triangles,
     * sampled_edges) — the global-count shape DOULION answers.
+    *
+    * p POLICY (r9 verdict #4, measured by `ScaleProbe trisample` on the
+    * sf0.1 all-time graph — exact count 1,884,488 triangles):
+    * {{{
+    *   p       wall     est. error
+    *   1       25.9 s    (exact)
+    *   1/4      7.6 s    −0.10 %
+    *   1/16     7.6 s    −3.28 %
+    *   1/64     9.8 s   +25.2 %
+    * }}}
+    * p = 1/4 stays the default: below it, wall time is FLAT — the
+    * bottleneck is the pre-sample pair enumeration (the lineitem
+    * self-join that must run at any p), not the wedge join the ×1/p²
+    * reduction shrinks — so smaller p buys pure variance
+    * (rel-std-err ≈ √((1/p³−1)/T): ~0.6 % at 1/4, ~4.7 % at 1/16,
+    * ~37 % at 1/64 for this T) and no speed. At cluster scale the same
+    * logic holds whenever edge ENUMERATION is the dominant stage; only
+    * when the sampled graph itself (memory/wedges) is the constraint
+    * does dropping p below 1/4 pay.
     */
   val q40 = QueryDef(
     "q40_graph_triangles_approx",
