@@ -228,6 +228,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "graphgc") {
+      graphGcProbe(spark, sfDir)
+      spark.stop()
+      return
+    }
     if (mode == "bloom") {
       bloomProbe(spark, sfDir, if (args.length > 1) args(1).toInt else 10)
       spark.stop()
@@ -852,6 +857,88 @@ object ScaleProbe {
     * fraction and false-positive rate at the operator's policy m/k
     * against the real sf key count.
     */
+  /** Graph-block GC attribution (r9 verdict #6): the r9 driver run's one
+    * self-induced slow window was ~13 s of GC under q37/q39/q40
+    * (positions 136–144). Two candidate stories: (a) the cached
+    * localCheckpoint blocks of q40's sampled/oriented frames live
+    * DESERIALIZED (MEMORY_AND_DISK, row objects on the heap) and the
+    * collector pays for them; (b) the GC is TRANSIENT allocation churn —
+    * the ~500M pair rows streaming through the wedge joins — and storage
+    * level is irrelevant. The probe runs the block both ways: as shipped
+    * (localCheckpoint), and with the two frames persisted
+    * MEMORY_AND_DISK_SER (serialized bytes off the object heap; lineage
+    * kept, which is fine for a probe), reporting per-query wall + GC
+    * delta. Whichever is flat names the cause.
+    */
+  private def graphGcProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def lap(name: String, f: () => org.apache.spark.sql.DataFrame): Unit = {
+      val g0 = gcMs; val t0 = System.nanoTime()
+      noop(f())
+      println(f"PROBE graphgc $name: time=${(System.nanoTime() - t0) / 1e9}%6.2fs" +
+        f" gc=${(gcMs - g0) / 1e3}%5.2fs")
+    }
+    // q40 pipeline with a pluggable materialization for sampled/oriented
+    def q40With(mat: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val h = md5(concat(col("pa").cast("string"), lit(":"),
+        col("pb").cast("string")).cast("binary"))
+      val u = (1 to 6)
+        .map(i => ascii(substring(h, i, 1)).cast("long") *
+          lit(math.pow(128, i - 1).toLong))
+        .reduce(_ + _)
+      val sampled = mat(a.join(b, Seq("l_orderkey"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa"), col("pb"))
+        .filter(u % 999983L < 249996L)
+        .distinct())
+      val deg = sampled.select(col("pa").as("n"))
+        .union(sampled.select(col("pb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val lower = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
+      val oriented = mat(sampled
+        .join(deg.select(col("n").as("pa"), col("d").as("da")), Seq("pa"))
+        .join(deg.select(col("n").as("pb"), col("d").as("db")), Seq("pb"))
+        .select(when(lower, col("pa")).otherwise(col("pb")).as("u"),
+          when(lower, col("pb")).otherwise(col("pa")).as("v")))
+      val wedges = oriented.select(col("u").as("ta"), col("v").as("tb"))
+        .join(oriented.select(col("u").as("tb"), col("v").as("tc")),
+          Seq("tb"))
+      val tri = wedges.join(
+        oriented.select(col("u").as("ta"), col("v").as("tc")),
+        Seq("ta", "tc"))
+      tri.agg(count(lit(1)).as("sampled_triangles"))
+        .crossJoin(broadcast(sampled.agg(count(lit(1)).as("sampled_edges"))))
+    }
+    val block = Seq("q37_part_pagerank", "q39_graph_triangles",
+      "q40_graph_triangles_approx")
+    val qs = graft.SparkEntry.queries
+    // warm-up: one full block pass (JIT/codegen)
+    block.foreach(n => noop(qs(n)(spark, sfDir)))
+    println("PROBE graphgc --- as shipped (localCheckpoint, deserialized) ---")
+    block.foreach(n => lap(n, () => qs(n)(spark, sfDir)))
+    println("PROBE graphgc --- q40 with MEMORY_AND_DISK_SER persists ---")
+    val persisted = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    lap("q40_ser", () => q40With { df =>
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
+      p.count(); persisted += p; p
+    })
+    persisted.foreach(_.unpersist())
+    lap("q40_shipped_rerun", () => qs("q40_graph_triangles_approx")(spark, sfDir))
+  }
+
   /** DOULION p-ladder (r9 verdict #4): q40 ships p = 1/4 fixed, and it
     * is the suite's most expensive query — but DOULION's variance is a
     * known function of p (relative std-err ≈ sqrt((1/p³ − 1)/T) for T

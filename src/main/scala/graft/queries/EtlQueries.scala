@@ -1528,6 +1528,57 @@ object EtlQueries {
       Some(oracle))
   }
 
+  /** KMV distinct-count sketch (operators/KmvDistinct) over lineitem's
+    * part keys, k = 256, reported beside the exact distinct with the
+    * realized relative error — the ENGINE-PORTABLE approximate-distinct
+    * rung: q27's HLL rides Spark-internal registers (differential-only
+    * by design), while KMV's k-min set under the deterministic
+    * md5-ascii fold is bit-replayable in DuckDB, so estimate and error
+    * are a TRUE cross-engine green row. The exact count here is the
+    * honesty column (at bench scale it is cheap); production use is the
+    * sketch alone — mergeable k-min sets per partition/day, ~1/√(k−2)
+    * error at constant state. rel_err is derived from the est column in
+    * a second projection so both engines build the identical one-node
+    * DOUBLE tree on top of the same est value.
+    */
+  val kmvDistinct = QueryDef(
+    "etl_kmv_distinct",
+    (s, dir) => {
+      val li = lineitem(s, dir)
+      val sk = graft.operators.KmvDistinct.sketch(li, col("l_partkey"), 256)
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("exact_distinct"))
+      sk.crossJoin(broadcast(exact))
+        .withColumn("rel_err",
+          (col("est_distinct") - col("exact_distinct").cast(DoubleType)) /
+            col("exact_distinct").cast(DoubleType))
+    },
+    Some("""
+      WITH h AS (
+        SELECT DISTINCT list_reduce(
+          list_transform(generate_series(1, 12),
+            i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(l_partkey AS VARCHAR)), i, 1)) - 1
+                   AS BIGINT)),
+          (a, b) -> a * 16 + b) AS hv
+        FROM lineitem WHERE l_partkey IS NOT NULL),
+      kmin AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(hv) AS kth_hash
+            FROM kmin),
+      x AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+              AS exact_distinct FROM lineitem),
+      e AS (
+        SELECT CAST(256 AS INTEGER) AS k, n_kept, kth_hash,
+               CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                         / CAST(kth_hash AS DOUBLE) END AS est_distinct,
+               exact_distinct
+        FROM s, x)
+      SELECT k, n_kept, kth_hash, est_distinct, exact_distinct,
+             (est_distinct - CAST(exact_distinct AS DOUBLE))
+               / CAST(exact_distinct AS DOUBLE) AS rel_err
+      FROM e"""))
+
   /** Exact heavy hitters — (event_type, user) pairs with at least 15
     * events (operators.HeavyHitters.exact): partial-agg groupBy then
     * threshold, the exact rung of the heavy-hitter ladder. The sketch
@@ -1965,7 +2016,7 @@ object EtlQueries {
     attribBatch, gapFill, zorderLayout, profileTable,
     scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel,
     multitouch, distDrift, distDriftStream, inferredMembers,
-    freshnessReport, heavyHitters,
+    freshnessReport, heavyHitters, kmvDistinct,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
     constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan,
