@@ -323,6 +323,72 @@ object TextAnalysis {
           .cast(LongType).as("fp"))
   }
 
+  /** Character-trigram LM surprisal — the language-model quality-scoring
+    * rung of the curation ladder (the CCNet/Gopher pipelines score docs
+    * by LM perplexity; this is the engine-portable form): a conditional
+    * char-trigram model TRAINED ON THE CORPUS ITSELF (count(c₁c₂c₃) over
+    * count(c₁c₂)), each position's surprisal −log₂ P̂ QUANTIZED to whole
+    * bits as bitlength(c₂cnt + 16) − bitlength(c₃cnt + 1) (add-1 /
+    * add-16 smoothing; c₃ ≤ c₂ makes the difference non-negative), and
+    * the doc score the average bits per trigram. The ±1-bit
+    * quantization is deliberate, not a limitation dodge: true float
+    * log-probs fold through `log`, which is NOT correctly rounded by
+    * IEEE (unlike the sqrt the cosine family leans on), so no
+    * cross-engine oracle could hold bit-exactly — bitlength keeps every
+    * operand an exact integer until the single final DOUBLE division
+    * (the repo-wide exactness discipline), and rank correlation with
+    * the float score is near-perfect at the corpus level. Outliers read
+    * the same either way: repetitive/boilerplate docs score LOW bits,
+    * character-noise docs score HIGH.
+    *
+    * Plan: two corpus passes build the two count frames (partial-agg
+    * groupBy; both are MODEL-sized — bounded by |charset|³ distinct
+    * keys, the k-centroids discipline — so they BROADCAST into the
+    * per-position join), then one map-side join pass re-aggregates
+    * per-doc with exact BIGINT sums (no ordered float fold anywhere).
+    * Docs with < 3 chars carry NULL scores through a left join-back —
+    * curation must see every doc, not just scoreable ones.
+    */
+  def trigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    // split to a code-point array ONCE (the llm_bigram_lm lesson:
+    // substring(text, i, 3) inside the transform re-scans the UTF-8
+    // string from the start per position — O(len²) on long docs), and
+    // compact to per-doc gram counts before anything joins
+    def charArr(d: DataFrame, minLen: Int) =
+      d.filter(length(col("__t")) >= minLen)
+        .withColumn("__c", split(col("__t"), ""))
+    def gram(n: Int) = (i: Column) =>
+      concat((0 until n).map(j => try_element_at(col("__c"), i + j)): _*)
+    val h3 = charArr(base, 3)
+      .select(col("__id"), explode(transform(
+        sequence(lit(1), size(col("__c")) - 2), gram(3))).as("tri"))
+      .groupBy("__id", "tri").agg(count(lit(1)).as("k"))
+      .localCheckpoint(true) // feeds BOTH the c3 model and the score join
+    val big = charArr(base, 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__c")) - 1), gram(2))).as("ctx"))
+    val c3 = h3.groupBy("tri").agg(sum(col("k")).as("c3"))
+    val c2 = big.groupBy("ctx").agg(count(lit(1)).as("c2"))
+    val scored = h3
+      .withColumn("ctx", substring(col("tri"), 1, 2))
+      .join(broadcast(c3), Seq("tri"))
+      .join(broadcast(c2), Seq("ctx"))
+      .withColumn("bits",
+        (length(bin(col("c2") + 16)) - length(bin(col("c3") + 1)))
+          .cast(LongType))
+      .groupBy(col("__id"))
+      .agg(sum(col("k")).as("n_trigrams"),
+        sum(col("k") * col("bits")).as("surprisal_bits"))
+    base.select(col("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        col("n_trigrams"), col("surprisal_bits"),
+        (col("surprisal_bits").cast(DoubleType) /
+          col("n_trigrams").cast(DoubleType)).as("avg_surprisal_bits"))
+  }
+
   /** Full per-document profile — tokenizes each document exactly once via
     * the staged `__toks` projection.
     */

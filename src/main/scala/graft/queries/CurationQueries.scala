@@ -330,6 +330,49 @@ object CurationQueries {
       FROM documents d LEFT JOIN per USING (doc_id) CROSS JOIN tot
       ORDER BY d.doc_id"""))
 
+  /** Conditional trigram-LM surprisal (TextAnalysis.trigramSurprisal) —
+    * the LM-quality rung ABOVE llm_bigram_lm's unconditional
+    * familiarity: per-position −log₂ P̂(c₃|c₁c₂) quantized to whole bits
+    * via integer bitlengths (bin()/length on exact counts — `log` is
+    * not IEEE-correctly-rounded, so the float form could never hold a
+    * cross-engine hash; see the operator doc), averaged per document.
+    * Low bits = repetitive/boilerplate, high bits = character noise —
+    * the two tails a CCNet-style perplexity filter trims.
+    */
+  val lmSurprisal = QueryDef(
+    "llm_lm_surprisal",
+    (s, dir) => graft.llm.TextAnalysis
+      .trigramSurprisal(documents(s, dir))
+      .orderBy("doc_id"),
+    Some("""
+      WITH h3 AS (
+        SELECT doc_id, tri, CAST(COUNT(*) AS BIGINT) AS k FROM (
+          SELECT doc_id, unnest(list_transform(
+              range(1, length(text) - 1),
+              i -> substr(text, i, 3))) AS tri
+          FROM documents WHERE length(text) >= 3)
+        GROUP BY 1, 2),
+      big AS (
+        SELECT unnest(list_transform(range(1, length(text)),
+            i -> substr(text, i, 2))) AS ctx
+        FROM documents WHERE length(text) >= 2),
+      c3 AS (SELECT tri, CAST(SUM(k) AS BIGINT) AS c3 FROM h3 GROUP BY 1),
+      c2 AS (SELECT ctx, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1),
+      sc AS (
+        SELECT h3.doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_trigrams,
+               CAST(SUM(k * (length(bin(c2.c2 + 16))
+                             - length(bin(c3.c3 + 1)))) AS BIGINT)
+                 AS surprisal_bits
+        FROM h3 JOIN c3 USING (tri)
+        JOIN c2 ON substr(h3.tri, 1, 2) = c2.ctx
+        GROUP BY 1)
+      SELECT d.doc_id, n_trigrams, surprisal_bits,
+             CAST(surprisal_bits AS DOUBLE) / CAST(n_trigrams AS DOUBLE)
+               AS avg_surprisal_bits
+      FROM documents d LEFT JOIN sc USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   /** Per-source dataset card: the corpus-composition summary every
     * training-data release ships — doc counts, exact-dup rate, language
     * spread, char/token volume per source. Every metric is an exact
@@ -429,5 +472,5 @@ object CurationQueries {
       LIMIT 20"""))
 
   val all: Seq[QueryDef] = Seq(spanDedup, spanDedupHashed, gopherRules,
-    splitAssign, bigramLm, sourceCard, kAnonymity)
+    splitAssign, bigramLm, lmSurprisal, sourceCard, kAnonymity)
 }
