@@ -1596,6 +1596,28 @@ object EtlQueries {
       FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 15
       ORDER BY event_type, user_id"""))
 
+  /** The STREAMING heavy-hitter maintainer
+    * (streaming/StreamingHeavyHitters — per-key counts held as driver
+    * state, thresholded on demand) driven as a batch replay in three
+    * deterministic micro-batches and proven equivalent to
+    * [[heavyHitters]] by sharing its oracle VERBATIM (the
+    * stream_drift_report twin discipline): per-key counting is
+    * associative + commutative, so any batching folds to the one-shot
+    * groupBy — which is exactly why the EXACT maintainer can be oracled
+    * while order-dependent Misra-Gries/SpaceSaving summaries cannot.
+    */
+  val heavyHittersStream = QueryDef(
+    "stream_heavy_hitters",
+    (s, dir) => {
+      val m = new graft.streaming.StreamingHeavyHitters.Maintainer(
+        Seq("event_type", "user_id"))
+      val ev = events(s, dir)
+      (0 until 3).foreach(i =>
+        m.absorb(ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      m.heavyHitters(15L).get.orderBy("event_type", "user_id")
+    },
+    heavyHitters.oracle)
+
   /** Salted skew join proven equivalent to the plain plan: the salted
     * fact→dim join + aggregate must hash-match an oracle that knows nothing
     * about salting. The salt spreads any hot user over 16 shuffle
@@ -2016,7 +2038,7 @@ object EtlQueries {
     attribBatch, gapFill, zorderLayout, profileTable,
     scd2Incremental, scd2AsAt, jsonProps, asofEnrich, asofWindow, funnel,
     multitouch, distDrift, distDriftStream, inferredMembers,
-    freshnessReport, heavyHitters, kmvDistinct,
+    freshnessReport, heavyHitters, heavyHittersStream, kmvDistinct,
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
     constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan,
