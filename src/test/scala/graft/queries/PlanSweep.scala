@@ -130,6 +130,11 @@ class PlanSweepSpec extends SparkSpec {
     // where broadcast is clearly right.
     "q26_full_outer_nation_activity" -> Set("SortMergeJoin"), // FULL OUTER of two agg frames — not broadcastable semantics
     "etl_table_diff" -> Set("SortMergeJoin"), // FULL OUTER snapshot diff keyed by pk — the q26 class
+    // StreamingDrift.driftReport: FULL OUTER of the observed and
+    // reference HISTOGRAMS — the q26 class, but with both sides ≤ B
+    // (= 20) rows by the maintainer's state bound: the SMJ is
+    // structurally bounded no matter the stream length.
+    "stream_drift_report" -> Set("SortMergeJoin"),
     "etl_session_overlap" -> Set("SortMergeJoin"), // bucket-exploded session self-join (Σbucket² pair stream)
     "llm_dedup_clusters" -> Set("SortMergeJoin"), // pair-graph CC: edges×labels iterate (stats-opaque by round)
     "llm_dedup_survivors" -> Set("SortMergeJoin"),
