@@ -34,6 +34,10 @@ object GraftFunctions {
         MinHashSignature(exprs(0), n)
       },
       "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "image_dims", exprs => ImageDims(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "audio_meta", exprs => AudioMeta(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -86,6 +90,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         val n = exprs(1).eval(null).asInstanceOf[Number].intValue()
         MinHashSignature(exprs(0), n)
       }))
+    e.injectFunction((
+      FunctionIdentifier("image_dims"),
+      new ExpressionInfo(classOf[ImageDims].getName, "image_dims"),
+      (exprs: Seq[Expression]) => ImageDims(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("audio_meta"),
+      new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
+      (exprs: Seq[Expression]) => AudioMeta(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

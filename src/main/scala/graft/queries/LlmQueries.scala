@@ -454,6 +454,102 @@ object LlmQueries {
                   ELSE CAST((n_chars * 7) % 800 + 1 AS INTEGER) END AS height
       FROM documents ORDER BY media_id"""))
 
+  /** REAL audio-header decode over the binary media column
+    * (functions/AudioMeta — RIFF/WAVE chunk walk per the public 1991
+    * Microsoft/IBM spec + RFC 2361, codegen'd): the audio sibling of
+    * llm_multimodal_dims under the same discipline. The query CONSTRUCTS
+    * spec-conformant WAV headers from document fields (four shapes per
+    * doc_id mod: canonical 44-byte PCM; IEEE-float with an 18-byte fmt
+    * body and a JUNK chunk before it — the walk must walk; a compressed
+    * codec tag behind an ODD-sized chunk — the walk must apply RIFF even
+    * padding, and frames must come back NULL because block align is a
+    * codec block size there; and two corrupt shapes — raw text bytes and
+    * a RIFF whose form type is AVI — that must yield whole-struct NULLs)
+    * and parses them back with the expression. Headers only, no payload:
+    * the parser derives frames from the DECLARED data size, the
+    * ffprobe-style prefix read that makes this viable at 100 TB. The
+    * oracle never parses — it recomputes every field ARITHMETICALLY from
+    * doc_id/n_chars, so any endianness/offset slip between construction
+    * and parse mismatches immediately; hand-written real WAV header
+    * bytes are additionally pinned in AudioMetaSpec.
+    */
+  val multimodalAudio = QueryDef(
+    "llm_multimodal_audio",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def hx(x: String): Column = unhex(lit(x))
+      def le16(c: Column): Column = {
+        val h = lpad(hex(c), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val h = lpad(hex(c), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val ch0 = pmod(col("doc_id"), lit(2)) + 1
+      val rate0 = pmod(col("n_chars"), lit(40000)) + 8000
+      val align0 = ch0 * 2
+      val data0 = (pmod(col("n_chars"), lit(500)) + 1) * align0
+      val pcm = concat(hx("52494646"), le32(data0 + 36), hx("57415645"),
+        hx("666D742010000000" + "0100"), le16(ch0), le32(rate0),
+        le32(rate0 * align0), le16(align0), hx("1000"),
+        hx("64617461"), le32(data0))
+      val rate1 = pmod(col("n_chars"), lit(60000)) + 8000
+      val data1 = (pmod(col("n_chars"), lit(300)) + 1) * 8
+      val flt = concat(hx("52494646"), le32(data1 + 50), hx("57415645"),
+        hx("4A554E4B04000000DEADBEEF"),
+        hx("666D742012000000" + "0300" + "0200"), le32(rate1),
+        le32(rate1 * 8), hx("0800" + "2000" + "0000"),
+        hx("64617461"), le32(data1))
+      val rate2 = pmod(col("n_chars"), lit(20000)) + 4000
+      val data2 = pmod(col("n_chars"), lit(1000)) + 1
+      val adpcm = concat(hx("52494646"), le32(data2 + 40), hx("57415645"),
+        hx("434F4D4D030000004142430A"), // 3-byte chunk + RIFF even pad
+        hx("666D742010000000" + "1100" + "0100"), le32(rate2),
+        le32(rate2), hx("0001" + "0400"),
+        hx("64617461"), le32(data2))
+      val media = when(pmod(col("doc_id"), lit(4)) === 0, pcm)
+        .when(pmod(col("doc_id"), lit(4)) === 1, flt)
+        .when(pmod(col("doc_id"), lit(4)) === 2, adpcm)
+        .when(pmod(col("doc_id"), lit(8)) === 3,
+          substring(col("text"), 1, 16).cast(BinaryType))
+        .otherwise(concat(hx("52494646"), le32(lit(36)), hx("41564920")))
+      documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          graft.functions.AudioMeta.audio_meta(media).as("__m"))
+        .select(col("media_id"), col("__m.codec").as("codec"),
+          col("__m.channels").as("channels"),
+          col("__m.sample_rate").as("sample_rate"),
+          col("__m.bits").as("bits"), col("__m.n_frames").as("n_frames"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  WHEN doc_id % 4 = 0 THEN 'pcm'
+                  WHEN doc_id % 4 = 1 THEN 'float'
+                  ELSE 'other' END AS codec,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  WHEN doc_id % 4 = 0 THEN CAST(doc_id % 2 + 1 AS INTEGER)
+                  WHEN doc_id % 4 = 1 THEN CAST(2 AS INTEGER)
+                  ELSE CAST(1 AS INTEGER) END AS channels,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  WHEN doc_id % 4 = 0
+                    THEN CAST(n_chars % 40000 + 8000 AS INTEGER)
+                  WHEN doc_id % 4 = 1
+                    THEN CAST(n_chars % 60000 + 8000 AS INTEGER)
+                  ELSE CAST(n_chars % 20000 + 4000 AS INTEGER)
+                  END AS sample_rate,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  WHEN doc_id % 4 = 0 THEN CAST(16 AS INTEGER)
+                  WHEN doc_id % 4 = 1 THEN CAST(32 AS INTEGER)
+                  ELSE CAST(4 AS INTEGER) END AS bits,
+             CASE WHEN doc_id % 8 IN (3, 7) OR doc_id % 4 = 2 THEN NULL
+                  WHEN doc_id % 4 = 0 THEN CAST(n_chars % 500 + 1 AS BIGINT)
+                  ELSE CAST(n_chars % 300 + 1 AS BIGINT) END AS n_frames
+      FROM documents ORDER BY media_id"""))
+
   /** Brute-force cosine top-k over the embeddings table: 10 broadcast query
     * vectors against the full corpus, one scan.
     */
@@ -2997,7 +3093,7 @@ object LlmQueries {
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
-    multimodalBinary, multimodalDims,
+    multimodalBinary, multimodalDims, multimodalAudio,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
