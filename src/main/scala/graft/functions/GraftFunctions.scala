@@ -38,6 +38,8 @@ object GraftFunctions {
       "image_dims", exprs => ImageDims(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "audio_meta", exprs => AudioMeta(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "video_meta", exprs => VideoMeta(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -98,6 +100,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("audio_meta"),
       new ExpressionInfo(classOf[AudioMeta].getName, "audio_meta"),
       (exprs: Seq[Expression]) => AudioMeta(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("video_meta"),
+      new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
+      (exprs: Seq[Expression]) => VideoMeta(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

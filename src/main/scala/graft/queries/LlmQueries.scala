@@ -550,6 +550,100 @@ object LlmQueries {
                   ELSE CAST(n_chars % 300 + 1 AS BIGINT) END AS n_frames
       FROM documents ORDER BY media_id"""))
 
+  /** REAL video-container header decode over the binary media column
+    * (functions/VideoMeta — ISO/IEC 14496-12 box walk, codegen'd): the
+    * video rung completing the dims/audio triad under the same
+    * discipline. The query CONSTRUCTS spec-conformant MP4 headers from
+    * document fields (four shapes per doc_id mod: ftyp + moov with a
+    * version-0 mvhd; ftyp + free + a moov carried in a 64-bit LARGESIZE
+    * header whose version-1 mvhd holds a duration above 2^32 — the u64
+    * read is load-bearing — with mvhd NOT the first child; a size==0
+    * to-end-of-file moov whose mvhd carries the all-ones UNKNOWN-duration
+    * sentinel that must surface as NULL duration beside non-NULL
+    * timescale/tracks; and two corrupt shapes — raw text bytes and moov
+    * before any ftyp — that must yield whole-struct NULLs) and parses
+    * them back with the expression. Headers only: mdat never exists, the
+    * ffprobe-style prefix read that makes this viable at 100 TB. The
+    * oracle never parses — it recomputes every field ARITHMETICALLY from
+    * doc_id/n_chars; hand-written real ISO-BMFF bytes are additionally
+    * pinned in VideoMetaSpec.
+    */
+  val multimodalVideo = QueryDef(
+    "llm_multimodal_video",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def hx(x: String): Column = unhex(lit(x))
+      def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+      def be64(c: Column): Column = unhex(lpad(hex(c), 16, "0"))
+      // rate/volume/reserved/unity-matrix/next-track tail shared by both
+      // mvhd versions (80 bytes; the parser reads none of it, but the
+      // declared box sizes must be REAL for the sibling walk to land on
+      // the trak boxes)
+      val tail80 = "0001000001000000" + "00" * 8 +
+        "000100000000000000000000" + "000000000001000000000000" +
+        "000000000000000040000000" + "00" * 24 + "00000002"
+      val trak = "000000107472616B" + "00" * 8
+      val ts0 = pmod(col("n_chars"), lit(48000)) + 600
+      val dur0 = pmod(col("n_chars"), lit(100000)) + 1
+      val mp4v0 = concat(
+        hx("0000001466747970" + "69736F6D" + "00000000" + "69736F6D"),
+        hx("000000846D6F6F76"), // moov: 8 + mvhd 108 + trak 16
+        hx("0000006C6D766864" + "00" * 12), be32(ts0), be32(dur0),
+        hx(tail80 + trak))
+      val dur1 = pmod(col("n_chars") * 7, lit(1000000)).cast(LongType) +
+        4294967296L // above 2^32: the v1 u64 duration field is load-bearing
+      val mp4v1 = concat(
+        hx("0000001466747970" + "6D703432" + "00000001" + "6D703432"),
+        hx("0000000C66726565DEADBEEF"),
+        // moov via 64-bit largesize: hdr 16 + udta 12 + mvhd 120 + 2 traks
+        hx("000000016D6F6F76" + "00000000000000B4"),
+        hx("0000000C75647461" + "00" * 4),
+        hx("000000786D766864" + "01000000" + "00" * 16 + "00015F90"),
+        be64(dur1), hx(tail80 + trak + trak))
+      val ts2 = pmod(col("n_chars"), lit(1000)) + 1
+      val mp4unk = concat(
+        hx("0000001466747970" + "33677034" + "00000000" + "33677034"),
+        hx("000000006D6F6F76"), // size==0: moov extends to end of file
+        hx("0000006C6D766864" + "00" * 12), be32(ts2),
+        hx("FFFFFFFF" + tail80 + trak + trak + trak))
+      val media = when(pmod(col("doc_id"), lit(4)) === 0, mp4v0)
+        .when(pmod(col("doc_id"), lit(4)) === 1, mp4v1)
+        .when(pmod(col("doc_id"), lit(4)) === 2, mp4unk)
+        .when(pmod(col("doc_id"), lit(8)) === 3,
+          substring(col("text"), 1, 16).cast(BinaryType))
+        .otherwise(hx("000000086D6F6F76" +
+          "0000001466747970" + "69736F6D" + "00000000" + "69736F6D"))
+      documents(s, dir)
+        .select(col("doc_id").as("media_id"),
+          graft.functions.VideoMeta.video_meta(media).as("__m"))
+        .select(col("media_id"), col("__m.brand").as("brand"),
+          col("__m.timescale").as("timescale"),
+          col("__m.duration").as("duration"),
+          col("__m.n_tracks").as("n_tracks"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  WHEN doc_id % 4 = 0 THEN 'isom'
+                  WHEN doc_id % 4 = 1 THEN 'mp42'
+                  ELSE '3gp4' END AS brand,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  WHEN doc_id % 4 = 0
+                    THEN CAST(n_chars % 48000 + 600 AS INTEGER)
+                  WHEN doc_id % 4 = 1 THEN CAST(90000 AS INTEGER)
+                  ELSE CAST(n_chars % 1000 + 1 AS INTEGER)
+                  END AS timescale,
+             CASE WHEN doc_id % 8 IN (3, 7) OR doc_id % 4 = 2 THEN NULL
+                  WHEN doc_id % 4 = 0 THEN CAST(n_chars % 100000 + 1 AS BIGINT)
+                  ELSE CAST((n_chars * 7) % 1000000 + 4294967296 AS BIGINT)
+                  END AS duration,
+             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+                  WHEN doc_id % 4 = 0 THEN CAST(1 AS INTEGER)
+                  WHEN doc_id % 4 = 1 THEN CAST(2 AS INTEGER)
+                  ELSE CAST(3 AS INTEGER) END AS n_tracks
+      FROM documents ORDER BY media_id"""))
+
   /** Brute-force cosine top-k over the embeddings table: 10 broadcast query
     * vectors against the full corpus, one scan.
     */
@@ -3093,7 +3187,7 @@ object LlmQueries {
     dedupSimhash, ngramProfile,
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
-    multimodalBinary, multimodalDims, multimodalAudio,
+    multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
