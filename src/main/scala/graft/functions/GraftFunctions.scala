@@ -40,6 +40,8 @@ object GraftFunctions {
       "audio_meta", exprs => AudioMeta(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "video_meta", exprs => VideoMeta(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "url_normalize", exprs => UrlNormalize(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -104,6 +106,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("video_meta"),
       new ExpressionInfo(classOf[VideoMeta].getName, "video_meta"),
       (exprs: Seq[Expression]) => VideoMeta(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("url_normalize"),
+      new ExpressionInfo(classOf[UrlNormalize].getName, "url_normalize"),
+      (exprs: Seq[Expression]) => UrlNormalize(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

@@ -644,6 +644,132 @@ object LlmQueries {
                   ELSE CAST(3 AS INTEGER) END AS n_tracks
       FROM documents ORDER BY media_id"""))
 
+  /** RFC 3986 URL normalization over a synthetic crawl column
+    * (functions/UrlNormalize — syntax-based §6.2.2 + http scheme-based
+    * §6.2.3 rules, codegen'd): the crawl-curation rung of the header-
+    * parser family. The query CONSTRUCTS six URL shapes from document
+    * fields (upper-case scheme/host with default port, dot-segments and
+    * a fragment; a non-default port with unreserved escapes %7E/%41
+    * that must DECODE; a no-path URL whose query carries a reserved
+    * escape %2c that must case-fold to %2C and an unreserved %7e that
+    * must decode; and three out-of-scope/corrupt shapes — an ftp
+    * scheme, a non-digit port, and a userinfo + empty-port + above-root
+    * "/a/../..//x" traversal that must clamp at root while PRESERVING
+    * the empty segment) and parses them back with the expression. The
+    * oracle never parses — it recomputes every field arithmetically
+    * from doc_id/n_chars; hand-written RFC-example URLs are additionally
+    * pinned in UrlNormalizeSpec.
+    */
+  val urlNormalize = QueryDef(
+    "llm_url_normalize",
+    (s, dir) => {
+      val d50 = pmod(col("doc_id"), lit(50)).cast(StringType)
+      val d20 = pmod(col("doc_id"), lit(20)).cast(StringType)
+      val d5 = pmod(col("doc_id"), lit(5)).cast(StringType)
+      val d7 = pmod(col("doc_id"), lit(7)).cast(StringType)
+      val n = col("n_chars").cast(StringType)
+      val raw = when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(lit("HTTP://WWW.Site"), d50, lit(".Example.COM:80/a/b/../c/./page"),
+            n, lit(".html?id="), n, lit("#sec")))
+        .when(pmod(col("doc_id"), lit(6)) === 1,
+          concat(lit("https://cdn"), d20, lit(".example.org:8443/%7Edocs/%41sset/"), n))
+        .when(pmod(col("doc_id"), lit(6)) === 2,
+          concat(lit("HTTPS://MIRROR.Example.NET?q=%2c"), n, lit("&x=%7e")))
+        .when(pmod(col("doc_id"), lit(6)) === 3,
+          concat(lit("ftp://files.example.com/"), n))
+        .when(pmod(col("doc_id"), lit(6)) === 4,
+          concat(lit("http://h"), d5, lit(".example.com:9x"), n))
+        .otherwise(
+          concat(lit("http://user"), d5, lit("@site.example.io:/a/../..//x?from="), d7))
+      documents(s, dir)
+        .select(col("doc_id").as("url_id"),
+          graft.functions.UrlNormalize.url_normalize(raw).as("__u"))
+        .select(col("url_id"), col("__u.scheme").as("scheme"),
+          col("__u.host").as("host"), col("__u.port").as("port"),
+          col("__u.path").as("path"), col("__u.query").as("url_query"),
+          col("__u.url").as("url"))
+        .orderBy("url_id")
+    },
+    Some("""
+      SELECT doc_id AS url_id,
+             CASE WHEN doc_id % 6 IN (3, 4) THEN NULL
+                  WHEN doc_id % 6 IN (1, 2) THEN 'https'
+                  ELSE 'http' END AS scheme,
+             CASE WHEN doc_id % 6 IN (3, 4) THEN NULL
+                  WHEN doc_id % 6 = 0
+                    THEN 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+                  WHEN doc_id % 6 = 1
+                    THEN 'cdn' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+                  WHEN doc_id % 6 = 2 THEN 'mirror.example.net'
+                  ELSE 'site.example.io' END AS host,
+             CASE WHEN doc_id % 6 IN (3, 4) THEN NULL
+                  WHEN doc_id % 6 = 1 THEN CAST(8443 AS INTEGER)
+                  WHEN doc_id % 6 = 2 THEN CAST(443 AS INTEGER)
+                  ELSE CAST(80 AS INTEGER) END AS port,
+             CASE WHEN doc_id % 6 IN (3, 4) THEN NULL
+                  WHEN doc_id % 6 = 0
+                    THEN '/a/c/page' || CAST(n_chars AS VARCHAR) || '.html'
+                  WHEN doc_id % 6 = 1
+                    THEN '/~docs/Asset/' || CAST(n_chars AS VARCHAR)
+                  WHEN doc_id % 6 = 2 THEN '/'
+                  ELSE '//x' END AS path,
+             CASE WHEN doc_id % 6 = 0 THEN 'id=' || CAST(n_chars AS VARCHAR)
+                  WHEN doc_id % 6 = 2
+                    THEN 'q=%2C' || CAST(n_chars AS VARCHAR) || '&x=~'
+                  WHEN doc_id % 6 = 5 THEN 'from=' || CAST(doc_id % 7 AS VARCHAR)
+                  ELSE NULL END AS url_query,
+             CASE WHEN doc_id % 6 IN (3, 4) THEN NULL
+                  WHEN doc_id % 6 = 0
+                    THEN 'http://www.site' || CAST(doc_id % 50 AS VARCHAR) ||
+                         '.example.com/a/c/page' || CAST(n_chars AS VARCHAR) ||
+                         '.html?id=' || CAST(n_chars AS VARCHAR)
+                  WHEN doc_id % 6 = 1
+                    THEN 'https://cdn' || CAST(doc_id % 20 AS VARCHAR) ||
+                         '.example.org:8443/~docs/Asset/' || CAST(n_chars AS VARCHAR)
+                  WHEN doc_id % 6 = 2
+                    THEN 'https://mirror.example.net/?q=%2C' ||
+                         CAST(n_chars AS VARCHAR) || '&x=~'
+                  ELSE 'http://user' || CAST(doc_id % 5 AS VARCHAR) ||
+                       '@site.example.io//x?from=' || CAST(doc_id % 7 AS VARCHAR)
+                  END AS url
+      FROM documents ORDER BY url_id"""))
+
+  /** Crawl dedup BY CANONICAL URL — the operation UrlNormalize exists
+    * for. Three raw spellings of the same logical resource (mixed-case
+    * host with an explicit default port and a "/./" segment; a
+    * "extra/../" detour plus a fragment; the clean form) collapse to one
+    * canonical key, and the dedup shuffles ONLY that key: at 100 TB the
+    * parse fuses into the scan (map-only codegen) and the groupBy is an
+    * ordinary hash aggregate on the canonical string — partial map-side
+    * combine applies, no pairwise comparison anywhere. The oracle
+    * recomputes the canonical URL arithmetically per doc and groups the
+    * same way.
+    */
+  val crawlDedup = QueryDef(
+    "llm_crawl_dedup",
+    (s, dir) => {
+      val g = pmod(col("doc_id"), lit(211)).cast(StringType)
+      val m = pmod(pmod(col("doc_id"), lit(211)) * 7, lit(1000)).cast(StringType)
+      val raw = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("http://www.archive"), g, lit(".example.com/items/"), m, lit("/")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("HTTP://WWW.ARCHIVE"), g, lit(".EXAMPLE.COM:80/items/./"), m, lit("/")))
+        .otherwise(
+          concat(lit("http://www.archive"), g, lit(".example.com/items/extra/../"), m, lit("/#top")))
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.UrlNormalize.url_normalize(raw).getField("url").as("url"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("url")
+    },
+    Some("""
+      SELECT 'http://www.archive' || CAST(doc_id % 211 AS VARCHAR) ||
+             '.example.com/items/' || CAST((doc_id % 211) * 7 % 1000 AS VARCHAR) ||
+             '/' AS url,
+             COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      FROM documents GROUP BY 1 ORDER BY url"""))
+
   /** Brute-force cosine top-k over the embeddings table: 10 broadcast query
     * vectors against the full corpus, one scan.
     */
@@ -3188,6 +3314,7 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
+    urlNormalize, crawlDedup,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
