@@ -770,6 +770,129 @@ object LlmQueries {
              COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       FROM documents GROUP BY 1 ORDER BY url"""))
 
+  /** WordPiece vocabulary learning (llm/WordPiece.scala): the
+    * frequency-threshold subword vocabulary over the BPE queries'
+    * `[A-Za-z]+|[0-9]+` word stream — word-initial pieces from prefixes,
+    * "##" continuation pieces from suffixes of strictly longer words,
+    * kept iff occurrence-weighted count clears 0.5% of total words
+    * (cnt·200 ≥ N, exact integers). Two hash aggregations over the
+    * once-built word histogram; the threshold BOUNDS the output at ≤200
+    * pieces per (class, length) — the same inequality that makes the
+    * tokenizer query's driver collect bounded.
+    */
+  val wordpieceVocab = QueryDef(
+    "llm_wordpiece_vocab",
+    (s, dir) => graft.llm.WordPiece.learnedPieces(documents(s, dir))
+      .orderBy("kind", "piece"),
+    Some("""
+      WITH w0 AS (SELECT unnest(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+')) AS word FROM documents),
+      hist AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY word),
+      tot AS MATERIALIZED (SELECT CAST(sum(freq) AS BIGINT) AS n FROM hist),
+      pre AS (SELECT substr(word, 1, l) AS piece,
+                     CAST(sum(freq) AS BIGINT) AS cnt
+              FROM hist, (SELECT unnest([2,3,4,5,6]) AS l)
+              WHERE length(word) >= l GROUP BY 1),
+      con AS (SELECT '##' || substr(word, length(word)-l+1, l) AS piece,
+                     CAST(sum(freq) AS BIGINT) AS cnt
+              FROM hist, (SELECT unnest([2,3,4,5,6]) AS l)
+              WHERE length(word) > l GROUP BY 1)
+      SELECT kind, piece, cnt FROM (
+        SELECT 'word_initial' AS kind, piece, cnt FROM pre, tot
+        WHERE cnt * 200 >= n
+        UNION ALL
+        SELECT 'continuation' AS kind, piece, cnt FROM con, tot
+        WHERE cnt * 200 >= n)
+      ORDER BY kind, piece"""))
+
+  /** WordPiece tokenization statistics (functions/WordPieceMeta — the
+    * BERT-family greedy longest-match-first inference, the tokenizer
+    * sibling of llm_text_tokens_bpe_real's BPE): learn the vocabulary
+    * (llm_wordpiece_vocab's rule, collected under its ≤2,000-piece
+    * threshold bound plus the fixed 62-char floor), then one map-only
+    * codegen pass emits per-doc word/token/[UNK] counts. The oracle
+    * replays the greedy loop as 16 UNROLLED steps (the kmeans/pagerank
+    * discipline) of five guarded equi-joins against the materialized
+    * vocabulary — longest piece (≤6) wins, the single-char floor is the
+    * ELSE arm (sound because the floor is unconditionally in vocab),
+    * and MaxWordLen=16 words become [UNK] without entering the loop
+    * (BERT's max_input_chars_per_word rule — it is also what makes the
+    * unroll depth sufficient: min advance 1 char/step). The stuck-word
+    * [UNK] path the floor makes unreachable here is pinned against
+    * floor-less hand vocabularies in WordPieceMetaSpec.
+    */
+  val wordpieceTokens = QueryDef(
+    "llm_wordpiece_tokens",
+    (s, dir) => {
+      val docs = documents(s, dir)
+      val (init, cont) = graft.llm.WordPiece.learnVocab(docs)
+      docs
+        .select(col("doc_id"),
+          graft.functions.WordPieceMeta
+            .wordpiece_meta(col("text"), init, cont).as("__m"))
+        .select(col("doc_id"), col("__m.n_words").as("n_words"),
+          col("__m.n_tokens").as("n_tokens"), col("__m.n_unk").as("n_unk"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val steps = (1 to 16).map { k =>
+        s"""
+      s$k AS (SELECT word, wl,
+          CASE WHEN pos >= wl THEN pos ELSE pos + best END AS pos,
+          CASE WHEN pos >= wl THEN t ELSE t + 1 END AS t
+        FROM (SELECT s.word, s.wl, s.pos, s.t,
+           CASE WHEN s.pos+6 <= s.wl AND v6.piece IS NOT NULL THEN 6
+                WHEN s.pos+5 <= s.wl AND v5.piece IS NOT NULL THEN 5
+                WHEN s.pos+4 <= s.wl AND v4.piece IS NOT NULL THEN 4
+                WHEN s.pos+3 <= s.wl AND v3.piece IS NOT NULL THEN 3
+                WHEN s.pos+2 <= s.wl AND v2.piece IS NOT NULL THEN 2
+                ELSE 1 END AS best
+         FROM s${k - 1} s
+         LEFT JOIN vocab v6 ON v6.piece =
+           (CASE WHEN s.pos = 0 THEN '' ELSE '##' END) || substr(s.word, s.pos+1, 6)
+         LEFT JOIN vocab v5 ON v5.piece =
+           (CASE WHEN s.pos = 0 THEN '' ELSE '##' END) || substr(s.word, s.pos+1, 5)
+         LEFT JOIN vocab v4 ON v4.piece =
+           (CASE WHEN s.pos = 0 THEN '' ELSE '##' END) || substr(s.word, s.pos+1, 4)
+         LEFT JOIN vocab v3 ON v3.piece =
+           (CASE WHEN s.pos = 0 THEN '' ELSE '##' END) || substr(s.word, s.pos+1, 3)
+         LEFT JOIN vocab v2 ON v2.piece =
+           (CASE WHEN s.pos = 0 THEN '' ELSE '##' END) || substr(s.word, s.pos+1, 2)))"""
+      }.mkString(",")
+      s"""
+      WITH w0 AS MATERIALIZED (SELECT doc_id,
+             unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS word
+           FROM documents),
+      hist AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY word),
+      tot AS MATERIALIZED (SELECT CAST(sum(freq) AS BIGINT) AS n FROM hist),
+      pre AS (SELECT substr(word, 1, l) AS piece,
+                     CAST(sum(freq) AS BIGINT) AS cnt
+              FROM hist, (SELECT unnest([2,3,4,5,6]) AS l)
+              WHERE length(word) >= l GROUP BY 1),
+      con AS (SELECT '##' || substr(word, length(word)-l+1, l) AS piece,
+                     CAST(sum(freq) AS BIGINT) AS cnt
+              FROM hist, (SELECT unnest([2,3,4,5,6]) AS l)
+              WHERE length(word) > l GROUP BY 1),
+      vocab AS MATERIALIZED (
+        SELECT piece FROM pre, tot WHERE cnt * 200 >= n
+        UNION ALL SELECT piece FROM con, tot WHERE cnt * 200 >= n),
+      words16 AS (SELECT word, length(word) AS wl FROM hist
+                  WHERE length(word) <= 16),
+      s0 AS (SELECT word, wl, 0 AS pos, 0 AS t FROM words16),$steps,
+      tok AS MATERIALIZED (
+        SELECT word, t, 0 AS unk FROM s16
+        UNION ALL SELECT word, 1, 1 FROM hist WHERE length(word) > 16),
+      perdoc AS (SELECT w0.doc_id, CAST(count(*) AS INTEGER) AS n_words,
+                        CAST(sum(tok.t) AS INTEGER) AS n_tokens,
+                        CAST(sum(tok.unk) AS INTEGER) AS n_unk
+                 FROM w0 JOIN tok USING(word) GROUP BY w0.doc_id)
+      SELECT d.doc_id, coalesce(n_words, 0) AS n_words,
+             coalesce(n_tokens, 0) AS n_tokens, coalesce(n_unk, 0) AS n_unk
+      FROM documents d LEFT JOIN perdoc USING(doc_id) ORDER BY d.doc_id"""
+    })
+
   /** Brute-force cosine top-k over the embeddings table: 10 broadcast query
     * vectors against the full corpus, one scan.
     */
@@ -3314,7 +3437,7 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
-    urlNormalize, crawlDedup,
+    urlNormalize, crawlDedup, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
