@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robots-exclusion matching per RFC 9309 — the crawl-pipeline rung
+  * after [[graft.functions.UrlNormalize]] (normalize → dedup → MAY-FETCH
+  * decision): given per-host allow/disallow rules, decide each URL by
+  * the spec's group-matching algorithm:
+  *
+  *  - a rule matches when its path pattern matches a PREFIX of the URL
+  *    path, with the two special characters of §2.2.3: `*` matches any
+  *    character sequence and a TRAILING `$` anchors the pattern at the
+  *    path's end (a non-trailing `$` is a literal octet);
+  *  - among matching rules the MOST SPECIFIC wins = the one with the
+  *    most octets in its pattern (§2.2.2's longest-match rule; wildcard
+  *    octets count — they are pattern octets);
+  *  - on a specificity tie, allow beats disallow (§2.2.2: "the least
+  *    restrictive rule MUST be used");
+  *  - a URL no rule matches is allowed (§2.2.1 default).
+  *
+  * Patterns compile to anchored regexes with plain column ops (escape
+  * regex metacharacters except the two special ones; `*` → `.*`;
+  * trailing `$` kept as the anchor, interior `$` escaped) — no UDF, so
+  * the whole decision stays one declarative plan: URLs ⋈ broadcast
+  * rules on host, regexp_like filter, one per-URL window argmax.
+  *
+  * Scale shape: the rule set is operator input and policy-sized (a
+  * site's robots.txt is KBs), so the join is a BROADCAST by
+  * construction and the only corpus-sized shuffle is the per-URL argmax
+  * window, keyed on the URL. Candidate rows are |urls| · (rules of that
+  * host) — linear in the crawl, never cross-host. The one documented
+  * cost: regexp_like with a non-foldable pattern recompiles per row;
+  * at production rule counts the steady-state form pre-compiles each
+  * DISTINCT pattern once behind a rule-id join (same plan shape) — the
+  * relational decision logic here is the part that matters.
+  */
+object RobotsFilter {
+
+  /** Compile an RFC 9309 path pattern column to the anchored Java regex
+    * the matcher evaluates. Exposed for the spec.
+    */
+  def patternRegex(pattern: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    // 1. escape every regex metacharacter EXCEPT the spec's '*' and '$'
+    val esc = regexp_replace(pattern,
+      "([\\.\\+\\?\\(\\)\\[\\]\\{\\}\\|\\\\\\^])", "\\\\$1")
+    // 2. '*' is the spec's any-sequence wildcard
+    val star = regexp_replace(esc, "\\*", ".*")
+    // 3. '$' anchors only at pattern end; interior '$' is a literal
+    val dollar = regexp_replace(star, "\\$(?!$)", "\\\\\\$")
+    concat(lit("^"), dollar)
+  }
+
+  /** urls: one row per URL with `host` and `path` columns (extra columns
+    * pass through). rules: (host, directive ∈ {allow, disallow},
+    * pattern). Returns urls + `verdict` (allow/disallow) + `rule` (the
+    * winning pattern, NULL when the §2.2.1 default applied).
+    */
+  def decide(urls: DataFrame, rules: DataFrame): DataFrame = {
+    require(Seq("host", "directive", "pattern")
+        .forall(rules.columns.contains),
+      s"rules needs host/directive/pattern, got ${rules.columns.mkString(",")}")
+    val rx = rules.select(col("host"), col("directive"),
+      col("pattern"), length(col("pattern")).as("__plen"),
+      patternRegex(col("pattern")).as("__rx"))
+    // A NON-matching rule row is demoted to a plen -1 "default allow"
+    // candidate instead of being filtered: every URL keeps at least one
+    // row (rule-less hosts keep their null left-join row the same way),
+    // so the §2.2.1 default needs no second pass or join-back — the one
+    // corpus-sized shuffle is the per-URL argmax window.
+    val m = col("__rx").isNotNull && expr("regexp_like(path, __rx)")
+    val cand = urls.join(F.broadcast(rx), Seq("host"), "left")
+      .select(urls.columns.map(col) ++ Seq(
+        when(m, col("directive")).as("__dir"),
+        when(m, col("pattern")).as("__pat"),
+        when(m, col("__plen")).otherwise(lit(-1)).as("__plen")): _*)
+    // §2.2.2: longest pattern wins, allow beats disallow on ties;
+    // pattern text as the final key makes the pick total
+    val w = Window.partitionBy(urls.columns.map(col): _*)
+      .orderBy(col("__plen").desc, col("__dir").asc_nulls_last,
+        col("__pat").asc_nulls_last)
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("verdict", coalesce(col("__dir"), lit("allow")))
+      .withColumn("rule", col("__pat"))
+      .drop("__dir", "__pat", "__plen", "__rn")
+  }
+}

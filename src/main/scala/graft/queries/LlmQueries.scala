@@ -770,6 +770,75 @@ object LlmQueries {
              COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       FROM documents GROUP BY 1 ORDER BY url"""))
 
+  /** Robots-exclusion decisions over the canonical crawl
+    * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
+    * rung completing the crawl story (normalize → dedup → robots). The
+    * query parses llm_crawl_dedup's raw spellings back to canonical
+    * (host, path) with UrlNormalize, dedups, and decides each URL
+    * against a six-rule set exercising every clause of §2.2.2-§2.2.3:
+    * a bare prefix disallow, a `*`-wildcard allow that outranks it, a
+    * longer `*`+`$`-anchored disallow that outranks THAT (so
+    * /items/<m>/ flips allow→disallow as m ends 0 vs 00), a longer
+    * prefix allow, and an equal-length allow/disallow PAIR pinning the
+    * spec's allow-wins-ties rule. The oracle replays the same
+    * relational decision — literal anchored regexes (so the operator's
+    * pattern→regex compilation is cross-checked by construction),
+    * cross join, argmax window — rather than recomputing verdicts
+    * arithmetically. Rules are policy-sized → broadcast; the only
+    * corpus-sized shuffle is the per-URL argmax.
+    */
+  val crawlRobots = QueryDef(
+    "llm_crawl_robots",
+    (s, dir) => {
+      import s.implicits._
+      val g = pmod(col("doc_id"), lit(211)).cast(StringType)
+      val m = pmod(pmod(col("doc_id"), lit(211)) * 7, lit(1000)).cast(StringType)
+      val raw = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("http://www.archive"), g, lit(".example.com/items/"), m, lit("/")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("HTTP://WWW.ARCHIVE"), g, lit(".EXAMPLE.COM:80/items/./"), m, lit("/")))
+        .otherwise(
+          concat(lit("http://www.archive"), g, lit(".example.com/items/extra/../"), m, lit("/#top")))
+      val urls = documents(s, dir)
+        .select(graft.functions.UrlNormalize.url_normalize(raw).as("__u"))
+        .select(col("__u.host").as("host"), col("__u.path").as("path"),
+          col("__u.url").as("url"))
+        .distinct()
+      val rules = urls.select(col("host")).distinct().crossJoin(
+        Seq(("disallow", "/items/"), ("allow", "/items/*0/"),
+          ("disallow", "/items/*00/$"), ("allow", "/items/9"),
+          ("allow", "/items/1"), ("disallow", "/items/1"))
+          .toDF("directive", "pattern"))
+      graft.operators.RobotsFilter.decide(urls, rules).orderBy("url")
+    },
+    Some("""
+      WITH urls AS MATERIALIZED (
+        SELECT DISTINCT
+          'www.archive' || CAST(doc_id % 211 AS VARCHAR) ||
+            '.example.com' AS host,
+          '/items/' || CAST((doc_id % 211) * 7 % 1000 AS VARCHAR) ||
+            '/' AS path
+        FROM documents),
+      rules(directive, pattern, rx, plen) AS (
+        VALUES ('disallow', '/items/',      '^/items/',       7),
+               ('allow',    '/items/*0/',   '^/items/.*0/',   10),
+               ('disallow', '/items/*00/$', '^/items/.*00/$', 12),
+               ('allow',    '/items/9',     '^/items/9',      8),
+               ('allow',    '/items/1',     '^/items/1',      8),
+               ('disallow', '/items/1',     '^/items/1',      8)),
+      cand AS (SELECT u.host, u.path,
+          CASE WHEN regexp_matches(u.path, r.rx) THEN r.directive END AS dir,
+          CASE WHEN regexp_matches(u.path, r.rx) THEN r.pattern END AS pat,
+          CASE WHEN regexp_matches(u.path, r.rx) THEN r.plen ELSE -1 END AS plen
+        FROM urls u CROSS JOIN rules r),
+      win AS (SELECT host, path, dir, pat,
+          ROW_NUMBER() OVER (PARTITION BY host, path
+            ORDER BY plen DESC, dir ASC NULLS LAST, pat ASC NULLS LAST) AS rn
+        FROM cand)
+      SELECT host, path, 'http://' || host || path AS url,
+             coalesce(dir, 'allow') AS verdict, pat AS rule
+      FROM win WHERE rn = 1 ORDER BY url"""))
+
   /** WordPiece vocabulary learning (llm/WordPiece.scala): the
     * frequency-threshold subword vocabulary over the BPE queries'
     * `[A-Za-z]+|[0-9]+` word stream — word-initial pieces from prefixes,
@@ -3437,7 +3506,7 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
-    urlNormalize, crawlDedup, wordpieceVocab, wordpieceTokens,
+    urlNormalize, crawlDedup, crawlRobots, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
