@@ -839,6 +839,42 @@ object LlmQueries {
              coalesce(dir, 'allow') AS verdict, pat AS rule
       FROM win WHERE rn = 1 ORDER BY url"""))
 
+  /** The STREAMING crawl frontier (streaming/StreamingCrawlFrontier —
+    * per-URL (count, first-doc) held as driver state with a newly-seen
+    * readout per discovery batch) driven as a batch replay in three
+    * deterministic micro-batches and proven equivalent to
+    * [[crawlDedup]] by sharing its oracle VERBATIM (the
+    * stream_heavy_hitters twin discipline): per-URL count and min are
+    * associative + commutative, so any batching folds to the one-shot
+    * groupBy. The doc_id%3 batching deliberately coincides with the
+    * raw-SPELLING selector, so each batch carries one spelling of every
+    * resource and the cross-batch merge of different spellings onto one
+    * canonical key — the thing a frontier exists to do — is exactly
+    * what the fold exercises. The per-batch newly-seen readout (the
+    * scheduler's enqueue set) is pinned in StreamingCrawlFrontierSpec.
+    */
+  val crawlDedupStream = QueryDef(
+    "stream_crawl_dedup",
+    (s, dir) => {
+      val g = pmod(col("doc_id"), lit(211)).cast(StringType)
+      val m = pmod(pmod(col("doc_id"), lit(211)) * 7, lit(1000)).cast(StringType)
+      val raw = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("http://www.archive"), g, lit(".example.com/items/"), m, lit("/")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("HTTP://WWW.ARCHIVE"), g, lit(".EXAMPLE.COM:80/items/./"), m, lit("/")))
+        .otherwise(
+          concat(lit("http://www.archive"), g, lit(".example.com/items/extra/../"), m, lit("/#top")))
+      val urls = documents(s, dir).select(col("doc_id"),
+        graft.functions.UrlNormalize.url_normalize(raw).getField("url").as("url"))
+      val mnt = new graft.streaming.StreamingCrawlFrontier.Maintainer
+      (0 until 3).foreach(i =>
+        mnt.absorb(urls.filter(pmod(col("doc_id"), lit(3)) === i)))
+      mnt.currentFrontier.get
+        .select(col("url"), col("n_docs"), col("first_doc"))
+        .orderBy("url")
+    },
+    crawlDedup.oracle)
+
   /** WordPiece vocabulary learning (llm/WordPiece.scala): the
     * frequency-threshold subword vocabulary over the BPE queries'
     * `[A-Za-z]+|[0-9]+` word stream — word-initial pieces from prefixes,
@@ -3506,7 +3542,8 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
-    urlNormalize, crawlDedup, crawlRobots, wordpieceVocab, wordpieceTokens,
+    urlNormalize, crawlDedup, crawlRobots, crawlDedupStream,
+    wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
