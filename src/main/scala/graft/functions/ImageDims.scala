@@ -10,13 +10,20 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL image-header parsing over opaque binary media columns — the
   * honest multimodal rung beyond ByteStats (r9 verdict #8): format,
-  * width, and height decoded from PNG and JPEG headers by pure byte
-  * arithmetic against the PUBLIC format specifications (PNG: RFC 2083
-  * §3 — 8-byte signature, IHDR chunk with big-endian u32 dimensions at
-  * offsets 16/20; JPEG: ITU-T T.81 §B — SOI then marker segments walked
-  * by their big-endian u16 lengths until a SOFn frame header, whose
-  * height/width sit at segment offsets +5/+7). Unlike the declared-fake
-  * codec decode, nothing here is stubbed: feed it real .png/.jpg bytes
+  * width, and height decoded from PNG, JPEG, GIF, and WebP headers by
+  * pure byte arithmetic against the PUBLIC format specifications (PNG:
+  * RFC 2083 §3 — 8-byte signature, IHDR chunk with big-endian u32
+  * dimensions at offsets 16/20; JPEG: ITU-T T.81 §B — SOI then marker
+  * segments walked by their big-endian u16 lengths until a SOFn frame
+  * header, whose height/width sit at segment offsets +5/+7; GIF: the
+  * GIF87a/89a signature then the Logical Screen Descriptor's
+  * little-endian u16 pair; WebP: the Google container spec's RIFF/WEBP
+  * form, with dims per the first chunk's flavor — `VP8 ` lossy reads
+  * the RFC 6386 keyframe header's 9D 01 2A sync then 14-bit LE dims,
+  * `VP8L` lossless reads the 0x2F signature then the packed
+  * 14+14-bit minus-one dims, `VP8X` extended reads the canvas
+  * minus-one u24 LE pair). Unlike the declared-fake codec decode,
+  * nothing here is stubbed: feed it real .png/.jpg/.gif/.webp bytes
   * and it returns their true dimensions.
   *
   * Returns NULL (whole struct) for anything unrecognized: wrong
@@ -68,6 +75,8 @@ object ImageDims {
 
   private val Png = UTF8String.fromString("png")
   private val Jpeg = UTF8String.fromString("jpeg")
+  private val Gif = UTF8String.fromString("gif")
+  private val Webp = UTF8String.fromString("webp")
 
   /** Static parse kernel shared by eval and generated code (the
     * standard StaticInvoke shape — one static call, no boxing).
@@ -122,8 +131,67 @@ object ImageDims {
       }
       return null
     }
+    // GIF: GIF87a/GIF89a signature, then the Logical Screen Descriptor's
+    // little-endian u16 width/height
+    if (n >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
+        bytes(5) == 'a') {
+      val w = le16(bytes, 6)
+      val h = le16(bytes, 8)
+      if (w >= 1 && h >= 1)
+        return new GenericInternalRow(Array[Any](Gif, w, h))
+      return null
+    }
+    // WebP: RIFF form WEBP; dims live in the FIRST chunk, whose fourcc
+    // names the flavor (container spec orders VP8 /VP8L/VP8X first)
+    if (n >= 20 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' &&
+        bytes(11) == 'P') {
+      val lossy = bytes(12) == 'V' && bytes(13) == 'P' && bytes(14) == '8' &&
+        bytes(15) == ' '
+      val lossless = bytes(12) == 'V' && bytes(13) == 'P' &&
+        bytes(14) == '8' && bytes(15) == 'L'
+      val extended = bytes(12) == 'V' && bytes(13) == 'P' &&
+        bytes(14) == '8' && bytes(15) == 'X'
+      if (lossy) {
+        // RFC 6386 §9.1: 3-byte frame tag, sync 9D 01 2A, then u16le
+        // width/height whose top 2 bits are scaling hints
+        if (n < 30 || (bytes(23) & 0xff) != 0x9d ||
+            (bytes(24) & 0xff) != 0x01 || (bytes(25) & 0xff) != 0x2a)
+          return null
+        val w = le16(bytes, 26) & 0x3fff
+        val h = le16(bytes, 28) & 0x3fff
+        if (w >= 1 && h >= 1)
+          return new GenericInternalRow(Array[Any](Webp, w, h))
+        return null
+      }
+      if (lossless) {
+        // lossless bitstream spec: 0x2F signature then 14+14-bit
+        // minus-one dims packed little-endian
+        if (n < 25 || (bytes(20) & 0xff) != 0x2f) return null
+        val b = le16(bytes, 21).toLong | (le16(bytes, 23).toLong << 16)
+        val w = (b & 0x3fff).toInt + 1
+        val h = ((b >> 14) & 0x3fff).toInt + 1
+        return new GenericInternalRow(Array[Any](Webp, w, h))
+      }
+      if (extended) {
+        // VP8X: flags byte + 3 reserved, then canvas-minus-one u24le pair
+        if (n < 30) return null
+        val w = le24(bytes, 24) + 1
+        val h = le24(bytes, 27) + 1
+        return new GenericInternalRow(Array[Any](Webp, w, h))
+      }
+      return null
+    }
     null
   }
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def le24(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
 
   private def be32(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |

@@ -398,19 +398,26 @@ object LlmQueries {
       FROM documents ORDER BY media_id"""))
 
   /** REAL header decode over the binary media column
-    * (functions/ImageDims — PNG IHDR + JPEG SOFn marker walk, public
-    * byte-level specs, codegen'd): the honest multimodal rung the
-    * declared-fake codec decode left open (r9 verdict #8). The query
-    * CONSTRUCTS spec-conformant image headers from document fields
-    * (four shapes per doc_id mod: PNG with IHDR; JPEG with the standard
-    * 16-byte JFIF APP0 before SOF0; JPEG with a VARIABLE-length COM
-    * segment before a progressive SOF2 — the marker walk actually has
-    * to walk; and two corrupt shapes — raw text bytes and a truncated
-    * PNG signature — that must yield NULLs) and parses them back with
-    * the expression. The oracle never parses: it computes the expected
-    * dimensions ARITHMETICALLY from n_chars, so any endianness/offset
-    * slip between construction and parse mismatches immediately; known
-    * real-file header bytes are additionally pinned in ImageDimsSpec.
+    * (functions/ImageDims — PNG IHDR, JPEG SOFn marker walk, GIF
+    * Logical Screen Descriptor, and all three WebP chunk flavors;
+    * public byte-level specs, codegen'd): the honest multimodal rung
+    * the declared-fake codec decode left open (r9 verdict #8). The
+    * query CONSTRUCTS spec-conformant image headers from document
+    * fields (eight shapes per doc_id mod: PNG with IHDR; JPEG with the
+    * standard 16-byte JFIF APP0 before SOF0; JPEG with a
+    * VARIABLE-length COM segment before a progressive SOF2 — the
+    * marker walk actually has to walk; GIF89a with LE u16 screen dims;
+    * WebP `VP8 ` lossy whose dims sit behind the RFC 6386 9D 01 2A
+    * sync; WebP `VP8L` lossless whose dims are the 14+14-bit
+    * minus-one PACKED field — the bit unpack is load-bearing; WebP
+    * `VP8X` extended with the u24le canvas pair; and two corrupt
+    * shapes — raw text bytes and a WEBP whose first chunk is ALPH, a
+    * recognized container with undecodable dims — that must yield
+    * NULLs) and parses them back with the expression. The oracle never
+    * parses: it computes the expected dimensions ARITHMETICALLY from
+    * n_chars, so any endianness/offset/bit-packing slip between
+    * construction and parse mismatches immediately; known real-file
+    * header bytes are additionally pinned in ImageDimsSpec.
     */
   val multimodalDims = QueryDef(
     "llm_multimodal_dims",
@@ -421,6 +428,20 @@ object LlmQueries {
       def hx(x: String): Column = unhex(lit(x))
       def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
       def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        unhex(concat(substring(x, 3, 2), substring(x, 1, 2)))
+      }
+      def le24(c: Column): Column = {
+        val x = lpad(hex(c), 6, "0")
+        unhex(concat(substring(x, 5, 2), substring(x, 3, 2),
+          substring(x, 1, 2)))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2)))
+      }
       val png = concat(hx("89504E470D0A1A0A0000000D49484452"),
         be32(w), be32(h), hx("0806000000"))
       def sof(marker: String): Column =
@@ -431,12 +452,33 @@ object LlmQueries {
         be16(pmod(col("doc_id"), lit(7)).cast(IntegerType) + 3),
         expr("cast(repeat('x', cast(pmod(doc_id, 7) + 1 as int)) as binary)"),
         sof("FFC2"), hx("FFD9"))
-      val media = when(pmod(col("doc_id"), lit(4)) === 0, png)
-        .when(pmod(col("doc_id"), lit(4)) === 1, jfif)
-        .when(pmod(col("doc_id"), lit(4)) === 2, com)
-        .when(pmod(col("doc_id"), lit(8)) === 3,
+      // GIF89a Logical Screen Descriptor: LE u16 dims + packed/bg/ratio
+      val gif = concat(hx("474946383961"), le16(w), le16(h), hx("910000"))
+      // VP8 lossy keyframe: 3-byte frame tag, 9D 01 2A sync, 14-bit dims
+      val vp8 = concat(hx("52494646"), le32(lit(22)), hx("57454250"),
+        hx("56503820"), le32(lit(10)), hx("501600"), hx("9D012A"),
+        le16(w), le16(h))
+      // VP8L lossless: 0x2F signature, (w-1) | (h-1)<<14 packed LE
+      val vp8l = concat(hx("52494646"), le32(lit(17)), hx("57454250"),
+        hx("5650384C"), le32(lit(5)), hx("2F"),
+        le32((w - 1) + (h - 1) * 16384))
+      // VP8X extended: flags + reserved, canvas-minus-one u24le pair
+      val vp8x = concat(hx("52494646"), le32(lit(22)), hx("57454250"),
+        hx("56503858"), le32(lit(10)), hx("00000000"),
+        le24(w - 1), le24(h - 1))
+      val media = when(pmod(col("doc_id"), lit(8)) === 0, png)
+        .when(pmod(col("doc_id"), lit(8)) === 1, jfif)
+        .when(pmod(col("doc_id"), lit(8)) === 2, com)
+        .when(pmod(col("doc_id"), lit(8)) === 3, gif)
+        .when(pmod(col("doc_id"), lit(8)) === 4, vp8)
+        .when(pmod(col("doc_id"), lit(8)) === 5, vp8l)
+        .when(pmod(col("doc_id"), lit(8)) === 6, vp8x)
+        .when(pmod(col("doc_id"), lit(16)) === 7,
           substring(col("text"), 1, 16).cast(BinaryType))
-        .otherwise(hx("89504E470D0A1A0A"))
+        // a WEBP whose first chunk is not a VP8 flavor: recognized
+        // container, undecodable dims → NULL
+        .otherwise(concat(hx("52494646"), le32(lit(16)), hx("57454250"),
+          hx("414C5048"), le32(lit(4)), hx("00000000")))
       documents(s, dir)
         .select(col("doc_id").as("media_id"),
           graft.functions.ImageDims.image_dims(media).as("__d"))
@@ -446,11 +488,14 @@ object LlmQueries {
     },
     Some("""
       SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
-                  WHEN doc_id % 4 = 0 THEN 'png' ELSE 'jpeg' END AS format,
-             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+             CASE WHEN doc_id % 16 IN (7, 15) THEN NULL
+                  WHEN doc_id % 8 = 0 THEN 'png'
+                  WHEN doc_id % 8 IN (1, 2) THEN 'jpeg'
+                  WHEN doc_id % 8 = 3 THEN 'gif'
+                  ELSE 'webp' END AS format,
+             CASE WHEN doc_id % 16 IN (7, 15) THEN NULL
                   ELSE CAST(n_chars % 1000 + 1 AS INTEGER) END AS width,
-             CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
+             CASE WHEN doc_id % 16 IN (7, 15) THEN NULL
                   ELSE CAST((n_chars * 7) % 800 + 1 AS INTEGER) END AS height
       FROM documents ORDER BY media_id"""))
 
