@@ -42,6 +42,8 @@ object GraftFunctions {
       "video_meta", exprs => VideoMeta(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "url_normalize", exprs => UrlNormalize(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "bmp_pixels", exprs => BmpPixels(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -110,6 +112,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("url_normalize"),
       new ExpressionInfo(classOf[UrlNormalize].getName, "url_normalize"),
       (exprs: Seq[Expression]) => UrlNormalize(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("bmp_pixels"),
+      new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
+      (exprs: Seq[Expression]) => BmpPixels(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

@@ -815,6 +815,93 @@ object LlmQueries {
              COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
       FROM documents GROUP BY 1 ORDER BY url"""))
 
+  /** REAL pixel decode over the binary media column
+    * (functions/BmpPixels — uncompressed 24-bit BMP per the public
+    * BITMAPFILEHEADER/BITMAPINFOHEADER layout, codegen'd): the rung
+    * PAST the header-parse triad — this one decodes the payload,
+    * returning exact per-channel pixel sums. BMP is the mainstream
+    * format whose pixels need no codec, so the declared-fake line
+    * retreats to genuinely codec-bound formats only. The query
+    * CONSTRUCTS five shapes from document fields (valid bottom-up;
+    * valid TOP-DOWN via a negative two's-complement height — sums are
+    * orientation-free so both must agree with the same arithmetic; an
+    * 8-bpp and an RLE-compressed header that must yield NULL; and a
+    * truncated pixel array / raw text). Width runs 1..3 so every row
+    * exercises a DIFFERENT 4-byte padding width (pad = w bytes exactly
+    * when w ≤ 3, making stride = 4w); a stride slip reads 0x00 padding
+    * into some channel and the sums diverge. The oracle recomputes
+    * sums arithmetically (uniform pixels: sum = n_px · channel);
+    * non-uniform hand-written BMPs are pinned in BmpPixelsSpec.
+    */
+  val multimodalPixels = QueryDef(
+    "llm_multimodal_pixels",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def hx(x: String): Column = unhex(lit(x))
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        unhex(concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2)))
+      }
+      val w = (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)
+      val h = (pmod(col("n_chars"), lit(4)) + 1).cast(IntegerType)
+      val pxHex = concat(
+        lpad(hex(pmod(col("n_chars"), lit(256))), 2, "0"),   // B
+        lpad(hex(pmod(col("doc_id"), lit(256))), 2, "0"),    // G
+        lpad(hex(pmod(col("n_chars") * 7, lit(256))), 2, "0")) // R
+      val base = documents(s, dir)
+        .withColumn("__w", w).withColumn("__h", h)
+        .withColumn("__px", pxHex)
+        .withColumn("__rowhex",
+          concat(expr("repeat(__px, __w)"), expr("repeat('00', __w)")))
+      def bmp(heightField: Column, bpp: String, comp: String,
+          pixRows: Column): Column = concat(
+        hx("424D"), le32(col("__w") * 4 * col("__h") + 54), hx("00000000"),
+        hx("36000000"), hx("28000000"), le32(col("__w")), heightField,
+        hx("0100"), hx(bpp), hx(comp), le32(col("__w") * 4 * col("__h")),
+        hx("00" * 16), unhex(pixRows))
+      val rowsAll = expr("repeat(__rowhex, __h)")
+      val rowsTrunc = expr("repeat(__rowhex, __h - 1)")
+      val media = when(pmod(col("doc_id"), lit(5)) === 0,
+          bmp(le32(col("__h")), "1800", "00000000", rowsAll))
+        .when(pmod(col("doc_id"), lit(5)) === 1, // top-down: negative height
+          bmp(le32(lit(4294967296L) - col("__h")), "1800", "00000000", rowsAll))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          bmp(le32(col("__h")), "0800", "00000000", rowsAll))
+        .when(pmod(col("doc_id"), lit(5)) === 3,
+          bmp(le32(col("__h")), "1800", "01000000", rowsAll))
+        .when(pmod(col("doc_id"), lit(10)) === 4,
+          bmp(le32(col("__h")), "1800", "00000000", rowsTrunc))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      base
+        .select(col("doc_id").as("media_id"),
+          graft.functions.BmpPixels.bmp_pixels(media).as("__p"))
+        .select(col("media_id"), col("__p.width").as("width"),
+          col("__p.height").as("height"), col("__p.n_px").as("n_px"),
+          col("__p.sum_r").as("sum_r"), col("__p.sum_g").as("sum_g"),
+          col("__p.sum_b").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST(doc_id % 3 + 1 AS INTEGER) END AS width,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST(n_chars % 4 + 1 AS INTEGER) END AS height,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1) AS BIGINT)
+                  END AS n_px,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
+                            * ((n_chars * 7) % 256) AS BIGINT) END AS sum_r,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
+                            * (doc_id % 256) AS BIGINT) END AS sum_g,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
+                            * (n_chars % 256) AS BIGINT) END AS sum_b
+      FROM documents ORDER BY media_id"""))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -3588,7 +3675,7 @@ object LlmQueries {
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream,
-    wordpieceVocab, wordpieceTokens,
+    multimodalPixels, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
