@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *   [minhash [mult] | topk [rows] [groups] | cc [chainLen] [nChains]
   *    | hotgram [docs] [hotPct] | hotbucket [bg] [hot]
   *    | bpetrain [batchK] | kmeans [k] | prefix [rows] | zorder [rows]
-  *    | pagerank [edges] [mult] | bfs [edges] [mult]
+  *    | pagerank [edges] [mult] | bfs [edges] [mult] | crawl [rows]
   *    | rollingdistinct [users] [mult] | trisample]
   */
 object ScaleProbe {
@@ -68,6 +68,12 @@ object ScaleProbe {
     }
     if (mode == "ladder") {
       ladderProbe(spark, sfDir)
+      spark.stop()
+      return
+    }
+    if (mode == "crawl") {
+      crawlProbe(spark,
+        if (args.length > 1) args(1).toLong else 20000000L)
       spark.stop()
       return
     }
@@ -643,6 +649,46 @@ object ScaleProbe {
     * (checkpointed) pair set — the measurement behind the choice of CC
     * algorithm in llm_dedup_clusters.
     */
+  /** Crawl-family scale probe: synthesize N raw URLs (three spellings
+    * of ~N/20 canonical resources — a realistic crawl dup ratio), then
+    * time (a) the map-only UrlNormalize parse and (b) the
+    * dedup-by-canonical-key groupBy, at N/10 and N. The claims under
+    * measurement: parse throughput is linear scan-fused map work (no
+    * shuffle), and the dedup shuffles only the canonical string key so
+    * it scales ~linearly with the crawl, not with pairwise comparisons.
+    */
+  private def crawlProbe(spark: SparkSession, rows: Long): Unit = {
+    def urls(n: Long) = {
+      val id = col("id")
+      val g = pmod(id, lit(1000000)).cast("string")
+      val m = pmod(id * 7, lit(1000)).cast("string")
+      val raw = when(pmod(id, lit(3)) === 0,
+          concat(lit("http://www.archive"), g, lit(".example.com/items/"), m, lit("/")))
+        .when(pmod(id, lit(3)) === 1,
+          concat(lit("HTTP://WWW.ARCHIVE"), g, lit(".EXAMPLE.COM:80/items/./"), m, lit("/")))
+        .otherwise(
+          concat(lit("http://www.archive"), g, lit(".example.com/items/extra/../"), m, lit("/#top")))
+      spark.range(n).select(id.as("doc_id"),
+        graft.functions.UrlNormalize.url_normalize(raw)
+          .getField("url").as("url"))
+    }
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    urls(100000).filter(col("url").isNotNull).count() // warm-up
+    for (n <- Seq(rows / 10, rows)) {
+      val (parsed, tp) = time(urls(n).filter(col("url").isNotNull).count())
+      val (distinctUrls, td) = time(urls(n).groupBy("url")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .count())
+      println(f"PROBE crawl rows=$n parsed=$parsed parse=$tp%.1fs " +
+        f"(${n / tp / 1e6}%.2fM rows/s) dedup=$td%.1fs " +
+        f"(${n / td / 1e6}%.2fM rows/s) canonical=$distinctUrls " +
+        f"dupRatio=${n.toDouble / distinctUrls}%.1f")
+    }
+  }
+
   private def ladderProbe(spark: SparkSession, sfDir: String): Unit = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     def time[A](f: => A): (A, Double) = {
