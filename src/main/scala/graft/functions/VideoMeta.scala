@@ -94,7 +94,11 @@ object VideoMeta {
       } else if (size0 == 0L) { // box extends to end of file
         size = n - p
       }
-      if (size < hdr || p + size > n) return null
+      // Overflow-free bound: p <= n is a loop invariant (p only advances
+      // by sizes already proven <= n - p), so n - p never overflows —
+      // whereas `p + size > n` wraps negative for a crafted largesize
+      // near Long.MaxValue and would let p go negative.
+      if (size < hdr || size > n - p) return null
       val t0 = bytes(p.toInt + 4); val t1 = bytes(p.toInt + 5)
       val t2 = bytes(p.toInt + 6); val t3 = bytes(p.toInt + 7)
       if (t0 == 'f' && t1 == 't' && t2 == 'y' && t3 == 'p') {
@@ -139,7 +143,10 @@ object VideoMeta {
       } else if (size0 == 0L) {
         size = end - p
       }
-      if (size < hdr || p + size > end || p + size > n) return null
+      // Same overflow-free form as parse(): p <= end <= n are invariants
+      // (parse proved the moov size fits, children prove theirs here), so
+      // end - p is non-negative and a wrap-prone `p + size` never forms.
+      if (size < hdr || size > end - p) return null
       val t0 = bytes(p.toInt + 4); val t1 = bytes(p.toInt + 5)
       val t2 = bytes(p.toInt + 6); val t3 = bytes(p.toInt + 7)
       if (t0 == 'm' && t1 == 'v' && t2 == 'h' && t3 == 'd') {

@@ -40,8 +40,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference object (the BpeTokenCount discipline) so the expression
   * stays inside the whole-stage span; the vocabulary itself is
   * driver-bounded by construction (see llm/WordPiece.scala's threshold
-  * argument). Matching is O(len · MaxPieceLen) hash probes per word —
-  * no trie needed at piece lengths ≤ 6.
+  * argument). Matching is O(len · maxPieceLen) hash probes per word,
+  * where maxPieceLen is DERIVED from the supplied vocabulary (longest
+  * piece after stripping the "##" display prefix) — a caller-supplied
+  * piece of any length is reachable, vs a fixed probe cap that would
+  * silently never match pieces longer than it. llm/WordPiece-trained
+  * vocabs stay at [[WordPieceAlgo.MaxPieceLen]] = 6, so no trie needed
+  * there.
   */
 case class WordPieceMeta(child: Expression, wordInitial: Seq[String],
     continuation: Seq[String])
@@ -73,14 +78,31 @@ case class WordPieceMeta(child: Expression, wordInitial: Seq[String],
     s
   }
 
+  /** Longest probe the matcher needs for THIS vocabulary — derived, not
+    * a fixed cap, so caller-supplied pieces longer than the trained
+    * default stay reachable (longest-match over the full vocab, as the
+    * reference tokenizer does).
+    */
+  @transient private lazy val maxPieceLen: Int = {
+    var m = 1
+    wordInitial.foreach(p => if (p.length > m) m = p.length)
+    continuation.foreach { p =>
+      val l = p.stripPrefix("##").length
+      if (l > m) m = l
+    }
+    m
+  }
+
   override def nullSafeEval(input: Any): Any =
-    WordPieceAlgo.meta(input.asInstanceOf[UTF8String], initSet, contSet)
+    WordPieceAlgo.meta(input.asInstanceOf[UTF8String], initSet, contSet,
+      maxPieceLen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val initRef = ctx.addReferenceObj("wpInit", initSet, "java.util.HashSet")
     val contRef = ctx.addReferenceObj("wpCont", contSet, "java.util.HashSet")
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.WordPieceAlgo.meta($c, $initRef, $contRef);
+      ${ev.value} = graft.functions.WordPieceAlgo.meta($c, $initRef, $contRef,
+        $maxPieceLen);
       ${ev.isNull} = ${ev.value} == null;
     """)
   }
@@ -112,9 +134,11 @@ object WordPieceAlgo {
     */
   val MaxWordLen = 16
 
-  /** Longest piece the matcher probes for — vocabulary construction
-    * (llm/WordPiece) derives pieces of length 2..MaxPieceLen; length-1
-    * probes always run as the final fallback.
+  /** Longest piece llm/WordPiece's TRAINER emits (pieces of length
+    * 2..MaxPieceLen; length-1 probes always run as the final fallback).
+    * The matcher itself no longer caps at this — WordPieceMeta derives
+    * its probe bound from the supplied vocabulary, so longer
+    * caller-supplied pieces are reachable.
     */
   val MaxPieceLen = 6
 
@@ -123,7 +147,7 @@ object WordPieceAlgo {
   private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
   def meta(s: UTF8String, init: java.util.HashSet[String],
-      cont: java.util.HashSet[String]): InternalRow = {
+      cont: java.util.HashSet[String], maxPieceLen: Int): InternalRow = {
     val str = s.toString
     val n = str.length
     var words = 0
@@ -136,14 +160,14 @@ object WordPieceAlgo {
         var j = i + 1
         while (j < n && isAsciiLetter(str.charAt(j))) j += 1
         words += 1
-        val t = tokenizeWord(str, i, j, init, cont)
+        val t = tokenizeWord(str, i, j, init, cont, maxPieceLen)
         if (t < 0) { unk += 1; tokens += 1 } else tokens += t
         i = j
       } else if (isAsciiDigit(c)) {
         var j = i + 1
         while (j < n && isAsciiDigit(str.charAt(j))) j += 1
         words += 1
-        val t = tokenizeWord(str, i, j, init, cont)
+        val t = tokenizeWord(str, i, j, init, cont, maxPieceLen)
         if (t < 0) { unk += 1; tokens += 1 } else tokens += t
         i = j
       } else {
@@ -158,14 +182,14 @@ object WordPieceAlgo {
     */
   private def tokenizeWord(str: String, from: Int, to: Int,
       init: java.util.HashSet[String],
-      cont: java.util.HashSet[String]): Int = {
+      cont: java.util.HashSet[String], maxPieceLen: Int): Int = {
     val len = to - from
     if (len > MaxWordLen) return -1
     var pos = from
     var t = 0
     while (pos < to) {
       val set = if (pos == from) init else cont
-      var l = math.min(MaxPieceLen, to - pos)
+      var l = math.min(maxPieceLen, to - pos)
       var matched = 0
       while (matched == 0 && l >= 1) {
         if (set.contains(str.substring(pos, pos + l))) matched = l

@@ -34,8 +34,9 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
   * the property that makes it a warehouse op rather than a one-shot:
   * error is ~1/√(k−2) (≈6 % at k = 256) regardless of |D|.
   *
-  * Hash-collision honesty: the 2^42 fold domain makes collisions
-  * (~|D|²/2^43) a sub-percent bias at millions of distincts — and
+  * Hash-collision honesty: the 2^48 hash domain (twelve md5 hex digits
+  * base-16, see [[HashDomain]]) makes collisions (~|D|²/2^49) a
+  * sub-percent bias at millions of distincts — and
   * because the hash is deterministic, both engines see the SAME
   * collisions, so cross-engine equality is unaffected.
   */

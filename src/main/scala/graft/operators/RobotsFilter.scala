@@ -24,17 +24,20 @@ import org.apache.spark.sql.functions._
   * regex metacharacters except the two special ones; `*` → `.*`;
   * trailing `$` kept as the anchor, interior `$` escaped) — no UDF, so
   * the whole decision stays one declarative plan: URLs ⋈ broadcast
-  * rules on host, regexp_like filter, one per-URL window argmax.
+  * rules on host, a [[graft.functions.CachedRLike]] match, one per-row
+  * window argmax.
   *
   * Scale shape: the rule set is operator input and policy-sized (a
   * site's robots.txt is KBs), so the join is a BROADCAST by
-  * construction and the only corpus-sized shuffle is the per-URL argmax
-  * window, keyed on the URL. Candidate rows are |urls| · (rules of that
-  * host) — linear in the crawl, never cross-host. The one documented
-  * cost: regexp_like with a non-foldable pattern recompiles per row;
-  * at production rule counts the steady-state form pre-compiles each
-  * DISTINCT pattern once behind a rule-id join (same plan shape) — the
-  * relational decision logic here is the part that matters.
+  * construction and the only corpus-sized shuffle is the per-row argmax
+  * window, keyed on a row id captured BEFORE the join (so duplicate
+  * input rows each keep their verdict — output cardinality == input
+  * cardinality, no uniqueness precondition). Candidate rows are
+  * |urls| · (rules of that host) — linear in the crawl, never
+  * cross-host. Each distinct pattern's regex compiles ONCE per executor
+  * (CachedRLike's compiled-pattern cache), not per candidate row as the
+  * builtin `regexp_like` would with a non-foldable pattern
+  * (`ScaleProbe robots` measures the gap).
   */
 object RobotsFilter {
 
@@ -69,22 +72,28 @@ object RobotsFilter {
     // candidate instead of being filtered: every URL keeps at least one
     // row (rule-less hosts keep their null left-join row the same way),
     // so the §2.2.1 default needs no second pass or join-back — the one
-    // corpus-sized shuffle is the per-URL argmax window.
-    val m = col("__rx").isNotNull && expr("regexp_like(path, __rx)")
-    val cand = urls.join(F.broadcast(rx), Seq("host"), "left")
-      .select(urls.columns.map(col) ++ Seq(
+    // corpus-sized shuffle is the per-row argmax window.
+    val m = col("__rx").isNotNull &&
+      graft.functions.CachedRLike.cached_rlike(col("path"), col("__rx"))
+    // Row id captured BEFORE the join: the argmax partitions on it, so
+    // two identical input rows stay two output rows (partitioning on
+    // the url columns would merge them and the rn=1 filter would
+    // silently drop one).
+    val withId = urls.withColumn("__rid", monotonically_increasing_id())
+    val cand = withId.join(F.broadcast(rx), Seq("host"), "left")
+      .select(col("__rid") +: urls.columns.map(col) ++: Seq(
         when(m, col("directive")).as("__dir"),
         when(m, col("pattern")).as("__pat"),
         when(m, col("__plen")).otherwise(lit(-1)).as("__plen")): _*)
     // §2.2.2: longest pattern wins, allow beats disallow on ties;
     // pattern text as the final key makes the pick total
-    val w = Window.partitionBy(urls.columns.map(col): _*)
+    val w = Window.partitionBy(col("__rid"))
       .orderBy(col("__plen").desc, col("__dir").asc_nulls_last,
         col("__pat").asc_nulls_last)
     cand.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .withColumn("verdict", coalesce(col("__dir"), lit("allow")))
       .withColumn("rule", col("__pat"))
-      .drop("__dir", "__pat", "__plen", "__rn")
+      .drop("__dir", "__pat", "__plen", "__rn", "__rid")
   }
 }

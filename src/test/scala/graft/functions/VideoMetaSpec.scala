@@ -102,9 +102,22 @@ class VideoMetaSpec extends SparkSpec {
     val unprintableBrand = hx(
       "00000014 66747970 0102030405000000 69736F6D")
     val text = "just some text bytes".getBytes("UTF-8")
+    // Crafted 64-bit largesize near Long.MaxValue: a naive `p + size > n`
+    // bound wraps negative and admits the box, sending the walk to an
+    // attacker-controlled negative offset (AIOOBE instead of NULL). The
+    // overflow-free `size > n - p` form must reject it.
+    val overflowLargesize = hx(
+      "00000014 66747970 69736F6D 00000000 69736F6D" +
+        " 00000001 6D6F6F76 7FFFFFFFFFFFFFF0")
+    // Same wrap inside parseMoov: a valid moov whose CHILD declares the
+    // overflowing largesize.
+    val overflowChild = hx(
+      "00000014 66747970 69736F6D 00000000 69736F6D" +
+        " 00000018 6D6F6F76 00000001 66726565 7FFFFFFFFFFFFFF0")
     assert(meta(moovBeforeFtyp, noMoov, emptyMoov, badSize, tinyBox,
       zeroTimescale, badVersion, truncMvhd, unprintableBrand, text,
-      Array.empty[Byte]) == Seq.fill(11)(None))
+      overflowLargesize, overflowChild,
+      Array.empty[Byte]) == Seq.fill(13)(None))
   }
 
   test("null input yields NULL") {

@@ -62,6 +62,17 @@ class WordPieceMetaSpec extends SparkSpec {
     assert(meta(Seq("hello"), Seq.empty, "hello hello") == Seq((2, 2, 0)))
   }
 
+  test("pieces longer than the trained default (6) are reachable") {
+    // The probe bound is derived from the vocab, so a 10-char
+    // word-initial piece and a 9-char continuation piece both match —
+    // under a fixed 6-char cap "unbreakable" would greedily take "un"
+    // and then get stuck ([UNK]) instead of the intended 2-token split.
+    assert(meta(Seq("un", "unbreakab"), Seq("##le", "##breakable"),
+      "unbreakable") == Seq((1, 2, 0)))
+    assert(meta(Seq("unbreakabl"), Seq("##e"), "unbreakable") ==
+      Seq((1, 2, 0)))
+  }
+
   test("null input yields NULL") {
     val out = Seq((1L, null: String)).toDF("id", "t")
       .select(WordPieceMeta

@@ -74,6 +74,20 @@ class RobotsFilterSpec extends SparkSpec {
         "other/anything" -> ("allow", "-")))
   }
 
+  test("duplicate input rows each keep their verdict (cardinality preserved)") {
+    // The argmax partitions on a pre-join row id, not the url columns —
+    // two identical rows must yield two identical output rows.
+    val rules = Seq(("h", "disallow", "/a/"))
+    val out = RobotsFilter.decide(
+      Seq(("h", "/a/x"), ("h", "/a/x"), ("h", "/b")).toDF("host", "path"),
+      rules.toDF("host", "directive", "pattern"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._2)
+    assert(out.toSeq == Seq(
+      ("h", "/a/x", "disallow"), ("h", "/a/x", "disallow"),
+      ("h", "/b", "allow")))
+  }
+
   test("rules are per-host: another host's rules never apply") {
     val rules = Seq(("a", "disallow", "/x/"), ("b", "allow", "/x/"))
     assert(decide(Seq(("a", "/x/1"), ("b", "/x/1")), rules) ==
