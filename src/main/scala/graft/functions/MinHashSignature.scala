@@ -21,10 +21,10 @@ import org.apache.spark.sql.types._
   * Null/empty semantics: null input → null; empty array → null (no
   * shingles = no signature).
   */
-case class MinHashSignature(child: Expression, numHashes: Int)
+case class MinHashSignature(child: Expression, numHashes: Int,
+    prime: Long = 2147483647L) // 2^31 - 1 (Dedup.Prime) by default;
+  // pass Dedup.PortablePrime (2^48 + 21) for the cross-engine variant
   extends UnaryExpression {
-
-  private val prime: Long = 2147483647L // 2^31 - 1, matches Dedup.Prime
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -103,4 +103,8 @@ object MinHashSignature {
   def minhash_signature(hashes: Column, numHashes: Int): Column =
     GraftColumnBridge.column(
       MinHashSignature(GraftColumnBridge.expression(hashes), numHashes))
+
+  def minhash_signature(hashes: Column, numHashes: Int, prime: Long): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(hashes), numHashes, prime))
 }

@@ -201,11 +201,18 @@ object Dedup {
     * profile queries) pass a materialized frame here so the signature
     * stage runs once, not once per consumer.
     */
-  def minhashCandidatesFromSigs(sigs: DataFrame): DataFrame = {
+  def minhashCandidatesFromSigs(sigs: DataFrame): DataFrame =
+    candidatesFromBandKeys(sigs, bandKeys(col("sig")))
+
+  /** Shared band-bucket candidate join — murmur and portable band keys
+    * differ only in the key expression.
+    */
+  private def candidatesFromBandKeys(sigs: DataFrame, keys: Column)
+      : DataFrame = {
     // explode_outer: see jaccardPairsExact — plain explode triggers an
     // inferred size-filter that re-inlines the signature expression
     val banded = sigs
-      .select(col("doc_id"), explode_outer(bandKeys(col("sig"))).as("band"))
+      .select(col("doc_id"), explode_outer(keys).as("band"))
     // Skew-safe cap: the old count().over(Window.partitionBy(band)) shipped
     // EVERY row of a hot band to one task before the filter could drop it —
     // the guard itself was the hotspot. groupBy.count partial-aggregates
@@ -234,6 +241,87 @@ object Dedup {
           / NumHashes.toDouble)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
+
+  // ---------- Portable (cross-engine) signature variants ----------
+  //
+  // Same LSH algebra as the murmur/xxhash pipeline above, but every hash
+  // is the KmvDistinct md5 fold (first 12 md5 hex digits base-16 —
+  // uniform over [0, 2^48)) and band keys carry the RAW signature rows —
+  // so a second engine (the DuckDB oracle) replays signatures, bands,
+  // candidate sets, and per-doc profiles END-TO-END, value for value.
+  // The in-engine hashes stay the default for pure-Spark deployments
+  // (murmur/xxhash are cheaper per element); the portable fold is the
+  // interop form, and the one the correctness gate can hash-match.
+
+  /** Prime just above the portable-hash domain: 2^48 + 21. Permutation
+    * arithmetic stays below 2^55 (multiplier ≤ 127, hash < 2^48) —
+    * overflow-free in any engine's 64-bit integer.
+    */
+  val PortablePrime = 281474976710677L
+
+  /** Element-wise portable hash of a string array (shingles or tokens):
+    * the [[graft.operators.KmvDistinct.portableHash]] fold inside a
+    * transform — md5 is a codegen'd builtin, so this fuses into the scan
+    * like the murmur form.
+    */
+  def portableHashes(strs: Column): Column =
+    transform(strs, s => graft.operators.KmvDistinct.portableHash(s))
+
+  /** Per-doc portable MinHash signatures: same staging discipline as
+    * [[docSignatures]] (tokens → shingle strings → hashes → one-pass
+    * codegen signature), with the portable fold and [[PortablePrime]].
+    */
+  def portableDocSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("__toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("__toks")).as("__sh"))
+      .select(col("doc_id"), portableHashes(col("__sh")).as("__hs"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature
+          .minhash_signature(col("__hs"), NumHashes, PortablePrime).as("sig"))
+
+  /** Portable banded LSH keys: band index plus the band's RAW signature
+    * rows joined textually — no hash at all, so the key is replayable in
+    * any engine (band width is 2 longs → keys are ~35 chars; the band
+    * join moves slim (band, doc_id) rows either way).
+    */
+  def portableBandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)), b =>
+      concat_ws(":", b,
+        concat_ws("_",
+          transform(slice(sig, b * RowsPerBand + 1, lit(RowsPerBand)),
+            v => v.cast(StringType)))))
+
+  /** Candidate pairs from portable signatures — identical bucket-join /
+    * hot-band-blacklist shape as [[minhashCandidatesFromSigs]], portable
+    * band keys.
+    */
+  def portableMinhashCandidatesFromSigs(sigs: DataFrame): DataFrame =
+    candidatesFromBandKeys(sigs, portableBandKeys(col("sig")))
+
+  /** Per-doc portable 48-bit SimHashes: tokens hashed with the portable
+    * fold, then the SAME one-pass bit-majority expression
+    * ([[graft.functions.SimHash64]]) — fold outputs live in [0, 2^48),
+    * so bits 48..63 vote unanimously 0 and the signature is effectively
+    * 48-bit, every bit of it replayable from md5 arithmetic.
+    *
+    * Empty-after-trim docs keep Spark's split(trim('')) = [""] single
+    * empty token (one vote of fold("")'s bits) — the oracle replays that
+    * branch explicitly, the tokenCount guard discipline.
+    */
+  def portableDocSimhashes(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        portableHashes(split(trim(col("text")), "\\s+")).as("__hs"))
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(col("__hs")).as("simhash"))
+
+  /** Hamming-LSH candidates over portable 48-bit SimHashes: 4 chunks of
+    * 12 bits (the 48-bit analogue of the 4×16 split — still catches
+    * every pair within Hamming distance 3 by pigeonhole).
+    */
+  def portableSimhashCandidatesFromSigs(sigs: DataFrame): DataFrame =
+    simhashCandidatesFromChunks(sigs, nChunks = 4, chunkBits = 12)
 
   /** Exact n-gram Jaccard verification of candidate pairs — the expensive
     * set comparison runs only on LSH survivors, never all pairs.
@@ -547,11 +635,19 @@ object Dedup {
   /** Candidate generation from pre-computed SimHashes — same
     * share-the-signature-stage contract as minhashCandidatesFromSigs.
     */
-  def simhashCandidatesFromSigs(sigs: DataFrame): DataFrame = {
+  def simhashCandidatesFromSigs(sigs: DataFrame): DataFrame =
+    simhashCandidatesFromChunks(sigs, nChunks = 4, chunkBits = 16)
+
+  /** Shared Hamming-LSH candidate join — the 64-bit (4×16) and portable
+    * 48-bit (4×12) variants differ only in the chunk split.
+    */
+  private def simhashCandidatesFromChunks(sigs: DataFrame, nChunks: Int,
+      chunkBits: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val chunks = sigs.select(col("doc_id"), col("simhash"),
-      explode_outer(array((0 until 4).map(c =>
+      explode_outer(array((0 until nChunks).map(c =>
         concat_ws(":", lit(c),
-          shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL))): _*))
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(mask))): _*))
         .as("chunk"))
     // Same skew-safe cap as the band/gram paths: a window partitioned by
     // the hot chunk would ship every row of that chunk to one task before

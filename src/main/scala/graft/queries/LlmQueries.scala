@@ -7,9 +7,10 @@ import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators as driver-contract queries over the
   * `documents` and `embeddings` testdata tables. SQL-expressible ops carry a
-  * DuckDB oracle; signature-based ops (MinHash/SimHash/LSH use
-  * Spark-internal hash functions) are rows-only checked and unit-tested
-  * instead.
+  * DuckDB oracle — including the MinHash/SimHash signature rows, which use
+  * Dedup's portable md5-fold variants so the oracle replays signatures
+  * end-to-end; only ops on genuinely Spark-internal sketches (HLL) are
+  * rows-only checked and differentially tested instead.
   */
 object LlmQueries {
 
@@ -25,8 +26,17 @@ object LlmQueries {
       GROUP BY fp_md5, len ORDER BY keeper_id"""))
 
   /** MinHash+LSH near-dup: per-doc candidate profile (stable 1-row-per-doc
-    * output regardless of how many band collisions occur), plus the top
-    * pair estimate. Candidate join is band-key equi — never all-pairs.
+    * output regardless of how many band collisions occur) plus the doc's
+    * best signature-agreement estimate. Candidate join is band-key equi —
+    * never all-pairs.
+    *
+    * CROSS-ENGINE by construction (r10 verdict #2): every hash is the
+    * KmvDistinct md5 fold over [0, 2^48) and band keys carry raw
+    * signature rows (Dedup portable variants), so the DuckDB oracle
+    * replays shingles → hashes → 64 permutation minima → bands →
+    * hot-band cap → candidate pairs → per-doc profile value-for-value;
+    * sig_hash = md5 of the comma-joined signature pins all 64 longs of
+    * every signature, not a sample.
     */
   val dedupMinhash = QueryDef(
     "llm_dedup_minhash",
@@ -36,23 +46,85 @@ object LlmQueries {
       // profile — materialize it once (localCheckpoint truncates lineage;
       // (doc_id, 64 longs) per row is the standard LSH index size) rather
       // than re-running shingling+hashing per consumer
-      val sigs = Dedup.docSignatures(docs).localCheckpoint(true)
+      val sigs = Dedup.portableDocSignatures(docs).localCheckpoint(true)
       // explode both pair sides from ONE pass over the candidate join — a
       // union of two projections would execute the LSH join twice
-      val perDoc = Dedup.minhashCandidatesFromSigs(sigs)
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+      val perDoc = Dedup.portableMinhashCandidatesFromSigs(sigs)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
+          col("est_jaccard"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"),
+          max(col("est_jaccard")).as("max_est_jaccard"))
       sigs
-        .select(col("doc_id"), xxhash64(col("sig")).as("sig_hash"))
+        .select(col("doc_id"),
+          md5(array_join(transform(col("sig"), v => v.cast(StringType)), ",")
+            .cast(BinaryType)).as("sig_hash"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("sig_hash"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("max_est_jaccard"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_split_to_array(trim(text), '[\s\x0b]+') AS t
+        FROM documents),
+      sh AS MATERIALIZED (
+        SELECT doc_id,
+          list_distinct(CASE WHEN len(t) >= 3 THEN
+              list_transform(generate_series(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+            ELSE [array_to_string(t, ' ')] END) AS sh
+        FROM toks),
+      hs AS MATERIALIZED (
+        SELECT doc_id, list_transform(sh, s ->
+          list_reduce(list_transform(generate_series(1, 12),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1
+                   AS BIGINT)),
+            (a, b) -> a * 16 + b)) AS hs
+        FROM sh),
+      sig AS MATERIALIZED (
+        SELECT doc_id, list_transform(generate_series(0, 63), j ->
+            list_min(list_transform(hs, h ->
+              (h * (2*j + 1) + (40503 * (j + 1)) % 281474976710677)
+                % 281474976710677))) AS sig
+        FROM hs),
+      bands AS MATERIALIZED (
+        SELECT doc_id, CAST(b AS VARCHAR) || ':' ||
+            CAST(sig[2*b+1] AS VARCHAR) || '_' ||
+            CAST(sig[2*b+2] AS VARCHAR) AS band
+        FROM sig, generate_series(0, 31) AS g(b)),
+      small AS MATERIALIZED (
+        SELECT doc_id, band FROM bands
+        WHERE band NOT IN (SELECT band FROM bands
+                           GROUP BY band HAVING COUNT(*) > 100)),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM small a JOIN small b USING (band) WHERE a.doc_id < b.doc_id),
+      est AS MATERIALIZED (
+        SELECT doc_a, doc_b,
+          CAST(list_sum(list_transform(generate_series(1, 64),
+            k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
+            AS DOUBLE) / 64.0 AS est_jaccard
+        FROM pairs JOIN sig sa ON sa.doc_id = pairs.doc_a
+                   JOIN sig sb ON sb.doc_id = pairs.doc_b),
+      perdoc AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               MAX(est_jaccard) AS max_est_jaccard
+        FROM (SELECT doc_a AS doc_id, est_jaccard FROM est
+              UNION ALL SELECT doc_b AS doc_id, est_jaccard FROM est)
+        GROUP BY doc_id)
+      SELECT s.doc_id, md5(array_to_string(s.sig, ',')) AS sig_hash,
+        COALESCE(p.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+        p.max_est_jaccard AS max_est_jaccard
+      FROM sig s LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id"""))
 
-  /** SimHash near-dup: per-doc 64-bit signature + Hamming-LSH candidate
-    * count (16-bit chunk buckets).
+  /** SimHash near-dup: per-doc signature + Hamming-LSH candidate count.
+    *
+    * CROSS-ENGINE by construction (r10 verdict #2): token hashes are the
+    * portable md5 fold, so the bit-majority signature lives in [0, 2^48)
+    * (4×12-bit chunk buckets) and the DuckDB oracle replays every bit of
+    * every signature, the chunk buckets, the hot-chunk cap, and the
+    * per-doc candidate/min-Hamming profile from md5 arithmetic alone.
     */
   val dedupSimhash = QueryDef(
     "llm_dedup_simhash",
@@ -60,8 +132,8 @@ object LlmQueries {
       val docs = documents(s, dir)
       // one materialized signature pass for both consumers — see
       // llm_dedup_minhash
-      val sigs = Dedup.docSimhashes(docs).localCheckpoint(true)
-      val perDoc = Dedup.simhashCandidatesFromSigs(sigs)
+      val sigs = Dedup.portableDocSimhashes(docs).localCheckpoint(true)
+      val perDoc = Dedup.portableSimhashCandidatesFromSigs(sigs)
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"),
           col("hamming"))
         .groupBy("doc_id")
@@ -72,7 +144,48 @@ object LlmQueries {
           col("min_hamming"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""
+      WITH toks AS MATERIALIZED (
+        SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN ['']
+                 ELSE regexp_split_to_array(trim(text), '[\s\x0b]+') END AS t
+        FROM documents),
+      hs AS MATERIALIZED (
+        SELECT doc_id, list_transform(t, s ->
+          list_reduce(list_transform(generate_series(1, 12),
+            i -> CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1
+                   AS BIGINT)),
+            (a, b) -> a * 16 + b)) AS hs
+        FROM toks),
+      sig AS MATERIALIZED (
+        SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 47),
+            j -> CASE WHEN list_sum(list_transform(hs, h ->
+                CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1
+                     THEN 1 ELSE -1 END)) > 0
+              THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash
+        FROM hs),
+      chunks AS MATERIALIZED (
+        SELECT doc_id, simhash, CAST(c AS VARCHAR) || ':' ||
+            CAST((simhash // (CAST(1 AS BIGINT) << (12*c))) % 4096
+              AS VARCHAR) AS chunk
+        FROM sig, generate_series(0, 3) AS g(c)),
+      small AS MATERIALIZED (
+        SELECT doc_id, simhash, chunk FROM chunks
+        WHERE chunk NOT IN (SELECT chunk FROM chunks
+                            GROUP BY chunk HAVING COUNT(*) > 100)),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM small a JOIN small b USING (chunk) WHERE a.doc_id < b.doc_id),
+      perdoc AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               MIN(hamming) AS min_hamming
+        FROM (SELECT doc_a AS doc_id, hamming FROM pairs
+              UNION ALL SELECT doc_b AS doc_id, hamming FROM pairs)
+        GROUP BY doc_id)
+      SELECT s.doc_id, s.simhash,
+        COALESCE(p.n_candidates, CAST(0 AS BIGINT)) AS n_candidates,
+        p.min_hamming AS min_hamming
+      FROM sig s LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id"""))
 
   /** n-gram Jaccard profile: per-doc distinct word-3-gram counts — the
     * shingle layer of the dedup stack, oracle-checkable end-to-end.
