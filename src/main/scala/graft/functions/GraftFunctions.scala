@@ -44,6 +44,8 @@ object GraftFunctions {
       "url_normalize", exprs => UrlNormalize(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "bmp_pixels", exprs => BmpPixels(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "png_pixels", exprs => PngPixels(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -116,6 +118,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("bmp_pixels"),
       new ExpressionInfo(classOf[BmpPixels].getName, "bmp_pixels"),
       (exprs: Seq[Expression]) => BmpPixels(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("png_pixels"),
+      new ExpressionInfo(classOf[PngPixels].getName, "png_pixels"),
+      (exprs: Seq[Expression]) => PngPixels(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

@@ -1,0 +1,243 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** REAL pixel decode over PNG containers whose zlib stream uses STORED
+  * deflate blocks — the next retreat of the declared-fake codec line
+  * after [[BmpPixels]]: the PNG container walk (RFC 2083 / ISO 15948
+  * chunk grammar), the zlib envelope (RFC 1950) and the deflate block
+  * framing (RFC 1951) are all public byte-level structure, and a
+  * BTYPE=00 stored block carries its bytes raw — so for stored-deflate
+  * PNGs, per-channel pixel sums are pure byte arithmetic end-to-end.
+  * Only ENTROPY-CODED blocks (fixed/dynamic Huffman, BTYPE 01/10 — what
+  * real-world encoders emit) remain out of scope and return NULL, the
+  * honestly-declared remainder.
+  *
+  * Decode path: 8-byte PNG signature → chunk walk (big-endian u32
+  * length + 4-char type; IHDR must be first per the spec) → IHDR
+  * accepted iff bit depth 8, colour type 2 (truecolour RGB), deflate
+  * compression, filter method 0, no interlace → ALL IDAT chunk payloads
+  * concatenated (the spec: the zlib stream spans consecutive IDATs) →
+  * zlib header checked (CM=8, window bits valid, no preset dict,
+  * FCHECK: CMF·256+FLG ≡ 0 mod 31) → stored blocks copied out
+  * (LEN == ones-complement NLEN enforced; a non-stored block → NULL) →
+  * the raw stream must be EXACTLY height·(1 + 3·width) bytes, each row
+  * prefixed by filter type 0 (None; filtered rows are a deliberate
+  * NULL: un-filtering is arithmetic but no stored-block writer filters)
+  * → RGB triples summed per channel as exact BIGINTs.
+  *
+  * Integrity checksums (chunk CRC-32, zlib Adler-32) are NOT verified —
+  * this is a structure probe in the BmpPixels mold, not an integrity
+  * checker; the behavior is pinned in the spec. Trailing chunks after
+  * the IEND (or after the pixel stream completes) are ignored.
+  *
+  * Returns struct<width, height, n_px, sum_r, sum_g, sum_b> — the same
+  * shape as [[BmpPixels]] (sums are fold-order-free and cross-engine
+  * exact; means are a downstream division).
+  *
+  * Scale shape: map-only, codegen'd, O(bytes present) per row with every
+  * size bound checked BEFORE buffers are sized — a lying chunk length,
+  * LEN field, or IHDR dimension cannot buy unbounded work or overflow
+  * (dims are capped so height·(1+3·width) stays far below 2^62, and a
+  * stored stream can never be smaller than its raw bytes, so raw size
+  * is bounded by input size up front).
+  */
+case class PngPixels(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = PngPixels.Schema
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"PngPixels requires BINARY input, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PngPixels.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PngPixels.parse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PngPixels =
+    copy(child = newChild)
+
+  override def prettyName: String = "png_pixels"
+}
+
+object PngPixels {
+  val Schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_px", LongType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true)))
+
+  /** Static parse kernel shared by eval and generated code. Returns null
+    * for anything that is not a stored-deflate 8-bit RGB PNG whose raw
+    * pixel stream is fully present and filter-free.
+    */
+  def parse(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null) return null
+    val n = bytes.length
+    // PNG signature
+    if (n < 8 + 25 || bytes(0) != 0x89.toByte || bytes(1) != 'P' ||
+      bytes(2) != 'N' || bytes(3) != 'G' || bytes(4) != 0x0d ||
+      bytes(5) != 0x0a || bytes(6) != 0x1a || bytes(7) != 0x0a) return null
+
+    // --- chunk walk: IHDR first, collect IDAT spans, stop at IEND ---
+    var p = 8
+    var width = 0L
+    var height = 0L
+    var haveIhdr = false
+    // IDAT spans recorded as (offset, length) pairs; count first
+    var idatTotal = 0L
+    var spanOff = new Array[Int](4)
+    var spanLen = new Array[Int](4)
+    var nSpans = 0
+    var guard = 0
+    var done = false
+    while (!done && guard < 1024 && p + 8 <= n) {
+      val len = be32(bytes, p)
+      // overflow-free: len is u32 read as Long; p+8 <= n <= 2^31
+      if (len < 0 || len > n - p - 8) return null
+      val t0 = bytes(p + 4); val t1 = bytes(p + 5)
+      val t2 = bytes(p + 6); val t3 = bytes(p + 7)
+      val dataOff = p + 8
+      if (!haveIhdr) {
+        // spec: IHDR must appear first
+        if (t0 != 'I' || t1 != 'H' || t2 != 'D' || t3 != 'R' || len != 13)
+          return null
+        width = be32(bytes, dataOff)
+        height = be32(bytes, dataOff + 4)
+        val bitDepth = bytes(dataOff + 8) & 0xff
+        val colorType = bytes(dataOff + 9) & 0xff
+        val compression = bytes(dataOff + 10) & 0xff
+        val filterMethod = bytes(dataOff + 11) & 0xff
+        val interlace = bytes(dataOff + 12) & 0xff
+        if (width < 1 || height < 1 || width > 0x7fffffffL ||
+          height > 0x7fffffffL || bitDepth != 8 || colorType != 2 ||
+          compression != 0 || filterMethod != 0 || interlace != 0)
+          return null
+        haveIhdr = true
+      } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        if (nSpans == spanOff.length) {
+          spanOff = java.util.Arrays.copyOf(spanOff, nSpans * 2)
+          spanLen = java.util.Arrays.copyOf(spanLen, nSpans * 2)
+        }
+        spanOff(nSpans) = dataOff
+        spanLen(nSpans) = len.toInt
+        nSpans += 1
+        idatTotal += len
+      } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+        done = true
+      }
+      p = dataOff + len.toInt + 4 // skip data + CRC (CRC not verified)
+      guard += 1
+    }
+    if (!haveIhdr || nSpans == 0) return null
+
+    // raw scanline stream size: height rows of [filter byte][3w bytes].
+    // Stored deflate cannot shrink data, so raw must fit inside the
+    // IDAT payload — the bound that caps all later work by input size.
+    // Checked divisionally BEFORE the product is formed: height·rowBytes
+    // with lying u31 dims can exceed Long range, but after these guards
+    // raw <= idatTotal <= n, overflow-free.
+    if (idatTotal < 2) return null // zlib header
+    if (height > idatTotal) return null
+    val rowBytes = 1L + 3L * width // <= ~6.4e9, fits
+    if (rowBytes > idatTotal / height) return null
+    val raw = height * rowBytes
+
+    // --- concatenate IDAT payloads (the zlib stream) ---
+    val z = new Array[Byte](idatTotal.toInt)
+    var zi = 0
+    var s = 0
+    while (s < nSpans) {
+      System.arraycopy(bytes, spanOff(s), z, zi, spanLen(s))
+      zi += spanLen(s)
+      s += 1
+    }
+
+    // --- zlib envelope (RFC 1950) ---
+    val cmf = z(0) & 0xff
+    val flg = z(1) & 0xff
+    if ((cmf & 0x0f) != 8 || (cmf >> 4) > 7) return null // deflate, 32K max
+    if ((flg & 0x20) != 0) return null // FDICT: preset dict unsupported
+    if ((cmf * 256 + flg) % 31 != 0) return null // FCHECK
+
+    // --- stored deflate blocks (RFC 1951 §3.2.4) ---
+    // Stored-block headers are byte-aligned after their own 3 header
+    // bits, so a stream of ONLY stored blocks keeps every block header
+    // on a byte boundary: cursor stays byte-based.
+    val out = new Array[Byte](raw.toInt)
+    var oi = 0
+    var c = 2
+    var finalSeen = false
+    while (!finalSeen) {
+      if (c >= z.length) return null // truncated before a block header
+      val hdr = z(c) & 0xff
+      if ((hdr & 0x06) != 0) return null // BTYPE != 00: entropy-coded
+      finalSeen = (hdr & 0x01) != 0
+      if (c + 5 > z.length) return null
+      val len = (z(c + 1) & 0xff) | ((z(c + 2) & 0xff) << 8)
+      val nlen = (z(c + 3) & 0xff) | ((z(c + 4) & 0xff) << 8)
+      if ((len ^ nlen) != 0xffff) return null // ones-complement check
+      c += 5
+      if (c + len > z.length) return null // truncated block body
+      if (oi + len > out.length) return null // more raw bytes than rows
+      System.arraycopy(z, c, out, oi, len)
+      c += len
+      oi += len
+    }
+    if (oi != out.length) return null // short pixel stream
+    // (trailing Adler-32 not verified — structure probe, see Scaladoc)
+
+    // --- un-filter (type 0 only) + channel sums ---
+    val w = width.toInt
+    val h = height.toInt
+    var sumR = 0L
+    var sumG = 0L
+    var sumB = 0L
+    var row = 0
+    var q = 0
+    while (row < h) {
+      if (out(q) != 0) return null // filtered row: declared NULL
+      q += 1
+      var x = 0
+      while (x < w) { // RGB triples
+        sumR += out(q) & 0xff
+        sumG += out(q + 1) & 0xff
+        sumB += out(q + 2) & 0xff
+        q += 3
+        x += 1
+      }
+      row += 1
+    }
+    new GenericInternalRow(Array[Any](w, h, width * height, sumR, sumG, sumB))
+  }
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+
+  /** Column entry point: png_pixels(binary) → struct<width:int,
+    * height:int, n_px:bigint, sum_r:bigint, sum_g:bigint, sum_b:bigint>
+    * (NULL unless a stored-deflate 8-bit RGB PNG with unfiltered rows).
+    */
+  def png_pixels(c: Column): Column =
+    GraftColumnBridge.column(PngPixels(GraftColumnBridge.expression(c)))
+}

@@ -1015,6 +1015,97 @@ object LlmQueries {
                             * (n_chars % 256) AS BIGINT) END AS sum_b
       FROM documents ORDER BY media_id"""))
 
+  /** PNG stored-deflate pixel decode (functions/PngPixels — the codec
+    * line's next retreat after BmpPixels): exact per-channel sums over
+    * constructed 8-bit RGB PNGs whose zlib stream uses RFC 1951 STORED
+    * blocks, so container walk + zlib framing + unfiltering + sums are
+    * byte arithmetic end-to-end and the oracle is cross-engine
+    * arithmetic (uniform constructed pixels: sum = n_px · channel).
+    * Five shapes: a valid single-IDAT file, the zlib stream SPLIT
+    * across two IDAT chunks (the spec's consecutive-IDAT rule is
+    * load-bearing, a parser that reads only the first IDAT truncates
+    * and NULLs), an entropy-coded block (BTYPE=01 — the declared-fake
+    * line, must NULL), an RGBA declaration, and a corrupted NLEN
+    * ones-complement / raw-text row. Widths run 1..3 and heights 1..4,
+    * so stored LEN spans 4..40 bytes and every row carries its filter-0
+    * byte. Map-only, codegen'd, payload bounds checked before any loop.
+    */
+  val multimodalPixelsPng = QueryDef(
+    "llm_multimodal_pixels_png",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def be32(c: Column): Column = lpad(hex(c), 8, "0")
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val w = (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)
+      val h = (pmod(col("n_chars"), lit(4)) + 1).cast(IntegerType)
+      val rCh = pmod(col("doc_id") * 3, lit(256))
+      val gCh = pmod(col("n_chars") * 5, lit(256))
+      val bCh = pmod(col("doc_id") + col("n_chars"), lit(256))
+      val base = documents(s, dir)
+        .withColumn("__w", w).withColumn("__h", h)
+        .withColumn("__px", concat(lpad(hex(rCh), 2, "0"),
+          lpad(hex(gCh), 2, "0"), lpad(hex(bCh), 2, "0")))
+        .withColumn("__rowhex", concat(lit("00"), expr("repeat(__px, __w)")))
+        .withColumn("__rawhex", expr("repeat(__rowhex, __h)"))
+        .withColumn("__rlen", (col("__h") * (col("__w") * 3 + 1)))
+      val sig = lit("89504E470D0A1A0A")
+      def ihdr(colorType: String): Column = concat(
+        lit("0000000D49484452"), be32(col("__w")), be32(col("__h")),
+        lit("08"), lit(colorType), lit("000000"), lit("00000000"))
+      def chunkOf(dataHex: Column): Column = concat(
+        be32(length(dataHex) / 2), lit("49444154"), dataHex, lit("00000000"))
+      val iend = lit("0000000049454E44AE426082")
+      def zlib(blockHdr: String, nlen: Column): Column = concat(
+        lit("7801"), lit(blockHdr), le16(col("__rlen")), nlen,
+        col("__rawhex"), lit("00000000"))
+      val goodNlen = le16(lit(65535) - col("__rlen"))
+      val media = when(pmod(col("doc_id"), lit(5)) === 0,
+          unhex(concat(sig, ihdr("02"), chunkOf(zlib("01", goodNlen)), iend)))
+        .when(pmod(col("doc_id"), lit(5)) === 1, // zlib split across 2 IDATs
+          unhex(concat(sig, ihdr("02"),
+            chunkOf(concat(lit("780101"), le16(col("__rlen")), goodNlen)),
+            chunkOf(concat(col("__rawhex"), lit("00000000"))), iend)))
+        .when(pmod(col("doc_id"), lit(5)) === 2, // BTYPE=01: entropy-coded
+          unhex(concat(sig, ihdr("02"), chunkOf(zlib("03", goodNlen)), iend)))
+        .when(pmod(col("doc_id"), lit(5)) === 3, // RGBA declared
+          unhex(concat(sig, ihdr("06"), chunkOf(zlib("01", goodNlen)), iend)))
+        .when(pmod(col("doc_id"), lit(10)) === 4, // NLEN ones-complement broken
+          unhex(concat(sig, ihdr("02"),
+            chunkOf(zlib("01", le16(lit(65534) - col("__rlen")))), iend)))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      base
+        .select(col("doc_id").as("media_id"),
+          graft.functions.PngPixels.png_pixels(media).as("__p"))
+        .select(col("media_id"), col("__p.width").as("width"),
+          col("__p.height").as("height"), col("__p.n_px").as("n_px"),
+          col("__p.sum_r").as("sum_r"), col("__p.sum_g").as("sum_g"),
+          col("__p.sum_b").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST(doc_id % 3 + 1 AS INTEGER) END AS width,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST(n_chars % 4 + 1 AS INTEGER) END AS height,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1) AS BIGINT)
+                  END AS n_px,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
+                            * ((doc_id * 3) % 256) AS BIGINT) END AS sum_r,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
+                            * ((n_chars * 5) % 256) AS BIGINT) END AS sum_g,
+             CASE WHEN doc_id % 5 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
+                            * ((doc_id + n_chars) % 256) AS BIGINT)
+                  END AS sum_b
+      FROM documents ORDER BY media_id"""))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -3788,7 +3879,7 @@ object LlmQueries {
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream,
-    multimodalPixels, wordpieceVocab, wordpieceTokens,
+    multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,

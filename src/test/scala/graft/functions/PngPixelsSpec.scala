@@ -1,0 +1,117 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins PngPixels against HAND-WRITTEN PNG bytes assembled from the
+  * public specs (PNG chunk grammar, RFC 1950 zlib, RFC 1951 stored
+  * blocks) — not round-tripped through the query's own construction, so
+  * a matching construct/parse bug cannot hide. Covers a single-IDAT
+  * stored stream, the zlib stream split across two IDAT chunks, multiple
+  * stored blocks (including an empty final block), the documented
+  * checksum-tolerant behavior (junk CRC/Adler still parses — structure
+  * probe, not integrity checker), and the NULL contract: entropy-coded
+  * blocks, filtered rows, wrong NLEN, truncation, RGBA/interlace/depth
+  * declarations, IHDR-not-first, FDICT, bad FCHECK, raw text.
+  */
+class PngPixelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def px(payloads: Array[Byte]*)
+      : Seq[Option[(Int, Int, Long, Long, Long, Long)]] =
+    payloads.toSeq.toDF("b")
+      .select(PngPixels.png_pixels(col("b")).as("p"))
+      .select(col("p.width"), col("p.height"), col("p.n_px"),
+        col("p.sum_r"), col("p.sum_g"), col("p.sum_b"))
+      .collect().map { r =>
+        if (r.isNullAt(0)) None
+        else Some((r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      }.toSeq
+
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val sig = "89504E47 0D0A1A0A"
+  // 2x2, depth 8, colour type 2 (RGB), no interlace; junk CRC (ignored)
+  private val ihdr2x2 =
+    "0000000D 49484452 00000002 00000002 08 02 00 00 00 DEADBEEF"
+  // raw scanlines: row0 = filter 0, (1,2,3) (4,5,6);
+  //                row1 = filter 0, (250,0,128) (7,8,9)
+  // sums: r = 1+4+250+7 = 262, g = 2+5+0+8 = 15, b = 3+6+128+9 = 146
+  private val raw2x2 = "00 010203 040506" + " 00 FA0080 070809" // 14 bytes
+  private val iend = "00000000 49454E44 AE426082"
+  private def chunk(typ: String, dataHex: String): String = {
+    val len = dataHex.replaceAll("\\s", "").length / 2
+    f"$len%08X $typ $dataHex 00000000" // junk CRC
+  }
+  private val expect2x2 = Some((2, 2, 4L, 262L, 15L, 146L))
+
+  test("single-IDAT stored-deflate RGB PNG decodes to exact sums") {
+    // zlib 7801, one final stored block LEN=14 NLEN=~14, junk Adler
+    val idat = chunk("49444154", "7801 01 0E00 F1FF " + raw2x2 + " 11223344")
+    val v = hx(sig + ihdr2x2 + idat + iend)
+    assert(px(v) == Seq(expect2x2))
+  }
+
+  test("zlib stream split across two IDAT chunks concatenates") {
+    val idat1 = chunk("49444154", "7801 01 0E00 F1FF")
+    val idat2 = chunk("49444154", raw2x2 + " 11223344")
+    val v = hx(sig + ihdr2x2 + idat1 + idat2 + iend)
+    assert(px(v) == Seq(expect2x2))
+  }
+
+  test("multiple stored blocks, including an empty final block") {
+    // block1 (not final) carries row0 (7 bytes), block2 (final) row1
+    val twoBlocks = chunk("49444154",
+      "7801 00 0700 F8FF 00 010203 040506 01 0700 F8FF 00 FA0080 070809")
+    // block1 carries all 14 bytes, final block is EMPTY (LEN=0)
+    val emptyFinal = chunk("49444154",
+      "7801 00 0E00 F1FF " + raw2x2 + " 01 0000 FFFF")
+    val a = hx(sig + ihdr2x2 + twoBlocks + iend)
+    val b = hx(sig + ihdr2x2 + emptyFinal + iend)
+    assert(px(a, b) == Seq(expect2x2, expect2x2))
+  }
+
+  test("corrupt and out-of-scope shapes yield NULL") {
+    def mk(idatData: String, ihdr: String = ihdr2x2): Array[Byte] =
+      hx(sig + ihdr + chunk("49444154", idatData) + iend)
+    val okData = "7801 01 0E00 F1FF " + raw2x2
+    val entropyCoded = mk("7801 03 0E00 F1FF " + raw2x2) // BTYPE=01
+    val badNlen = mk("7801 01 0E00 F0FF " + raw2x2)
+    val truncated = mk("7801 01 0E00 F1FF 00 010203") // body short
+    val shortStream = mk("7801 01 0700 F8FF 00 010203 040506") // one row only
+    val filteredRow = mk("7801 01 0E00 F1FF 01 010203 040506 00 FA0080 070809")
+    val fdictSet = mk("7820 01 0E00 F1FF " + raw2x2) // FCHECK ok, FDICT on
+    val badFcheck = mk("7802 01 0E00 F1FF " + raw2x2)
+    val rgba = mk(okData,
+      "0000000D 49484452 00000002 00000002 08 06 00 00 00 00000000")
+    val depth16 = mk(okData,
+      "0000000D 49484452 00000002 00000002 10 02 00 00 00 00000000")
+    val interlaced = mk(okData,
+      "0000000D 49484452 00000002 00000002 08 02 00 00 01 00000000")
+    val ihdrNotFirst = hx(sig + chunk("67414D41", "00000000") + ihdr2x2 +
+      chunk("49444154", okData) + iend)
+    val noIdat = hx(sig + ihdr2x2 + iend)
+    val text = "just some text bytes, not a png".getBytes("UTF-8")
+    assert(px(entropyCoded, badNlen, truncated, shortStream, filteredRow,
+      fdictSet, badFcheck, rgba, depth16, interlaced, ihdrNotFirst, noIdat,
+      text, Array.empty[Byte]) == Seq.fill(14)(None))
+  }
+
+  test("null input yields NULL") {
+    val out = Seq((1L, null: Array[Byte])).toDF("id", "b")
+      .select(PngPixels.png_pixels(col("b")).as("p")).collect()
+    assert(out(0).isNullAt(0))
+  }
+
+  test("registered on the SQL surface") {
+    graft.functions.GraftFunctions.register(spark)
+    val idat = chunk("49444154", "7801 01 0E00 F1FF " + raw2x2)
+    val v = hx(sig + ihdr2x2 + idat + iend)
+    val out = Seq(Tuple1(v)).toDF("b")
+      .selectExpr("png_pixels(b).sum_r AS r").collect()
+    assert(out(0).getLong(0) == 262L)
+  }
+}
