@@ -2031,6 +2031,88 @@ object EtlQueries {
              CAST(bcur.bal AS DOUBLE) AS acctbal, bcur.c_mktsegment
       FROM acur JOIN bcur USING (user_id) ORDER BY user_id"""))
 
+  /** The STREAMING CDC compactor (streaming/StreamingCdc — a changelog
+    * stream continuously folded into a compacted table, one CdcMerge
+    * per micro-batch) driven as a batch replay in three deterministic
+    * micro-batches and proven equivalent to [[cdcApply]] by sharing its
+    * oracle VERBATIM (the stream_heavy_hitters twin discipline):
+    * last-writer-wins compaction over a total (ts, event_id) order is
+    * associative — merging per-batch maxima equals the one-shot max —
+    * so any batching folds to the full-changelog window rank the oracle
+    * computes. Batch splits are by event_id, so timestamps INTERLEAVE
+    * across batches: every merge is a real max_by fold, not
+    * newest-batch-wins.
+    */
+  val cdcApplyStream = QueryDef(
+    "stream_cdc_apply",
+    (s, dir) => {
+      val m = new graft.streaming.StreamingCdc.Compactor(
+        Seq("user_id"), Seq("ts", "event_id"))
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id"))
+      (0 until 3).foreach(i =>
+        m.absorb(ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      m.current.get
+        .filter(col("event_type") =!= "error")
+        .select(col("user_id"),
+          col("event_type").as("last_type"),
+          col("value").cast(Money).cast(DoubleType).as("last_value"),
+          col("ts").as("updated_at"),
+          col("event_id").as("last_event_id"))
+        .orderBy("user_id")
+    },
+    cdcApply.oracle)
+
+  /** The STREAMING join-view maintainer (streaming/StreamingJoinMv —
+    * TWO changelog streams folded into compacted side tables and their
+    * materialized equi-join view) driven as a batch replay with the A
+    * side in three micro-batches INTERLEAVED with the B side's two, and
+    * proven equivalent to [[joinMvIncremental]] by sharing its oracle
+    * VERBATIM: the oracle is the from-scratch join of both
+    * fully-compacted changelogs, and the per-batch delta rule
+    * (V' = V ⋉̄ J ∪ (A' ⋉ J) ⋈ (B' ⋉ J)) folds to it under any
+    * interleaving because side compaction is associative and untouched
+    * join groups pass through unchanged. Same inputs as the batch row:
+    * event CDC state on the A side, the customer upsert/tombstone batch
+    * on the B side.
+    */
+  val joinMvStream = QueryDef(
+    "stream_join_mv",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"), col("ts"),
+          col("event_id"))
+      val isNew = pmod(col("event_id"), lit(5)) === 0
+      val cust = customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_name"),
+          col("c_acctbal").cast(Money).as("bal"), col("c_mktsegment"))
+      val b0 = cust
+        .withColumn("ver", lit(1L)).withColumn("is_del", lit(false))
+      val b1 = cust.filter(pmod(col("user_id"), lit(10)) === 0)
+        .withColumn("bal", (col("bal") + 100).cast(Money))
+        .withColumn("ver", lit(2L))
+        .withColumn("is_del", pmod(col("user_id"), lit(50)) === 0)
+      val m = new graft.streaming.StreamingJoinMv.Maintainer(
+        Seq("user_id"), Seq("ts", "event_id"), col("event_type") =!= "error",
+        Seq("user_id"), Seq("ver"), !col("is_del"),
+        Seq("user_id"))
+      // interleave the sides: old A in two batches around B's initial
+      // load, then today's A batch, then B's upsert/tombstone batch
+      m.absorbA(ev.filter(!isNew && pmod(col("event_id"), lit(2)) === 0))
+      m.absorbB(b0)
+      m.absorbA(ev.filter(!isNew && pmod(col("event_id"), lit(2)) === 1))
+      m.absorbA(ev.filter(isNew))
+      m.absorbB(b1)
+      m.currentView.get
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").cast(Money).cast(DoubleType).as("last_value"),
+          col("ts").as("updated_at"), col("c_name"),
+          col("bal").cast(DoubleType).as("acctbal"), col("c_mktsegment"))
+        .orderBy("user_id")
+    },
+    joinMvIncremental.oracle)
+
   val all: Seq[QueryDef] = Seq(factBuild, dimBuild, dateDim, sessionsBatch,
     sessionsWindow,
     windowStatsBatch, slidingStatsBatch, streamTrendingBatch,
@@ -2042,5 +2124,5 @@ object EtlQueries {
     sessionOverlap, sessionOverlapFast, cdcApply, cdcApplyIncremental,
     cdcAggIncremental, skewSalted,
     constraintReport, entityFuzzyPairs, bloomPrefilter, compactionPlan,
-    joinMvIncremental, tableDiff)
+    joinMvIncremental, tableDiff, cdcApplyStream, joinMvStream)
 }

@@ -2868,6 +2868,43 @@ object Workload {
       FROM z JOIN e ON z.day = e.day
       ORDER BY z.day"""))
 
+  /** The STREAMING rolling-distinct maintainer
+    * (streaming/StreamingRollingDistinct — the sketch's occupied-bucket
+    * set per day held as driver state, bounded at days·m rows no matter
+    * the user cardinality) driven as a batch replay in three
+    * deterministic micro-batches and proven equivalent to [[q58]] by
+    * sharing its oracle VERBATIM (the stream_heavy_hitters twin
+    * discipline): bucket-set union is idempotent, commutative and
+    * associative, so any batching — including cross-batch duplicate
+    * (day, user) pairs — folds to the one-shot sketch. The
+    * STREAM-MAINTAINED column is z_occupied (read from the folded
+    * state); n_exact is the batch-side reference column the q58
+    * dashboard shape carries, joined one-shot — the exact rung is
+    * precisely what a streaming deployment does NOT hold (its state
+    * would grow with distinct users), which is the reason this
+    * maintainer exists.
+    */
+  val q58Stream = QueryDef(
+    "stream_rolling_distinct",
+    (s, dir) => {
+      val mBuckets = 4096
+      val ev = events(s, dir).select(to_date(col("ts")).as("eday"),
+        col("user_id"), col("event_id"))
+      val m = new graft.streaming.StreamingRollingDistinct.Maintainer(
+        "eday", "user_id", windowDays = 7, m = mBuckets)
+      (0 until 3).foreach(i =>
+        m.absorb(ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      val occ = m.currentOccupancy.get
+      val exact = graft.operators.RollingDistinct.exact(
+        ev, "eday", "user_id", windowDays = 7)
+        .withColumnRenamed("n_distinct", "n_exact")
+      occ.join(broadcast(exact), Seq("day"))
+        .select(col("day"), lit(mBuckets).as("m"), col("z_occupied"),
+          col("n_exact"))
+        .orderBy("day")
+    },
+    q58.oracle)
+
   /** Q59 — FIRST_VALUE / LAST_VALUE with explicit frames (the W-family
     * rung LAG/LEAD/RANK/RANGE left uncovered): each customer's first
     * versus latest order value and their exact-cents delta, top-25 by
@@ -3667,5 +3704,6 @@ object Workload {
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q38b, q39, q40, q41, q42, q43,
     q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55, q56,
-    q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    q57, q58, q58Stream, q59, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+    q69)
 }
