@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Cap on [[overlapCounts]]' offset frame — one row per OCCUPIED time
+    * bucket (≤ span/bucketMillis), globalized through a single-partition
+    * window and a broadcast join. 4M rows ≈ 64 MB: comfortably
+    * single-window- and broadcast-sized, far above any sane
+    * bucketMillis/span pairing (a 30-year span at 1-minute buckets is
+    * ~16M — at that point bucketMillis is mis-sized and the in-plan
+    * guard says so by name).
+    */
+  val MaxOffsetBuckets: Long = 4L * 1024 * 1024
+
   /** @param left/right  frames with DISTINCT column names (caller renames)
     * @param lStart,lEnd,rStart,rEnd  timestamp column names. CONTRACT:
     *        start <= end on every row — rows violating it are DROPPED
@@ -107,15 +117,29 @@ object IntervalJoin {
     * carries one row per input row). Validate upstream; the session
     * frames feeding this operator satisfy it by construction
     * (session_start = MIN(ts), session_end = MAX(ts)).
+    *
+    * CONTRACT: the offset frame is bounded by OCCUPIED buckets ≤
+    * time-span / bucketMillis, and that frame rides one single-partition
+    * window (it is the globalizing step) — so `bucketMillis` must be
+    * sized to the data: choose it ≥ span / [[IntervalJoin.MaxOffsetBuckets]].
+    * The bound is enforced IN-PLAN (assert_true folded into the offset
+    * expression, riding the window's existing sort — no extra action, the
+    * HistogramQuantile span-guard discipline): a pathological
+    * bucketMillis fails with a named error instead of silently funneling
+    * an unbounded frame through one task. Override `maxOffsetBuckets` to
+    * tighten (tests) — the default is ~64 MB of offset rows, broadcast-
+    * and single-window-safe.
     */
   def overlapCounts(intervals: DataFrame, startCol: String, endCol: String,
-      bucketMillis: Long): DataFrame = {
+      bucketMillis: Long,
+      maxOffsetBuckets: Long = MaxOffsetBuckets): DataFrame = {
+    require(bucketMillis >= 1, s"bucketMillis must be >= 1, got $bucketMillis")
     val starts = intervals.select(col(startCol).as("__p"))
     val ends = intervals.select(col(endCol).as("__p"))
     val withA = countLE(starts, intervals, endCol, "__a",
-      strict = false, bucketMillis) // #{starts <= end_i}
+      strict = false, bucketMillis, maxOffsetBuckets) // #{starts <= end_i}
     val withB = countLE(ends, withA, startCol, "__bcnt",
-      strict = true, bucketMillis) // #{ends < start_i}
+      strict = true, bucketMillis, maxOffsetBuckets) // #{ends < start_i}
     withB
       .withColumn("n_overlap", col("__a") - col("__bcnt") - 1)
       .drop("__a", "__bcnt")
@@ -137,7 +161,7 @@ object IntervalJoin {
     */
   private def countLE(points: DataFrame, probes: DataFrame,
       probeCol: String, outCol: String, strict: Boolean,
-      bucketMillis: Long): DataFrame = {
+      bucketMillis: Long, maxOffsetBuckets: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probeCols = probes.columns
     val pts = points
@@ -153,11 +177,26 @@ object IntervalJoin {
     // bounded offset frame: one row per OCCUPIED bucket — including
     // probe-only buckets (with __c = 0), whose probes still need the
     // cumulative count of every earlier bucket's points
+    // Occupied-bucket guard (the HistogramQuantile span-guard
+    // discipline): the offset frame rides ONE single-partition window,
+    // so its row count — occupied buckets, <= span/bucketMillis — must
+    // stay bounded. row_number over the SAME window order costs nothing
+    // extra (same sort, same pass); assert_true names the contract when
+    // a pathological bucketMillis would funnel an unbounded frame
+    // through one task, instead of silently degrading.
+    val offWin = Window.orderBy(col("__b"))
+    val guard = coalesce(
+      assert_true(row_number().over(offWin) <= maxOffsetBuckets,
+        lit(s"IntervalJoin offset-frame contract violated: occupied " +
+          s"buckets exceed $maxOffsetBuckets — bucketMillis=$bucketMillis " +
+          s"is too fine for the data's time span; choose bucketMillis >= " +
+          s"span/$maxOffsetBuckets")).cast("long"),
+      lit(0L))
     val offs = unioned
       .groupBy(col("__vb").as("__b")).agg(sum(col("__isPt")).as("__c"))
       .withColumn("__off", coalesce(
-        sum(col("__c")).over(Window.orderBy(col("__b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        sum(col("__c")).over(offWin
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + guard)
       .select(col("__b"), col("__off"))
     // points first at equal value for <=, probes first for <
     val tie = if (strict) col("__isPt") else -col("__isPt")

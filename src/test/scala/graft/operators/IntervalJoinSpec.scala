@@ -117,4 +117,36 @@ class IntervalJoinSpec extends SparkSpec {
     for ((id, n) <- got) assert(n == want.getOrElse(id, 0L),
       s"interval $id: rank count $n != quadratic ${want.getOrElse(id, 0L)}")
   }
+
+  test("pathological bucketMillis trips the occupied-bucket guard by name") {
+    // 50 intervals spread over a day at 1 ms buckets: far more occupied
+    // buckets than the (test-tightened) cap — the in-plan assert must
+    // fail with the named contract, not silently funnel the offset frame
+    // through one task. The same data under the default cap still works.
+    val iv = (1 to 50).map { i =>
+      (i.toLong, new Timestamp(1704067200000L + i * 1000000L),
+        new Timestamp(1704067200000L + i * 1000000L + 500000L))
+    }.toDF("iv_id", "st", "en")
+    // the action must CONSUME n_overlap — count() would let ColumnPruning
+    // drop the guarded offset column and never evaluate the assert
+    val e = intercept[Exception] {
+      IntervalJoin.overlapCounts(iv, "st", "en", bucketMillis = 1L,
+        maxOffsetBuckets = 16L)
+        .agg(org.apache.spark.sql.functions.sum("n_overlap")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("offset-frame contract violated")),
+      s"wrong error: $e")
+    // sane width, same data: green (again consuming n_overlap)
+    val n = IntervalJoin.overlapCounts(iv, "st", "en",
+      bucketMillis = 3600000L)
+      .select("iv_id", "n_overlap").collect()
+    assert(n.length == 50)
+    // bucketMillis = 0 rejected eagerly
+    intercept[IllegalArgumentException] {
+      IntervalJoin.overlapCounts(iv, "st", "en", bucketMillis = 0L)
+    }
+  }
 }
