@@ -249,6 +249,17 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "robots") {
+      robotsProbe(spark, if (args.length > 1) args(1).toLong else 2000000L)
+      spark.stop()
+      return
+    }
+    if (mode == "graphconv") {
+      graphConvProbe(spark, sfDir,
+        if (args.length > 1) args(1).toInt else 10)
+      spark.stop()
+      return
+    }
     if (mode == "histq") {
       histQProbe(spark, sfDir, if (args.length > 1) args(1).toInt else 10)
       spark.stop()
@@ -1546,5 +1557,132 @@ object ScaleProbe {
     println(f"PROBE topk: rows=$n groups=$groups window=$tw%.2fs " +
       f"topk_agg=$ta%.2fs speedup=x${tw / ta}%.2f")
     df.unpersist()
+  }
+
+  /** Measures the RobotsFilter candidate-match stage with the builtin
+    * `regexp_like` (caches only the single last-seen pattern → with a
+    * per-row-interleaved broadcast rule set it recompiles near every
+    * row) against [[graft.functions.CachedRLike]] (each distinct pattern
+    * compiles once per executor). Same plan shape either way — synthetic
+    * URL corpus × the 6-rule llm_crawl_robots pattern set, counts
+    * asserted equal before timing.
+    */
+  private def robotsProbe(spark: SparkSession, rows: Long): Unit = {
+    import spark.implicits._
+    val rules = Seq(("disallow", "/items/"), ("allow", "/items/*0/"),
+      ("disallow", "/items/*00/$"), ("allow", "/items/9"),
+      ("allow", "/items/1"), ("disallow", "/items/1"))
+      .toDF("directive", "pattern")
+      .select(col("pattern"),
+        graft.operators.RobotsFilter.patternRegex(col("pattern")).as("__rx"))
+    val urls = spark.range(rows)
+      .select(concat(lit("/items/"), (col("id") % 1000).cast("string"),
+        lit("/page"), (col("id") % 37).cast("string")).as("path"))
+      .cache()
+    urls.count()
+    val cand = urls.crossJoin(broadcast(rules))
+    def builtinCount(): Long =
+      cand.filter(expr("regexp_like(path, __rx)")).count()
+    def cachedCount(): Long =
+      cand.filter(graft.functions.CachedRLike
+        .cached_rlike(col("path"), col("__rx"))).count()
+    require(builtinCount() == cachedCount(), "match sets disagree")
+    def time(f: () => Unit): Double = {
+      f(); val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    val tb = time(() => builtinCount())
+    val tc = time(() => cachedCount())
+    println(f"PROBE robots: rows=$rows rules=6 builtin_rlike=$tb%.2fs " +
+      f"cached_rlike=$tc%.2fs speedup=x${tb / tc}%.2f")
+    urls.unpersist()
+  }
+
+  /** Rounds-to-fixpoint vs data scale for the two iterative graph
+    * blocks (r10 verdict #6 — does round count grow with SF?):
+    *
+    *  - q69's k-core peel: the real order–part co-occurrence graph at
+    *    `sfDir`, then `mult` DISJOINT shifted copies of it (same degree
+    *    distribution, ×mult data) — peel rounds depend on the degree
+    *    structure, which replication preserves, so a rounds climb here
+    *    would indicate scale-sensitivity the 8-round cap must track;
+    *  - llm_dedup_clusters' CC: min-label propagation steps to the
+    *    monotone-sum fixpoint on the real 0.8-Jaccard pair graph and on
+    *    the same ×mult disjoint replication (diameter of a union of
+    *    copies equals the max copy diameter — the probe verifies the
+    *    step count is scale-INVARIANT while wall grows ~linearly).
+    *
+    * Prints rounds/steps + per-round walls; the k-core loop runs
+    * UNCAPPED (cap 64) so the distance between fixpoint and the
+    * production cap (8, = the oracle unroll) is measured, not assumed.
+    */
+  private def graphConvProbe(spark: SparkSession, sfDir: String,
+      mult: Int): Unit = {
+    // ---- k-core (the q69 graph) ----
+    val sl = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, sfDir)
+        .withColumn("__y", year(col("o_orderdate")))
+        .withColumn("__my", max(col("__y")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(col("__y") === col("__my") &&
+          month(col("o_orderdate")) <= 3)
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"))
+    val a = sl.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val b = sl.select(col("l_orderkey"), col("l_partkey").as("pb"))
+    val half = a.join(b, Seq("l_orderkey"))
+      .filter(col("pa") < col("pb"))
+      .select(col("pa"), col("pb")).distinct()
+    val base = half.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(half.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint(true)
+    def kcore(edges0: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      var edges = edges0
+      var prevAlive = -1L
+      var alive = edges.select(col("src")).distinct().count()
+      var rounds = 0
+      val walls = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (rounds < 64 && alive != prevAlive) {
+        val t0 = System.nanoTime()
+        val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 8).select(col("src").as("node"))
+        edges = edges
+          .join(broadcast(keep), col("src") === col("node"), "left_semi")
+          .join(broadcast(keep), col("dst") === col("node"), "left_semi")
+          .localCheckpoint(true)
+        prevAlive = alive
+        alive = edges.select(col("src")).distinct().count()
+        walls += (System.nanoTime() - t0) / 1e9
+        rounds += 1
+      }
+      println(f"PROBE graphconv kcore $tag: rounds_to_fixpoint=$rounds " +
+        f"alive=$alive total=${walls.sum}%.2fs " +
+        s"per_round=[${walls.map(w => f"$w%.2f").mkString(",")}]")
+    }
+    kcore(base, s"sf=$sfDir x1")
+    val shifted = (0 until mult).map(i => base
+      .select((col("src") + lit(i.toLong * 1000000000L)).as("src"),
+        (col("dst") + lit(i.toLong * 1000000000L)).as("dst")))
+      .reduce(_ union _).localCheckpoint(true)
+    kcore(shifted, s"sf=$sfDir x$mult")
+
+    // ---- CC (the llm_dedup_clusters pair graph) ----
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = llm.Dedup.jaccardPairsExact(docs, 0.8).localCheckpoint(true)
+    def cc(p: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val t0 = System.nanoTime()
+      val (labels, steps) = llm.Dedup.connectedComponentsCounted(p, 64)
+      val n = labels.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE graphconv cc $tag: steps_to_fixpoint=$steps " +
+        f"nodes=$n total=$t%.2fs")
+    }
+    cc(pairs, s"sf=$sfDir x1")
+    val pShift = (0 until mult).map(i => pairs
+      .select((col("doc_a") + lit(i.toLong * 1000000000L)).as("doc_a"),
+        (col("doc_b") + lit(i.toLong * 1000000000L)).as("doc_b")))
+      .reduce(_ union _).localCheckpoint(true)
+    cc(pShift, s"sf=$sfDir x$mult")
   }
 }

@@ -429,7 +429,16 @@ object Dedup {
     * pathological diameters swap in large-star/small-star contraction,
     * which keeps this loop shape but halves the diameter every round.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsCounted(pairs, maxIter)._1
+
+  /** Same fold, also reporting the propagation STEPS consumed to reach
+    * the monotone-sum fixpoint (includes the confirming no-op double
+    * step) — the `ScaleProbe graphconv` readout for the rounds-vs-scale
+    * question.
+    */
+  def connectedComponentsCounted(pairs: DataFrame, maxIter: Int = 25)
+      : (DataFrame, Int) = {
     // localCheckpoint, not cache: caching stores data but the LOGICAL plan
     // of an iterative loop still nests the previous round's plan several
     // times per round — exponential plan growth that OOMs the driver in
@@ -484,7 +493,7 @@ object Dedup {
       s"connectedComponents did not converge within $maxIter propagation " +
         "steps (component diameter exceeds the cap); raise maxIter or " +
         "use connectedComponentsStar")
-    labels
+    (labels, iter)
   }
 
   /** Adaptive connected components: min-label propagation first (the
