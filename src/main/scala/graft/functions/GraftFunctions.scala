@@ -46,6 +46,8 @@ object GraftFunctions {
       "bmp_pixels", exprs => BmpPixels(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "png_pixels", exprs => PngPixels(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -122,6 +124,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("png_pixels"),
       new ExpressionInfo(classOf[PngPixels].getName, "png_pixels"),
       (exprs: Seq[Expression]) => PngPixels(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

@@ -1106,6 +1106,60 @@ object LlmQueries {
                   END AS sum_b
       FROM documents ORDER BY media_id"""))
 
+  /** Unicode NFC normalization over the corpus (functions/NfcNormalize —
+    * UAX #15 canonical decomposition + composition via the JDK's
+    * Normalizer): the curation rung BEFORE any content hash, since two
+    * byte-distinct spellings of the same text split dedup groups
+    * silently. The corpus is ASCII, so the query plants the three
+    * classic non-NFC shapes on a doc_id rotation — decomposed
+    * e + COMBINING ACUTE (composes to U+00E9), the ANGSTROM SIGN
+    * singleton U+212B (→ U+00C5), decomposed Hangul jamo
+    * U+1100 U+1161 (→ 가) — plus an untouched lane. The oracle replays
+    * with DuckDB's utf8proc-backed nfc_normalize: two INDEPENDENT
+    * implementations of the same Unicode algorithm must agree
+    * byte-for-byte (the normalization stability policy is what makes
+    * the exact cross-engine row possible); fp_nfc = md5 of the
+    * normalized text pins the full output, not just lengths. Map-only,
+    * codegen'd, NFC quick-check fast path for the already-normalized
+    * bulk.
+    */
+  val textNfc = QueryDef(
+    "llm_text_nfc",
+    (s, dir) => {
+      val raw = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(col("text"), lit(" e\u0301tude")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(col("text"), lit(" 10 \u212B")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(col("text"), lit(" \u1100\u1161")))
+        .otherwise(col("text"))
+      documents(s, dir)
+        .select(col("doc_id"), raw.as("__raw"))
+        .select(col("doc_id"),
+          graft.functions.NfcNormalize.nfc_normalize(col("__raw")).as("__n"),
+          col("__raw"))
+        .select(col("doc_id"),
+          (col("__raw") =!= col("__n")).as("changed"),
+          length(col("__raw")).as("len_raw"),
+          length(col("__n")).as("len_nfc"),
+          md5(col("__n").cast(BinaryType)).as("fp_nfc"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN text || ' e' || chr(769) || 'tude'
+                    WHEN doc_id % 4 = 1 THEN text || ' 10 ' || chr(8491)
+                    WHEN doc_id % 4 = 2 THEN text || ' ' || chr(4352) || chr(4449)
+                    ELSE text END AS r
+        FROM documents),
+      n AS (SELECT doc_id, r, nfc_normalize(r) AS nf FROM raw)
+      SELECT doc_id, r <> nf AS changed,
+             CAST(length(r) AS INTEGER) AS len_raw,
+             CAST(length(nf) AS INTEGER) AS len_nfc,
+             md5(nf) AS fp_nfc
+      FROM n ORDER BY doc_id"""))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -3878,7 +3932,7 @@ object LlmQueries {
     textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
-    urlNormalize, crawlDedup, crawlRobots, crawlDedupStream,
+    urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
