@@ -1160,6 +1160,108 @@ object LlmQueries {
              md5(nf) AS fp_nfc
       FROM n ORDER BY doc_id"""))
 
+  /** The driver vocab for llm_unigram_tokens: a single-char floor over
+    * [a-z0-9] (uppercase deliberately ABSENT, so capitalized words
+    * exercise the [UNK] path on real corpus text) plus multi-char
+    * pieces priced below their char spans with genuine overlaps
+    * ("the"/"th"/"he"/"her", "tion"/"tio"/"ion") — the DP has real
+    * choices, a greedy longest-match would get several of these wrong.
+    */
+  private val UnigramVocab: Seq[(String, Int)] =
+    (('a' to 'z') ++ ('0' to '9')).map(c => c.toString -> 6) ++ Seq(
+      "th" -> 7, "he" -> 7, "in" -> 7, "er" -> 8, "an" -> 8, "re" -> 8,
+      "on" -> 7, "at" -> 7, "en" -> 7, "es" -> 7, "ed" -> 7, "or" -> 8,
+      "the" -> 9, "ing" -> 10, "and" -> 10, "ion" -> 11, "ent" -> 11,
+      "her" -> 10, "for" -> 11, "tio" -> 11, "ter" -> 10, "est" -> 10,
+      "tion" -> 12, "atio" -> 12, "ment" -> 13)
+
+  /** The oracle's 16-step DP, GENERATED from the same vocab constant
+    * the Spark expression receives (one source of truth; the SQL text
+    * is deterministic). Packed value = cost·64 + tokens; a missing
+    * piece costs the 99999 sentinel, so any packed value ≥ 99999·64
+    * means "no feasible segmentation" (every feasible path is
+    * ≤ 16·1000·64+16, provably below the threshold).
+    *
+    * Each DP step is its own MATERIALIZED CTE appending one position
+    * to a dp LIST — NOT lateral alias references, which DuckDB INLINES
+    * per reference so a 16-deep chain of ≤4-ary references explodes
+    * the expression tree exponentially (first cut: minutes for 500
+    * docs; this form: milliseconds).
+    */
+  private def unigramOracleSql: String = {
+    val maxP = UnigramVocab.map(_._1.length).max
+    val mapLit = UnigramVocab.map { case (p, c) => s"'$p':$c" }
+      .mkString("MAP {", ",", "}")
+    val steps = (1 to 16).map { i =>
+      val terms = (1 to math.min(maxP, i)).map { p =>
+        s"dp[${i - p + 1}] + coalesce(m[substr(w,${i - p + 1},$p)][1], 99999)*64 + 1"
+      }.mkString(",\n          ")
+      s"""      u$i AS MATERIALIZED (
+        SELECT doc_id, w, n, m, list_append(dp, least(
+          $terms)) AS dp
+        FROM u${i - 1})"""
+    }.mkString(",\n")
+    s"""
+      WITH words AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS w
+        FROM documents),
+      u0 AS MATERIALIZED (
+        SELECT doc_id, w, len(w) AS n, $mapLit AS m,
+               [CAST(0 AS BIGINT)] AS dp
+        FROM words),
+$steps,
+      dp AS (
+        SELECT doc_id, w, n,
+               dp[CASE WHEN n > 16 THEN 17 ELSE n + 1 END] AS dfin
+        FROM u16),
+      per AS (
+        SELECT doc_id,
+               (n > 16 OR dfin >= 6399936) AS is_unk,
+               CASE WHEN n > 16 OR dfin >= 6399936 THEN 1
+                    ELSE CAST(dfin % 64 AS INTEGER) END AS toks,
+               CASE WHEN n > 16 OR dfin >= 6399936 THEN 99
+                    ELSE dfin // 64 END AS cost
+        FROM dp),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_words,
+               CAST(SUM(toks) AS INTEGER) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE is_unk) AS INTEGER) AS n_unk,
+               CAST(SUM(cost) AS BIGINT) AS total_cost
+        FROM per GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(a.n_words, 0) AS n_words,
+             COALESCE(a.n_tokens, 0) AS n_tokens,
+             COALESCE(a.n_unk, 0) AS n_unk,
+             COALESCE(a.total_cost, CAST(0 AS BIGINT)) AS total_cost
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+  }
+
+  /** Unigram-LM (SentencePiece-family) Viterbi tokenization stats
+    * (functions/UnigramMeta) — the third tokenizer family beside BPE
+    * and WordPiece, as a CROSS-ENGINE row: integer piece costs make
+    * the Viterbi DP exact in any engine (the quantized-log-prob form;
+    * float log-probs could never hash-match), the token count rides
+    * the packed value's low 6 bits so tie segmentations cannot make
+    * the stats nondeterministic, and the oracle REPLAYS the DP as a
+    * 16-step lateral-alias unroll generated from the same vocab
+    * constant (the k-core fixed-unroll precedent: MaxWordLen caps the
+    * steps, longer words are [UNK] by contract on both sides).
+    */
+  val textUnigram = QueryDef(
+    "llm_unigram_tokens",
+    (s, dir) => documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.UnigramMeta
+          .unigram_meta(col("text"), UnigramVocab, 99).as("__m"))
+      .select(col("doc_id"),
+        col("__m.n_words").as("n_words"),
+        col("__m.n_tokens").as("n_tokens"),
+        col("__m.n_unk").as("n_unk"),
+        col("__m.total_cost").as("total_cost"))
+      .orderBy("doc_id"),
+    Some(unigramOracleSql))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -3933,6 +4035,7 @@ object LlmQueries {
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
+    textUnigram,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
