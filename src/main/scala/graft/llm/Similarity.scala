@@ -236,6 +236,17 @@ object Similarity {
       .withColumn("centroid_id", nearestExpr("cv"))
   }
 
+  /** The IVF centroid table: the nlist lowest-id vectors (deterministic,
+    * seed-free stand-in for k-means). O(nlist · dim) model-parameter
+    * collect, shared by [[ivfTopK]] and the streaming cell maintainer.
+    */
+  def centroidTable(corpus: DataFrame, nlist: Int)
+      : Array[(Long, Array[Double])] =
+    corpus.orderBy("vec_id").limit(nlist)
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     // The centroid table is the MODEL PARAMETER of IVF — nlist rows that
@@ -245,11 +256,7 @@ object Similarity {
     // by construction) so the corpus is not scanned a second time.
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centArr: Array[(Long, Array[Double])] =
-      corpus.orderBy("vec_id").limit(nlist)
-        .select(col("vec_id"), asDouble(col("embedding")))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centArr = centroidTable(corpus, nlist)
     val cents = broadcast(
       centArr.toSeq.map { case (cid, v) => (cid, v.toSeq) }
         .toDF("centroid_id", "centv"))

@@ -1699,6 +1699,69 @@ $steps,
       SELECT query_id, neighbor_id, cosine, rank
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** IVF index cell profile: per inverted list (centroid), how many
+    * corpus vectors landed there and the lowest id — the occupancy
+    * panel an ANN serving tier watches (a skewed profile means lists
+    * need splitting/retraining; the 100 TB decision this readout
+    * drives). Assignment is Similarity.ivfAssign's map-only argmin
+    * against broadcast centroids; the aggregate is one groupBy over
+    * ≤ nlist cells. Oracle replays the same argmin (max dot, ties to
+    * the lowest centroid id) relationally.
+    */
+  val annIvfCells = QueryDef(
+    "llm_ann_ivf_cells",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val centArr = Similarity.centroidTable(emb, 16)
+      Similarity.ivfAssign(emb, centArr)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          min(col("neighbor_id")).as("first_vec"))
+        .orderBy("centroid_id")
+    },
+    Some("""
+      WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      corp0 AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        FROM embeddings
+        WHERE list_dot_product(embedding::DOUBLE[],
+                               embedding::DOUBLE[]) > 0),
+      assign AS (
+        SELECT neighbor_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                 ORDER BY list_dot_product(cv, centv) DESC, centroid_id)
+                 AS arank
+        FROM corp0 CROSS JOIN cents)
+      SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             MIN(neighbor_id) AS first_vec
+      FROM assign WHERE arank = 1
+      GROUP BY centroid_id ORDER BY centroid_id"""))
+
+  /** The STREAMING IVF cell maintainer (streaming/StreamingAnnIvf —
+    * per-cell (count, min) held as driver state, one row per occupied
+    * cell) driven as a batch replay in three deterministic
+    * micro-batches and proven equivalent to [[annIvfCells]] by sharing
+    * its oracle VERBATIM (the stream-twin discipline): cell assignment
+    * is a pure per-row function of (vector, broadcast centroids), and
+    * count-sum/min merge associatively, so any batching folds to the
+    * one-shot profile. Centroids come from the FULL corpus (the model
+    * parameter is fixed before the stream starts — the IVF deployment
+    * contract), then batches stream through assignment.
+    */
+  val annIvfCellsStream = QueryDef(
+    "stream_ann_ivf_cells",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val centArr = Similarity.centroidTable(emb, 16)
+      val m = new graft.streaming.StreamingAnnIvf.Maintainer(centArr)
+      (0 until 3).foreach(i =>
+        m.absorb(emb.filter(pmod(col("vec_id"), lit(3)) === i)))
+      m.currentCells.get.orderBy("centroid_id")
+    },
+    annIvfCells.oracle)
+
   /** The recall@k compare: fraction of ground-truth (query, neighbor)
     * pairs the approximate result recovered — ONE definition shared by
     * the LSH and IVF recall queries so it cannot drift between them
@@ -4037,7 +4100,8 @@ $steps,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
-    annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annRecall,
+    annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
+    annIvfCellsStream, annRecall,
     annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
