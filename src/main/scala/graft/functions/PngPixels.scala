@@ -26,10 +26,12 @@ import org.apache.spark.sql.types._
   * zlib header checked (CM=8, window bits valid, no preset dict,
   * FCHECK: CMF·256+FLG ≡ 0 mod 31) → stored blocks copied out
   * (LEN == ones-complement NLEN enforced; a non-stored block → NULL) →
-  * the raw stream must be EXACTLY height·(1 + 3·width) bytes, each row
-  * prefixed by filter type 0 (None; filtered rows are a deliberate
-  * NULL: un-filtering is arithmetic but no stored-block writer filters)
-  * → RGB triples summed per channel as exact BIGINTs.
+  * the raw stream must be EXACTLY height·(1 + 3·width) bytes → rows
+  * UN-FILTERED with ALL FIVE standard filter types (None/Sub/Up/
+  * Average/Paeth, RFC 2083 §6 — reconstruction is byte arithmetic mod
+  * 256 over (raw, left, up, upper-left), so nothing on the filter axis
+  * is stubbed; an undefined type > 4 is corrupt → NULL) → RGB triples
+  * summed per channel as exact BIGINTs.
   *
   * Integrity checksums (chunk CRC-32, zlib Adler-32) are NOT verified —
   * this is a structure probe in the BmpPixels mold, not an integrity
@@ -88,7 +90,7 @@ object PngPixels {
 
   /** Static parse kernel shared by eval and generated code. Returns null
     * for anything that is not a stored-deflate 8-bit RGB PNG whose raw
-    * pixel stream is fully present and filter-free.
+    * pixel stream is fully present with defined filter types.
     */
   def parse(bytes: Array[Byte]): InternalRow = {
     if (bytes == null) return null
@@ -206,25 +208,59 @@ object PngPixels {
     if (oi != out.length) return null // short pixel stream
     // (trailing Adler-32 not verified — structure probe, see Scaladoc)
 
-    // --- un-filter (type 0 only) + channel sums ---
+    // --- un-filter (ALL five standard types, RFC 2083 §6) + sums ---
+    // Reconstruction is byte arithmetic mod 256: None/Sub/Up/Average/
+    // Paeth are all deterministic functions of (raw, left, up,
+    // upper-left) — nothing on the filter axis is stubbed; only an
+    // undefined filter type (> 4) is corrupt → NULL.
     val w = width.toInt
     val h = height.toInt
+    val rowLen = w * 3
+    var prev = new Array[Int](rowLen) // zeros: the spec's virtual row -1
+    var cur = new Array[Int](rowLen)
     var sumR = 0L
     var sumG = 0L
     var sumB = 0L
     var row = 0
     var q = 0
     while (row < h) {
-      if (out(q) != 0) return null // filtered row: declared NULL
+      val ft = out(q) & 0xff
+      if (ft > 4) return null // undefined filter type: corrupt
       q += 1
       var x = 0
-      while (x < w) { // RGB triples
-        sumR += out(q) & 0xff
-        sumG += out(q + 1) & 0xff
-        sumB += out(q + 2) & 0xff
-        q += 3
+      while (x < rowLen) {
+        val rawv = out(q + x) & 0xff
+        val left = if (x >= 3) cur(x - 3) else 0
+        val up = prev(x)
+        val rec = ft match {
+          case 0 => rawv
+          case 1 => rawv + left
+          case 2 => rawv + up
+          case 3 => rawv + ((left + up) >> 1)
+          case _ => // Paeth predictor
+            val ul = if (x >= 3) prev(x - 3) else 0
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            val pred =
+              if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up
+              else ul
+            rawv + pred
+        }
+        cur(x) = rec & 0xff
         x += 1
       }
+      var px = 0
+      while (px < rowLen) {
+        sumR += cur(px)
+        sumG += cur(px + 1)
+        sumB += cur(px + 2)
+        px += 3
+      }
+      val t = prev; prev = cur; cur = t
+      q += rowLen
       row += 1
     }
     new GenericInternalRow(Array[Any](w, h, width * height, sumR, sumG, sumB))
@@ -236,7 +272,7 @@ object PngPixels {
 
   /** Column entry point: png_pixels(binary) → struct<width:int,
     * height:int, n_px:bigint, sum_r:bigint, sum_g:bigint, sum_b:bigint>
-    * (NULL unless a stored-deflate 8-bit RGB PNG with unfiltered rows).
+    * (NULL unless a stored-deflate 8-bit RGB PNG).
     */
   def png_pixels(c: Column): Column =
     GraftColumnBridge.column(PngPixels(GraftColumnBridge.expression(c)))

@@ -1021,14 +1021,20 @@ object LlmQueries {
     * blocks, so container walk + zlib framing + unfiltering + sums are
     * byte arithmetic end-to-end and the oracle is cross-engine
     * arithmetic (uniform constructed pixels: sum = n_px · channel).
-    * Five shapes: a valid single-IDAT file, the zlib stream SPLIT
+    * Seven lanes: a valid single-IDAT file, the zlib stream SPLIT
     * across two IDAT chunks (the spec's consecutive-IDAT rule is
     * load-bearing, a parser that reads only the first IDAT truncates
-    * and NULLs), an entropy-coded block (BTYPE=01 — the declared-fake
+    * and NULLs), SUB-filtered rows (pixel then zero deltas — copy-left
+    * reconstructs the uniform pixel, so the oracle arithmetic is
+    * unchanged while any filter-math slip diverges every sum),
+    * UP-filtered rows (one real row then copy-above rows — same
+    * property), an entropy-coded block (BTYPE=01 — the declared-fake
     * line, must NULL), an RGBA declaration, and a corrupted NLEN
-    * ones-complement / raw-text row. Widths run 1..3 and heights 1..4,
-    * so stored LEN spans 4..40 bytes and every row carries its filter-0
-    * byte. Map-only, codegen'd, payload bounds checked before any loop.
+    * ones-complement / raw-text lane. Widths run 1..3 and heights
+    * 1..4, so stored LEN spans 4..40 bytes. All five RFC 2083 filter
+    * types are implemented (non-uniform reconstructions hand-pinned in
+    * PngPixelsSpec). Map-only, codegen'd, payload bounds checked
+    * before any loop.
     */
   val multimodalPixelsPng = QueryDef(
     "llm_multimodal_pixels_png",
@@ -1051,6 +1057,18 @@ object LlmQueries {
         .withColumn("__rowhex", concat(lit("00"), expr("repeat(__px, __w)")))
         .withColumn("__rawhex", expr("repeat(__rowhex, __h)"))
         .withColumn("__rlen", (col("__h") * (col("__w") * 3 + 1)))
+      // filtered lanes whose reconstruction is STILL the uniform pixel
+      // (so the oracle stays pure arithmetic): Sub rows carry the pixel
+      // then zero deltas (copy-left), Up carries one real row then
+      // zero-delta rows (copy-above) — a filter-math slip of any kind
+      // diverges every sum
+      val base2 = base
+        .withColumn("__rowsub",
+          concat(lit("01"), col("__px"), expr("repeat('000000', __w - 1)")))
+        .withColumn("__rawsub", expr("repeat(__rowsub, __h)"))
+        .withColumn("__rawup", concat(
+          lit("02"), expr("repeat(__px, __w)"),
+          expr("repeat('02' || repeat('000000', __w), __h - 1)")))
       val sig = lit("89504E470D0A1A0A")
       def ihdr(colorType: String): Column = concat(
         lit("0000000D49484452"), be32(col("__w")), be32(col("__h")),
@@ -1058,25 +1076,32 @@ object LlmQueries {
       def chunkOf(dataHex: Column): Column = concat(
         be32(length(dataHex) / 2), lit("49444154"), dataHex, lit("00000000"))
       val iend = lit("0000000049454E44AE426082")
-      def zlib(blockHdr: String, nlen: Column): Column = concat(
+      def zlib(blockHdr: String, nlen: Column,
+          raw: Column = col("__rawhex")): Column = concat(
         lit("7801"), lit(blockHdr), le16(col("__rlen")), nlen,
-        col("__rawhex"), lit("00000000"))
+        raw, lit("00000000"))
       val goodNlen = le16(lit(65535) - col("__rlen"))
-      val media = when(pmod(col("doc_id"), lit(5)) === 0,
+      val media = when(pmod(col("doc_id"), lit(7)) === 0,
           unhex(concat(sig, ihdr("02"), chunkOf(zlib("01", goodNlen)), iend)))
-        .when(pmod(col("doc_id"), lit(5)) === 1, // zlib split across 2 IDATs
+        .when(pmod(col("doc_id"), lit(7)) === 1, // zlib split across 2 IDATs
           unhex(concat(sig, ihdr("02"),
             chunkOf(concat(lit("780101"), le16(col("__rlen")), goodNlen)),
             chunkOf(concat(col("__rawhex"), lit("00000000"))), iend)))
-        .when(pmod(col("doc_id"), lit(5)) === 2, // BTYPE=01: entropy-coded
+        .when(pmod(col("doc_id"), lit(7)) === 2, // Sub-filtered rows
+          unhex(concat(sig, ihdr("02"),
+            chunkOf(zlib("01", goodNlen, col("__rawsub"))), iend)))
+        .when(pmod(col("doc_id"), lit(7)) === 3, // Up-filtered rows
+          unhex(concat(sig, ihdr("02"),
+            chunkOf(zlib("01", goodNlen, col("__rawup"))), iend)))
+        .when(pmod(col("doc_id"), lit(7)) === 4, // BTYPE=01: entropy-coded
           unhex(concat(sig, ihdr("02"), chunkOf(zlib("03", goodNlen)), iend)))
-        .when(pmod(col("doc_id"), lit(5)) === 3, // RGBA declared
+        .when(pmod(col("doc_id"), lit(7)) === 5, // RGBA declared
           unhex(concat(sig, ihdr("06"), chunkOf(zlib("01", goodNlen)), iend)))
-        .when(pmod(col("doc_id"), lit(10)) === 4, // NLEN ones-complement broken
+        .when(pmod(col("doc_id"), lit(14)) === 6, // NLEN ones-complement broken
           unhex(concat(sig, ihdr("02"),
             chunkOf(zlib("01", le16(lit(65534) - col("__rlen")))), iend)))
         .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
-      base
+      base2
         .select(col("doc_id").as("media_id"),
           graft.functions.PngPixels.png_pixels(media).as("__p"))
         .select(col("media_id"), col("__p.width").as("width"),
@@ -1087,20 +1112,20 @@ object LlmQueries {
     },
     Some("""
       SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 5 >= 2 THEN NULL
+             CASE WHEN doc_id % 7 >= 4 THEN NULL
                   ELSE CAST(doc_id % 3 + 1 AS INTEGER) END AS width,
-             CASE WHEN doc_id % 5 >= 2 THEN NULL
+             CASE WHEN doc_id % 7 >= 4 THEN NULL
                   ELSE CAST(n_chars % 4 + 1 AS INTEGER) END AS height,
-             CASE WHEN doc_id % 5 >= 2 THEN NULL
+             CASE WHEN doc_id % 7 >= 4 THEN NULL
                   ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1) AS BIGINT)
                   END AS n_px,
-             CASE WHEN doc_id % 5 >= 2 THEN NULL
+             CASE WHEN doc_id % 7 >= 4 THEN NULL
                   ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
                             * ((doc_id * 3) % 256) AS BIGINT) END AS sum_r,
-             CASE WHEN doc_id % 5 >= 2 THEN NULL
+             CASE WHEN doc_id % 7 >= 4 THEN NULL
                   ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
                             * ((n_chars * 5) % 256) AS BIGINT) END AS sum_g,
-             CASE WHEN doc_id % 5 >= 2 THEN NULL
+             CASE WHEN doc_id % 7 >= 4 THEN NULL
                   ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
                             * ((doc_id + n_chars) % 256) AS BIGINT)
                   END AS sum_b

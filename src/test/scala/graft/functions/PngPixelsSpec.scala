@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * stored stream, the zlib stream split across two IDAT chunks, multiple
   * stored blocks (including an empty final block), the documented
   * checksum-tolerant behavior (junk CRC/Adler still parses — structure
-  * probe, not integrity checker), and the NULL contract: entropy-coded
-  * blocks, filtered rows, wrong NLEN, truncation, RGBA/interlace/depth
+  * probe, not integrity checker), hand-computed reconstruction for all
+  * FIVE standard filter types (None/Sub/Up/Average/Paeth, incl. the
+  * mod-256 wrap), and the NULL contract: entropy-coded blocks,
+  * undefined filter types, wrong NLEN, truncation, RGBA/interlace/depth
   * declarations, IHDR-not-first, FDICT, bad FCHECK, raw text.
   */
 class PngPixelsSpec extends SparkSpec {
@@ -74,6 +76,33 @@ class PngPixelsSpec extends SparkSpec {
     assert(px(a, b) == Seq(expect2x2, expect2x2))
   }
 
+  test("all five filter types reconstruct per RFC 2083 §6 (hand-computed)") {
+    def img(rawHex: String): Array[Byte] =
+      hx(sig + ihdr2x2 + chunk("49444154", "7801 01 0E00 F1FF " + rawHex) +
+        iend)
+    // Sub: row0 filter 1, raw (1,2,3)(4,5,6) -> px (1,2,3)(5,7,9);
+    //      row1 filter 0, (250,0,128)(7,8,9)
+    val sub = img("01 010203 040506 00 FA0080 070809")
+    // Up: row0 filter 0 (1,2,3)(4,5,6);
+    //     row1 filter 2, raw (10,20,30)(1,2,3) -> (11,22,33)(5,7,9)
+    val up = img("00 010203 040506 02 0A141E 010203")
+    // Average: row0 filter 3, raw (16,32,48)(10,10,10)
+    //   -> (16,32,48)(18,26,34); row1 filter 3, raw all 2
+    //   -> (10,18,26)(16,24,32)
+    val avg = img("03 102030 0A0A0A 03 020202 020202")
+    // Paeth: row0 filter 4, raw (5,6,7)(8,9,10) -> (5,6,7)(13,15,17);
+    //   row1 filter 4, raw all 1 -> (6,7,8)(14,16,18)
+    val paeth = img("04 050607 08090A 04 010101 010101")
+    // Sub with mod-256 wrap: (250,0,0) then +10 -> (4,0,0); row1 zeros
+    val wrap = img("01 FA0000 0A0000 00 000000 000000")
+    assert(px(sub, up, avg, paeth, wrap) == Seq(
+      Some((2, 2, 4L, 263L, 17L, 149L)),
+      Some((2, 2, 4L, 21L, 36L, 51L)),
+      Some((2, 2, 4L, 60L, 100L, 140L)),
+      Some((2, 2, 4L, 38L, 44L, 50L)),
+      Some((2, 2, 4L, 254L, 0L, 0L))))
+  }
+
   test("corrupt and out-of-scope shapes yield NULL") {
     def mk(idatData: String, ihdr: String = ihdr2x2): Array[Byte] =
       hx(sig + ihdr + chunk("49444154", idatData) + iend)
@@ -82,7 +111,7 @@ class PngPixelsSpec extends SparkSpec {
     val badNlen = mk("7801 01 0E00 F0FF " + raw2x2)
     val truncated = mk("7801 01 0E00 F1FF 00 010203") // body short
     val shortStream = mk("7801 01 0700 F8FF 00 010203 040506") // one row only
-    val filteredRow = mk("7801 01 0E00 F1FF 01 010203 040506 00 FA0080 070809")
+    val filteredRow = mk("7801 01 0E00 F1FF 05 010203 040506 00 FA0080 070809")
     val fdictSet = mk("7820 01 0E00 F1FF " + raw2x2) // FCHECK ok, FDICT on
     val badFcheck = mk("7802 01 0E00 F1FF " + raw2x2)
     val rgba = mk(okData,
