@@ -7,16 +7,14 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.types._
 
-/** REAL pixel decode over PNG containers whose zlib stream uses STORED
-  * deflate blocks — the next retreat of the declared-fake codec line
-  * after [[BmpPixels]]: the PNG container walk (RFC 2083 / ISO 15948
-  * chunk grammar), the zlib envelope (RFC 1950) and the deflate block
-  * framing (RFC 1951) are all public byte-level structure, and a
-  * BTYPE=00 stored block carries its bytes raw — so for stored-deflate
-  * PNGs, per-channel pixel sums are pure byte arithmetic end-to-end.
-  * Only ENTROPY-CODED blocks (fixed/dynamic Huffman, BTYPE 01/10 — what
-  * real-world encoders emit) remain out of scope and return NULL, the
-  * honestly-declared remainder.
+/** REAL pixel decode over PNG containers — the declared-fake codec
+  * line is GONE for this format: the PNG container walk (RFC 2083 /
+  * ISO 15948 chunk grammar), the zlib envelope (RFC 1950), and a
+  * COMPLETE DEFLATE decoder ([[Inflate]]: stored, fixed-Huffman and
+  * dynamic-Huffman blocks with canonical Huffman decoding and the LZ77
+  * window, RFC 1951) take an 8-bit RGB PNG from any real encoder to
+  * exact per-channel pixel sums, entirely from the public
+  * specifications.
   *
   * Decode path: 8-byte PNG signature → chunk walk (big-endian u32
   * length + 4-char type; IHDR must be first per the spec) → IHDR
@@ -24,9 +22,9 @@ import org.apache.spark.sql.types._
   * compression, filter method 0, no interlace → ALL IDAT chunk payloads
   * concatenated (the spec: the zlib stream spans consecutive IDATs) →
   * zlib header checked (CM=8, window bits valid, no preset dict,
-  * FCHECK: CMF·256+FLG ≡ 0 mod 31) → stored blocks copied out
-  * (LEN == ones-complement NLEN enforced; a non-stored block → NULL) →
-  * the raw stream must be EXACTLY height·(1 + 3·width) bytes → rows
+  * FCHECK: CMF·256+FLG ≡ 0 mod 31) → the deflate stream inflated
+  * ([[Inflate]]; any malformation → NULL) → the raw stream must be
+  * EXACTLY height·(1 + 3·width) bytes → rows
   * UN-FILTERED with ALL FIVE standard filter types (None/Sub/Up/
   * Average/Paeth, RFC 2083 §6 — reconstruction is byte arithmetic mod
   * 256 over (raw, left, up, upper-left), so nothing on the filter axis
@@ -42,12 +40,12 @@ import org.apache.spark.sql.types._
   * shape as [[BmpPixels]] (sums are fold-order-free and cross-engine
   * exact; means are a downstream division).
   *
-  * Scale shape: map-only, codegen'd, O(bytes present) per row with every
-  * size bound checked BEFORE buffers are sized — a lying chunk length,
-  * LEN field, or IHDR dimension cannot buy unbounded work or overflow
-  * (dims are capped so height·(1+3·width) stays far below 2^62, and a
-  * stored stream can never be smaller than its raw bytes, so raw size
-  * is bounded by input size up front).
+  * Scale shape: map-only, codegen'd, O(declared raw size) per row with
+  * every size bound checked BEFORE buffers are sized — a lying chunk
+  * length or IHDR dimension cannot buy unbounded work or overflow:
+  * compressed blocks EXPAND, so output is capped by the named
+  * [[PngPixels.MaxRawBytes]] zip-bomb guard (decode work is bounded by
+  * the declared output size, never by the compression ratio).
   */
 case class PngPixels(child: Expression) extends UnaryExpression {
 
@@ -80,6 +78,14 @@ case class PngPixels(child: Expression) extends UnaryExpression {
 }
 
 object PngPixels {
+
+  /** Zip-bomb guard: max declared raw scanline bytes (~64 MB — a
+    * ~4600² RGB image) a single blob may decode to. Compressed deflate
+    * expands, so output size must be capped by POLICY, not input size;
+    * past this the blob is NULL rather than a memory/work hazard.
+    */
+  val MaxRawBytes: Long = 64L * 1024 * 1024
+
   val Schema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
@@ -89,8 +95,9 @@ object PngPixels {
     StructField("sum_b", LongType, nullable = true)))
 
   /** Static parse kernel shared by eval and generated code. Returns null
-    * for anything that is not a stored-deflate 8-bit RGB PNG whose raw
-    * pixel stream is fully present with defined filter types.
+    * for anything that is not a well-formed 8-bit RGB PNG whose raw
+    * pixel stream decodes to exactly the declared size with defined
+    * filter types.
     */
   def parse(bytes: Array[Byte]): InternalRow = {
     if (bytes == null) return null
@@ -153,15 +160,16 @@ object PngPixels {
     if (!haveIhdr || nSpans == 0) return null
 
     // raw scanline stream size: height rows of [filter byte][3w bytes].
-    // Stored deflate cannot shrink data, so raw must fit inside the
-    // IDAT payload — the bound that caps all later work by input size.
-    // Checked divisionally BEFORE the product is formed: height·rowBytes
-    // with lying u31 dims can exceed Long range, but after these guards
-    // raw <= idatTotal <= n, overflow-free.
+    // Compressed blocks EXPAND, so the old stored-only raw<=idatTotal
+    // bound cannot hold; the zip-bomb guard is the named MaxRawBytes
+    // cap — decode work is O(declared raw size), never O(compression
+    // ratio). Checked divisionally BEFORE the product is formed:
+    // height·rowBytes with lying u31 dims can exceed Long range, but
+    // after these guards raw <= MaxRawBytes, overflow-free.
     if (idatTotal < 2) return null // zlib header
-    if (height > idatTotal) return null
+    if (height > MaxRawBytes) return null
     val rowBytes = 1L + 3L * width // <= ~6.4e9, fits
-    if (rowBytes > idatTotal / height) return null
+    if (rowBytes > MaxRawBytes / height) return null
     val raw = height * rowBytes
 
     // --- concatenate IDAT payloads (the zlib stream) ---
@@ -181,32 +189,12 @@ object PngPixels {
     if ((flg & 0x20) != 0) return null // FDICT: preset dict unsupported
     if ((cmf * 256 + flg) % 31 != 0) return null // FCHECK
 
-    // --- stored deflate blocks (RFC 1951 §3.2.4) ---
-    // Stored-block headers are byte-aligned after their own 3 header
-    // bits, so a stream of ONLY stored blocks keeps every block header
-    // on a byte boundary: cursor stays byte-based.
+    // --- full DEFLATE decode (graft.functions.Inflate: stored, fixed-
+    // and dynamic-Huffman blocks per RFC 1951) — must produce EXACTLY
+    // the declared raw size; trailing Adler-32 not verified (structure
+    // probe, see Scaladoc)
     val out = new Array[Byte](raw.toInt)
-    var oi = 0
-    var c = 2
-    var finalSeen = false
-    while (!finalSeen) {
-      if (c >= z.length) return null // truncated before a block header
-      val hdr = z(c) & 0xff
-      if ((hdr & 0x06) != 0) return null // BTYPE != 00: entropy-coded
-      finalSeen = (hdr & 0x01) != 0
-      if (c + 5 > z.length) return null
-      val len = (z(c + 1) & 0xff) | ((z(c + 2) & 0xff) << 8)
-      val nlen = (z(c + 3) & 0xff) | ((z(c + 4) & 0xff) << 8)
-      if ((len ^ nlen) != 0xffff) return null // ones-complement check
-      c += 5
-      if (c + len > z.length) return null // truncated block body
-      if (oi + len > out.length) return null // more raw bytes than rows
-      System.arraycopy(z, c, out, oi, len)
-      c += len
-      oi += len
-    }
-    if (oi != out.length) return null // short pixel stream
-    // (trailing Adler-32 not verified — structure probe, see Scaladoc)
+    if (Inflate.inflate(z, 2, out) != out.length) return null
 
     // --- un-filter (ALL five standard types, RFC 2083 §6) + sums ---
     // Reconstruction is byte arithmetic mod 256: None/Sub/Up/Average/
@@ -272,7 +260,7 @@ object PngPixels {
 
   /** Column entry point: png_pixels(binary) → struct<width:int,
     * height:int, n_px:bigint, sum_r:bigint, sum_g:bigint, sum_b:bigint>
-    * (NULL unless a stored-deflate 8-bit RGB PNG).
+    * (NULL unless a well-formed 8-bit RGB PNG).
     */
   def png_pixels(c: Column): Column =
     GraftColumnBridge.column(PngPixels(GraftColumnBridge.expression(c)))

@@ -1028,8 +1028,8 @@ object LlmQueries {
     * reconstructs the uniform pixel, so the oracle arithmetic is
     * unchanged while any filter-math slip diverges every sum),
     * UP-filtered rows (one real row then copy-above rows — same
-    * property), an entropy-coded block (BTYPE=01 — the declared-fake
-    * line, must NULL), an RGBA declaration, and a corrupted NLEN
+    * property), a reserved-BTYPE (11) block (deterministically
+    * corrupt — NULL), an RGBA declaration, and a corrupted NLEN
     * ones-complement / raw-text lane. Widths run 1..3 and heights
     * 1..4, so stored LEN spans 4..40 bytes. All five RFC 2083 filter
     * types are implemented (non-uniform reconstructions hand-pinned in
@@ -1093,8 +1093,8 @@ object LlmQueries {
         .when(pmod(col("doc_id"), lit(7)) === 3, // Up-filtered rows
           unhex(concat(sig, ihdr("02"),
             chunkOf(zlib("01", goodNlen, col("__rawup"))), iend)))
-        .when(pmod(col("doc_id"), lit(7)) === 4, // BTYPE=01: entropy-coded
-          unhex(concat(sig, ihdr("02"), chunkOf(zlib("03", goodNlen)), iend)))
+        .when(pmod(col("doc_id"), lit(7)) === 4, // reserved BTYPE=11: corrupt
+          unhex(concat(sig, ihdr("02"), chunkOf(zlib("07", goodNlen)), iend)))
         .when(pmod(col("doc_id"), lit(7)) === 5, // RGBA declared
           unhex(concat(sig, ihdr("06"), chunkOf(zlib("01", goodNlen)), iend)))
         .when(pmod(col("doc_id"), lit(14)) === 6, // NLEN ones-complement broken

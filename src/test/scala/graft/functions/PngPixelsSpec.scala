@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * checksum-tolerant behavior (junk CRC/Adler still parses — structure
   * probe, not integrity checker), hand-computed reconstruction for all
   * FIVE standard filter types (None/Sub/Up/Average/Paeth, incl. the
-  * mod-256 wrap), and the NULL contract: entropy-coded blocks,
-  * undefined filter types, wrong NLEN, truncation, RGBA/interlace/depth
-  * declarations, IHDR-not-first, FDICT, bad FCHECK, raw text.
+  * mod-256 wrap), REAL-ENCODER files (python zlib: a Z_FIXED
+  * fixed-Huffman 2x2 and a dynamic-Huffman 16x100, stored as resource
+  * hex — output of an independent implementation of the same RFC), and
+  * the NULL contract: reserved BTYPE, undefined filter types, wrong
+  * NLEN, truncation, RGBA/interlace/depth declarations, IHDR-not-first,
+  * FDICT, bad FCHECK, raw text.
   */
 class PngPixelsSpec extends SparkSpec {
   import spark.implicits._
@@ -107,7 +110,7 @@ class PngPixelsSpec extends SparkSpec {
     def mk(idatData: String, ihdr: String = ihdr2x2): Array[Byte] =
       hx(sig + ihdr + chunk("49444154", idatData) + iend)
     val okData = "7801 01 0E00 F1FF " + raw2x2
-    val entropyCoded = mk("7801 03 0E00 F1FF " + raw2x2) // BTYPE=01
+    val reservedBtype = mk("7801 07 0E00 F1FF " + raw2x2) // BTYPE=11
     val badNlen = mk("7801 01 0E00 F0FF " + raw2x2)
     val truncated = mk("7801 01 0E00 F1FF 00 010203") // body short
     val shortStream = mk("7801 01 0700 F8FF 00 010203 040506") // one row only
@@ -124,9 +127,25 @@ class PngPixelsSpec extends SparkSpec {
       chunk("49444154", okData) + iend)
     val noIdat = hx(sig + ihdr2x2 + iend)
     val text = "just some text bytes, not a png".getBytes("UTF-8")
-    assert(px(entropyCoded, badNlen, truncated, shortStream, filteredRow,
+    assert(px(reservedBtype, badNlen, truncated, shortStream, filteredRow,
       fdictSet, badFcheck, rgba, depth16, interlaced, ihdrNotFirst, noIdat,
       text, Array.empty[Byte]) == Seq.fill(14)(None))
+  }
+
+  test("REAL encoder output decodes: fixed-Huffman and dynamic-Huffman") {
+    def res(name: String): Array[Byte] = {
+      val src = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream(s"/png/$name"))
+      try hx(src.mkString.trim) finally src.close()
+    }
+    // python zlib Z_FIXED over the spec's 2x2 scanlines; python zlib
+    // level 9 over a 16x100 image big enough that the encoder emits a
+    // DYNAMIC-Huffman block (verified at generation: BTYPE=10)
+    val fixed = res("fixed_2x2.hex")
+    val dyn = res("dynamic_16x100.hex")
+    assert(px(fixed, dyn) == Seq(
+      expect2x2,
+      Some((16, 100, 1600L, 62940L, 64223L, 64688L))))
   }
 
   test("null input yields NULL") {
