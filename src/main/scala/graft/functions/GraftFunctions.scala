@@ -48,6 +48,8 @@ object GraftFunctions {
       "png_pixels", exprs => PngPixels(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "gzip_inflate", exprs => GzipInflate(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -128,6 +130,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("gzip_inflate"),
+      new ExpressionInfo(classOf[GzipInflate].getName, "gzip_inflate"),
+      (exprs: Seq[Expression]) => GzipInflate(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

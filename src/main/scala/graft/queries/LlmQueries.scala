@@ -1287,6 +1287,64 @@ $steps,
       .orderBy("doc_id"),
     Some(unigramOracleSql))
 
+  /** In-engine gzip source decode (functions/GzipInflate over the
+    * Inflate DEFLATE decoder): the compressed-corpus rung — crawl and
+    * training archives ship as .gz blobs, and the engine decodes them
+    * INSIDE the scan, map-only. The query wraps each doc's bytes in an
+    * RFC 1952 member (stored-deflate, so construction stays column
+    * arithmetic) on four lanes: a plain member, a member with FNAME set
+    * (the common filename shape — the skip logic is load-bearing), a
+    * LYING ISIZE (+1 — the trailer-declared size is Inflate's exact-
+    * output contract, so the mismatch must NULL, not truncate), and a
+    * raw-text lane. Output pins the full round-trip: byte count, md5 of
+    * the decompressed payload, and decompressed == original. Real
+    * compressed members (python gzip incl. FEXTRA/FHCRC) are pinned in
+    * GzipInflateSpec; the in-query stored framing is what SQL can
+    * construct — the decoder path is identical.
+    */
+  val sourceGzip = QueryDef(
+    "llm_source_gzip",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val len = octet_length(col("text"))
+      val deflateHex = concat(lit("01"), le16(len), le16(lit(65535) - len),
+        hex(col("text").cast(BinaryType)))
+      def member(hdrHex: String, isize: Column): Column =
+        unhex(concat(lit(hdrHex), deflateHex, lit("00000000"), le32(isize)))
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          member("1F8B08000000000000" + "03", len))
+        .when(pmod(col("doc_id"), lit(4)) === 1, // FNAME 'a\0'
+          member("1F8B08080000000000" + "03" + "6100", len))
+        .when(pmod(col("doc_id"), lit(4)) === 2, // lying ISIZE
+          member("1F8B08000000000000" + "03", len + 1))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.GzipInflate.gzip_inflate(blob).as("__d"),
+          col("text"))
+        .select(col("doc_id"),
+          octet_length(col("__d")).as("n_bytes"),
+          md5(col("__d")).as("fp"),
+          (col("__d").cast(StringType) === col("text")).as("roundtrip"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 <= 1
+                  THEN CAST(strlen(text) AS INTEGER) END AS n_bytes,
+             CASE WHEN doc_id % 4 <= 1 THEN md5(text) END AS fp,
+             CASE WHEN doc_id % 4 <= 1 THEN TRUE END AS roundtrip
+      FROM documents ORDER BY doc_id"""))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -4123,7 +4181,7 @@ $steps,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
-    textUnigram,
+    textUnigram, sourceGzip,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
