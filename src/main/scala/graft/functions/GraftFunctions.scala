@@ -50,6 +50,8 @@ object GraftFunctions {
       "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "gzip_inflate", exprs => GzipInflate(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "warc_records", exprs => WarcRecords(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -134,6 +136,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("gzip_inflate"),
       new ExpressionInfo(classOf[GzipInflate].getName, "gzip_inflate"),
       (exprs: Seq[Expression]) => GzipInflate(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("warc_records"),
+      new ExpressionInfo(classOf[WarcRecords].getName, "warc_records"),
+      (exprs: Seq[Expression]) => WarcRecords(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

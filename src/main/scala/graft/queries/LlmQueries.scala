@@ -1345,6 +1345,77 @@ $steps,
              CASE WHEN doc_id % 4 <= 1 THEN TRUE END AS roundtrip
       FROM documents ORDER BY doc_id"""))
 
+  /** WARC crawl-segment parsing (functions/WarcRecords — ISO 28500, the
+    * container CommonCrawl ships): per-doc two-record segments parsed
+    * to (rec_idx, rec_type, target_uri, content_length, payload_md5) —
+    * beside llm_source_gzip this completes the crawl SOURCE story
+    * (segments are records-inside-gzip). Four lanes: a plain
+    * response+metadata pair, the same with the WARC/1.0 angle-bracket
+    * URI spelling, LOWERCASE header names and an extra header
+    * (case-insensitivity and pass-through are load-bearing), a record
+    * with no Content-Length (mandatory per spec — strict NULL), and a
+    * Content-Length overrunning the input (strict NULL). The payload
+    * md5 makes content round-trips oracle-checkable (md5(text)
+    * cross-engine) without shipping payloads out of the expression;
+    * payloads containing CRLF are framed by length, never by line
+    * scanning. Map-only, codegen'd; the oracle is pure arithmetic.
+    */
+  val sourceWarc = QueryDef(
+    "llm_source_warc",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val crlf = "\r\n"
+      val uri = concat(lit("http://example.com/doc/"), col("doc_id"))
+      val len = octet_length(col("text"))
+      val rec2 = lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+        "Content-Length: 2" + crlf + crlf + "ok" + crlf + crlf)
+      def rec1(uriLine: Column, typeName: String, clName: String,
+          cl: Column): Column = concat(
+        lit("WARC/1.0" + crlf), lit(typeName + ": response" + crlf),
+        uriLine, lit(clName + ": "), cl, lit(crlf + crlf),
+        col("text"), lit(crlf + crlf))
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(rec1(concat(lit("WARC-Target-URI: "), uri, lit(crlf)),
+            "WARC-Type", "Content-Length", len), rec2))
+        .when(pmod(col("doc_id"), lit(4)) === 1, // <uri>, lowercase, extra
+          concat(rec1(concat(lit("warc-target-uri: <"), uri, lit(">" + crlf),
+            lit("X-Extra: z" + crlf)),
+            "warc-type", "content-length", len), rec2))
+        .when(pmod(col("doc_id"), lit(4)) === 2, // Content-Length missing
+          concat(lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf + crlf),
+            col("text"), lit(crlf + crlf)))
+        .otherwise( // Content-Length overruns the input
+          rec1(lit(""), "WARC-Type", "Content-Length", len + 5))
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.WarcRecords
+            .warc_records(blob.cast(BinaryType))))
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("rec_idx"),
+          col("col.rec_type").as("rec_type"),
+          col("col.target_uri").as("target_uri"),
+          col("col.content_length").as("content_length"),
+          col("col.payload_md5").as("payload_md5"))
+        .orderBy("doc_id", "rec_idx")
+    },
+    Some("""
+      WITH valid AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <= 1),
+      r AS (
+        SELECT doc_id, 0 AS rec_idx, 'response' AS rec_type,
+               'http://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                 AS target_uri,
+               CAST(strlen(text) AS BIGINT) AS content_length,
+               md5(text) AS payload_md5
+        FROM valid
+        UNION ALL
+        SELECT doc_id, 1, 'metadata', NULL, CAST(2 AS BIGINT), md5('ok')
+        FROM valid
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 4 >= 2)
+      SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, rec_type,
+             target_uri, content_length, payload_md5
+      FROM r ORDER BY doc_id, rec_idx NULLS FIRST"""))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -4181,7 +4252,7 @@ $steps,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
-    textUnigram, sourceGzip,
+    textUnigram, sourceGzip, sourceWarc,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
