@@ -1416,6 +1416,87 @@ $steps,
              target_uri, content_length, payload_md5
       FROM r ORDER BY doc_id, rec_idx NULLS FIRST"""))
 
+  /** The composed crawl-source pipeline: WARC segments INSIDE gzip
+    * members — the literal CommonCrawl layout — decoded by
+    * warc_records(gzip_inflate(blob)) in one map-only plan (both
+    * expressions codegen'd, the whole chain fuses into the scan; this
+    * is the rung that proves the source family COMPOSES, not just that
+    * each piece works alone). Lanes: a valid .warc.gz member; a valid
+    * member whose WARC uses the angle-bracket/lowercase spelling; a
+    * corrupt GZIP layer (bad magic — the outer decode NULLs before the
+    * inner parser ever runs); a valid gzip whose INNER WARC is corrupt
+    * (missing Content-Length — the outer decode succeeds, the inner
+    * strict probe NULLs). Oracle = the same pure arithmetic as
+    * llm_source_warc's valid rows.
+    */
+  val crawlPipeline = QueryDef(
+    "llm_crawl_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val crlf = "\r\n"
+      val uri = concat(lit("http://example.com/doc/"), col("doc_id"))
+      val rec2 = lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+        "Content-Length: 2" + crlf + crlf + "ok" + crlf + crlf)
+      def seg(uriHdr: Column, typeName: String, clLine: Column): Column =
+        concat(lit("WARC/1.0" + crlf), lit(typeName + ": response" + crlf),
+          uriHdr, clLine, lit(crlf + crlf), col("text"), lit(crlf + crlf),
+          rec2)
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def gz(segment: Column, magic: String): Column = {
+        val sl = octet_length(segment)
+        unhex(concat(lit(magic + "08000000000000" + "03"),
+          lit("01"), le16(sl), le16(lit(65535) - sl),
+          hex(segment.cast(BinaryType)), lit("00000000"), le32(sl)))
+      }
+      val textLen = octet_length(col("text"))
+      val clLine = concat(lit("Content-Length: "), textLen)
+      val plainSeg = seg(concat(lit("WARC-Target-URI: "), uri, lit(crlf)),
+        "WARC-Type", clLine)
+      val altSeg = seg(concat(lit("warc-target-uri: <"), uri, lit(">" + crlf)),
+        "warc-type", clLine)
+      val badWarcSeg = seg(lit(""), "WARC-Type", lit("X-Note: no-length"))
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0, gz(plainSeg, "1F8B"))
+        .when(pmod(col("doc_id"), lit(4)) === 1, gz(altSeg, "1F8B"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, gz(plainSeg, "1E8B"))
+        .otherwise(gz(badWarcSeg, "1F8B"))
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.WarcRecords.warc_records(
+            graft.functions.GzipInflate.gzip_inflate(blob))))
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("rec_idx"),
+          col("col.rec_type").as("rec_type"),
+          col("col.target_uri").as("target_uri"),
+          col("col.content_length").as("content_length"),
+          col("col.payload_md5").as("payload_md5"))
+        .orderBy("doc_id", "rec_idx")
+    },
+    Some("""
+      WITH valid AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <= 1),
+      r AS (
+        SELECT doc_id, 0 AS rec_idx, 'response' AS rec_type,
+               'http://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                 AS target_uri,
+               CAST(strlen(text) AS BIGINT) AS content_length,
+               md5(text) AS payload_md5
+        FROM valid
+        UNION ALL
+        SELECT doc_id, 1, 'metadata', NULL, CAST(2 AS BIGINT), md5('ok')
+        FROM valid
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 4 >= 2)
+      SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, rec_type,
+             target_uri, content_length, payload_md5
+      FROM r ORDER BY doc_id, rec_idx NULLS FIRST"""))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -4252,7 +4333,7 @@ $steps,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
-    textUnigram, sourceGzip, sourceWarc,
+    textUnigram, sourceGzip, sourceWarc, crawlPipeline,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
