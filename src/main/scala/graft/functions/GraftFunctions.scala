@@ -52,6 +52,8 @@ object GraftFunctions {
       "gzip_inflate", exprs => GzipInflate(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "warc_records", exprs => WarcRecords(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "adler32", exprs => Adler32Fn(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -140,6 +142,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("warc_records"),
       new ExpressionInfo(classOf[WarcRecords].getName, "warc_records"),
       (exprs: Seq[Expression]) => WarcRecords(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("adler32"),
+      new ExpressionInfo(classOf[Adler32Fn].getName, "adler32"),
+      (exprs: Seq[Expression]) => Adler32Fn(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

@@ -19,15 +19,20 @@ import org.apache.spark.sql.types._
   * stream; then the 8-byte trailer whose ISIZE (LE u32) declares the
   * uncompressed size — which is exactly the declared-output-size
   * contract [[Inflate]] enforces, so a lying ISIZE (either direction)
-  * is detected as a size mismatch and the blob is NULL. CRC-32 (header
-  * and trailer) is NOT verified — the structure-probe discipline of the
-  * media family, pinned in the spec. One member per blob (a
-  * multi-member file's second member is trailing garbage to this probe
-  * — by design; concatenated-member corpora split upstream).
+  * is detected as a size mismatch and the blob is NULL. Integrity IS
+  * verified: the trailer CRC-32 must match the decompressed bytes
+  * ([[Checksums.crc32]], RFC 1952 §8) and, when FHCRC is set, the
+  * header CRC-16 (the low 16 bits of the CRC-32 over the header bytes
+  * preceding it) must match — a bit-rotted archive member NULLs
+  * instead of decoding to garbage that poisons downstream
+  * fingerprints. One member per blob (a multi-member file's second
+  * member is trailing garbage to this probe — by design;
+  * concatenated-member corpora split upstream).
   *
   * NULL for: wrong magic/CM, reserved FLG bits, truncated header or
   * optional fields, ISIZE past the [[GzipInflate.MaxOutputBytes]]
-  * zip-bomb guard, or any deflate malformation / size mismatch.
+  * zip-bomb guard, any deflate malformation / size mismatch, or a
+  * CRC-32 / header CRC-16 mismatch.
   *
   * Scale shape: map-only, codegen'd; work and memory are O(declared
   * ISIZE), capped by the named guard — never O(compression ratio).
@@ -102,16 +107,22 @@ object GzipInflate {
       p += 1
     }
     if ((flg & FHCRC) != 0) {
+      if (p + 2 > n) return null
+      // header CRC-16: low 16 bits of the CRC-32 over bytes[0, p)
+      val stored = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      if ((Checksums.crc32(bytes, 0, p) & 0xffff) != stored) return null
       p += 2
-      if (p > n) return null
     }
     if (p + 8 > n) return null // room for deflate data + trailer
-    // trailer ISIZE: uncompressed size mod 2^32 (LE); CRC-32 unverified
+    // trailer: CRC-32 of the uncompressed data, then ISIZE (both LE)
     val isize = (bytes(n - 4) & 0xffL) | ((bytes(n - 3) & 0xffL) << 8) |
       ((bytes(n - 2) & 0xffL) << 16) | ((bytes(n - 1) & 0xffL) << 24)
     if (isize > MaxOutputBytes) return null
     val dst = new Array[Byte](isize.toInt)
     if (Inflate.inflate(bytes, p, dst) != dst.length) return null
+    val crc = (bytes(n - 8) & 0xffL) | ((bytes(n - 7) & 0xffL) << 8) |
+      ((bytes(n - 6) & 0xffL) << 16) | ((bytes(n - 5) & 0xffL) << 24)
+    if (Checksums.crc32(dst, 0, dst.length) != crc) return null
     dst
   }
 

@@ -31,10 +31,11 @@ import org.apache.spark.sql.types._
   * is stubbed; an undefined type > 4 is corrupt → NULL) → RGB triples
   * summed per channel as exact BIGINTs.
   *
-  * Integrity checksums (chunk CRC-32, zlib Adler-32) are NOT verified —
-  * this is a structure probe in the BmpPixels mold, not an integrity
-  * checker; the behavior is pinned in the spec. Trailing chunks after
-  * the IEND (or after the pixel stream completes) are ignored.
+  * Integrity checksums ARE verified: every walked chunk's CRC-32
+  * (over type + data, [[Checksums.crc32]]) and the zlib stream's
+  * trailing Adler-32 over the decompressed scanlines
+  * ([[Checksums.adler32]], RFC 1950 §8) — a bit-flipped blob NULLs
+  * instead of summing garbage. Chunks after the IEND are ignored.
   *
   * Returns struct<width, height, n_px, sum_r, sum_g, sum_b> — the same
   * shape as [[BmpPixels]] (sums are fold-order-free and cross-engine
@@ -121,11 +122,15 @@ object PngPixels {
     var done = false
     while (!done && guard < 1024 && p + 8 <= n) {
       val len = be32(bytes, p)
-      // overflow-free: len is u32 read as Long; p+8 <= n <= 2^31
-      if (len < 0 || len > n - p - 8) return null
+      // overflow-free: len is u32 read as Long; p+8 <= n <= 2^31.
+      // The -12 keeps data AND the 4 CRC bytes in bounds.
+      if (len < 0 || len > n - p - 12) return null
       val t0 = bytes(p + 4); val t1 = bytes(p + 5)
       val t2 = bytes(p + 6); val t3 = bytes(p + 7)
       val dataOff = p + 8
+      // chunk CRC-32 spans type + data (ISO 15948 §5.3)
+      if (Checksums.crc32(bytes, p + 4, 4 + len.toInt) !=
+        be32(bytes, dataOff + len.toInt)) return null
       if (!haveIhdr) {
         // spec: IHDR must appear first
         if (t0 != 'I' || t1 != 'H' || t2 != 'D' || t3 != 'R' || len != 13)
@@ -154,7 +159,7 @@ object PngPixels {
       } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
         done = true
       }
-      p = dataOff + len.toInt + 4 // skip data + CRC (CRC not verified)
+      p = dataOff + len.toInt + 4 // past data + verified CRC
       guard += 1
     }
     if (!haveIhdr || nSpans == 0) return null
@@ -191,10 +196,14 @@ object PngPixels {
 
     // --- full DEFLATE decode (graft.functions.Inflate: stored, fixed-
     // and dynamic-Huffman blocks per RFC 1951) — must produce EXACTLY
-    // the declared raw size; trailing Adler-32 not verified (structure
-    // probe, see Scaladoc)
+    // the declared raw size, and the zlib trailer (the last 4 bytes of
+    // the concatenated IDAT stream, big-endian per RFC 1950) must be
+    // the Adler-32 of the decompressed scanlines
     val out = new Array[Byte](raw.toInt)
     if (Inflate.inflate(z, 2, out) != out.length) return null
+    if (z.length < 6 ||
+      Checksums.adler32(out, 0, out.length) != be32(z, z.length - 4))
+      return null
 
     // --- un-filter (ALL five standard types, RFC 2083 §6) + sums ---
     // Reconstruction is byte arithmetic mod 256: None/Sub/Up/Average/

@@ -1028,11 +1028,15 @@ object LlmQueries {
     * reconstructs the uniform pixel, so the oracle arithmetic is
     * unchanged while any filter-math slip diverges every sum),
     * UP-filtered rows (one real row then copy-above rows — same
-    * property), a reserved-BTYPE (11) block (deterministically
-    * corrupt — NULL), an RGBA declaration, and a corrupted NLEN
-    * ones-complement / raw-text lane. Widths run 1..3 and heights
-    * 1..4, so stored LEN spans 4..40 bytes. All five RFC 2083 filter
-    * types are implemented (non-uniform reconstructions hand-pinned in
+    * property), a reserved-BTYPE (11) block alternating with a FLIPPED
+    * IDAT chunk CRC-32 (integrity is verified — bit rot NULLs), an
+    * RGBA declaration alternating with a FLIPPED zlib Adler-32, and a
+    * corrupted NLEN ones-complement / raw-text lane. Valid lanes carry
+    * REAL trailers: chunk CRCs from Spark's BUILTIN crc32() and the
+    * Adler from the engine's adler32 — construct and verify sides are
+    * independent implementations. Widths run 1..3 and heights 1..4,
+    * so stored LEN spans 4..40 bytes. All five RFC 2083 filter types
+    * are implemented (non-uniform reconstructions hand-pinned in
     * PngPixelsSpec). Map-only, codegen'd, payload bounds checked
     * before any loop.
     */
@@ -1070,33 +1074,60 @@ object LlmQueries {
           lit("02"), expr("repeat(__px, __w)"),
           expr("repeat('02' || repeat('000000', __w), __h - 1)")))
       val sig = lit("89504E470D0A1A0A")
-      def ihdr(colorType: String): Column = concat(
-        lit("0000000D49484452"), be32(col("__w")), be32(col("__h")),
-        lit("08"), lit(colorType), lit("000000"), lit("00000000"))
+      // real integrity trailers, from INDEPENDENT implementations of
+      // the specs the decoder verifies with: chunk CRC-32s come from
+      // Spark's builtin crc32(), the zlib Adler-32 from the engine's
+      // adler32 (itself pinned against java.util.zip in ChecksumsSpec)
+      def crcHex(typeHex: String, dataHex: Column): Column =
+        lpad(hex(crc32(unhex(concat(lit(typeHex), dataHex)))), 8, "0")
+      def adlerHex(raw: Column): Column =
+        lpad(hex(graft.functions.Checksums.adler32_fn(unhex(raw))), 8, "0")
+      def ihdr(colorType: String): Column = {
+        val data = concat(be32(col("__w")), be32(col("__h")),
+          lit("08"), lit(colorType), lit("000000"))
+        concat(lit("0000000D49484452"), data, crcHex("49484452", data))
+      }
       def chunkOf(dataHex: Column): Column = concat(
-        be32(length(dataHex) / 2), lit("49444154"), dataHex, lit("00000000"))
+        be32(length(dataHex) / 2), lit("49444154"), dataHex,
+        crcHex("49444154", dataHex))
+      def chunkBadCrc(dataHex: Column): Column = concat(
+        be32(length(dataHex) / 2), lit("49444154"), dataHex,
+        lpad(hex(pmod(crc32(unhex(concat(lit("49444154"), dataHex))) + 1,
+          lit(4294967296L))), 8, "0"))
       val iend = lit("0000000049454E44AE426082")
       def zlib(blockHdr: String, nlen: Column,
           raw: Column = col("__rawhex")): Column = concat(
         lit("7801"), lit(blockHdr), le16(col("__rlen")), nlen,
-        raw, lit("00000000"))
+        raw, adlerHex(raw))
+      def zlibBadAdler(raw: Column): Column = concat(
+        lit("780101"), le16(col("__rlen")), le16(lit(65535) - col("__rlen")),
+        raw, lpad(hex(pmod(
+          graft.functions.Checksums.adler32_fn(unhex(raw)) + 1,
+          lit(4294967296L))), 8, "0"))
       val goodNlen = le16(lit(65535) - col("__rlen"))
       val media = when(pmod(col("doc_id"), lit(7)) === 0,
           unhex(concat(sig, ihdr("02"), chunkOf(zlib("01", goodNlen)), iend)))
         .when(pmod(col("doc_id"), lit(7)) === 1, // zlib split across 2 IDATs
           unhex(concat(sig, ihdr("02"),
             chunkOf(concat(lit("780101"), le16(col("__rlen")), goodNlen)),
-            chunkOf(concat(col("__rawhex"), lit("00000000"))), iend)))
+            chunkOf(concat(col("__rawhex"), adlerHex(col("__rawhex")))),
+            iend)))
         .when(pmod(col("doc_id"), lit(7)) === 2, // Sub-filtered rows
           unhex(concat(sig, ihdr("02"),
             chunkOf(zlib("01", goodNlen, col("__rawsub"))), iend)))
         .when(pmod(col("doc_id"), lit(7)) === 3, // Up-filtered rows
           unhex(concat(sig, ihdr("02"),
             chunkOf(zlib("01", goodNlen, col("__rawup"))), iend)))
-        .when(pmod(col("doc_id"), lit(7)) === 4, // reserved BTYPE=11: corrupt
+        .when(pmod(col("doc_id"), lit(14)) === 4, // reserved BTYPE=11: corrupt
           unhex(concat(sig, ihdr("02"), chunkOf(zlib("07", goodNlen)), iend)))
-        .when(pmod(col("doc_id"), lit(7)) === 5, // RGBA declared
+        .when(pmod(col("doc_id"), lit(14)) === 11, // flipped IDAT chunk CRC
+          unhex(concat(sig, ihdr("02"), chunkBadCrc(zlib("01", goodNlen)),
+            iend)))
+        .when(pmod(col("doc_id"), lit(14)) === 5, // RGBA declared
           unhex(concat(sig, ihdr("06"), chunkOf(zlib("01", goodNlen)), iend)))
+        .when(pmod(col("doc_id"), lit(14)) === 12, // flipped zlib Adler-32
+          unhex(concat(sig, ihdr("02"),
+            chunkOf(zlibBadAdler(col("__rawhex"))), iend)))
         .when(pmod(col("doc_id"), lit(14)) === 6, // NLEN ones-complement broken
           unhex(concat(sig, ihdr("02"),
             chunkOf(zlib("01", le16(lit(65534) - col("__rlen")))), iend)))
@@ -1292,12 +1323,17 @@ $steps,
     * training archives ship as .gz blobs, and the engine decodes them
     * INSIDE the scan, map-only. The query wraps each doc's bytes in an
     * RFC 1952 member (stored-deflate, so construction stays column
-    * arithmetic) on four lanes: a plain member, a member with FNAME set
-    * (the common filename shape — the skip logic is load-bearing), a
-    * LYING ISIZE (+1 — the trailer-declared size is Inflate's exact-
-    * output contract, so the mismatch must NULL, not truncate), and a
-    * raw-text lane. Output pins the full round-trip: byte count, md5 of
-    * the decompressed payload, and decompressed == original. Real
+    * arithmetic; the trailer CRC-32 comes from Spark's BUILTIN crc32()
+    * — an implementation independent of the Checksums table the
+    * decoder verifies with, so a construct/verify slip cannot cancel)
+    * on four lanes: a plain member, a member with FNAME set (the
+    * common filename shape — the skip logic is load-bearing), a
+    * corrupt-trailer sublane pair — LYING ISIZE (+1: the trailer-
+    * declared size is Inflate's exact-output contract, so the mismatch
+    * must NULL, not truncate) alternating with a FLIPPED CRC-32 (the
+    * integrity contract: correct size, bit-rotted content claim) — and
+    * a raw-text lane. Output pins the full round-trip: byte count, md5
+    * of the decompressed payload, and decompressed == original. Real
     * compressed members (python gzip incl. FEXTRA/FHCRC) are pinned in
     * GzipInflateSpec; the in-query stored framing is what SQL can
     * construct — the decoder path is identical.
@@ -1316,16 +1352,20 @@ $steps,
           substring(x, 3, 2), substring(x, 1, 2))
       }
       val len = octet_length(col("text"))
+      val crc = crc32(col("text").cast(BinaryType)) // Spark builtin
       val deflateHex = concat(lit("01"), le16(len), le16(lit(65535) - len),
         hex(col("text").cast(BinaryType)))
-      def member(hdrHex: String, isize: Column): Column =
-        unhex(concat(lit(hdrHex), deflateHex, lit("00000000"), le32(isize)))
+      def member(hdrHex: String, crcV: Column, isize: Column): Column =
+        unhex(concat(lit(hdrHex), deflateHex, le32(crcV), le32(isize)))
       val blob = when(pmod(col("doc_id"), lit(4)) === 0,
-          member("1F8B08000000000000" + "03", len))
+          member("1F8B08000000000000" + "03", crc, len))
         .when(pmod(col("doc_id"), lit(4)) === 1, // FNAME 'a\0'
-          member("1F8B08080000000000" + "03" + "6100", len))
-        .when(pmod(col("doc_id"), lit(4)) === 2, // lying ISIZE
-          member("1F8B08000000000000" + "03", len + 1))
+          member("1F8B08080000000000" + "03" + "6100", crc, len))
+        .when(pmod(col("doc_id"), lit(8)) === 2, // lying ISIZE, true CRC
+          member("1F8B08000000000000" + "03", crc, len + 1))
+        .when(pmod(col("doc_id"), lit(8)) === 6, // true ISIZE, flipped CRC
+          member("1F8B08000000000000" + "03",
+            pmod(crc + 1, lit(4294967296L)), len))
         .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
       documents(s, dir)
         .select(col("doc_id"),
@@ -1454,7 +1494,8 @@ $steps,
         val sl = octet_length(segment)
         unhex(concat(lit(magic + "08000000000000" + "03"),
           lit("01"), le16(sl), le16(lit(65535) - sl),
-          hex(segment.cast(BinaryType)), lit("00000000"), le32(sl)))
+          hex(segment.cast(BinaryType)),
+          le32(crc32(segment.cast(BinaryType))), le32(sl)))
       }
       val textLen = octet_length(col("text"))
       val clLine = concat(lit("Content-Length: "), textLen)

@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
   * independent RFC 1952 implementation): a plain member, a member with
   * FNAME set (the common .gz-with-filename shape), and a hand-framed
   * member with FEXTRA + FHCRC — plus a JVM-side differential round-trip
-  * over random/repetitive payloads via GZIPOutputStream, and the NULL
-  * contract: wrong magic/CM, reserved FLG bits, lying ISIZE (both
+  * over random/repetitive payloads via GZIPOutputStream, the INTEGRITY
+  * contract (trailer CRC-32 and header CRC-16 are VERIFIED — real
+  * encoder trailers pass, a flipped bit NULLs; the JDK encoders whose
+  * output decodes here write their CRCs with java.util.zip, an
+  * implementation independent of graft.functions.Checksums), and the
+  * NULL contract: wrong magic/CM, reserved FLG bits, lying ISIZE (both
   * directions), truncation, and raw text.
   */
 class GzipInflateSpec extends SparkSpec {
@@ -35,11 +39,20 @@ class GzipInflateSpec extends SparkSpec {
     "1f8b08083930000002ff646f632e747874002bc94855282ccd4cce56482aca2fcf53" +
       "48cbaf50c82acd2d2856c82f4b2d5228014ae72456552aa4e4a7eb289818299464e6" +
       "a616eb010044f4304936000000")
-  // hand-framed FEXTRA (6 bytes) + FHCRC (junk crc16 — unverified)
-  private val extraHcrc = hx(
-    "1f8b0806000000000003060041420200787900002bc94855282ccd4cce56482aca2f" +
-      "cf5348cbaf50c82acd2d2856c82f4b2d5228014ae72456552aa4e4a7eb2898182994" +
-      "64e6a616eb010044f4304936000000")
+  // hand-framed FEXTRA (6 bytes) + FHCRC; the header CRC-16 at bytes
+  // 18..19 is computed with the JDK's CRC32 (independent of the
+  // Checksums table the decoder verifies with)
+  private val extraHcrc = {
+    val b = hx(
+      "1f8b0806000000000003060041420200787900002bc94855282ccd4cce56482aca2f" +
+        "cf5348cbaf50c82acd2d2856c82f4b2d5228014ae72456552aa4e4a7eb2898182994" +
+        "64e6a616eb010044f4304936000000")
+    val c = new java.util.zip.CRC32()
+    c.update(b, 0, 18)
+    b(18) = (c.getValue & 0xff).toByte
+    b(19) = ((c.getValue >> 8) & 0xff).toByte
+    b
+  }
 
   test("real encoder members decode; FNAME/FEXTRA/FHCRC fields skip") {
     assert(gunzip(plain, named, extraHcrc) ==
@@ -79,10 +92,16 @@ class GzipInflateSpec extends SparkSpec {
       truncated, rawText, Array.empty[Byte]) == Seq.fill(8)(None))
   }
 
-  test("junk trailer CRC still decodes (documented: CRC unverified)") {
-    val junkCrc = plain.clone()
-    junkCrc(junkCrc.length - 8) = 0x55.toByte // CRC32 byte, not ISIZE
-    assert(gunzip(junkCrc) == Seq(Some(text)))
+  test("integrity: flipped trailer CRC-32 or header CRC-16 is NULL") {
+    val badCrc = plain.clone()
+    badCrc(badCrc.length - 8) = (badCrc(badCrc.length - 8) ^ 1).toByte
+    val badHcrc = extraHcrc.clone()
+    badHcrc(18) = (badHcrc(18) ^ 1).toByte
+    // flip a DEFLATE byte but keep the (now stale) trailer: content no
+    // longer matches the CRC claim -> NULL, not garbage
+    val bitRot = plain.clone()
+    bitRot(12) = (bitRot(12) ^ 0x40).toByte
+    assert(gunzip(badCrc, badHcrc, bitRot) == Seq(None, None, None))
   }
 
   test("null input yields NULL; SQL surface registered") {

@@ -6,18 +6,22 @@ import org.apache.spark.sql.functions._
 /** Pins PngPixels against HAND-WRITTEN PNG bytes assembled from the
   * public specs (PNG chunk grammar, RFC 1950 zlib, RFC 1951 stored
   * blocks) — not round-tripped through the query's own construction, so
-  * a matching construct/parse bug cannot hide. Covers a single-IDAT
-  * stored stream, the zlib stream split across two IDAT chunks, multiple
-  * stored blocks (including an empty final block), the documented
-  * checksum-tolerant behavior (junk CRC/Adler still parses — structure
-  * probe, not integrity checker), hand-computed reconstruction for all
-  * FIVE standard filter types (None/Sub/Up/Average/Paeth, incl. the
-  * mod-256 wrap), REAL-ENCODER files (python zlib: a Z_FIXED
-  * fixed-Huffman 2x2 and a dynamic-Huffman 16x100, stored as resource
-  * hex — output of an independent implementation of the same RFC), and
-  * the NULL contract: reserved BTYPE, undefined filter types, wrong
-  * NLEN, truncation, RGBA/interlace/depth declarations, IHDR-not-first,
-  * FDICT, bad FCHECK, raw text.
+  * a matching construct/parse bug cannot hide. Checksums in these
+  * vectors come from java.util.zip.{CRC32, Adler32} — the JDK's
+  * INDEPENDENT implementations of the specs the decoder verifies with
+  * (graft.functions.Checksums) — so the verification paths are
+  * differentially covered here, not self-confirmed. Covers a
+  * single-IDAT stored stream, the zlib stream split across two IDAT
+  * chunks, multiple stored blocks (including an empty final block),
+  * the INTEGRITY contract (a flipped chunk CRC-32 or zlib Adler-32
+  * NULLs), hand-computed reconstruction for all FIVE standard filter
+  * types (None/Sub/Up/Average/Paeth, incl. the mod-256 wrap),
+  * REAL-ENCODER files (python zlib: a Z_FIXED fixed-Huffman 2x2 and a
+  * dynamic-Huffman 16x100, stored as resource hex with binascii-crc32
+  * chunk trailers — output of independent implementations of the same
+  * RFCs), and the NULL contract: reserved BTYPE, undefined filter
+  * types, wrong NLEN, truncation, RGBA/interlace/depth declarations,
+  * IHDR-not-first, FDICT, bad FCHECK, raw text.
   */
 class PngPixelsSpec extends SparkSpec {
   import spark.implicits._
@@ -39,30 +43,46 @@ class PngPixelsSpec extends SparkSpec {
       .map(Integer.parseInt(_, 16).toByte).toArray
 
   private val sig = "89504E47 0D0A1A0A"
-  // 2x2, depth 8, colour type 2 (RGB), no interlace; junk CRC (ignored)
-  private val ihdr2x2 =
-    "0000000D 49484452 00000002 00000002 08 02 00 00 00 DEADBEEF"
+
+  /** Chunk with a REAL CRC-32 (JDK CRC32 over type + data). */
+  private def chunk(typ: String, dataHex: String): String = {
+    val data = hx(dataHex)
+    val len = data.length
+    val c = new java.util.zip.CRC32()
+    c.update(hx(typ)); c.update(data)
+    f"$len%08X $typ $dataHex ${c.getValue}%08X"
+  }
+
+  /** Big-endian Adler-32 hex (JDK Adler32) of a raw-hex scanline stream. */
+  private def adler(rawHex: String): String = {
+    val a = new java.util.zip.Adler32()
+    a.update(hx(rawHex))
+    f"${a.getValue}%08X"
+  }
+
+  // 2x2, depth 8, colour type 2 (RGB), no interlace
+  private def ihdrChunk(depth: String = "08", colorType: String = "02",
+      interlace: String = "00"): String =
+    chunk("49484452",
+      s"00000002 00000002 $depth $colorType 00 00 $interlace")
+  private val ihdr2x2 = ihdrChunk()
   // raw scanlines: row0 = filter 0, (1,2,3) (4,5,6);
   //                row1 = filter 0, (250,0,128) (7,8,9)
   // sums: r = 1+4+250+7 = 262, g = 2+5+0+8 = 15, b = 3+6+128+9 = 146
   private val raw2x2 = "00 010203 040506" + " 00 FA0080 070809" // 14 bytes
-  private val iend = "00000000 49454E44 AE426082"
-  private def chunk(typ: String, dataHex: String): String = {
-    val len = dataHex.replaceAll("\\s", "").length / 2
-    f"$len%08X $typ $dataHex 00000000" // junk CRC
-  }
+  private val iend = chunk("49454E44", "")
   private val expect2x2 = Some((2, 2, 4L, 262L, 15L, 146L))
+  // one final stored block LEN=14 NLEN=~14 around raw2x2, real Adler
+  private val okData = "7801 01 0E00 F1FF " + raw2x2 + " " + adler(raw2x2)
 
   test("single-IDAT stored-deflate RGB PNG decodes to exact sums") {
-    // zlib 7801, one final stored block LEN=14 NLEN=~14, junk Adler
-    val idat = chunk("49444154", "7801 01 0E00 F1FF " + raw2x2 + " 11223344")
-    val v = hx(sig + ihdr2x2 + idat + iend)
+    val v = hx(sig + ihdr2x2 + chunk("49444154", okData) + iend)
     assert(px(v) == Seq(expect2x2))
   }
 
   test("zlib stream split across two IDAT chunks concatenates") {
     val idat1 = chunk("49444154", "7801 01 0E00 F1FF")
-    val idat2 = chunk("49444154", raw2x2 + " 11223344")
+    val idat2 = chunk("49444154", raw2x2 + " " + adler(raw2x2))
     val v = hx(sig + ihdr2x2 + idat1 + idat2 + iend)
     assert(px(v) == Seq(expect2x2))
   }
@@ -70,10 +90,11 @@ class PngPixelsSpec extends SparkSpec {
   test("multiple stored blocks, including an empty final block") {
     // block1 (not final) carries row0 (7 bytes), block2 (final) row1
     val twoBlocks = chunk("49444154",
-      "7801 00 0700 F8FF 00 010203 040506 01 0700 F8FF 00 FA0080 070809")
+      "7801 00 0700 F8FF 00 010203 040506 01 0700 F8FF 00 FA0080 070809 " +
+        adler(raw2x2))
     // block1 carries all 14 bytes, final block is EMPTY (LEN=0)
     val emptyFinal = chunk("49444154",
-      "7801 00 0E00 F1FF " + raw2x2 + " 01 0000 FFFF")
+      "7801 00 0E00 F1FF " + raw2x2 + " 01 0000 FFFF " + adler(raw2x2))
     val a = hx(sig + ihdr2x2 + twoBlocks + iend)
     val b = hx(sig + ihdr2x2 + emptyFinal + iend)
     assert(px(a, b) == Seq(expect2x2, expect2x2))
@@ -81,8 +102,8 @@ class PngPixelsSpec extends SparkSpec {
 
   test("all five filter types reconstruct per RFC 2083 §6 (hand-computed)") {
     def img(rawHex: String): Array[Byte] =
-      hx(sig + ihdr2x2 + chunk("49444154", "7801 01 0E00 F1FF " + rawHex) +
-        iend)
+      hx(sig + ihdr2x2 + chunk("49444154",
+        "7801 01 0E00 F1FF " + rawHex + " " + adler(rawHex)) + iend)
     // Sub: row0 filter 1, raw (1,2,3)(4,5,6) -> px (1,2,3)(5,7,9);
     //      row1 filter 0, (250,0,128)(7,8,9)
     val sub = img("01 010203 040506 00 FA0080 070809")
@@ -106,23 +127,47 @@ class PngPixelsSpec extends SparkSpec {
       Some((2, 2, 4L, 254L, 0L, 0L))))
   }
 
+  test("integrity: flipped chunk CRC-32 or zlib Adler-32 is NULL") {
+    val good = hx(sig + ihdr2x2 + chunk("49444154", okData) + iend)
+    // flip one bit in the IDAT chunk's CRC (last 4 bytes before IEND's
+    // 12-byte chunk)
+    val badIdatCrc = good.clone()
+    badIdatCrc(good.length - 13) = (badIdatCrc(good.length - 13) ^ 1).toByte
+    // flip one bit in the IHDR CRC
+    val badIhdrCrc = good.clone()
+    badIhdrCrc(8 + 8 + 13) = (badIhdrCrc(8 + 8 + 13) ^ 1).toByte
+    // wrong Adler: correct framing, trailer off by one
+    val badAdlerHex = {
+      val a = new java.util.zip.Adler32()
+      a.update(hx(raw2x2))
+      f"${(a.getValue + 1) & 0xffffffffL}%08X"
+    }
+    val badAdler = hx(sig + ihdr2x2 +
+      chunk("49444154", "7801 01 0E00 F1FF " + raw2x2 + " " + badAdlerHex) +
+      iend)
+    // flip a PIXEL byte but keep the (now stale) checksums
+    val bitRot = good.clone()
+    bitRot(8 + 8 + 13 + 4 + 8 + 7) = 0x7f.toByte
+    assert(px(good, badIdatCrc, badIhdrCrc, badAdler, bitRot) ==
+      Seq(expect2x2, None, None, None, None))
+  }
+
   test("corrupt and out-of-scope shapes yield NULL") {
     def mk(idatData: String, ihdr: String = ihdr2x2): Array[Byte] =
       hx(sig + ihdr + chunk("49444154", idatData) + iend)
-    val okData = "7801 01 0E00 F1FF " + raw2x2
-    val reservedBtype = mk("7801 07 0E00 F1FF " + raw2x2) // BTYPE=11
-    val badNlen = mk("7801 01 0E00 F0FF " + raw2x2)
+    val reservedBtype = mk("7801 07 0E00 F1FF " + raw2x2 + " " + adler(raw2x2))
+    val badNlen = mk("7801 01 0E00 F0FF " + raw2x2 + " " + adler(raw2x2))
     val truncated = mk("7801 01 0E00 F1FF 00 010203") // body short
-    val shortStream = mk("7801 01 0700 F8FF 00 010203 040506") // one row only
-    val filteredRow = mk("7801 01 0E00 F1FF 05 010203 040506 00 FA0080 070809")
-    val fdictSet = mk("7820 01 0E00 F1FF " + raw2x2) // FCHECK ok, FDICT on
-    val badFcheck = mk("7802 01 0E00 F1FF " + raw2x2)
-    val rgba = mk(okData,
-      "0000000D 49484452 00000002 00000002 08 06 00 00 00 00000000")
-    val depth16 = mk(okData,
-      "0000000D 49484452 00000002 00000002 10 02 00 00 00 00000000")
-    val interlaced = mk(okData,
-      "0000000D 49484452 00000002 00000002 08 02 00 00 01 00000000")
+    val shortStream = // one row only
+      mk("7801 01 0700 F8FF 00 010203 040506 " + adler("00 010203 040506"))
+    val filteredRaw = "05 010203 040506 00 FA0080 070809"
+    val filteredRow =
+      mk("7801 01 0E00 F1FF " + filteredRaw + " " + adler(filteredRaw))
+    val fdictSet = mk("7820 01 0E00 F1FF " + raw2x2 + " " + adler(raw2x2))
+    val badFcheck = mk("7802 01 0E00 F1FF " + raw2x2 + " " + adler(raw2x2))
+    val rgba = mk(okData, ihdrChunk(colorType = "06"))
+    val depth16 = mk(okData, ihdrChunk(depth = "10"))
+    val interlaced = mk(okData, ihdrChunk(interlace = "01"))
     val ihdrNotFirst = hx(sig + chunk("67414D41", "00000000") + ihdr2x2 +
       chunk("49444154", okData) + iend)
     val noIdat = hx(sig + ihdr2x2 + iend)
@@ -140,7 +185,8 @@ class PngPixelsSpec extends SparkSpec {
     }
     // python zlib Z_FIXED over the spec's 2x2 scanlines; python zlib
     // level 9 over a 16x100 image big enough that the encoder emits a
-    // DYNAMIC-Huffman block (verified at generation: BTYPE=10)
+    // DYNAMIC-Huffman block (verified at generation: BTYPE=10); chunk
+    // CRCs written by python binascii.crc32
     val fixed = res("fixed_2x2.hex")
     val dyn = res("dynamic_16x100.hex")
     assert(px(fixed, dyn) == Seq(
@@ -156,8 +202,7 @@ class PngPixelsSpec extends SparkSpec {
 
   test("registered on the SQL surface") {
     graft.functions.GraftFunctions.register(spark)
-    val idat = chunk("49444154", "7801 01 0E00 F1FF " + raw2x2)
-    val v = hx(sig + ihdr2x2 + idat + iend)
+    val v = hx(sig + ihdr2x2 + chunk("49444154", okData) + iend)
     val out = Seq(Tuple1(v)).toDF("b")
       .selectExpr("png_pixels(b).sum_r AS r").collect()
     assert(out(0).getLong(0) == 262L)
