@@ -54,6 +54,8 @@ object GraftFunctions {
       "warc_records", exprs => WarcRecords(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "adler32", exprs => Adler32Fn(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "tar_entries", exprs => TarEntries(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -146,6 +148,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("adler32"),
       new ExpressionInfo(classOf[Adler32Fn].getName, "adler32"),
       (exprs: Seq[Expression]) => Adler32Fn(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("tar_entries"),
+      new ExpressionInfo(classOf[TarEntries].getName, "tar_entries"),
+      (exprs: Seq[Expression]) => TarEntries(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

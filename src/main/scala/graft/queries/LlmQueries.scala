@@ -1538,6 +1538,221 @@ $steps,
              target_uri, content_length, payload_md5
       FROM r ORDER BY doc_id, rec_idx NULLS FIRST"""))
 
+  // --- tar construction helpers (driver-side constant arithmetic for
+  // the fixed ustar fields; the VARIABLE name/size sums are column
+  // arithmetic in the query) — construction only, independent of the
+  // TarEntries parser, which is pinned against real `tar` output in
+  // TarEntriesSpec ---
+  private def tarByteSum(s: String): Int = s.getBytes("UTF-8").map(_ & 0xff).sum
+  private def tarHexOf(s: String): String =
+    s.getBytes("UTF-8").map("%02x".format(_)).mkString
+  private def tarFieldHex(s: String, width: Int): String =
+    tarHexOf(s) + "00" * (width - s.getBytes("UTF-8").length)
+  private val TarMode = "0000644\u0000"
+  private val TarUid = "0000000\u0000"
+  private val TarMtime = "00000000000 "
+  private def tarMagicVer(gnu: Boolean): String =
+    if (gnu) "ustar " + " \u0000" else "ustar\u0000" + "00"
+
+  /** Shared by llm_source_tar and llm_source_targz -- the composed
+    * query's per-doc outputs equal the direct one's exactly.
+    */
+  private val tarOracleSql = """
+      WITH valid AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <= 1),
+      r AS (
+        SELECT doc_id, 0 AS entry_idx,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'doc' || CAST(doc_id AS VARCHAR) || '.txt'
+                    ELSE 'corpus/doc' || CAST(doc_id AS VARCHAR) || '.txt'
+               END AS name,
+               '0' AS typeflag, CAST(strlen(text) AS BIGINT) AS size,
+               md5(text) AS payload_md5
+        FROM valid
+        UNION ALL
+        SELECT doc_id, 1, 'meta/info', '0', CAST(2 AS BIGINT), md5('ok')
+        FROM valid
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 4 >= 2)
+      SELECT doc_id, CAST(entry_idx AS INTEGER) AS entry_idx, name,
+             typeflag, size, payload_md5
+      FROM r ORDER BY doc_id, entry_idx NULLS FIRST"""
+
+  /** A fully constant 512+512-byte tar entry (header + padded payload)
+    * as hex: name "meta/info", 2-byte payload "ok" — the second entry
+    * of every valid lane, in the POSIX or GNU magic spelling.
+    */
+  private def tarConstEntryHex(gnu: Boolean): String = {
+    val name = "meta/info"
+    val szoct = "00000000002 "
+    val sum = tarByteSum(name) + tarByteSum(TarMode + TarUid + TarUid) +
+      tarByteSum(szoct) + tarByteSum(TarMtime) + 8 * 32 + '0'.toInt +
+      tarByteSum(tarMagicVer(gnu))
+    val chk = "%06o".format(sum) + "\u0000 "
+    tarFieldHex(name, 100) + tarHexOf(TarMode + TarUid + TarUid) +
+      tarHexOf(szoct) + tarHexOf(TarMtime) + tarHexOf(chk) + "30" +
+      "00" * 100 + tarHexOf(tarMagicVer(gnu)) + "00" * 80 + "00" * 155 +
+      "00" * 12 + tarFieldHex("ok", 512)
+  }
+
+  /** Column asciiSum over an ASCII column — the tar checksum's
+    * variable part (header checksum = unsigned byte sum with the
+    * checksum field as 8 spaces, POSIX.1-1988).
+    */
+  private def tarAsciiSum(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(split(c, ""), lit(0), (a, ch) => a + ascii(ch))
+
+  /** In-engine TAR parsing (functions/TarEntries — POSIX ustar, the
+    * container training corpora actually ship): per-doc two-entry
+    * archives parsed to (entry_idx, name, typeflag, size, payload_md5),
+    * constructed entirely in column space INCLUDING the verified header
+    * checksum (constant field sums are Scala arithmetic, the name/size
+    * sums are aggregate(split(...), ascii) columns). Four lanes: a
+    * plain POSIX archive; a POSIX entry using the PREFIX field
+    * ("corpus" → name joins as corpus/doc<id>.txt) followed by a
+    * GNU-magic ("ustar  \0") entry — both spellings load-bearing; a
+    * corrupt pair alternating a FLIPPED CHECKSUM with a size field
+    * lying ~1e8 bytes past the input (strict NULL, the overrun guard);
+    * and a raw-text lane. The oracle is pure arithmetic (names/sizes/
+    * md5s from doc fields). Map-only, codegen'd; real `tar` binary
+    * output is pinned in TarEntriesSpec.
+    */
+  val sourceTar = QueryDef(
+    "llm_source_tar",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val base = documents(s, dir)
+        .withColumn("__name", concat(lit("doc"), col("doc_id"), lit(".txt")))
+        .withColumn("__sz", octet_length(col("text")))
+        .withColumn("__szoct", lpad(conv(col("__sz"), 10, 8), 11, "0"))
+        .withColumn("__szoct_lie",
+          lpad(conv(col("__sz") + 100000000, 10, 8), 11, "0"))
+        .withColumn("__paypad",
+          expr("rpad(hex(cast(text AS BINARY)), " +
+            "cast((__sz + 511) div 512 AS INT) * 1024, '0')"))
+      def entry0Hdr(prefix: String, szoct: Column, chkBump: Int): Column = {
+        val constSum = tarByteSum(TarMode + TarUid + TarUid) +
+          tarByteSum(TarMtime) + 8 * 32 + '0'.toInt +
+          tarByteSum(tarMagicVer(gnu = false)) + tarByteSum(prefix)
+        val chk = lit(constSum + 32 + chkBump) + tarAsciiSum(col("__name")) +
+          tarAsciiSum(szoct)
+        concat(
+          rpad(hex(col("__name").cast(BinaryType)), 200, "0"),
+          lit(tarHexOf(TarMode + TarUid + TarUid)),
+          hex(szoct.cast(BinaryType)), lit("20"),
+          lit(tarHexOf(TarMtime)),
+          hex(lpad(conv(chk, 10, 8), 6, "0").cast(BinaryType)), lit("0020"),
+          lit("30"), lit("00" * 100),
+          lit(tarHexOf(tarMagicVer(gnu = false))),
+          lit("00" * 80), lit(tarFieldHex(prefix, 155)), lit("00" * 12))
+      }
+      val endHex = lit("00" * 1024)
+      def archive(prefix: String, gnuSecond: Boolean, szoct: Column,
+          chkBump: Int): Column = concat(
+        entry0Hdr(prefix, szoct, chkBump), col("__paypad"),
+        lit(tarConstEntryHex(gnuSecond)), endHex)
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          unhex(archive("", gnuSecond = false, col("__szoct"), 0)))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          unhex(archive("corpus", gnuSecond = true, col("__szoct"), 0)))
+        .when(pmod(col("doc_id"), lit(8)) === 2, // flipped checksum
+          unhex(archive("", gnuSecond = false, col("__szoct"), 1)))
+        .when(pmod(col("doc_id"), lit(8)) === 6, // size lies past input
+          unhex(archive("", gnuSecond = false, col("__szoct_lie"), 0)))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      base
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.TarEntries.tar_entries(blob)))
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("entry_idx"),
+          col("col.name").as("name"),
+          col("col.typeflag").as("typeflag"),
+          col("col.size").as("size"),
+          col("col.payload_md5").as("payload_md5"))
+        .orderBy("doc_id", "entry_idx")
+    },
+    Some(tarOracleSql))
+
+  /** The composed archive-source pipeline: a tarball INSIDE a gzip
+    * member — the literal `.tar.gz` layout every file-based training
+    * corpus ships — decoded by tar_entries(gzip_inflate(blob)) in one
+    * map-only plan (both codegen'd expressions fuse into the scan; the
+    * warc.gz precedent, now for the archive family). Lanes mirror
+    * llm_source_tar's valid pair verbatim, then separate the failure
+    * layers: a corrupt GZIP magic (outer decode NULLs before the inner
+    * parser runs) and a valid gzip whose INNER tar has a flipped
+    * header checksum (outer succeeds, inner strict probe NULLs). The
+    * per-doc outputs equal llm_source_tar's EXACTLY, so the adversarial
+    * pin hash is shared — the composed plan provably lands on
+    * identical rows.
+    */
+  val sourceTarGz = QueryDef(
+    "llm_source_targz",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val base = documents(s, dir)
+        .withColumn("__name", concat(lit("doc"), col("doc_id"), lit(".txt")))
+        .withColumn("__sz", octet_length(col("text")))
+        .withColumn("__szoct", lpad(conv(col("__sz"), 10, 8), 11, "0"))
+        .withColumn("__paypad",
+          expr("rpad(hex(cast(text AS BINARY)), " +
+            "cast((__sz + 511) div 512 AS INT) * 1024, '0')"))
+      def entry0Hdr(prefix: String, chkBump: Int): Column = {
+        val constSum = tarByteSum(TarMode + TarUid + TarUid) +
+          tarByteSum(TarMtime) + 8 * 32 + '0'.toInt +
+          tarByteSum(tarMagicVer(gnu = false)) + tarByteSum(prefix)
+        val chk = lit(constSum + 32 + chkBump) + tarAsciiSum(col("__name")) +
+          tarAsciiSum(col("__szoct"))
+        concat(
+          rpad(hex(col("__name").cast(BinaryType)), 200, "0"),
+          lit(tarHexOf(TarMode + TarUid + TarUid)),
+          hex(col("__szoct").cast(BinaryType)), lit("20"),
+          lit(tarHexOf(TarMtime)),
+          hex(lpad(conv(chk, 10, 8), 6, "0").cast(BinaryType)), lit("0020"),
+          lit("30"), lit("00" * 100),
+          lit(tarHexOf(tarMagicVer(gnu = false))),
+          lit("00" * 80), lit(tarFieldHex(prefix, 155)), lit("00" * 12))
+      }
+      def tarHexCol(prefix: String, gnuSecond: Boolean,
+          chkBump: Int): Column = concat(
+        entry0Hdr(prefix, chkBump), col("__paypad"),
+        lit(tarConstEntryHex(gnuSecond)), lit("00" * 1024))
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def gz(tarHex: Column, magic: String): Column = {
+        val bl = length(tarHex) / 2
+        unhex(concat(lit(magic + "08000000000000" + "03"),
+          lit("01"), le16(bl), le16(lit(65535) - bl), tarHex,
+          le32(crc32(unhex(tarHex))), le32(bl)))
+      }
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          gz(tarHexCol("", gnuSecond = false, 0), "1F8B"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          gz(tarHexCol("corpus", gnuSecond = true, 0), "1F8B"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, // corrupt gzip layer
+          gz(tarHexCol("", gnuSecond = false, 0), "1E8B"))
+        .otherwise( // valid gzip, corrupt inner tar checksum
+          gz(tarHexCol("", gnuSecond = false, 1), "1F8B"))
+      base
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.TarEntries.tar_entries(
+            graft.functions.GzipInflate.gzip_inflate(blob))))
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("entry_idx"),
+          col("col.name").as("name"),
+          col("col.typeflag").as("typeflag"),
+          col("col.size").as("size"),
+          col("col.payload_md5").as("payload_md5"))
+        .orderBy("doc_id", "entry_idx")
+    },
+    Some(tarOracleSql))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -4374,7 +4589,8 @@ $steps,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
-    textUnigram, sourceGzip, sourceWarc, crawlPipeline,
+    textUnigram, sourceGzip, sourceWarc, crawlPipeline, sourceTar,
+    sourceTarGz,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
