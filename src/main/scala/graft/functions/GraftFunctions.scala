@@ -56,6 +56,8 @@ object GraftFunctions {
       "adler32", exprs => Adler32Fn(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "tar_entries", exprs => TarEntries(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "zip_entries", exprs => ZipEntries(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -152,6 +154,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("tar_entries"),
       new ExpressionInfo(classOf[TarEntries].getName, "tar_entries"),
       (exprs: Seq[Expression]) => TarEntries(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("zip_entries"),
+      new ExpressionInfo(classOf[ZipEntries].getName, "zip_entries"),
+      (exprs: Seq[Expression]) => ZipEntries(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

@@ -1753,6 +1753,117 @@ $steps,
     },
     Some(tarOracleSql))
 
+  /** In-engine ZIP parsing (functions/ZipEntries — PKWARE APPNOTE, read
+    * the spec-correct way from the CENTRAL DIRECTORY, per-entry CRC-32
+    * verified, DEFLATE entries inflated in-engine): per-doc two-entry
+    * archives — a STORED entry carrying the text and a METHOD-8 entry
+    * whose deflate stream wraps the same text (so both decode paths
+    * run on variable data and both md5s must agree with md5(text)) —
+    * constructed entirely in column space: local headers, central
+    * directory with exact offsets, and the end-of-central-directory
+    * record whose count/size/offset fields the parser cross-checks.
+    * Four lanes: plain; with an archive COMMENT (the EOCD backward
+    * scan is load-bearing) and a local EXTRA field (local-vs-central
+    * length divergence is load-bearing); a corrupt pair alternating a
+    * FLIPPED entry CRC with LYING EOCD counts; raw text. Oracle is
+    * pure arithmetic; real streaming-encoder output (JDK
+    * ZipOutputStream, flag bit 3 + data descriptors) is pinned in
+    * ZipEntriesSpec. Map-only, codegen'd.
+    */
+  val sourceZip = QueryDef(
+    "llm_source_zip",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val sz = octet_length(col("text"))
+      val crc = crc32(col("text").cast(BinaryType))
+      val textHex = hex(col("text").cast(BinaryType))
+      val nameA = concat(lit("doc"), col("doc_id"), lit(".txt"))
+      val nameB = concat(lit("doc"), col("doc_id"), lit(".z"))
+      val lenA = length(nameA)
+      val lenB = length(nameB)
+      // method-8 payload: one stored-deflate block over the text
+      val deflHex = concat(lit("01"), le16(sz), le16(lit(65535) - sz),
+        textHex)
+      def local(name: Column, method: Int, crcV: Column, csize: Column,
+          usize: Column, extraHex: String, dataHex: Column): Column = concat(
+        // sig, version 20, flags 0, method (LE), time 0, date 0
+        lit("504B030414000000"), lit("%02X00".format(method)),
+        lit("00000000"), le32(crcV), le32(csize), le32(usize),
+        le16(length(name)), le16(lit(extraHex.length / 2)),
+        hex(name.cast(BinaryType)), lit(extraHex), dataHex)
+      def central(name: Column, method: Int, crcV: Column, csize: Column,
+          usize: Column, off: Column): Column = concat(
+        // sig, made-by 20, needed 20, flags 0, method (LE), time, date
+        lit("504B0102140014000000"), lit("%02X00".format(method)),
+        lit("00000000"), le32(crcV), le32(csize), le32(usize),
+        le16(length(name)), lit("0000" + "0000" + "0000" + "0000"),
+        lit("00000000"), le32(off), hex(name.cast(BinaryType)))
+      def eocd(count: Column, cdSize: Column, cdOff: Column,
+          commentHex: String): Column = concat(
+        lit("504B050600000000"), le16(count), le16(count), le32(cdSize),
+        le32(cdOff), le16(lit(commentHex.length / 2)), lit(commentHex))
+      def zipHex(extraHexA: String, commentHex: String, crcBump: Int,
+          countBump: Int): Column = {
+        val crcA = pmod(crc + crcBump, lit(4294967296L))
+        val localALen = lit(30) + lenA + lit(extraHexA.length / 2) + sz
+        val localBLen = lit(30) + lenB + (sz + lit(5))
+        val cdOff = localALen + localBLen
+        val cdSize = lit(92) + lenA + lenB
+        concat(
+          local(nameA, 0, crcA, sz, sz, extraHexA, textHex),
+          local(nameB, 8, crc, sz + lit(5), sz, "", deflHex),
+          central(nameA, 0, crcA, sz, sz, lit(0)),
+          central(nameB, 8, crc, sz + lit(5), sz, localALen),
+          eocd(lit(2 + countBump), cdSize, cdOff, commentHex))
+      }
+      val commentHex = tarHexOf("archive comment with PK bait")
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          unhex(zipHex("", "", 0, 0)))
+        .when(pmod(col("doc_id"), lit(4)) === 1, // comment + local extra
+          unhex(zipHex("0102030405060708", commentHex, 0, 0)))
+        .when(pmod(col("doc_id"), lit(8)) === 2, // flipped entry CRC
+          unhex(zipHex("", "", 1, 0)))
+        .when(pmod(col("doc_id"), lit(8)) === 6, // lying EOCD counts
+          unhex(zipHex("", "", 0, 1)))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.ZipEntries.zip_entries(blob)))
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("entry_idx"),
+          col("col.name").as("name"),
+          col("col.method").as("method"),
+          col("col.size").as("size"),
+          col("col.payload_md5").as("payload_md5"))
+        .orderBy("doc_id", "entry_idx")
+    },
+    Some("""
+      WITH valid AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <= 1),
+      r AS (
+        SELECT doc_id, 0 AS entry_idx,
+               'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+               0 AS method, CAST(strlen(text) AS BIGINT) AS size,
+               md5(text) AS payload_md5
+        FROM valid
+        UNION ALL
+        SELECT doc_id, 1, 'doc' || CAST(doc_id AS VARCHAR) || '.z', 8,
+               CAST(strlen(text) AS BIGINT), md5(text)
+        FROM valid
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 4 >= 2)
+      SELECT doc_id, CAST(entry_idx AS INTEGER) AS entry_idx, name,
+             CAST(method AS INTEGER) AS method, size, payload_md5
+      FROM r ORDER BY doc_id, entry_idx NULLS FIRST"""))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -4590,7 +4701,7 @@ $steps,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, sourceTar,
-    sourceTarGz,
+    sourceTarGz, sourceZip,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
