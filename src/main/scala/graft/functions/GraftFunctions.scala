@@ -58,6 +58,8 @@ object GraftFunctions {
       "tar_entries", exprs => TarEntries(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "zip_entries", exprs => ZipEntries(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "gif_pixels", exprs => GifPixels(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -158,6 +160,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("zip_entries"),
       new ExpressionInfo(classOf[ZipEntries].getName, "zip_entries"),
       (exprs: Seq[Expression]) => ZipEntries(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("gif_pixels"),
+      new ExpressionInfo(classOf[GifPixels].getName, "gif_pixels"),
+      (exprs: Seq[Expression]) => GifPixels(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

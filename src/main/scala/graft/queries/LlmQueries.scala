@@ -1864,6 +1864,101 @@ $steps,
              CAST(method AS INTEGER) AS method, size, payload_md5
       FROM r ORDER BY doc_id, entry_idx NULLS FIRST"""))
 
+  /** GIF LZW pixel decode (functions/GifPixels — the third fully-real
+    * pixel format after BMP and PNG; the declared-fake line now holds
+    * only entropy-coded JPEG): exact per-channel sums over constructed
+    * GIF89a files whose LZW stream uses the CLEAR-per-literal coding —
+    * with min-code-size 7 every code (clear 0x80, a literal, end 0x81)
+    * is exactly one byte, so construction stays column arithmetic
+    * while the decoder still runs its full variable-width dictionary
+    * machine (real dictionary growth, width bumps, interlacing and the
+    * javax.imageio canonical encoder are pinned in GifPixelsSpec).
+    * Four lanes: a plain 128-entry global-palette image (all entries
+    * the doc's RGB, so any index maps to it — the oracle stays
+    * n_px·channel); a deliberately-WRONG global palette overridden by
+    * a LOCAL color table, with a comment extension before the image
+    * (LCT precedence and extension skipping are load-bearing); a
+    * corrupt pair alternating a pixel index OUTSIDE a shrunk 2-entry
+    * palette with an off-by-one pixel COUNT; raw text. Map-only,
+    * codegen'd.
+    */
+  val multimodalPixelsGif = QueryDef(
+    "llm_multimodal_pixels_gif",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val w = (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)
+      val h = (pmod(col("n_chars"), lit(4)) + 1).cast(IntegerType)
+      val rCh = pmod(col("doc_id") * 5, lit(256))
+      val gCh = pmod(col("n_chars") * 7, lit(256))
+      val bCh = pmod(col("doc_id") + col("n_chars") * 2, lit(256))
+      val base = documents(s, dir)
+        .withColumn("__w", w).withColumn("__h", h)
+        .withColumn("__npx", w * h)
+        .withColumn("__rgb", concat(lpad(hex(rCh), 2, "0"),
+          lpad(hex(gCh), 2, "0"), lpad(hex(bCh), 2, "0")))
+      val sig = lit("474946383961")
+      def lsd(packed: String): Column =
+        concat(le16(col("__w")), le16(col("__h")), lit(packed + "0000"))
+      val gct128 = expr("repeat(__rgb, 128)")
+      val wrongGct = lit("FF00FF" * 128)
+      val comment = lit("21FE03414243" + "00")
+      def imgDesc(packed: String): Column = concat(lit("2C00000000"),
+        le16(col("__w")), le16(col("__h")), lit(packed))
+      val trailer = lit("3B")
+      // CLEAR-per-literal LZW at mcs 7: every code is one byte
+      val lzwGood = concat(lit("07"),
+        lpad(hex(col("__npx") * 2 + 1), 2, "0"),
+        expr("repeat('8005', __npx)"), lit("8100"))
+      val lzwExtra = concat(lit("07"),
+        lpad(hex(col("__npx") * 2 + 3), 2, "0"),
+        expr("repeat('8005', __npx + 1)"), lit("8100"))
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          unhex(concat(sig, lsd("86"), gct128, imgDesc("00"), lzwGood,
+            trailer)))
+        .when(pmod(col("doc_id"), lit(4)) === 1, // wrong GCT, LCT wins
+          unhex(concat(sig, lsd("86"), wrongGct, comment, imgDesc("86"),
+            gct128, lzwGood, trailer)))
+        .when(pmod(col("doc_id"), lit(8)) === 2, // index 5 past a 2-entry GCT
+          unhex(concat(sig, lsd("80"), expr("repeat(__rgb, 2)"),
+            imgDesc("00"), lzwGood, trailer)))
+        .when(pmod(col("doc_id"), lit(8)) === 6, // pixel count off by one
+          unhex(concat(sig, lsd("86"), gct128, imgDesc("00"), lzwExtra,
+            trailer)))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      base
+        .select(col("doc_id").as("media_id"),
+          graft.functions.GifPixels.gif_pixels(blob).as("__p"))
+        .select(col("media_id"), col("__p.width").as("width"),
+          col("__p.height").as("height"), col("__p.n_px").as("n_px"),
+          col("__p.sum_r").as("sum_r"), col("__p.sum_g").as("sum_g"),
+          col("__p.sum_b").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 4 >= 2 THEN NULL
+                  ELSE CAST(doc_id % 3 + 1 AS INTEGER) END AS width,
+             CASE WHEN doc_id % 4 >= 2 THEN NULL
+                  ELSE CAST(n_chars % 4 + 1 AS INTEGER) END AS height,
+             CASE WHEN doc_id % 4 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1) AS BIGINT)
+                  END AS n_px,
+             CASE WHEN doc_id % 4 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
+                            * ((doc_id * 5) % 256) AS BIGINT) END AS sum_r,
+             CASE WHEN doc_id % 4 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
+                            * ((n_chars * 7) % 256) AS BIGINT) END AS sum_g,
+             CASE WHEN doc_id % 4 >= 2 THEN NULL
+                  ELSE CAST((doc_id % 3 + 1) * (n_chars % 4 + 1)
+                            * ((doc_id + n_chars * 2) % 256) AS BIGINT)
+                  END AS sum_b
+      FROM documents ORDER BY media_id"""))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -4701,7 +4796,7 @@ $steps,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, sourceTar,
-    sourceTarGz, sourceZip,
+    sourceTarGz, sourceZip, multimodalPixelsGif,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
