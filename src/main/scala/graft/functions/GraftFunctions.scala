@@ -60,6 +60,8 @@ object GraftFunctions {
       "zip_entries", exprs => ZipEntries(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "gif_pixels", exprs => GifPixels(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "jpeg_pixels", exprs => JpegPixels(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -164,6 +166,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("gif_pixels"),
       new ExpressionInfo(classOf[GifPixels].getName, "gif_pixels"),
       (exprs: Seq[Expression]) => GifPixels(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("jpeg_pixels"),
+      new ExpressionInfo(classOf[JpegPixels].getName, "jpeg_pixels"),
+      (exprs: Seq[Expression]) => JpegPixels(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

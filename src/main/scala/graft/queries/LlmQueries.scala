@@ -1959,6 +1959,129 @@ $steps,
                   END AS sum_b
       FROM documents ORDER BY media_id"""))
 
+  /** Baseline JPEG pixel decode (functions/JpegPixels — the LAST format
+    * off the declared-fake codec line: T.81 Huffman entropy decode,
+    * dequant, LL&M integer IDCT, CCIR 601 integer color conversion;
+    * bit-exact against the JDK decoder for grayscale and 4:4:4 per
+    * JpegPixelsSpec). The query constructs DC-only JPEGs in column
+    * space — the one entropy shape SQL can assemble: with the trivial
+    * tables (DC category t ↔ the 4-bit code t, AC EOB ↔ the 1-bit
+    * code 0) a block is cat(4b) + value bits + EOB(1b), and a DC-only
+    * block IDCTs to the exact flat value dc+128 under Q=8, so the
+    * oracle is pure arithmetic. Lanes: a GRAYSCALE single-block image
+    * (dc spans the full ±127 category range); a 4:4:4 COLOR image
+    * whose three components are pinned to category 6 (so the 33-bit
+    * stream can never form a stray 0xFF byte) with the oracle
+    * replaying the decoder's integer YCbCr→RGB formula verbatim; a
+    * corrupt pair alternating an undefined Huffman code (category 12)
+    * with a PROGRESSIVE frame marker (SOF2 — the declared out-of-scope
+    * boundary); raw text. Map-only, codegen'd.
+    */
+  val multimodalPixelsJpeg = QueryDef(
+    "llm_multimodal_pixels_jpeg",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def be16(c: Column): Column = lpad(hex(c), 4, "0")
+      val dqt8 = "FFDB004300" + "08" * 64
+      val dhtDc = "FFC4001F00" + "0000000C" + "00" * 12 +
+        "000102030405060708090A0B"
+      val dhtAc = "FFC40014" + "10" + "01" + "00" * 15 + "00"
+      val tables = dqt8 + dhtDc + dhtAc
+      val w = (pmod(col("doc_id"), lit(8)) + 1).cast(IntegerType)
+      val h = (pmod(col("n_chars"), lit(8)) + 1).cast(IntegerType)
+      val base = documents(s, dir)
+        .withColumn("__w", w).withColumn("__h", h)
+        .withColumn("__gray", pmod(col("doc_id") * 3 + col("n_chars"),
+          lit(256)))
+        .withColumn("__dc", col("__gray") - 128)
+        .withColumn("__cat", expr(
+          "CASE WHEN __dc = 0 THEN 0 " +
+            "ELSE length(bin(abs(CAST(__dc AS BIGINT)))) END"))
+        .withColumn("__vbits", expr(
+          "CASE WHEN __cat = 0 THEN '' ELSE lpad(bin(CAST(" +
+            "IF(__dc >= 0, __dc, __dc + CAST(pow(2, __cat) AS INT) - 1) " +
+            "AS BIGINT)), __cat, '0') END"))
+        .withColumn("__bits",
+          expr("concat(lpad(bin(__cat), 4, '0'), __vbits, '0')"))
+        .withColumn("__nb", expr("CAST((length(__bits) + 7) DIV 8 AS INT)"))
+        .withColumn("__entropy", expr(
+          "lpad(conv(rpad(__bits, __nb * 8, '1'), 2, 16), __nb * 2, '0')"))
+        // color lane: all three components pinned to category 6
+        .withColumn("__y", lit(160) + pmod(col("doc_id"), lit(32)))
+        .withColumn("__cb", lit(65) + pmod(col("n_chars"), lit(32)))
+        .withColumn("__cr", lit(65) + pmod(col("doc_id") * 3, lit(32)))
+        .withColumn("__cbits", expr(
+          "concat('0110', bin(CAST(__y - 128 AS BIGINT)), '0'," +
+            " '0110', lpad(bin(CAST(__cb - 65 AS BIGINT)), 6, '0'), '0'," +
+            " '0110', lpad(bin(CAST(__cr - 65 AS BIGINT)), 6, '0'), '0')"))
+        .withColumn("__centropy", expr(
+          "lpad(conv(rpad(__cbits, 40, '1'), 2, 16), 10, '0')"))
+      def grayHex(sof: String): Column = concat(
+        lit("FFD8" + tables + sof + "000B08"), be16(col("__h")),
+        be16(col("__w")), lit("01011100"),
+        lit("FFDA0008010100003F00"), col("__entropy"), lit("FFD9"))
+      val colorHex = concat(
+        lit("FFD8" + tables + "FFC0001108"), be16(col("__h")),
+        be16(col("__w")), lit("03011100021100031100"),
+        lit("FFDA000C030100020003"), lit("0000" + "3F00"),
+        col("__centropy"), lit("FFD9"))
+      val badHuffHex = concat(
+        lit("FFD8" + tables + "FFC0000B08"), be16(col("__h")),
+        be16(col("__w")), lit("01011100"),
+        lit("FFDA0008010100003F00"), lit("CF"), lit("FFD9"))
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          unhex(grayHex("FFC0")))
+        .when(pmod(col("doc_id"), lit(4)) === 1, unhex(colorHex))
+        .when(pmod(col("doc_id"), lit(8)) === 2, // undefined Huffman code
+          unhex(badHuffHex))
+        .when(pmod(col("doc_id"), lit(8)) === 6, // progressive: out of scope
+          unhex(grayHex("FFC2")))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      base
+        .select(col("doc_id").as("media_id"),
+          graft.functions.JpegPixels.jpeg_pixels(blob).as("__p"))
+        .select(col("media_id"), col("__p.width").as("width"),
+          col("__p.height").as("height"), col("__p.n_px").as("n_px"),
+          col("__p.sum_r").as("sum_r"), col("__p.sum_g").as("sum_g"),
+          col("__p.sum_b").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % 8 + 1 AS INTEGER) AS w,
+               CAST(n_chars % 8 + 1 AS INTEGER) AS h,
+               (doc_id * 3 + n_chars) % 256 AS gray,
+               160 + doc_id % 32 AS y,
+               65 + n_chars % 32 AS cb,
+               65 + (doc_id * 3) % 32 AS cr
+        FROM documents),
+      c AS (
+        SELECT doc_id, w, h, gray,
+               LEAST(255, GREATEST(0,
+                 (y*65536 + 91881*(cr-128) + 32768) // 65536)) AS r,
+               LEAST(255, GREATEST(0,
+                 (y*65536 - 22554*(cb-128) - 46802*(cr-128) + 32768)
+                   // 65536)) AS g,
+               LEAST(255, GREATEST(0,
+                 (y*65536 + 116130*(cb-128) + 32768) // 65536)) AS b
+        FROM d)
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 4 >= 2 THEN NULL ELSE w END AS width,
+             CASE WHEN doc_id % 4 >= 2 THEN NULL ELSE h END AS height,
+             CASE WHEN doc_id % 4 >= 2 THEN NULL
+                  ELSE CAST(w * h AS BIGINT) END AS n_px,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(w * h * gray AS BIGINT)
+                  WHEN doc_id % 4 = 1 THEN CAST(w * h * r AS BIGINT)
+                  END AS sum_r,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(w * h * gray AS BIGINT)
+                  WHEN doc_id % 4 = 1 THEN CAST(w * h * g AS BIGINT)
+                  END AS sum_g,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(w * h * gray AS BIGINT)
+                  WHEN doc_id % 4 = 1 THEN CAST(w * h * b AS BIGINT)
+                  END AS sum_b
+      FROM c ORDER BY media_id"""))
+
   /** Robots-exclusion decisions over the canonical crawl
     * (operators/RobotsFilter — RFC 9309 group matching): the MAY-FETCH
     * rung completing the crawl story (normalize → dedup → robots). The
@@ -4796,7 +4919,7 @@ $steps,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, sourceTar,
-    sourceTarGz, sourceZip, multimodalPixelsGif,
+    sourceTarGz, sourceZip, multimodalPixelsGif, multimodalPixelsJpeg,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
