@@ -234,6 +234,11 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (mode == "media") {
+      mediaProbe(spark, if (args.length > 1) args(1).toLong else 20000L)
+      spark.stop()
+      return
+    }
     if (mode == "graphgc") {
       graphGcProbe(spark, sfDir)
       spark.stop()
@@ -1684,5 +1689,136 @@ object ScaleProbe {
         (col("doc_b") + lit(i.toLong * 1000000000L)).as("doc_b")))
       .reduce(_ union _).localCheckpoint(true)
     cc(pShift, s"sf=$sfDir x$mult")
+  }
+
+  /** Decode throughput for the compressed-source / codec family
+    * (GzipInflate, TarEntries+gzip, ZipEntries, PngPixels, GifPixels,
+    * JpegPixels) over REAL encoder blobs (JDK Deflater/GZIP/Zip/
+    * ImageIO writers, built once on the driver and replicated as rows)
+    * at 1× and 10× — the numbers behind the family's "map-only,
+    * scan-bound, linear in input" scale claim. Work is per-row decode
+    * of the same blob (expressions cache nothing), so rows/s and MB/s
+    * are honest per-core decode rates.
+    */
+  private def mediaProbe(spark: SparkSession, baseRows: Long): Unit = {
+    import graft.functions._
+    val payload = ("the quick brown fox jumps over the lazy dog — " * 200)
+      .getBytes("UTF-8") // ~9.4 KB, compressible
+    def gzipBytes(p: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(p); g.close(); bos.toByteArray
+    }
+    val gz = gzipBytes(payload)
+    // a 4-entry tarball (hand-framed ustar, checksummed), gzipped
+    def tarEntry(name: String, data: Array[Byte]): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(s: String, at: Int): Unit = {
+        val b = s.getBytes("UTF-8"); System.arraycopy(b, 0, h, at, b.length)
+      }
+      put(name, 0); put("0000644 ", 100); put("0000000 ", 108)
+      put("0000000 ", 116)
+      put(("%011o" format data.length) + " ", 124)
+      put("00000000000 ", 136); put("        ", 148)
+      h(156) = '0'; put("ustar", 257); h(262) = 0; put("00", 263)
+      var sum = 0L
+      h.foreach(b => sum += b & 0xff)
+      put(("%06o" format sum) + "  ", 148)
+      h ++ data ++ new Array[Byte](
+        (512 - data.length % 512) % 512)
+    }
+    val tarGz = gzipBytes(
+      (0 until 4).map(i => tarEntry(s"f$i.txt", payload)).reduce(_ ++ _) ++
+        new Array[Byte](1024))
+    val zip = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      for (i <- 0 until 4) {
+        z.putNextEntry(new java.util.zip.ZipEntry(s"f$i.txt"))
+        z.write(payload); z.closeEntry()
+      }
+      z.close(); bos.toByteArray
+    }
+    // a 64×64 RGB PNG (filter-0 scanlines, real Deflater, real CRCs)
+    val png = {
+      val raw = new Array[Byte](64 * (1 + 64 * 3))
+      val rng = new scala.util.Random(3)
+      rng.nextBytes(raw)
+      for (r <- 0 until 64) raw(r * 193) = 0
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(raw); d.finish()
+      val comp = new Array[Byte](raw.length + 1024)
+      val m = d.deflate(comp)
+      val zl = java.util.Arrays.copyOf(comp, m)
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val c = new java.util.zip.CRC32()
+        c.update(typ.getBytes); c.update(data)
+        java.nio.ByteBuffer.allocate(12 + data.length)
+          .putInt(data.length).put(typ.getBytes).put(data)
+          .putInt(c.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(64).putInt(64).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", zl) ++
+        chunk("IEND", Array.empty[Byte])
+    }
+    // real JPEGs via the JDK writer: 64×64 gray + color
+    def jdkJpeg(gray: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val rng = new scala.util.Random(7)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.setRGB(x, y, rng.nextInt(1 << 24))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val jpegG = jdkJpeg(gray = true)
+    val jpegC = jdkJpeg(gray = false)
+    // a 100×100 uniform GIF (clear-per-literal LZW; full decoder path)
+    val gif = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def b(v: Int): Unit = out += v.toByte
+      "GIF89a".getBytes.foreach(out += _)
+      b(100); b(0); b(100); b(0); b(0x86); b(0); b(0)
+      for (_ <- 0 until 128) { b(10); b(20); b(30) }
+      b(0x2c); b(0); b(0); b(0); b(0); b(100); b(0); b(100); b(0); b(0)
+      b(7)
+      val data = Array.fill(10000)(Seq(0x80, 0x05)).flatten :+ 0x81
+      data.grouped(255).foreach { g => b(g.length); g.foreach(b) }
+      b(0); b(0x3b)
+      out.toArray
+    }
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cases: Seq[(String, Array[Byte],
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      ("gzip", gz, c => octet_length(GzipInflate.gzip_inflate(c))),
+      ("targz", tarGz,
+        c => size(TarEntries.tar_entries(GzipInflate.gzip_inflate(c)))),
+      ("zip", zip, c => size(ZipEntries.zip_entries(c))),
+      ("png", png, c => PngPixels.png_pixels(c).getField("n_px")),
+      ("gif", gif, c => GifPixels.gif_pixels(c).getField("n_px")),
+      ("jpeg_gray", jpegG, c => JpegPixels.jpeg_pixels(c).getField("n_px")),
+      ("jpeg_rgb", jpegC, c => JpegPixels.jpeg_pixels(c).getField("n_px")))
+    cases.foreach { case (name, blob, decode) =>
+      val mb = blob.length / 1048576.0
+      for (n <- Seq(baseRows, baseRows * 10)) {
+        // the id-guarded CASE keeps the blob expression NON-FOLDABLE:
+        // without it Catalyst constant-folds the whole decode once at
+        // plan time and the probe measures nothing
+        val df = spark.range(n)
+          .select(when(col("id") >= 0, lit(blob)).as("b"))
+        df.select(sum(decode(col("b")))).collect() // warm-up + correctness
+        val t = time(df.select(sum(decode(col("b")))).collect())
+        println(f"PROBE media $name rows=$n blob=${blob.length}%d " +
+          f"time=$t%.2fs rate=${n / t}%.0f rows/s " +
+          f"${n * mb / t}%.1f MB/s")
+      }
+    }
   }
 }

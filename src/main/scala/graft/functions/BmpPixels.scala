@@ -16,10 +16,11 @@ import org.apache.spark.sql.types._
   * whose pixels need no codec — rows of little-endian BGR triples,
   * each row padded to a 4-byte boundary, stored bottom-up (top-down
   * when height is negative) — so honest feature extraction is byte
-  * arithmetic, which is exactly why it is the format where the
-  * "declared fake codec decode" line can be pushed back: after this,
-  * only genuinely codec-bound formats (JPEG/PNG/VP8 pixel data) remain
-  * stubbed.
+  * arithmetic, which is exactly why it was the format where the
+  * "declared fake codec decode" line was pushed back FIRST; the
+  * codec-bound formats followed ([[PngPixels]] via the full DEFLATE
+  * decoder, [[GifPixels]] via LZW, [[JpegPixels]] via the baseline
+  * T.81 machine), so nothing on the image line is stubbed anymore.
   *
   * Returns struct<width, height, n_px, sum_r, sum_g, sum_b>: channel
   * SUMS as exact BIGINTs (means are a downstream division; sums are

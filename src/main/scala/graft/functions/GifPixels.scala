@@ -10,8 +10,8 @@ import org.apache.spark.sql.types._
 /** REAL pixel decode over GIF containers (GIF87a/89a + the LZW variant
   * the spec embeds) — the third format whose pixel path is fully
   * implemented from the public specification, after BMP (raw) and PNG
-  * (DEFLATE): the declared-fake codec line now holds only
-  * entropy-coded JPEG.
+  * (DEFLATE); with [[JpegPixels]] landing alongside it, nothing on
+  * the image-codec line is stubbed anymore.
   *
   * Decode path: 6-byte signature (`GIF87a`/`GIF89a`) → logical screen
   * descriptor (LE dims, global-color-table flag/size) → optional GCT →

@@ -22,9 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the RFC 6386 keyframe header's 9D 01 2A sync then 14-bit LE dims,
   * `VP8L` lossless reads the 0x2F signature then the packed
   * 14+14-bit minus-one dims, `VP8X` extended reads the canvas
-  * minus-one u24 LE pair). Unlike the declared-fake codec decode,
-  * nothing here is stubbed: feed it real .png/.jpg/.gif/.webp bytes
-  * and it returns their true dimensions.
+  * minus-one u24 LE pair). Nothing here is stubbed: feed it real
+  * .png/.jpg/.gif/.webp bytes and it returns their true dimensions —
+  * and for the full pixel path, [[BmpPixels]]/[[PngPixels]]/
+  * [[GifPixels]]/[[JpegPixels]] decode the payloads too (this header
+  * probe stays the cheap first pass that never touches payload
+  * bytes, including for formats like VP8/VP8L where only dims are
+  * implemented).
   *
   * Returns NULL (whole struct) for anything unrecognized: wrong
   * signature, truncated header, malformed segment lengths, EOI/SOS

@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct; decode / feature-extract /
   * resize / frame-sample run per-partition over the binary payloads.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic stub (`fakeDecode`) — the Spark-side
-  * plumbing (schema, batch iteration, partition-local processing, output
-  * schema) is real and tested. Swapping in a real codec changes only the
-  * body of `fakeDecode`.
+  * REAL pixel decode exists for the four mainstream image containers
+  * ([[graft.functions.BmpPixels]], [[graft.functions.PngPixels]],
+  * [[graft.functions.GifPixels]], [[graft.functions.JpegPixels]] —
+  * each built from its public specification) plus WAV/MP4 header
+  * metadata; `fakeDecode` remains only as the FORMAT-AGNOSTIC feature
+  * kernel (byte-level statistics that need no codec) demonstrating the
+  * generic plumbing — schema, batch iteration, partition-local
+  * processing — a caller would wrap around any further codec.
   *
   * Scale notes: binary payloads never shuffle — every stage below is a
   * map-only pass; partition sizing is controlled by the upstream source
