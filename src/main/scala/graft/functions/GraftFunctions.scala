@@ -62,6 +62,8 @@ object GraftFunctions {
       "gif_pixels", exprs => GifPixels(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "jpeg_pixels", exprs => JpegPixels(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "zlib_inflate", exprs => ZlibInflate(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -170,6 +172,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("jpeg_pixels"),
       new ExpressionInfo(classOf[JpegPixels].getName, "jpeg_pixels"),
       (exprs: Seq[Expression]) => JpegPixels(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("zlib_inflate"),
+      new ExpressionInfo(classOf[ZlibInflate].getName, "zlib_inflate"),
+      (exprs: Seq[Expression]) => ZlibInflate(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

@@ -87,8 +87,11 @@ object Inflate {
     }
   }
 
-  /** @return bytes produced, or -1 on malformed input. Success for the
-    * PNG caller additionally requires the count == dst.length.
+  /** @return bytes produced; -1 on malformed input; -2 when the stream
+    * is well-formed so far but the output would exceed dst (the
+    * grow-and-retry signal for callers like [[ZlibInflate]] whose
+    * container declares no output size). Success for the PNG caller
+    * additionally requires the count == dst.length.
     */
   def inflate(src: Array[Byte], from: Int, dst: Array[Byte]): Int = {
     val nBits = src.length.toLong * 8
@@ -127,27 +130,28 @@ object Inflate {
       -1
     }
 
-    def block(litHuff: Huff, distHuff: Huff): Boolean = {
+    // 0 = end of block; -1 = malformed; -2 = output overflow
+    def block(litHuff: Huff, distHuff: Huff): Int = {
       while (true) {
         val sym = decode(litHuff)
-        if (sym < 0) return false
+        if (sym < 0) return -1
         if (sym < 256) {
-          if (oi >= dst.length) return false
+          if (oi >= dst.length) return -2
           dst(oi) = sym.toByte
           oi += 1
         } else if (sym == 256) {
-          return true
+          return 0
         } else {
-          if (sym > 285) return false
+          if (sym > 285) return -1
           val li = sym - 257
-          val eb = bits(LenExtra(li)); if (eb < 0) return false
+          val eb = bits(LenExtra(li)); if (eb < 0) return -1
           val length = LenBase(li) + eb
           val dsym = decode(distHuff)
-          if (dsym < 0 || dsym > 29) return false
-          val db = bits(DistExtra(dsym)); if (db < 0) return false
+          if (dsym < 0 || dsym > 29) return -1
+          val db = bits(DistExtra(dsym)); if (db < 0) return -1
           val dist = DistBase(dsym) + db
-          if (dist > oi) return false // before start of output
-          if (oi + length > dst.length) return false
+          if (dist > oi) return -1 // before start of output
+          if (oi + length > dst.length) return -2
           var i = 0
           while (i < length) { // byte-by-byte: overlapping copies valid
             dst(oi) = dst(oi - dist)
@@ -156,7 +160,7 @@ object Inflate {
           }
         }
       }
-      true
+      0
     }
 
     // fixed tables built once per call (cheap: 288+30 lengths)
@@ -176,7 +180,7 @@ object Inflate {
           val nlen = bits(16); if (nlen < 0) return -1
           if ((len ^ nlen) != 0xffff) return -1
           if (bit + len.toLong * 8 > nBits) return -1
-          if (oi + len > dst.length) return -1
+          if (oi + len > dst.length) return -2
           var i = 0
           while (i < len) {
             dst(oi) = src((bit >> 3).toInt)
@@ -186,7 +190,8 @@ object Inflate {
           }
         case 1 =>
           if (!fixedLit.valid || !fixedDist.valid) return -1
-          if (!block(fixedLit, fixedDist)) return -1
+          val r = block(fixedLit, fixedDist)
+          if (r < 0) return r
         case 2 => // dynamic: code-length code, then lit/dist lengths
           val hlit = bits(5); val hdist = bits(5); val hclen = bits(4)
           if (hlit < 0 || hdist < 0 || hclen < 0) return -1
@@ -234,7 +239,8 @@ object Inflate {
           val distHuff = new Huff(
             java.util.Arrays.copyOfRange(lens, nlit, nlit + ndist))
           if (!litHuff.valid || !distHuff.valid) return -1
-          if (!block(litHuff, distHuff)) return -1
+          val r = block(litHuff, distHuff)
+          if (r < 0) return r
         case _ => return -1 // BTYPE=11 reserved
       }
     }

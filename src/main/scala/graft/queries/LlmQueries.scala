@@ -1959,6 +1959,71 @@ $steps,
                   END AS sum_b
       FROM documents ORDER BY media_id"""))
 
+  /** In-engine zlib source decode (functions/ZlibInflate — the third
+    * and last envelope of the compression family: raw DEFLATE inside
+    * PNG, the gzip file member, and this in-band stream, the HTTP
+    * "deflate" coding), with the Adler-32 trailer VERIFIED and the
+    * output size grown geometrically (zlib declares no size — the one
+    * envelope where the declared-output contract doesn't exist, so
+    * the named 64 MB cap is the bound). Four lanes: a single
+    * stored-block stream; an empty-nonfinal + final two-block stream
+    * (multi-block framing is load-bearing); a corrupt pair alternating
+    * a FLIPPED Adler-32 with FDICT set (preset dictionaries are
+    * out-of-band by definition — strict NULL); raw text. The valid
+    * trailers come from the engine's adler32 — pinned against
+    * java.util.zip in ChecksumsSpec, with real Deflater streams pinned
+    * in ZlibInflateSpec. Output pins the round-trip: byte count, md5,
+    * decompressed == original.
+    */
+  val sourceZlib = QueryDef(
+    "llm_source_zlib",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val len = octet_length(col("text"))
+      val textHex = hex(col("text").cast(BinaryType))
+      val adlerHex =
+        lpad(hex(graft.functions.Checksums
+          .adler32_fn(col("text").cast(BinaryType))), 8, "0")
+      val adlerBadHex =
+        lpad(hex(pmod(graft.functions.Checksums
+          .adler32_fn(col("text").cast(BinaryType)) + 1,
+          lit(4294967296L))), 8, "0")
+      def stream(hdr: String, blocksHex: Column, adler: Column): Column =
+        unhex(concat(lit(hdr), blocksHex, adler))
+      val oneBlock = concat(lit("01"), le16(len), le16(lit(65535) - len),
+        textHex)
+      val twoBlocks = concat(lit("000000FFFF"), oneBlock)
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          stream("7801", oneBlock, adlerHex))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          stream("7801", twoBlocks, adlerHex))
+        .when(pmod(col("doc_id"), lit(8)) === 2, // flipped Adler-32
+          stream("7801", oneBlock, adlerBadHex))
+        .when(pmod(col("doc_id"), lit(8)) === 6, // FDICT set (FCHECK ok)
+          stream("7820", oneBlock, adlerHex))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.ZlibInflate.zlib_inflate(blob).as("__d"),
+          col("text"))
+        .select(col("doc_id"),
+          octet_length(col("__d")).as("n_bytes"),
+          md5(col("__d")).as("fp"),
+          (col("__d").cast(StringType) === col("text")).as("roundtrip"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 <= 1
+                  THEN CAST(strlen(text) AS INTEGER) END AS n_bytes,
+             CASE WHEN doc_id % 4 <= 1 THEN md5(text) END AS fp,
+             CASE WHEN doc_id % 4 <= 1 THEN TRUE END AS roundtrip
+      FROM documents ORDER BY doc_id"""))
+
   /** Baseline JPEG pixel decode (functions/JpegPixels — the LAST format
     * off the declared-fake codec line: T.81 Huffman entropy decode,
     * dequant, LL&M integer IDCT, CCIR 601 integer color conversion;
@@ -4919,7 +4984,8 @@ $steps,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, sourceTar,
-    sourceTarGz, sourceZip, multimodalPixelsGif, multimodalPixelsJpeg,
+    sourceTarGz, sourceZip, sourceZlib, multimodalPixelsGif,
+    multimodalPixelsJpeg,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
