@@ -1959,6 +1959,146 @@ $steps,
                   END AS sum_b
       FROM documents ORDER BY media_id"""))
 
+  /** The universal media catalog: a MIXED-FORMAT corpus (BMP, PNG, GIF,
+    * JPEG, junk — one format per lane) decoded by ONE expression,
+    * coalesce(bmp_pixels, png_pixels, gif_pixels, jpeg_pixels) — the
+    * rung that proves the pixel family COMPOSES into format dispatch:
+    * every decoder is signature-strict (NULL on a foreign format after
+    * a cheap header probe), so exactly one fires per blob and the
+    * coalesce IS the dispatcher — no format column, no UDF router, one
+    * map-only codegen'd plan. All four formats carry the SAME uniform
+    * color derived from doc fields, so the oracle is one arithmetic
+    * CASE per lane; the junk lane proves disagreement NULLs rather
+    * than mislabeling. The format label is the same coalesce over
+    * literal tags.
+    */
+  val mediaCatalog = QueryDef(
+    "llm_media_catalog",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le16h(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32h(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def be32h(c: Column): Column = lpad(hex(c), 8, "0")
+      val w = (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)
+      val h = (pmod(col("n_chars"), lit(4)) + 1).cast(IntegerType)
+      val rv = pmod(col("doc_id") * 7, lit(256))
+      val gv = pmod(col("n_chars") * 11, lit(256))
+      val bv = pmod(col("doc_id") + col("n_chars") * 5, lit(256))
+      val base = documents(s, dir)
+        .withColumn("__w", w).withColumn("__h", h)
+        .withColumn("__npx", w * h)
+        .withColumn("__rgb", concat(lpad(hex(rv), 2, "0"),
+          lpad(hex(gv), 2, "0"), lpad(hex(bv), 2, "0")))
+        .withColumn("__bgr", concat(lpad(hex(bv), 2, "0"),
+          lpad(hex(gv), 2, "0"), lpad(hex(rv), 2, "0")))
+        .withColumn("__gray", rv)
+        // BMP row: 24bpp, padded to 4 bytes (w<=3 makes pad = w bytes)
+        .withColumn("__bmprow",
+          expr("concat(repeat(__bgr, __w), repeat('00', __w))"))
+      val bmpHex = concat(lit("424D"),
+        le32h(col("__w") * 4 * col("__h") + 54), lit("0000000036000000"),
+        lit("28000000"), le32h(col("__w")), le32h(col("__h")),
+        lit("01001800"), lit("00000000"), le32h(col("__w") * 4 * col("__h")),
+        lit("00" * 16), expr("repeat(__bmprow, __h)"))
+      // PNG: single stored-block IDAT with real CRCs + Adler
+      def pngCrc(typeHex: String, dataHex: Column): Column =
+        lpad(hex(crc32(unhex(concat(lit(typeHex), dataHex)))), 8, "0")
+      val ihdrData = concat(be32h(col("__w")), be32h(col("__h")),
+        lit("0802000000"))
+      val rawHex = expr("repeat(concat('00', repeat(__rgb, __w)), __h)")
+      val rlen = col("__h") * (col("__w") * 3 + 1)
+      val zlibHex = concat(lit("780101"), le16h(rlen),
+        le16h(lit(65535) - rlen), rawHex,
+        lpad(hex(graft.functions.Checksums.adler32_fn(unhex(rawHex))), 8,
+          "0"))
+      val pngHex = concat(lit("89504E470D0A1A0A"), lit("0000000D49484452"),
+        ihdrData, pngCrc("49484452", ihdrData),
+        be32h(length(zlibHex) / 2), lit("49444154"), zlibHex,
+        pngCrc("49444154", zlibHex), lit("0000000049454E44AE426082"))
+      // GIF: 128-entry GCT of the uniform color, clear-per-literal LZW
+      val gifHex = concat(lit("474946383961"), le16h(col("__w")),
+        le16h(col("__h")), lit("860000"), expr("repeat(__rgb, 128)"),
+        lit("2C00000000"), le16h(col("__w")), le16h(col("__h")), lit("00"),
+        lit("07"), lpad(hex(col("__npx") * 2 + 1), 2, "0"),
+        expr("repeat('8005', __npx)"), lit("8100"), lit("3B"))
+      // JPEG: grayscale DC-only (value __gray), trivial tables
+      val jdqt = "FFDB004300" + "08" * 64
+      val jdht = "FFC4001F00" + "0000000C" + "00" * 12 +
+        "000102030405060708090A0B" + "FFC40014" + "10" + "01" + "00" * 15 +
+        "00"
+      val jbase = base
+        .withColumn("__dc", col("__gray") - 128)
+        .withColumn("__cat", expr(
+          "CASE WHEN __dc = 0 THEN 0 " +
+            "ELSE length(bin(abs(CAST(__dc AS BIGINT)))) END"))
+        .withColumn("__bits", expr(
+          "concat(lpad(bin(__cat), 4, '0'), CASE WHEN __cat = 0 THEN '' " +
+            "ELSE lpad(bin(CAST(IF(__dc >= 0, __dc, " +
+            "__dc + CAST(pow(2, __cat) AS INT) - 1) AS BIGINT)), __cat, " +
+            "'0') END, '0')"))
+        .withColumn("__nb", expr("CAST((length(__bits) + 7) DIV 8 AS INT)"))
+        .withColumn("__je", expr(
+          "lpad(conv(rpad(__bits, __nb * 8, '1'), 2, 16), __nb * 2, '0')"))
+      val jpegHex = concat(lit("FFD8" + jdqt + jdht + "FFC0000B08"),
+        lpad(hex(col("__h")), 4, "0"), lpad(hex(col("__w")), 4, "0"),
+        lit("01011100FFDA0008010100003F00"), col("__je"), lit("FFD9"))
+      val blob = when(pmod(col("doc_id"), lit(5)) === 0, unhex(bmpHex))
+        .when(pmod(col("doc_id"), lit(5)) === 1, unhex(pngHex))
+        .when(pmod(col("doc_id"), lit(5)) === 2, unhex(gifHex))
+        .when(pmod(col("doc_id"), lit(5)) === 3, unhex(jpegHex))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      val withP = jbase
+        .withColumn("__bmp", graft.functions.BmpPixels.bmp_pixels(blob))
+        .withColumn("__png", graft.functions.PngPixels.png_pixels(blob))
+        .withColumn("__gif", graft.functions.GifPixels.gif_pixels(blob))
+        .withColumn("__jpg", graft.functions.JpegPixels.jpeg_pixels(blob))
+        .withColumn("__p",
+          coalesce(col("__bmp"), col("__png"), col("__gif"), col("__jpg")))
+        .withColumn("format",
+          coalesce(when(col("__bmp").isNotNull, "bmp"),
+            when(col("__png").isNotNull, "png"),
+            when(col("__gif").isNotNull, "gif"),
+            when(col("__jpg").isNotNull, "jpeg")))
+      withP
+        .select(col("doc_id").as("media_id"), col("format"),
+          col("__p.width").as("width"), col("__p.height").as("height"),
+          col("__p.n_px").as("n_px"), col("__p.sum_r").as("sum_r"),
+          col("__p.sum_g").as("sum_g"), col("__p.sum_b").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 + 1 AS INTEGER) AS w,
+               CAST(n_chars % 4 + 1 AS INTEGER) AS h,
+               (doc_id * 7) % 256 AS rv,
+               (n_chars * 11) % 256 AS gv,
+               (doc_id + n_chars * 5) % 256 AS bv
+        FROM documents)
+      SELECT doc_id AS media_id,
+             CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                  WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg' END AS format,
+             CASE WHEN doc_id % 5 = 4 THEN NULL ELSE w END AS width,
+             CASE WHEN doc_id % 5 = 4 THEN NULL ELSE h END AS height,
+             CASE WHEN doc_id % 5 = 4 THEN NULL
+                  ELSE CAST(w * h AS BIGINT) END AS n_px,
+             CASE WHEN doc_id % 5 = 4 THEN NULL
+                  ELSE CAST(w * h * rv AS BIGINT) END AS sum_r,
+             CASE WHEN doc_id % 5 = 4 THEN NULL
+                  WHEN doc_id % 5 = 3 THEN CAST(w * h * rv AS BIGINT)
+                  ELSE CAST(w * h * gv AS BIGINT) END AS sum_g,
+             CASE WHEN doc_id % 5 = 4 THEN NULL
+                  WHEN doc_id % 5 = 3 THEN CAST(w * h * rv AS BIGINT)
+                  ELSE CAST(w * h * bv AS BIGINT) END AS sum_b
+      FROM d ORDER BY media_id"""))
+
   /** In-engine zlib source decode (functions/ZlibInflate — the third
     * and last envelope of the compression family: raw DEFLATE inside
     * PNG, the gzip file member, and this in-band stream, the HTTP
@@ -4985,7 +5125,7 @@ $steps,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, sourceTar,
     sourceTarGz, sourceZip, sourceZlib, multimodalPixelsGif,
-    multimodalPixelsJpeg,
+    multimodalPixelsJpeg, mediaCatalog,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
