@@ -11,6 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** REAL audio-header parsing over opaque binary media columns — the audio
   * sibling of [[ImageDims]] (same honest-multimodal discipline: pure byte
   * arithmetic against a PUBLIC container spec, nothing stubbed). Decodes
+  * FLAC (the `fLaC` magic + mandatory-first STREAMINFO block, RFC 9639:
+  * big-endian bit-packed sample rate/channels/bits/total-samples) and
   * the RIFF/WAVE header (the 1991 Microsoft/IBM Multimedia Programming
   * Interface spec, as restated by RFC 2361 and every public WAV
   * reference): `RIFF` + little-endian u32 size + `WAVE`, then a chunk
@@ -85,6 +87,30 @@ object AudioMeta {
   def parse(bytes: Array[Byte]): InternalRow = {
     if (bytes == null) return null
     val n = bytes.length
+    // FLAC: `fLaC` magic, then the MANDATORY-FIRST STREAMINFO metadata
+    // block (type 0, length 34, RFC 9639): big-endian bit-packed
+    // sample rate (20 bits), channels-1 (3), bits-1 (5), total
+    // samples (36). Header-prefix parse like the WAV path — frames
+    // come from the declared total, no audio frame is read.
+    if (n >= 8 && bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+        bytes(3) == 'C') {
+      val blockType = bytes(4) & 0x7f // high bit = last-metadata flag
+      val len = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) |
+        (bytes(7) & 0xff)
+      if (blockType != 0 || len != 34 || n < 8 + 34) return null
+      val b = 8
+      val rate = ((bytes(b + 10) & 0xffL) << 12) |
+        ((bytes(b + 11) & 0xffL) << 4) | ((bytes(b + 12) & 0xf0L) >> 4)
+      val ch = (((bytes(b + 12) & 0x0e) >> 1) + 1)
+      val bps = ((((bytes(b + 12) & 0x01) << 4) |
+        ((bytes(b + 13) & 0xf0) >> 4)) + 1)
+      val total = ((bytes(b + 13) & 0x0fL) << 32) |
+        ((bytes(b + 14) & 0xffL) << 24) | ((bytes(b + 15) & 0xffL) << 16) |
+        ((bytes(b + 16) & 0xffL) << 8) | (bytes(b + 17) & 0xffL)
+      if (rate < 1) return null // 0 is invalid per the spec
+      return new GenericInternalRow(Array[Any](
+        UTF8String.fromString("flac"), ch, rate.toInt, bps, total))
+    }
     // RIFF signature + WAVE form type. The RIFF size field (bytes 4..7)
     // describes the remaining FILE length; a header-prefix parse must not
     // require the payload to be present, so it is deliberately unchecked.

@@ -615,9 +615,13 @@ object LlmQueries {
   /** REAL audio-header decode over the binary media column
     * (functions/AudioMeta — RIFF/WAVE chunk walk per the public 1991
     * Microsoft/IBM spec + RFC 2361, codegen'd): the audio sibling of
-    * llm_multimodal_dims under the same discipline. The query CONSTRUCTS
-    * spec-conformant WAV headers from document fields (four shapes per
-    * doc_id mod: canonical 44-byte PCM; IEEE-float with an 18-byte fmt
+    * llm_multimodal_dims under the same discipline; round 11 added the
+    * FLAC arm (`fLaC` magic + mandatory-first STREAMINFO per RFC 9639,
+    * its 20/3/5/36-bit big-endian packing constructed as one 64-bit
+    * value in column arithmetic). The query CONSTRUCTS spec-conformant
+    * headers from document fields (shapes per
+    * doc_id mod: canonical 44-byte PCM alternating with FLAC
+    * STREAMINFO; IEEE-float with an 18-byte fmt
     * body and a JUNK chunk before it — the walk must walk; a compressed
     * codec tag behind an ODD-sized chunk — the walk must apply RIFF even
     * padding, and frames must come back NULL because block align is a
@@ -667,7 +671,22 @@ object LlmQueries {
         hx("666D742010000000" + "1100" + "0100"), le32(rate2),
         le32(rate2), hx("0001" + "0400"),
         hx("64617461"), le32(data2))
-      val media = when(pmod(col("doc_id"), lit(4)) === 0, pcm)
+      // FLAC STREAMINFO: rate(20b) | ch-1(3b) | bits-1(5b) | total(36b)
+      // packed big-endian as one 64-bit value -> 16 hex digits
+      val chF = pmod(col("doc_id"), lit(3)) + 1
+      val rateF = pmod(col("n_chars"), lit(40000)) + 8000
+      val bitsF = pmod(col("n_chars"), lit(2)) * 8 + 16
+      val totalF = pmod(col("n_chars") * 7 + col("doc_id"), lit(100000)) + 1
+      val flacPacked = lpad(hex(
+        rateF.cast(LongType) * lit(17592186044416L) +
+          (chF - 1).cast(LongType) * lit(2199023255552L) +
+          (bitsF - 1).cast(LongType) * lit(68719476736L) +
+          totalF.cast(LongType)), 16, "0")
+      val flac = concat(hx("664C6143"), hx("80000022"),
+        hx("10001000" + "000000" + "000000"), unhex(flacPacked),
+        hx("00" * 16))
+      val media = when(pmod(col("doc_id"), lit(8)) === 0, pcm)
+        .when(pmod(col("doc_id"), lit(8)) === 4, flac)
         .when(pmod(col("doc_id"), lit(4)) === 1, flt)
         .when(pmod(col("doc_id"), lit(4)) === 2, adpcm)
         .when(pmod(col("doc_id"), lit(8)) === 3,
@@ -685,11 +704,13 @@ object LlmQueries {
     Some("""
       SELECT doc_id AS media_id,
              CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
-                  WHEN doc_id % 4 = 0 THEN 'pcm'
+                  WHEN doc_id % 8 = 0 THEN 'pcm'
+                  WHEN doc_id % 8 = 4 THEN 'flac'
                   WHEN doc_id % 4 = 1 THEN 'float'
                   ELSE 'other' END AS codec,
              CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
-                  WHEN doc_id % 4 = 0 THEN CAST(doc_id % 2 + 1 AS INTEGER)
+                  WHEN doc_id % 8 = 0 THEN CAST(doc_id % 2 + 1 AS INTEGER)
+                  WHEN doc_id % 8 = 4 THEN CAST(doc_id % 3 + 1 AS INTEGER)
                   WHEN doc_id % 4 = 1 THEN CAST(2 AS INTEGER)
                   ELSE CAST(1 AS INTEGER) END AS channels,
              CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
@@ -700,11 +721,15 @@ object LlmQueries {
                   ELSE CAST(n_chars % 20000 + 4000 AS INTEGER)
                   END AS sample_rate,
              CASE WHEN doc_id % 8 IN (3, 7) THEN NULL
-                  WHEN doc_id % 4 = 0 THEN CAST(16 AS INTEGER)
+                  WHEN doc_id % 8 = 0 THEN CAST(16 AS INTEGER)
+                  WHEN doc_id % 8 = 4
+                    THEN CAST(n_chars % 2 * 8 + 16 AS INTEGER)
                   WHEN doc_id % 4 = 1 THEN CAST(32 AS INTEGER)
                   ELSE CAST(4 AS INTEGER) END AS bits,
              CASE WHEN doc_id % 8 IN (3, 7) OR doc_id % 4 = 2 THEN NULL
-                  WHEN doc_id % 4 = 0 THEN CAST(n_chars % 500 + 1 AS BIGINT)
+                  WHEN doc_id % 8 = 0 THEN CAST(n_chars % 500 + 1 AS BIGINT)
+                  WHEN doc_id % 8 = 4
+                    THEN CAST((n_chars * 7 + doc_id) % 100000 + 1 AS BIGINT)
                   ELSE CAST(n_chars % 300 + 1 AS BIGINT) END AS n_frames
       FROM documents ORDER BY media_id"""))
 

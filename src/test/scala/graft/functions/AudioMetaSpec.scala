@@ -73,6 +73,25 @@ class AudioMetaSpec extends SparkSpec {
       Some(("other", 1, 8000, 4, None))))
   }
 
+  test("FLAC STREAMINFO parses; malformed FLAC is NULL") {
+    // hand-packed: rate 44100 (0x0AC44), 2 channels, 16 bits,
+    // total 441000 (0x6BAA8) -> 64-bit field 0x0AC442F00006BAA8
+    val flac = hx("664C6143 80000022 10001000 000000 000000" +
+      " 0AC442F00006BAA8" + " 00" * 16)
+    assert(meta(flac) ==
+      Seq(Some(("flac", 2, 44100, 16, Some(441000L)))))
+    // STREAMINFO must be FIRST (here: a type-4 block leads)
+    val notFirst = flac.clone(); notFirst(4) = 0x04
+    // wrong STREAMINFO length
+    val badLen = flac.clone(); badLen(7) = 0x21
+    val truncated = flac.take(20)
+    // a zero sample rate is invalid per the spec
+    val zeroRate = hx("664C6143 80000022 10001000 000000 000000" +
+      " 000002F00006BAA8" + " 00" * 16)
+    assert(meta(notFirst, badLen, truncated, zeroRate) ==
+      Seq(None, None, None, None))
+  }
+
   test("corrupt and truncated headers yield NULL") {
     val truncRiff = hx("52494646 24000000")           // no form type
     val aviForm = hx("52494646 24000000 41564920")     // RIFF but AVI
