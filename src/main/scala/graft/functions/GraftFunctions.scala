@@ -64,6 +64,8 @@ object GraftFunctions {
       "jpeg_pixels", exprs => JpegPixels(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "zlib_inflate", exprs => ZlibInflate(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "gzip_members", exprs => GzipMembers(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -176,6 +178,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("zlib_inflate"),
       new ExpressionInfo(classOf[ZlibInflate].getName, "zlib_inflate"),
       (exprs: Seq[Expression]) => ZlibInflate(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("gzip_members"),
+      new ExpressionInfo(classOf[GzipMembers].getName, "gzip_members"),
+      (exprs: Seq[Expression]) => GzipMembers(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

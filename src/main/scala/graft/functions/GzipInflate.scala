@@ -78,6 +78,46 @@ object GzipInflate {
   private val FNAME = 8
   private val FCOMMENT = 16
 
+  /** Walks one member's header starting at `from`: magic/CM/FLG checks,
+    * optional FEXTRA/FNAME/FCOMMENT skip, FHCRC verification (CRC-16 =
+    * low 16 bits of the CRC-32 over the header bytes from the MEMBER
+    * start). @return the deflate stream's start offset, or -1 on any
+    * malformation. Shared with [[GzipMembers]].
+    */
+  private[functions] def headerEnd(bytes: Array[Byte], from: Int): Int = {
+    val n = bytes.length
+    if (from + 10 > n) return -1
+    if (bytes(from) != 0x1f.toByte || bytes(from + 1) != 0x8b.toByte ||
+      bytes(from + 2) != 8) return -1
+    val flg = bytes(from + 3) & 0xff
+    if ((flg & 0xe0) != 0) return -1 // reserved bits
+    var p = from + 10 // MTIME(4) XFL(1) OS(1) skipped
+    if ((flg & FEXTRA) != 0) {
+      if (p + 2 > n) return -1
+      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      p += 2 + xlen
+      if (p > n) return -1
+    }
+    if ((flg & FNAME) != 0) {
+      while (p < n && bytes(p) != 0) p += 1
+      if (p >= n) return -1
+      p += 1
+    }
+    if ((flg & FCOMMENT) != 0) {
+      while (p < n && bytes(p) != 0) p += 1
+      if (p >= n) return -1
+      p += 1
+    }
+    if ((flg & FHCRC) != 0) {
+      if (p + 2 > n) return -1
+      val stored = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+      if ((Checksums.crc32(bytes, from, p - from) & 0xffff) != stored)
+        return -1
+      p += 2
+    }
+    p
+  }
+
   /** Static kernel shared by eval and generated code. Returns the
     * decompressed bytes or null.
     */
@@ -85,34 +125,8 @@ object GzipInflate {
     if (bytes == null) return null
     val n = bytes.length
     if (n < 18) return null // header(10) + empty deflate stream + trailer(8)
-    if (bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte ||
-      bytes(2) != 8) return null
-    val flg = bytes(3) & 0xff
-    if ((flg & 0xe0) != 0) return null // reserved bits
-    var p = 10 // MTIME(4) XFL(1) OS(1) skipped
-    if ((flg & FEXTRA) != 0) {
-      if (p + 2 > n) return null
-      val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-      p += 2 + xlen
-      if (p > n) return null
-    }
-    if ((flg & FNAME) != 0) {
-      while (p < n && bytes(p) != 0) p += 1
-      if (p >= n) return null
-      p += 1
-    }
-    if ((flg & FCOMMENT) != 0) {
-      while (p < n && bytes(p) != 0) p += 1
-      if (p >= n) return null
-      p += 1
-    }
-    if ((flg & FHCRC) != 0) {
-      if (p + 2 > n) return null
-      // header CRC-16: low 16 bits of the CRC-32 over bytes[0, p)
-      val stored = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
-      if ((Checksums.crc32(bytes, 0, p) & 0xffff) != stored) return null
-      p += 2
-    }
+    val p = headerEnd(bytes, 0)
+    if (p < 0) return null
     if (p + 8 > n) return null // room for deflate data + trailer
     // trailer: CRC-32 of the uncompressed data, then ISIZE (both LE)
     val isize = (bytes(n - 4) & 0xffL) | ((bytes(n - 3) & 0xffL) << 8) |

@@ -94,6 +94,20 @@ object Inflate {
     * additionally requires the count == dst.length.
     */
   def inflate(src: Array[Byte], from: Int, dst: Array[Byte]): Int = {
+    val r = inflateTracked(src, from, dst)
+    if (r < 0) r.toInt else (r & 0xffffffffL).toInt
+  }
+
+  /** Like [[inflate]], additionally reporting WHERE the deflate stream
+    * ended — the multi-member need ([[GzipMembers]]): concatenated
+    * containers can only be walked if each member's compressed extent
+    * is known, and DEFLATE's extent is defined by its final-block bit,
+    * not by any length field. @return negative error codes as
+    * [[inflate]]; on success `(endByteOffset << 32) | produced` where
+    * endByteOffset is the first src index past the stream (the final
+    * block's last bit rounded up to a byte boundary).
+    */
+  def inflateTracked(src: Array[Byte], from: Int, dst: Array[Byte]): Long = {
     val nBits = src.length.toLong * 8
     var bit = from.toLong * 8
     var oi = 0
@@ -244,6 +258,6 @@ object Inflate {
         case _ => return -1 // BTYPE=11 reserved
       }
     }
-    oi
+    (((bit + 7) >> 3) << 32) | oi.toLong
   }
 }

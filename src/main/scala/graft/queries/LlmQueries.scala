@@ -1481,6 +1481,100 @@ $steps,
              target_uri, content_length, payload_md5
       FROM r ORDER BY doc_id, rec_idx NULLS FIRST"""))
 
+  /** The member-per-record crawl segment (functions/GzipMembers): the
+    * layout CommonCrawl ACTUALLY ships is one gzip member PER WARC
+    * RECORD, concatenated — seekable decompression per record — which
+    * the single-member gzip_inflate deliberately rejects as trailing
+    * garbage. Here gzip_members walks the member chain (each member's
+    * deflate EXTENT found by the decoder itself — DEFLATE has no
+    * length field — with per-member CRC-32 + ISIZE verified), and each
+    * decompressed member parses as a one-record WARC. Lanes replicate
+    * llm_source_warc's records exactly — two plain members; the
+    * angle-bracket/lowercase spelling with an FNAME header on the
+    * SECOND member (per-member header variety) — plus a corrupt
+    * SECOND-member magic (the all-or-nothing contract: one bad member
+    * NULLs the whole segment) and raw text. The oracle is
+    * llm_source_warc's verbatim, so the adversarial pin hash is
+    * SHARED — three routes (record concatenation, segment-in-gzip,
+    * member-per-record) provably land on identical rows.
+    */
+  val crawlMembers = QueryDef(
+    "llm_crawl_members",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val crlf = "\r\n"
+      val uri = concat(lit("http://example.com/doc/"), col("doc_id"))
+      val len = octet_length(col("text"))
+      val rec2 = lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+        "Content-Length: 2" + crlf + crlf + "ok" + crlf + crlf)
+      def rec1(uriLine: Column, typeName: String, clName: String,
+          cl: Column): Column = concat(
+        lit("WARC/1.0" + crlf), lit(typeName + ": response" + crlf),
+        uriLine, lit(clName + ": "), cl, lit(crlf + crlf),
+        col("text"), lit(crlf + crlf))
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def memberHex(seg: Column, hdrHex: String): Column = {
+        val sl = octet_length(seg)
+        concat(lit(hdrHex), lit("01"), le16(sl), le16(lit(65535) - sl),
+          hex(seg.cast(BinaryType)), le32(crc32(seg.cast(BinaryType))),
+          le32(sl))
+      }
+      val plainHdr = "1F8B080000000000" + "0003"
+      val fnameHdr = "1F8B080800000000" + "0003" + "7200" // FNAME "r\0"
+      val plain1 = rec1(concat(lit("WARC-Target-URI: "), uri, lit(crlf)),
+        "WARC-Type", "Content-Length", len)
+      val alt1 = rec1(concat(lit("warc-target-uri: <"), uri, lit(">" + crlf),
+        lit("X-Extra: z" + crlf)), "warc-type", "content-length", len)
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          unhex(concat(memberHex(plain1, plainHdr),
+            memberHex(rec2, plainHdr))))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          unhex(concat(memberHex(alt1, plainHdr),
+            memberHex(rec2, fnameHdr))))
+        .when(pmod(col("doc_id"), lit(4)) === 2, // 2nd member magic corrupt
+          unhex(concat(memberHex(plain1, plainHdr),
+            memberHex(rec2, "1E8B080000000000" + "0003"))))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.GzipMembers.gzip_members(blob)))
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("rec_idx"),
+          element_at(graft.functions.WarcRecords.warc_records(col("col")),
+            1).as("__r"))
+        .select(col("doc_id"), col("rec_idx"),
+          col("__r.rec_type").as("rec_type"),
+          col("__r.target_uri").as("target_uri"),
+          col("__r.content_length").as("content_length"),
+          col("__r.payload_md5").as("payload_md5"))
+        .orderBy("doc_id", "rec_idx")
+    },
+    Some("""
+      WITH valid AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <= 1),
+      r AS (
+        SELECT doc_id, 0 AS rec_idx, 'response' AS rec_type,
+               'http://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                 AS target_uri,
+               CAST(strlen(text) AS BIGINT) AS content_length,
+               md5(text) AS payload_md5
+        FROM valid
+        UNION ALL
+        SELECT doc_id, 1, 'metadata', NULL, CAST(2 AS BIGINT), md5('ok')
+        FROM valid
+        UNION ALL
+        SELECT doc_id, NULL, NULL, NULL, NULL, NULL
+        FROM documents WHERE doc_id % 4 >= 2)
+      SELECT doc_id, CAST(rec_idx AS INTEGER) AS rec_idx, rec_type,
+             target_uri, content_length, payload_md5
+      FROM r ORDER BY doc_id, rec_idx NULLS FIRST"""))
+
   /** The composed crawl-source pipeline: WARC segments INSIDE gzip
     * members — the literal CommonCrawl layout — decoded by
     * warc_records(gzip_inflate(blob)) in one map-only plan (both
@@ -5148,7 +5242,8 @@ $steps,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
-    textUnigram, sourceGzip, sourceWarc, crawlPipeline, sourceTar,
+    textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlMembers,
+    sourceTar,
     sourceTarGz, sourceZip, sourceZlib, multimodalPixelsGif,
     multimodalPixelsJpeg, mediaCatalog,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
