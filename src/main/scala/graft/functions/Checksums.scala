@@ -81,6 +81,95 @@ object Checksums {
 
   def adler32_fn(c: Column): Column =
     GraftColumnBridge.column(Adler32Fn(GraftColumnBridge.expression(c)))
+
+  private val X1 = 0x9e3779b1 // 2654435761
+  private val X2 = 0x85ebca77 // 2246822519
+  private val X3 = 0xc2b2ae3d // 3266489917
+  private val X4 = 0x27d4eb2f // 668265263
+  private val X5 = 0x165667b1 // 374761393
+
+  /** XXH32 over bytes[from, from+len) (the public xxHash spec — the
+    * checksum the LZ4 FRAME format carries in its header/block/content
+    * fields), as an unsigned value in a Long. Int arithmetic wraps
+    * mod 2^32 exactly as the spec's u32 does.
+    */
+  def xxh32(b: Array[Byte], from: Int, len: Int, seed: Int): Long = {
+    def u32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    val end = from + len
+    var p = from
+    var acc = 0
+    if (len >= 16) {
+      var a1 = seed + X1 + X2
+      var a2 = seed + X2
+      var a3 = seed
+      var a4 = seed - X1
+      while (p + 16 <= end) {
+        a1 = Integer.rotateLeft(a1 + u32(p) * X2, 13) * X1
+        a2 = Integer.rotateLeft(a2 + u32(p + 4) * X2, 13) * X1
+        a3 = Integer.rotateLeft(a3 + u32(p + 8) * X2, 13) * X1
+        a4 = Integer.rotateLeft(a4 + u32(p + 12) * X2, 13) * X1
+        p += 16
+      }
+      acc = Integer.rotateLeft(a1, 1) + Integer.rotateLeft(a2, 7) +
+        Integer.rotateLeft(a3, 12) + Integer.rotateLeft(a4, 18)
+    } else {
+      acc = seed + X5
+    }
+    acc += len
+    while (p + 4 <= end) {
+      acc = Integer.rotateLeft(acc + u32(p) * X3, 17) * X4
+      p += 4
+    }
+    while (p < end) {
+      acc = Integer.rotateLeft(acc + (b(p) & 0xff) * X5, 11) * X1
+      p += 1
+    }
+    acc ^= acc >>> 15
+    acc *= X2
+    acc ^= acc >>> 13
+    acc *= X3
+    acc ^= acc >>> 16
+    acc.toLong & 0xffffffffL
+  }
+
+  def xxh32_fn(c: Column): Column =
+    GraftColumnBridge.column(Xxh32Fn(GraftColumnBridge.expression(c)))
+}
+
+/** xxh32(binary) → BIGINT — the xxHash-32 checksum as a column
+  * function (seed 0), the LZ4-frame counterpart of `crc32()`/`adler32`.
+  * Pinned against the independent lz4-java XXHash32 implementation in
+  * ChecksumsSpec.
+  */
+case class Xxh32Fn(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"xxh32 requires BINARY input, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    Checksums.xxh32(b, 0, b.length, 0)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Checksums.xxh32($c, 0, ($c).length, 0)")
+
+  override protected def withNewChildInternal(newChild: Expression): Xxh32Fn =
+    copy(child = newChild)
+
+  override def prettyName: String = "xxh32"
 }
 
 /** adler32(binary) → BIGINT — the RFC 1950 checksum as a column

@@ -66,6 +66,10 @@ object GraftFunctions {
       "zlib_inflate", exprs => ZlibInflate(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "gzip_members", exprs => GzipMembers(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "lz4_inflate", exprs => Lz4Inflate(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "xxh32", exprs => Xxh32Fn(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -182,6 +186,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("gzip_members"),
       new ExpressionInfo(classOf[GzipMembers].getName, "gzip_members"),
       (exprs: Seq[Expression]) => GzipMembers(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("lz4_inflate"),
+      new ExpressionInfo(classOf[Lz4Inflate].getName, "lz4_inflate"),
+      (exprs: Seq[Expression]) => Lz4Inflate(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("xxh32"),
+      new ExpressionInfo(classOf[Xxh32Fn].getName, "xxh32"),
+      (exprs: Seq[Expression]) => Xxh32Fn(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

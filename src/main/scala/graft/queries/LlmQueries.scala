@@ -2283,6 +2283,82 @@ $steps,
              CASE WHEN doc_id % 4 <= 1 THEN TRUE END AS roundtrip
       FROM documents ORDER BY doc_id"""))
 
+  /** In-engine LZ4-frame source decode (functions/Lz4Inflate — the
+    * OTHER compression family training shards ship beside DEFLATE;
+    * frame walk + the spec's sequence machine, with the header XXH32,
+    * optional per-block XXH32 and content XXH32 all VERIFIED via
+    * Checksums.xxh32, itself pinned value-for-value against lz4-java's
+    * independent implementation). The query stores each doc's bytes as
+    * an UNCOMPRESSED block — the frame feature that keeps construction
+    * pure column arithmetic — while real compressed frames (lz4 CLI +
+    * lz4-java) are pinned in Lz4InflateSpec; the decoder path through
+    * the frame machinery is identical. Four lanes: a minimal frame
+    * (header checksum only — a Scala-side constant since the
+    * descriptor is constant); a fully-checksummed frame
+    * (content-size + block XXH32 + content XXH32, the content-size
+    * exact-output contract live); a corrupt pair alternating a FLIPPED
+    * HEADER CHECKSUM with a flipped CONTENT checksum; raw text.
+    */
+  val sourceLz4 = QueryDef(
+    "llm_source_lz4",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val len = octet_length(col("text"))
+      val textHex = hex(col("text").cast(BinaryType))
+      val xx = graft.functions.Checksums
+        .xxh32_fn(col("text").cast(BinaryType))
+      // uncompressed block: LE u32 size with the high bit set
+      val blockWord = le32(len + lit(2147483648L))
+      val magic = "04224D18"
+      // lane 0: FLG 0x60 (v01, indep), BD 0x40 (64 KB) -> HC constant
+      val hc0 = "%02X".format(((graft.functions.Checksums.xxh32(
+        Array[Byte](0x60, 0x40), 0, 2, 0) >> 8) & 0xff).toInt)
+      val lane0 = concat(lit(magic + "6040" + hc0), blockWord, textHex,
+        lit("00000000"))
+      // lane 1: FLG 0x7C (indep + block ck + content size + content ck)
+      val desc1 = concat(lit("7C40"), le32(len), lit("00000000"))
+      val hc1 = substring(lpad(hex(shiftright(
+        graft.functions.Checksums.xxh32_fn(unhex(desc1)), 8)), 6, "0"), 5, 2)
+      // checksums are stored as LITTLE-ENDIAN u32s in the frame
+      def frame1(hcCol: Column, contentCk: Column): Column = concat(
+        lit(magic), desc1, hcCol, blockWord, textHex, le32(xx),
+        lit("00000000"), contentCk)
+      val xxGood = le32(xx)
+      val xxBad = le32(pmod(xx + 1, lit(4294967296L)))
+      val hc1bad = lpad(hex(pmod(shiftright(
+        graft.functions.Checksums.xxh32_fn(unhex(desc1)), 8) + 1,
+        lit(256L))), 2, "0")
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0, unhex(lane0))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          unhex(frame1(hc1, xxGood)))
+        .when(pmod(col("doc_id"), lit(8)) === 2, // flipped header checksum
+          unhex(frame1(hc1bad, xxGood)))
+        .when(pmod(col("doc_id"), lit(8)) === 6, // flipped content checksum
+          unhex(frame1(hc1, xxBad)))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.Lz4Inflate.lz4_inflate(blob).as("__d"),
+          col("text"))
+        .select(col("doc_id"),
+          octet_length(col("__d")).as("n_bytes"),
+          md5(col("__d")).as("fp"),
+          (col("__d").cast(StringType) === col("text")).as("roundtrip"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 <= 1
+                  THEN CAST(strlen(text) AS INTEGER) END AS n_bytes,
+             CASE WHEN doc_id % 4 <= 1 THEN md5(text) END AS fp,
+             CASE WHEN doc_id % 4 <= 1 THEN TRUE END AS roundtrip
+      FROM documents ORDER BY doc_id"""))
+
   /** Baseline JPEG pixel decode (functions/JpegPixels — the LAST format
     * off the declared-fake codec line: T.81 Huffman entropy decode,
     * dequant, LL&M integer IDCT, CCIR 601 integer color conversion;
@@ -5244,7 +5320,7 @@ $steps,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlMembers,
     sourceTar,
-    sourceTarGz, sourceZip, sourceZlib, multimodalPixelsGif,
+    sourceTarGz, sourceZip, sourceZlib, sourceLz4, multimodalPixelsGif,
     multimodalPixelsJpeg, mediaCatalog,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
