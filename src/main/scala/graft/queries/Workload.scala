@@ -577,12 +577,17 @@ object Workload {
 
   /** Q16 analog (queries.sql:236-243): market-basket pairs — self-join on the
     * order key with a `<` residual (equi-keyed hash join, never a cartesian),
-    * then global top-5.
+    * then global top-5. FANOUT CONTRACT: the pair stage is quadratic in
+    * items-per-order (TPC-H structural bound: 7); the opt-in
+    * [[graft.operators.PairFanout]] tripwire (`graft.pairFanout.assert`)
+    * rides the same l_orderkey exchange and names any mega-order instead
+    * of letting it straggle.
     */
   val q16 = QueryDef(
     "q16_basket_pairs",
     (s, dir) => {
-      val li = lineitem(s, dir)
+      val li = graft.operators.PairFanout.guard(s, lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")), "l_orderkey")
       val a = li.select(col("l_orderkey"), col("l_partkey").as("product_a"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("product_b"))
       a.join(b, Seq("l_orderkey"))
@@ -1938,17 +1943,22 @@ object Workload {
     * top-5 neighbors per part — the "customers who bought X also
     * bought Y" recommender the reference's basket analysis (q16) feeds.
     * Scale shape: co-occurrence is q16's pair-keyed partial agg (never
-    * all-pairs — pairs exist only within an order), the per-part order
-    * counts are a dimension-sized frame joined back (broadcast at any
-    * realistic part count), and ranking is an item-partitioned window.
+    * all-pairs — pairs exist only within an order; fanout contract at
+    * [[graft.operators.PairFanout]]), the per-part order counts are a
+    * frame that GROWS
+    * WITH THE CORPUS (one row per distinct part — ~billions at 100 TB),
+    * so it carries NO broadcast hint: AQE/statistics pick the join
+    * strategy (broadcast while it fits under the threshold, shuffled
+    * hash/sort-merge on slim int keys beyond), and ranking is an
+    * item-partitioned window.
     * sim is a DOUBLE from three integers — bit-identical cross-engine —
     * with the neighbor id as rank tie-breaker.
     */
   val q43 = QueryDef(
     "q43_item_similarity",
     (s, dir) => {
-      val li = lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val li = graft.operators.PairFanout.guard(s, lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct(), "l_orderkey")
       val n = li.groupBy(col("l_partkey").as("p"))
         .agg(count(lit(1)).as("np"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -1960,9 +1970,9 @@ object Workload {
         .unionByName(
           co.select(col("pb").as("item"), col("pa").as("nb"), col("c")))
       val scored = sym
-        .join(broadcast(n.select(col("p").as("item"), col("np").as("ni"))),
+        .join(n.select(col("p").as("item"), col("np").as("ni")),
           Seq("item"))
-        .join(broadcast(n.select(col("p").as("nb"), col("np").as("nn"))),
+        .join(n.select(col("p").as("nb"), col("np").as("nn")),
           Seq("nb"))
         .select(col("item"), col("nb").as("neighbor"),
           (col("c").cast(DoubleType) /
@@ -3649,9 +3659,12 @@ object Workload {
       while (rounds < 8 && alive != prevAlive) {
         val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select(col("src").as("node"))
+        // `keep` is one row per surviving part — corpus-sized, so NO
+        // broadcast hint: AQE broadcasts while it fits, shuffles beyond.
         edges = edges
-          .join(broadcast(keep), col("src") === col("node"), "left_semi")
-          .join(broadcast(keep), col("dst") === col("node"), "left_semi")
+          .join(keep, col("src") === col("node"), "left_semi")
+          .join(keep.select(col("node").as("node2")),
+            col("dst") === col("node2"), "left_semi")
           .localCheckpoint(true)
         prevAlive = alive
         alive = edges.select(col("src")).distinct().count()
