@@ -87,6 +87,12 @@ object BpeAlgo {
   /** Total BPE token count of a text: pre-tokenize (letter runs / digit
     * runs / single marks — the same segmentation as
     * TextAnalysis.BpePattern), BPE-encode each pre-token, sum the counts.
+    * Marks advance by CODE POINT, not UTF-16 unit: a supplementary-plane
+    * char (emoji) is ONE mark — what a real tokenizer's codepoint
+    * alphabet emits, and what codepoint-based regex engines (Java's own
+    * `.` and negated classes, DuckDB/RE2) match as one (adversarial-
+    * corpus finding: the char-indexed walk double-counted surrogate
+    * pairs).
     */
   def count(s: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
     val str = s.toString
@@ -108,8 +114,8 @@ object BpeAlgo {
         total += countWord(str.substring(i, j), ranks)
         i = j
       } else {
-        total += 1 // single mark = single-char pre-token, nothing to merge
-        i += 1
+        total += 1 // single mark = single-CODEPOINT pre-token
+        i += Character.charCount(str.codePointAt(i))
       }
     }
     total

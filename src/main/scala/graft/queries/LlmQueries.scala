@@ -244,11 +244,62 @@ object LlmQueries {
              CAST(length(text) AS INTEGER) AS n_chars
       FROM documents ORDER BY doc_id"""))
 
+  /** DuckDB replay of the FIXED-merge-table BPE encode (BpeAlgo.count):
+    * one `list_reduce` merge pass per merge, chained in ASCENDING rank
+    * order over the char-split word. Exact because the encode loop's
+    * "merge the globally best-ranked pair present, repeat" collapses to
+    * a single ascending-rank pass whenever every table pair that
+    * references a compound symbol has HIGHER rank than the merge creating
+    * that compound — true of any well-formed learned merge list (a
+    * symbol must exist before a pair containing it is learned) and
+    * verified for the shipped fixture (e.g. `th e`@1 > `t h`@0,
+    * `wi th`@27 > `wi`@26/`th`@0): a merge can only CREATE pairs
+    * involving its output symbol, so nothing with rank ≤ the current
+    * pass ever (re)appears. The per-pass reduce is bpeBatchRoundCte's
+    * proven accumulator (merge left-to-right, compound never re-matches
+    * as left element because `acc LIKE '%'||chr(30)||l` pins the LAST
+    * SYMBOL to equal l). Generated from [[TextAnalysis.DefaultBpeRanks]]
+    * itself — oracle and engine share one fixture by construction.
+    */
+  private def bpeEncodeCountSql(tokExpr: String): String = {
+    val chain = TextAnalysis.DefaultBpeRanks.toSeq.sortBy(_._2)
+      .foldLeft(s"array_to_string(list_transform(range(1, length($tokExpr) + 1), i -> substr($tokExpr, i, 1)), chr(30))") {
+        case (prev, (pair, _)) =>
+          val Array(l, r) = pair.split(" ", 2)
+          s"""list_reduce(string_split(
+             $prev, chr(30)), (acc, x) ->
+             CASE WHEN (acc = '$l' OR acc LIKE '%' || chr(30) || '$l')
+                    AND x = '$r'
+                  THEN acc || '$r' ELSE acc || chr(30) || x END)"""
+      }
+    s"CAST(len(string_split($chain, chr(30))) AS INTEGER)"
+  }
+
+  /** Shared CTE block: per-doc REAL BPE token count via [[bpeEncodeCountSql]]
+    * on the DISTINCT multi-char pre-tokens (marks and single chars count 1
+    * without entering the merge loop — BpeAlgo.countWord(len 1) = 1).
+    */
+  private def bpeRealCountCtes: String = raw"""
+      pre AS MATERIALIZED (
+        SELECT doc_id, unnest(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x0b]')) AS tok
+        FROM documents),
+      bwords AS (SELECT DISTINCT tok FROM pre WHERE length(tok) >= 2),
+      benc AS MATERIALIZED (SELECT tok, ${bpeEncodeCountSql("tok")} AS cnt FROM bwords),
+      bcnt AS MATERIALIZED (
+        SELECT p.doc_id,
+               CAST(SUM(CASE WHEN length(p.tok) = 1 THEN 1 ELSE e.cnt END)
+                 AS INTEGER) AS n
+        FROM pre p LEFT JOIN benc e ON p.tok = e.tok
+        GROUP BY p.doc_id)"""
+
   /** REAL vocab-driven BPE token counting (graft.functions.BpeTokenCount
     * — the merge-table encode loop, not the regex proxy): per-doc token
     * count under the shipped merges fixture, with the regex-proxy count
-    * alongside so the compression the merges buy is visible. Not DuckDB-
-    * expressible (the merge loop is iterative) → golden-pinned.
+    * alongside so the compression the merges buy is visible. Cross-engine
+    * oracled since r12: under a FIXED merge table the encode loop is a
+    * rank-ordered chain of list_reduce passes ([[bpeEncodeCountSql]]),
+    * the same discipline that oracled llm_bpe_train_batched.
     */
   val textTokensBpeReal = QueryDef(
     "llm_text_tokens_bpe_real",
@@ -257,7 +308,15 @@ object LlmQueries {
         TextAnalysis.bpeTokenCountReal(col("text")).as("n_bpe_real"),
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_regex"))
       .orderBy("doc_id"),
-    None)
+    Some(raw"""
+      WITH $bpeRealCountCtes
+      SELECT d.doc_id,
+             CAST(coalesce(c.n, 0) AS INTEGER) AS n_bpe_real,
+             CAST(len(regexp_extract_all(d.text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x0b]')) AS INTEGER)
+               AS n_bpe_regex
+      FROM documents d LEFT JOIN bcnt c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id"""))
 
   /** Quality scoring: integer-count-derived ratios in IEEE double —
     * bit-stable, oracle-checked.
@@ -3676,8 +3735,10 @@ $steps,
     * same greedy per-language selection as `llm_sample_budget`, but the
     * running sum accumulates vocab-driven BPE token counts
     * (graft.functions.BpeTokenCount) — budgeting whitespace tokens when
-    * training counts BPE tokens is off by the compression ratio. The merge
-    * loop is iterative, not DuckDB-expressible → golden-pinned at 3 SFs.
+    * training counts BPE tokens is off by the compression ratio. Cross-
+    * engine oracled since r12: the running sum chains on the fixed-merge
+    * list_reduce replay ([[bpeEncodeCountSql]]) that oracled
+    * llm_text_tokens_bpe_real.
     */
   val sampleBudgetBpe = QueryDef(
     "llm_sample_budget_bpe",
@@ -3685,7 +3746,22 @@ $steps,
       tokenCounter = TextAnalysis.bpeTokenCountReal(_))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
       .orderBy("lang", "cum_tokens", "doc_id"),
-    None)
+    Some(s"""
+      WITH $bpeRealCountCtes,
+      toks AS (
+        SELECT d.doc_id, d.lang, d.text,
+               CAST(coalesce(c.n, 0) AS INTEGER) AS n_tokens
+        FROM documents d LEFT JOIN bcnt c ON d.doc_id = c.doc_id),
+      cum AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY md5(text), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens
+        FROM toks)
+      SELECT doc_id, lang, n_tokens, cum_tokens
+      FROM cum WHERE cum_tokens <= 5000
+      ORDER BY lang, cum_tokens, doc_id"""))
 
   /** The dedup ladder's shared components stage: exact-Jaccard near-dup
     * pairs (gram-key equi join with a df-100 cap) clustered by

@@ -70,4 +70,13 @@ class BpeTokenCountSpec extends SparkSpec {
       .head().getInt(0)
     assert(n == 5)
   }
+
+  test("marks count per CODEPOINT: a surrogate-pair emoji is ONE token") {
+    // "🙂" is U+1F642 (2 UTF-16 units); a char-indexed walk would count 2
+    // — the codepoint alphabet (and every codepoint regex engine) says 1
+    val n = Seq("🙂 é 中文").toDF("text")
+      .select(TextAnalysis.bpeTokenCountReal(col("text")).as("n"))
+      .head().getInt(0)
+    assert(n == 4) // emoji(1) + é(1) + 中(1) + 文(1)
+  }
 }
