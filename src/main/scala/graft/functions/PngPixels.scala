@@ -119,8 +119,13 @@ object PngPixels {
     var spanLen = new Array[Int](4)
     var nSpans = 0
     var guard = 0
+    // chunk-count bound derived from input size: every chunk costs at
+    // least 12 bytes (len + type + CRC), so n/12+1 admits ANY valid
+    // layout — libpng-family encoders emit one IDAT per ~8 KB, which a
+    // fixed 1024 cap rejected past ~8 MB of compressed data (r11 advice)
+    val maxChunks = n / 12 + 1
     var done = false
-    while (!done && guard < 1024 && p + 8 <= n) {
+    while (!done && guard < maxChunks && p + 8 <= n) {
       val len = be32(bytes, p)
       // overflow-free: len is u32 read as Long; p+8 <= n <= 2^31.
       // The -12 keeps data AND the 4 CRC bytes in bounds.
@@ -200,7 +205,12 @@ object PngPixels {
     // the concatenated IDAT stream, big-endian per RFC 1950) must be
     // the Adler-32 of the decompressed scanlines
     val out = new Array[Byte](raw.toInt)
-    if (Inflate.inflate(z, 2, out) != out.length) return null
+    val infl = Inflate.inflateTracked(z, 2, out)
+    if (infl < 0 || (infl & 0xffffffffL).toInt != out.length) return null
+    // STRICT extent: the deflate stream must end exactly at the Adler
+    // trailer — slack bytes between terminator and trailer are rejected
+    // like any real zlib decoder does (r11 advice)
+    if ((infl >>> 32).toInt != z.length - 4) return null
     if (z.length < 6 ||
       Checksums.adler32(out, 0, out.length) != be32(z, z.length - 4))
       return null

@@ -88,9 +88,17 @@ object ZlibInflate {
     var done = false
     while (!done) {
       dst = new Array[Byte](cap.toInt)
-      produced = Inflate.inflate(bytes, 2, dst)
-      if (produced >= 0) done = true
-      else if (produced == -1) return null // malformed: no retry ladder
+      val r = Inflate.inflateTracked(bytes, 2, dst)
+      if (r >= 0) {
+        // STRICT extent: the deflate stream must end exactly at the
+        // Adler trailer — bytes between the final-block terminator and
+        // the last 4 would otherwise be silently accepted, which a real
+        // zlib decoder rejects as corruption (r11 advice)
+        if ((r >>> 32).toInt != n - 4) return null
+        produced = (r & 0xffffffffL).toInt
+        done = true
+      }
+      else if (r == -1L) return null // malformed: no retry ladder
       else if (cap == MaxOutputBytes) return null // -2 past the cap
       else cap = math.min(cap * 2, MaxOutputBytes)
     }

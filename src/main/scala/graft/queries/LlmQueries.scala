@@ -2353,7 +2353,9 @@ $steps,
     * lz4-java) are pinned in Lz4InflateSpec; the decoder path through
     * the frame machinery is identical. Four lanes: a minimal frame
     * (header checksum only — a Scala-side constant since the
-    * descriptor is constant); a fully-checksummed frame
+    * descriptor is constant) SANDWICHED between two skippable frames
+    * (the 0x184D2A5X metadata escape, skipped as lz4(1) does); a
+    * fully-checksummed frame
     * (content-size + block XXH32 + content XXH32, the content-size
     * exact-output contract live); a corrupt pair alternating a FLIPPED
     * HEADER CHECKSUM with a flipped CONTENT checksum; raw text.
@@ -2374,11 +2376,17 @@ $steps,
       // uncompressed block: LE u32 size with the high bit set
       val blockWord = le32(len + lit(2147483648L))
       val magic = "04224D18"
-      // lane 0: FLG 0x60 (v01, indep), BD 0x40 (64 KB) -> HC constant
+      // lane 0: FLG 0x60 (v01, indep), BD 0x40 (64 KB) -> HC constant,
+      // WRAPPED in skippable frames (magic 0x184D2A5X + LE u32 size):
+      // a 9-byte metadata frame before and an empty one after — the
+      // escape real shard writers embed per-shard metadata in, walked
+      // and skipped exactly as lz4(1) does (pinned in Lz4InflateSpec)
       val hc0 = "%02X".format(((graft.functions.Checksums.xxh32(
         Array[Byte](0x60, 0x40), 0, 2, 0) >> 8) & 0xff).toInt)
-      val lane0 = concat(lit(magic + "6040" + hc0), blockWord, textHex,
-        lit("00000000"))
+      val skipPre = "502A4D18" + "09000000" + "73686172646D657461" // "shardmeta"
+      val skipPost = "5F2A4D18" + "00000000"
+      val lane0 = concat(lit(skipPre + magic + "6040" + hc0), blockWord,
+        textHex, lit("00000000" + skipPost))
       // lane 1: FLG 0x7C (indep + block ck + content size + content ck)
       val desc1 = concat(lit("7C40"), le32(len), lit("00000000"))
       val hc1 = substring(lpad(hex(shiftright(

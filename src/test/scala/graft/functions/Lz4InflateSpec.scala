@@ -95,6 +95,29 @@ class Lz4InflateSpec extends SparkSpec {
       Seq.fill(11)(None))
   }
 
+  test("skippable frames + frame concatenation: the lz4(1) sequence walk") {
+    // lzskip.hex = [skippable(0x50, 24B)] [CLI -9 --content-size frame]
+    // [skippable(0x5F, empty)] [CLI -6 frame] [skippable(0x57, 13B)] —
+    // real `lz4 -d` decodes it to the two payloads concatenated
+    // (2104 bytes, pinned md5); ours must match byte-for-byte
+    val comb = res("lzskip.hex")
+    assert(unlz4(comb) ==
+      Seq(Some((2104, "b8431b3f41914abd9904397cf774c66d"))))
+    // skippable-only input: a valid (if pointless) sequence -> EMPTY
+    // output, exactly what lz4(1) emits
+    def le32(v: Long): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    val onlySkip = le32(0x184d2a5aL) ++ le32(3) ++ "abc".getBytes
+    assert(unlz4(onlySkip) ==
+      Seq(Some((0, "d41d8cd98f00b204e9800998ecf8427e")))) // md5("")
+    // truncated skippable payload and undersized header both NULL
+    val truncPay = le32(0x184d2a50L) ++ le32(10) ++ "abc".getBytes
+    val truncHdr = le32(0x184d2a50L) ++ Array[Byte](3, 0)
+    // inter-frame garbage (a stray byte between frames) NULLs all
+    val garbage = onlySkip ++ Array[Byte](0x7f) ++ res("lzbig.hex")
+    assert(unlz4(truncPay, truncHdr, garbage) == Seq.fill(3)(None))
+  }
+
   test("null input yields NULL; SQL surface registered") {
     val out = Seq((1L, null: Array[Byte])).toDF("id", "b")
       .select(Lz4Inflate.lz4_inflate(col("b")).as("d")).collect()

@@ -194,6 +194,25 @@ class PngPixelsSpec extends SparkSpec {
       Some((16, 100, 1600L, 62940L, 64223L, 64688L))))
   }
 
+  test("more than 1024 chunks decode: the cap derives from input size") {
+    // libpng-family encoders emit one IDAT per ~8KB; a fixed 1024-chunk
+    // guard rejected valid PNGs past ~8MB compressed (r11 advice). Re-
+    // chunk the 2x2 zlib stream into ONE-BYTE IDATs (boundaries are
+    // arbitrary per ISO 15948) -> ~1400 chunks, must still decode.
+    val zHex = ("7801 01 0E00 F1FF " + raw2x2 + " " + adler(raw2x2))
+      .replace(" ", "")
+    val manyIdats = zHex.grouped(2).map(b => chunk("49444154", b)).mkString
+    val v = hx(sig + ihdr2x2 + manyIdats + iend)
+    assert(px(v) == Seq(expect2x2))
+  }
+
+  test("slack byte between deflate terminator and Adler trailer is NULL") {
+    val idat = chunk("49444154",
+      "7801 01 0E00 F1FF " + raw2x2 + " 00 " + adler(raw2x2))
+    val v = hx(sig + ihdr2x2 + idat + iend)
+    assert(px(v) == Seq(None))
+  }
+
   test("null input yields NULL") {
     val out = Seq((1L, null: Array[Byte])).toDF("id", "b")
       .select(PngPixels.png_pixels(col("b")).as("p")).collect()

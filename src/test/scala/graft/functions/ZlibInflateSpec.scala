@@ -76,6 +76,12 @@ class ZlibInflateSpec extends SparkSpec {
     assert(unz(fdict, badFcheck, badCm, badAdler, bitRot, truncated, raw,
       Array.empty[Byte]) == Seq.fill(8)(None))
     assert(unz(good) == Seq(Some(text.toSeq)))
+    // SLACK bytes between the deflate terminator and the Adler trailer:
+    // the trailer still matches (it's read from the last 4 bytes) but a
+    // real zlib decoder rejects the stream — so must we (r11 advice)
+    val slack = good.take(good.length - 4) ++
+      Array[Byte](0) ++ good.takeRight(4)
+    assert(unz(slack) == Seq(None))
   }
 
   test("null input yields NULL; SQL surface registered") {
