@@ -135,6 +135,113 @@ object Checksums {
 
   def xxh32_fn(c: Column): Column =
     GraftColumnBridge.column(Xxh32Fn(GraftColumnBridge.expression(c)))
+
+  private val Y1 = 0x9e3779b185ebca87L
+  private val Y2 = 0xc2b2ae3d27d4eb4fL
+  private val Y3 = 0x165667b19e3779f9L
+  private val Y4 = 0x85ebca77c2b2ae63L
+  private val Y5 = 0x27d4eb2f165667c5L
+
+  /** XXH64 over bytes[from, from+len) (the public xxHash spec — the
+    * checksum whose LOW 4 BYTES the Zstandard frame format carries as
+    * its Content_Checksum, RFC 8878 §3.1.1). Long arithmetic wraps
+    * mod 2^64 exactly as the spec's u64 does. Pinned value-for-value
+    * against lz4-java's independent XXHash64 in ChecksumsSpec.
+    */
+  def xxh64(b: Array[Byte], from: Int, len: Int, seed: Long): Long = {
+    def u64(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24) |
+      ((b(i + 4) & 0xffL) << 32) | ((b(i + 5) & 0xffL) << 40) |
+      ((b(i + 6) & 0xffL) << 48) | ((b(i + 7) & 0xffL) << 56)
+    def u32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def round(acc: Long, v: Long): Long =
+      java.lang.Long.rotateLeft(acc + v * Y2, 31) * Y1
+    val end = from + len
+    var p = from
+    var acc = 0L
+    if (len >= 32) {
+      var a1 = seed + Y1 + Y2
+      var a2 = seed + Y2
+      var a3 = seed
+      var a4 = seed - Y1
+      while (p + 32 <= end) {
+        a1 = round(a1, u64(p))
+        a2 = round(a2, u64(p + 8))
+        a3 = round(a3, u64(p + 16))
+        a4 = round(a4, u64(p + 24))
+        p += 32
+      }
+      acc = java.lang.Long.rotateLeft(a1, 1) +
+        java.lang.Long.rotateLeft(a2, 7) +
+        java.lang.Long.rotateLeft(a3, 12) +
+        java.lang.Long.rotateLeft(a4, 18)
+      acc = (acc ^ round(0L, a1)) * Y1 + Y4
+      acc = (acc ^ round(0L, a2)) * Y1 + Y4
+      acc = (acc ^ round(0L, a3)) * Y1 + Y4
+      acc = (acc ^ round(0L, a4)) * Y1 + Y4
+    } else {
+      acc = seed + Y5
+    }
+    acc += len.toLong
+    while (p + 8 <= end) {
+      acc = java.lang.Long.rotateLeft(acc ^ round(0L, u64(p)), 27) * Y1 + Y4
+      p += 8
+    }
+    if (p + 4 <= end) {
+      acc = java.lang.Long.rotateLeft(acc ^ (u32(p) * Y1), 23) * Y2 + Y3
+      p += 4
+    }
+    while (p < end) {
+      acc = java.lang.Long.rotateLeft(acc ^ ((b(p) & 0xffL) * Y5), 11) * Y1
+      p += 1
+    }
+    acc ^= acc >>> 33
+    acc *= Y2
+    acc ^= acc >>> 29
+    acc *= Y3
+    acc ^= acc >>> 32
+    acc
+  }
+
+  def xxh64_fn(c: Column): Column =
+    GraftColumnBridge.column(Xxh64Fn(GraftColumnBridge.expression(c)))
+}
+
+/** xxh64(binary) → BIGINT (the full signed 64-bit value, seed 0) — the
+  * xxHash-64 checksum as a column function: the Zstandard-frame
+  * counterpart of `xxh32` (zstd's Content_Checksum is its low 4
+  * bytes). Pinned against lz4-java's independent XXHash64 in
+  * ChecksumsSpec.
+  */
+case class Xxh64Fn(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"xxh64 requires BINARY input, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    Checksums.xxh64(b, 0, b.length, 0L)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Checksums.xxh64($c, 0, ($c).length, 0L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Xxh64Fn =
+    copy(child = newChild)
+
+  override def prettyName: String = "xxh64"
 }
 
 /** xxh32(binary) → BIGINT — the xxHash-32 checksum as a column

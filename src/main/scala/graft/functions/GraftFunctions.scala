@@ -70,6 +70,10 @@ object GraftFunctions {
       "lz4_inflate", exprs => Lz4Inflate(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "xxh32", exprs => Xxh32Fn(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "xxh64", exprs => Xxh64Fn(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "zstd_inflate", exprs => ZstdInflate(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -194,6 +198,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("xxh32"),
       new ExpressionInfo(classOf[Xxh32Fn].getName, "xxh32"),
       (exprs: Seq[Expression]) => Xxh32Fn(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("xxh64"),
+      new ExpressionInfo(classOf[Xxh64Fn].getName, "xxh64"),
+      (exprs: Seq[Expression]) => Xxh64Fn(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("zstd_inflate"),
+      new ExpressionInfo(classOf[ZstdInflate].getName, "zstd_inflate"),
+      (exprs: Seq[Expression]) => ZstdInflate(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

@@ -2426,6 +2426,83 @@ $steps,
              CASE WHEN doc_id % 4 <= 1 THEN TRUE END AS roundtrip
       FROM documents ORDER BY doc_id"""))
 
+  /** In-engine ZSTANDARD source decode (functions/ZstdInflate — the
+    * FULL RFC 8878 decoder: FSE, Huffman, sequences, repeat offsets —
+    * pinned against zstd(1) CLI frames, zstd-jni, and aircompressor in
+    * ZstdInflateSpec; zstd is the dominant compression for modern
+    * training shards). The query constructs frames in pure column
+    * space using the two block shapes SQL can assemble — a RAW block
+    * and an RLE block (the entropy-coded paths are exercised by the
+    * three-implementation spec differential; the frame machinery here
+    * is identical) — with the Content_Checksum (LOW 4 BYTES of XXH64,
+    * via [[graft.functions.Checksums.xxh64_fn]]) VERIFIED on the
+    * checksummed lane. Six lanes by doc_id % 6: (0) minimal
+    * single-segment frame, 4-byte declared content size + one RAW
+    * block; (1) checksummed frame SANDWICHED between two skippable
+    * frames (the 0x184D2A5X metadata escape zstd shares with LZ4);
+    * (2) an RLE-block frame regenerating len × 'z' — output ≠ input,
+    * so the md5 pins the RLE expansion itself; (3) lane 1 with a
+    * FLIPPED content checksum → NULL; (4) a reserved FHD bit set →
+    * NULL; (5) raw text → NULL.
+    */
+  val sourceZst = QueryDef(
+    "llm_source_zst",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le24(c: Column): Column = {
+        val x = lpad(hex(c), 6, "0")
+        concat(substring(x, 5, 2), substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val len = octet_length(col("text"))
+      val textHex = hex(col("text").cast(BinaryType))
+      val magic = "28B52FFD"
+      // FHD 0xA0: FCS-flag 2 (4-byte), single-segment, no checksum;
+      // 0xA4 adds the content checksum; 0xA8 sets the RESERVED bit
+      val rawBlock = concat(le24(len * 8 + 1), textHex) // type 0, last
+      val rleBlock = concat(le24(len * 8 + 3), lit("7A")) // type 1, 'z'
+      val ck = graft.functions.Checksums
+        .xxh64_fn(col("text").cast(BinaryType)).bitwiseAND(lit(4294967295L))
+      val ckBad = pmod(ck + 1, lit(4294967296L))
+      val skipPre = "502A4D18" + "09000000" + "73686172646D657461"
+      val skipPost = "5F2A4D18" + "00000000"
+      val lane0 = concat(lit(magic + "A0"), le32(len), rawBlock)
+      def ckFrame(c: Column): Column = concat(lit(skipPre + magic + "A4"),
+        le32(len), rawBlock, le32(c), lit(skipPost))
+      val lane2 = concat(lit(magic + "A0"), le32(len), rleBlock)
+      val m = pmod(col("doc_id"), lit(6))
+      val blob = when(m === 0, unhex(lane0))
+        .when(m === 1, unhex(ckFrame(ck)))
+        .when(m === 2, unhex(lane2))
+        .when(m === 3, unhex(ckFrame(ckBad)))
+        .when(m === 4, unhex(concat(lit(magic + "A8"), le32(len), rawBlock)))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.ZstdInflate.zstd_inflate(blob).as("__d"),
+          col("text"))
+        .select(col("doc_id"),
+          octet_length(col("__d")).as("n_bytes"),
+          md5(col("__d")).as("fp"),
+          (col("__d").cast(StringType) === col("text")).as("roundtrip"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 <= 2
+                  THEN CAST(strlen(text) AS INTEGER) END AS n_bytes,
+             CASE WHEN doc_id % 6 <= 1 THEN md5(text)
+                  WHEN doc_id % 6 = 2 THEN md5(repeat('z', strlen(text)))
+                  END AS fp,
+             CASE WHEN doc_id % 6 <= 1 THEN TRUE
+                  WHEN doc_id % 6 = 2 THEN text = repeat('z', strlen(text))
+                  END AS roundtrip
+      FROM documents ORDER BY doc_id"""))
+
   /** Baseline JPEG pixel decode (functions/JpegPixels — the LAST format
     * off the declared-fake codec line: T.81 Huffman entropy decode,
     * dequant, LL&M integer IDCT, CCIR 601 integer color conversion;
@@ -5404,7 +5481,8 @@ $steps,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlMembers,
     sourceTar,
-    sourceTarGz, sourceZip, sourceZlib, sourceLz4, multimodalPixelsGif,
+    sourceTarGz, sourceZip, sourceZlib, sourceLz4, sourceZst,
+    multimodalPixelsGif,
     multimodalPixelsJpeg, mediaCatalog,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
