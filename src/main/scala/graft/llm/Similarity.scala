@@ -254,14 +254,25 @@ object Similarity {
     // Collecting it is O(nlist · dim), not a data-path collect; the
     // broadcast-side frame is rebuilt FROM the collected rows (identical
     // by construction) so the corpus is not scanned a second time.
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val centArr = centroidTable(corpus, nlist)
+    ivfSearchLists(ivfAssign(corpus, centArr), queries, centArr, k, nprobe)
+  }
+
+  /** The probe+rank stage of [[ivfTopK]] over ALREADY-ASSIGNED inverted
+    * lists (centroid_id, neighbor_id, cv) — split out so the streaming
+    * index maintainer (StreamingAnnIvf) can measure recall over its
+    * ACCUMULATED lists with the exact batch search plan: same probes,
+    * same join, same ranking, so fold ≡ one-shot reduces to the lists
+    * frame being union-equal, which assignment purity gives for free.
+    */
+  def ivfSearchLists(corpusLists: DataFrame, queries: DataFrame,
+      centArr: Array[(Long, Array[Double])], k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val cents = broadcast(
       centArr.toSeq.map { case (cid, v) => (cid, v.toSeq) }
         .toDF("centroid_id", "centv"))
-
-    val corpusLists = ivfAssign(corpus, centArr)
     // Query probes keep the broadcast-join + tiny window (top-nprobe per
     // query over nlist rows — queries are few; the window partitions by
     // query id over ≤nlist rows each).

@@ -3295,6 +3295,37 @@ $steps,
       ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE rank <= 5),
       ${recallTailSql("ivf")}"""))
 
+  /** IVF recall@5 under STREAMING INSERTS (the ANN family's freshness
+    * row): the corpus arrives in three deterministic micro-batches, the
+    * StreamingAnnIvf maintainer accumulates the inverted lists (cell
+    * assignment is a pure per-row function of (vector, fixed
+    * centroids), so accumulation is a union — order-free), and recall
+    * against the brute-force ground truth is measured over the
+    * accumulated index with the EXACT batch search plan
+    * ([[graft.llm.Similarity.ivfSearchLists]]). Proven equivalent to
+    * [[annRecallIvf]] by sharing its oracle VERBATIM — the stream-twin
+    * discipline: the CDC/MV arms got this hard signal in r11; this
+    * closes it for the ANN arm. Centroids come from the full corpus
+    * (the model parameter is fixed before the stream starts — the IVF
+    * deployment contract, same as stream_ann_ivf_cells).
+    */
+  val annRecallIvfStream = QueryDef(
+    "stream_ann_recall_ivf",
+    (s, dir) => {
+      val emb = embeddings(s, dir)
+      val centArr = Similarity.centroidTable(emb, 16)
+      val m = new graft.streaming.StreamingAnnIvf.Maintainer(centArr)
+      (0 until 3).foreach(i =>
+        m.absorb(emb.filter(pmod(col("vec_id"), lit(3)) === i)))
+      val q = emb.filter(col("vec_id") < 10)
+      recallAgainstTruth(
+        Similarity.bruteForceTopK(q, emb, 5)
+          .select(col("query_id"), col("neighbor_id")),
+        Similarity.ivfSearchLists(m.currentLists.get, q, centArr, 5, 4)
+          .select(col("query_id"), col("neighbor_id")))
+    },
+    annRecallIvf.oracle)
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets. The 0.15
     * threshold is calibrated to this synthetic corpus (random-ish 64-dim
     * vectors: cosine mass concentrates near 0, in-bucket max ≈ 0.25); real
@@ -5487,7 +5518,8 @@ $steps,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
     annIvfCellsStream, annRecall,
-    annRecallIvf, embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
+    annRecallIvf, annRecallIvfStream,
+    embedPq, annPq, annIvfPq, embedNearDup, embedClusters, semanticDedup,
     textNormalize, filterReport, repetitionReport, piiReport, gramStats,
     keyTerms, sampleStratified, sampleTemperature, sampleBudget,
     sampleBudgetBpe, sampleWeighted, sampleMixture, embedNormalize,

@@ -32,12 +32,31 @@ object StreamingAnnIvf {
     require(centArr.nonEmpty, "centroid table must be non-empty")
 
     @volatile private var state: Option[DataFrame] = None
+    @volatile private var lists: Option[DataFrame] = None
 
     /** (centroid_id, n_vectors, first_vec) per occupied cell. */
     def currentCells: Option[DataFrame] = state
 
+    /** The accumulated INVERTED LISTS (centroid_id, neighbor_id, cv) —
+      * the index itself, O(corpus) rows held as a localCheckpoint'd
+      * DISTRIBUTED frame (executor blocks, the sink's role in a real
+      * serving tier; never driver-collected). Feeds the freshness
+      * measurement: [[Similarity.ivfSearchLists]] over these lists is
+      * the exact batch search plan, so recall-vs-brute after any
+      * batching folds to the one-shot number
+      * (`stream_ann_recall_ivf` shares llm_ann_recall_ivf's oracle
+      * verbatim; StreamingAnnIvfSpec pins the fold).
+      */
+    def currentLists: Option[DataFrame] = lists
+
     def absorb(batch: DataFrame): Unit = synchronized {
-      val b = Similarity.ivfAssign(batch, centArr)
+      val assigned = Similarity.ivfAssign(batch, centArr)
+        .localCheckpoint(true)
+      lists = Some(lists match {
+        case None => assigned
+        case Some(ls) => ls.unionByName(assigned).localCheckpoint(true)
+      })
+      val b = assigned
         .groupBy("centroid_id")
         .agg(count(lit(1)).as("n_vectors"),
           min(col("neighbor_id")).as("first_vec"))

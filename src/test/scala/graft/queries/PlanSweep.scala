@@ -98,6 +98,9 @@ class PlanSweepSpec extends SparkSpec {
     */
   private val DeclaredBroadcastAnn = Set(
     "llm_ann_bruteforce", "llm_ann_ivf", "llm_ann_recall", "llm_ann_recall_ivf",
+    // streaming-insert twin of llm_ann_recall_ivf: same brute-force
+    // ground-truth crossJoin over the vec_id < NQueries query set
+    "stream_ann_recall_ivf",
     "llm_ann_quantized",
     // filtered search: the same vec_id < 10 query set against the
     // predicate-pruned corpus — the corpus-side filter only shrinks the

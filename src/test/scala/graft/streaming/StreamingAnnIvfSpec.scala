@@ -64,4 +64,24 @@ class StreamingAnnIvfSpec extends SparkSpec {
     // 9 non-zero-norm vectors accounted for
     assert(out.map(_(1).asInstanceOf[Long]).sum == 9L)
   }
+
+  test("recall over accumulated lists: fold equals one-shot search") {
+    val cents = graft.llm.Similarity.centroidTable(corpus, 2)
+    val q = corpus.filter(col("vec_id") < 3)
+    def searchRows(lists: org.apache.spark.sql.DataFrame) =
+      graft.llm.Similarity.ivfSearchLists(lists, q, cents, k = 3, nprobe = 1)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val oneShot = searchRows(
+      graft.llm.Similarity.ivfAssign(corpus, cents))
+    assert(oneShot.nonEmpty)
+    for (batching <- Seq(
+        Seq(Seq(0L, 1L, 2L), Seq(3L, 4L, 5L), Seq(6L, 7L, 8L, 9L)),
+        Seq(Seq(9L, 8L, 7L), Seq.empty[Long], Seq(6L, 5L, 4L, 3L, 2L, 1L, 0L)))) {
+      val m = new StreamingAnnIvf.Maintainer(cents)
+      batching.foreach(ids =>
+        m.absorb(corpus.filter(col("vec_id").isin(ids: _*))))
+      assert(searchRows(m.currentLists.get) == oneShot,
+        s"fold drifted under batching $batching")
+    }
+  }
 }
