@@ -292,9 +292,37 @@ object Bench {
         r
       }
     sampleControl(done)
+    // r11 verdict #5 — WINDOW-DECORRELATED ANCHOR: the suite total is
+    // dominated by its most expensive queries, and a ±15 % machine
+    // window hitting one of them inflates the committed anchor even
+    // under min-of-2, because both laps sit back-to-back INSIDE the
+    // same window (four same-code laps spanned 158.9–205.9 s in r11).
+    // The [[RevisitTop]] most expensive queries are therefore re-lapped
+    // at the END of the run — a different time window — and the
+    // reported value is the min across BOTH visits: a window now has to
+    // span the whole run to bias a top query. The revisit laps are
+    // appended to the laps artifact (visible protocol), and the names
+    // are recorded under "revisit" in env.
+    val RevisitTop = 20
+    val revisitNames = results.filter(_._2 >= 0)
+      .sortBy(-_._2).take(RevisitTop).map(_._1).toSet
+    val revisited: Map[String, Seq[Lap]] =
+      execOrder.filter(q => revisitNames(q._1)).map { case (name, fn) =>
+        val extra =
+          try Seq(lap(() => fn(spark, sfDir)), lap(() => fn(spark, sfDir)))
+          catch { case _: Throwable => Seq.empty[Lap] }
+        name -> extra
+      }.toMap
+    val finalResults: Seq[(String, Double, Seq[Lap])] =
+      results.map { case (name, v, laps) =>
+        val extra = revisited.getOrElse(name, Seq.empty)
+        if (v < 0 || extra.isEmpty) (name, v, laps ++ extra)
+        else (name, math.min(v, extra.map(_.sec).min), laps ++ extra)
+      }
+    sampleControl(done + 1) // bracket the revisit block too
     // Emission maps are name-sorted regardless of execution order (stable
     // cross-round diffs); the executed order is recorded separately.
-    val sorted = results.sortBy(_._1)
+    val sorted = finalResults.sortBy(_._1)
     val qs = sorted.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val lapsJson = sorted.map { case (k, _, ls) =>
@@ -313,11 +341,13 @@ object Bench {
     }.mkString("[", ",", "]")
     val envJson = {
       val rt = Runtime.getRuntime
-      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors},"bench_seed":$benchSeed}"""
+      val rev = revisitNames.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors},"bench_seed":$benchSeed,"revisit_top":$RevisitTop,"revisit":$rev}"""
     }
     val orderJson =
       execOrder.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"laps":$lapsJson,"telemetry":$telemetryJson,"controls":$controlsJson,"env":$envJson,"exec_order":$orderJson,"sf":"$sfDir"}"""
     println(fullJson)
@@ -372,8 +402,8 @@ object Bench {
     // window, losing its head (and the total with it). The LAST line is
     // therefore MINIMAL — no queries map, so it fits any capture window
     // whole and the full-suite total is always recoverable.
-    val nOk = results.count(_._2 >= 0)
-    println(s"""{"metric":"bench_total","value":${fmt(total)},"unit":"sec","n":$nOk,"n_failed":${results.size - nOk}}""")
+    val nOk = finalResults.count(_._2 >= 0)
+    println(s"""{"metric":"bench_total","value":${fmt(total)},"unit":"sec","n":$nOk,"n_failed":${finalResults.size - nOk}}""")
     spark.stop()
   }
 }
