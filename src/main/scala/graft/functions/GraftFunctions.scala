@@ -63,6 +63,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "jpeg_pixels", exprs => JpegPixels(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
+      "webp_pixels", exprs => WebpPixels(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
       "zlib_inflate", exprs => ZlibInflate(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "gzip_members", exprs => GzipMembers(exprs.head), "scala_udf")
@@ -182,6 +184,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("jpeg_pixels"),
       new ExpressionInfo(classOf[JpegPixels].getName, "jpeg_pixels"),
       (exprs: Seq[Expression]) => JpegPixels(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("webp_pixels"),
+      new ExpressionInfo(classOf[WebpPixels].getName, "webp_pixels"),
+      (exprs: Seq[Expression]) => WebpPixels(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("zlib_inflate"),
       new ExpressionInfo(classOf[ZlibInflate].getName, "zlib_inflate"),

@@ -2137,18 +2137,122 @@ $steps,
                   END AS sum_b
       FROM documents ORDER BY media_id"""))
 
+  /** Lossless-WebP (VP8L) pixel decode (functions/WebpPixels — the FULL
+    * public VP8L bitstream: prefix codes incl. meta groups, color
+    * cache, LZ77 plane codes, all four transforms; pixel-exact against
+    * the reference libwebp encoder AND decoder in WebpPixelsSpec).
+    * Closes the pixel line for the one format llm_media_catalog could
+    * previously only read header-deep. The query builds VP8L in pure
+    * column space using the stream shape SQL can assemble — five
+    * SINGLE-SYMBOL prefix codes, under which every literal pixel costs
+    * ZERO data bits, so a w×h flat-color image is just the 90-bit
+    * header+trees template with (w−1, h−1, r, g, b) spliced at fixed
+    * bit offsets (the construction was validated against the real
+    * libwebp decoder at authoring time; the entropy-coded wild shapes
+    * are the spec's 8 reference vectors). Lanes by doc_id % 4:
+    * (0, 1) valid flat images at two dim/color parameterizations;
+    * (2) version bit set → NULL; (3) raw text → NULL.
+    */
+  /** A w×h flat-color VP8L file as hex, built in pure column space:
+    * five SINGLE-SYMBOL prefix codes make every literal pixel cost ZERO
+    * data bits, so the whole file is the fixed RIFF/VP8L/90-bit-
+    * bitstream template with (w−1, h−1, r, g, b) spliced at fixed
+    * little-endian bit offsets. Validated against the real libwebp
+    * decoder at authoring time. `versionBit` ≠ 0 plants a nonzero
+    * stream version (the decoder's out-of-scope boundary → NULL).
+    */
+  private def vp8lFlatHex(w: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+      g: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      versionBit: org.apache.spark.sql.Column = lit(0L))
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    def le32h(c: Column): Column = {
+      val x = lpad(hex(c), 8, "0")
+      concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2))
+    }
+    def b2(c: Column): Column = lpad(hex(c), 2, "0")
+    concat(
+      lit("52494646" + "1A000000" + "57454250" + "5650384C" +
+        "0D000000" + "2F"),
+      le32h(w - 1 + (h - 1) * 16384 + versionBit),
+      b2(pmod(g, lit(4)) * 64 + 40),
+      b2((g.cast(LongType) / 4).cast(LongType) + 64),
+      b2(pmod(r, lit(128)) * 2 + 1),
+      b2((r.cast(LongType) / 128).cast(LongType) + 10 +
+        pmod(b, lit(16)) * 16),
+      b2((b.cast(LongType) / 16).cast(LongType) + 208),
+      lit("FF" + "02" + "00" + "00")) // trees tail + chunk pad byte
+  }
+
+  val multimodalPixelsWebp = QueryDef(
+    "llm_multimodal_pixels_webp",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def vp8l(w: Column, h: Column, r: Column, g: Column, b: Column,
+          versionBit: Column): Column = vp8lFlatHex(w, h, r, g, b, versionBit)
+      val w = (pmod(col("doc_id"), lit(9)) + 1).cast(IntegerType)
+      val h = (pmod(col("n_chars"), lit(7)) + 1).cast(IntegerType)
+      val rv = pmod(col("doc_id") * 13, lit(256))
+      val gv = pmod(col("n_chars") * 17, lit(256))
+      val bv = pmod(col("doc_id") * 3 + col("n_chars"), lit(256))
+      val m = pmod(col("doc_id"), lit(4))
+      val blob = when(m === 0, unhex(vp8l(w, h, rv, gv, bv, lit(0L))))
+        .when(m === 1, unhex(vp8l(lit(1), h + 9, bv, rv, gv, lit(0L))))
+        .when(m === 2, // version != 0: the declared out-of-scope boundary
+          unhex(vp8l(w, h, rv, gv, bv, lit(536870912L))))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.WebpPixels.webp_pixels(blob).as("__p"))
+        .select(col("doc_id"),
+          col("__p.width").as("width"), col("__p.height").as("height"),
+          col("__p.n_px").as("n_px"), col("__p.sum_r").as("sum_r"),
+          col("__p.sum_g").as("sum_g"), col("__p.sum_b").as("sum_b"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % 9 + 1 AS INTEGER) AS w,
+               CAST(n_chars % 7 + 1 AS INTEGER) AS h,
+               CAST(n_chars % 7 + 10 AS INTEGER) AS h1,
+               (doc_id * 13) % 256 AS rv,
+               (n_chars * 17) % 256 AS gv,
+               (doc_id * 3 + n_chars) % 256 AS bv
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN w
+                  WHEN doc_id % 4 = 1 THEN 1 END AS width,
+             CASE WHEN doc_id % 4 = 0 THEN h
+                  WHEN doc_id % 4 = 1 THEN h1 END AS height,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(w * h AS BIGINT)
+                  WHEN doc_id % 4 = 1 THEN CAST(h1 AS BIGINT) END AS n_px,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(w * h * rv AS BIGINT)
+                  WHEN doc_id % 4 = 1 THEN CAST(h1 * bv AS BIGINT)
+                  END AS sum_r,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(w * h * gv AS BIGINT)
+                  WHEN doc_id % 4 = 1 THEN CAST(h1 * rv AS BIGINT)
+                  END AS sum_g,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(w * h * bv AS BIGINT)
+                  WHEN doc_id % 4 = 1 THEN CAST(h1 * gv AS BIGINT)
+                  END AS sum_b
+      FROM d ORDER BY doc_id"""))
+
   /** The universal media catalog: a MIXED-FORMAT corpus (BMP, PNG, GIF,
-    * JPEG, junk — one format per lane) decoded by ONE expression,
-    * coalesce(bmp_pixels, png_pixels, gif_pixels, jpeg_pixels) — the
-    * rung that proves the pixel family COMPOSES into format dispatch:
-    * every decoder is signature-strict (NULL on a foreign format after
-    * a cheap header probe), so exactly one fires per blob and the
-    * coalesce IS the dispatcher — no format column, no UDF router, one
-    * map-only codegen'd plan. All four formats carry the SAME uniform
-    * color derived from doc fields, so the oracle is one arithmetic
-    * CASE per lane; the junk lane proves disagreement NULLs rather
-    * than mislabeling. The format label is the same coalesce over
-    * literal tags.
+    * JPEG, WEBP, junk — one format per lane) decoded by ONE expression,
+    * coalesce(bmp_pixels, png_pixels, gif_pixels, jpeg_pixels,
+    * webp_pixels) — the rung that proves the pixel family COMPOSES into
+    * format dispatch: every decoder is signature-strict (NULL on a
+    * foreign format after a cheap header probe), so exactly one fires
+    * per blob and the coalesce IS the dispatcher — no format column, no
+    * UDF router, one map-only codegen'd plan. All five formats carry
+    * the SAME uniform color derived from doc fields, so the oracle is
+    * one arithmetic CASE per lane; the junk lane proves disagreement
+    * NULLs rather than mislabeling. The format label is the same
+    * coalesce over literal tags. (WEBP joined in r12 when WebpPixels
+    * closed the last header-only format.)
     */
   val mediaCatalog = QueryDef(
     "llm_media_catalog",
@@ -2227,23 +2331,28 @@ $steps,
       val jpegHex = concat(lit("FFD8" + jdqt + jdht + "FFC0000B08"),
         lpad(hex(col("__h")), 4, "0"), lpad(hex(col("__w")), 4, "0"),
         lit("01011100FFDA0008010100003F00"), col("__je"), lit("FFD9"))
-      val blob = when(pmod(col("doc_id"), lit(5)) === 0, unhex(bmpHex))
-        .when(pmod(col("doc_id"), lit(5)) === 1, unhex(pngHex))
-        .when(pmod(col("doc_id"), lit(5)) === 2, unhex(gifHex))
-        .when(pmod(col("doc_id"), lit(5)) === 3, unhex(jpegHex))
+      val blob = when(pmod(col("doc_id"), lit(6)) === 0, unhex(bmpHex))
+        .when(pmod(col("doc_id"), lit(6)) === 1, unhex(pngHex))
+        .when(pmod(col("doc_id"), lit(6)) === 2, unhex(gifHex))
+        .when(pmod(col("doc_id"), lit(6)) === 3, unhex(jpegHex))
+        .when(pmod(col("doc_id"), lit(6)) === 4,
+          unhex(vp8lFlatHex(col("__w"), col("__h"), rv, gv, bv)))
         .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
       val withP = jbase
         .withColumn("__bmp", graft.functions.BmpPixels.bmp_pixels(blob))
         .withColumn("__png", graft.functions.PngPixels.png_pixels(blob))
         .withColumn("__gif", graft.functions.GifPixels.gif_pixels(blob))
         .withColumn("__jpg", graft.functions.JpegPixels.jpeg_pixels(blob))
+        .withColumn("__webp", graft.functions.WebpPixels.webp_pixels(blob))
         .withColumn("__p",
-          coalesce(col("__bmp"), col("__png"), col("__gif"), col("__jpg")))
+          coalesce(col("__bmp"), col("__png"), col("__gif"), col("__jpg"),
+            col("__webp")))
         .withColumn("format",
           coalesce(when(col("__bmp").isNotNull, "bmp"),
             when(col("__png").isNotNull, "png"),
             when(col("__gif").isNotNull, "gif"),
-            when(col("__jpg").isNotNull, "jpeg")))
+            when(col("__jpg").isNotNull, "jpeg"),
+            when(col("__webp").isNotNull, "webp")))
       withP
         .select(col("doc_id").as("media_id"), col("format"),
           col("__p.width").as("width"), col("__p.height").as("height"),
@@ -2261,19 +2370,20 @@ $steps,
                (doc_id + n_chars * 5) % 256 AS bv
         FROM documents)
       SELECT doc_id AS media_id,
-             CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-                  WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg' END AS format,
-             CASE WHEN doc_id % 5 = 4 THEN NULL ELSE w END AS width,
-             CASE WHEN doc_id % 5 = 4 THEN NULL ELSE h END AS height,
-             CASE WHEN doc_id % 5 = 4 THEN NULL
+             CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                  WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
+                  WHEN 4 THEN 'webp' END AS format,
+             CASE WHEN doc_id % 6 = 5 THEN NULL ELSE w END AS width,
+             CASE WHEN doc_id % 6 = 5 THEN NULL ELSE h END AS height,
+             CASE WHEN doc_id % 6 = 5 THEN NULL
                   ELSE CAST(w * h AS BIGINT) END AS n_px,
-             CASE WHEN doc_id % 5 = 4 THEN NULL
+             CASE WHEN doc_id % 6 = 5 THEN NULL
                   ELSE CAST(w * h * rv AS BIGINT) END AS sum_r,
-             CASE WHEN doc_id % 5 = 4 THEN NULL
-                  WHEN doc_id % 5 = 3 THEN CAST(w * h * rv AS BIGINT)
+             CASE WHEN doc_id % 6 = 5 THEN NULL
+                  WHEN doc_id % 6 = 3 THEN CAST(w * h * rv AS BIGINT)
                   ELSE CAST(w * h * gv AS BIGINT) END AS sum_g,
-             CASE WHEN doc_id % 5 = 4 THEN NULL
-                  WHEN doc_id % 5 = 3 THEN CAST(w * h * rv AS BIGINT)
+             CASE WHEN doc_id % 6 = 5 THEN NULL
+                  WHEN doc_id % 6 = 3 THEN CAST(w * h * rv AS BIGINT)
                   ELSE CAST(w * h * bv AS BIGINT) END AS sum_b
       FROM d ORDER BY media_id"""))
 
@@ -5513,7 +5623,7 @@ $steps,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlMembers,
     sourceTar,
     sourceTarGz, sourceZip, sourceZlib, sourceLz4, sourceZst,
-    multimodalPixelsGif,
+    multimodalPixelsGif, multimodalPixelsWebp,
     multimodalPixelsJpeg, mediaCatalog,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,
