@@ -1931,6 +1931,90 @@ $steps,
     },
     Some(tarOracleSql))
 
+  /** The MODERN composed shard pipeline: a tarball inside a ZSTANDARD
+    * frame — the `.tar.zst` layout new training corpora ship (zstd
+    * replaced gzip as the default shard compression) — decoded by
+    * tar_entries(zstd_inflate(blob)) in one map-only plan. The zstd
+    * layer is a single-segment frame with a declared content size, one
+    * RAW block (the tar is ≤ a few KB per doc — far under the 128 KB
+    * block ceiling) and the CONTENT CHECKSUM live (low-4 XXH64 via
+    * xxh64_fn — construction exercises the verify path end-to-end).
+    * Lanes mirror llm_source_targz's: the valid pair shares
+    * [[tarOracleSql]] VERBATIM, so the adversarial pin hash is
+    * identical across llm_source_tar / llm_source_targz /
+    * llm_source_tarzst — three container routes provably landing on
+    * the same rows; then the failure layers separate: a corrupt ZSTD
+    * MAGIC (outer NULLs before the tar parser runs) vs a valid frame
+    * whose INNER tar has a flipped header checksum.
+    */
+  val sourceTarZst = QueryDef(
+    "llm_source_tarzst",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val base = documents(s, dir)
+        .withColumn("__name", concat(lit("doc"), col("doc_id"), lit(".txt")))
+        .withColumn("__sz", octet_length(col("text")))
+        .withColumn("__szoct", lpad(conv(col("__sz"), 10, 8), 11, "0"))
+        .withColumn("__paypad",
+          expr("rpad(hex(cast(text AS BINARY)), " +
+            "cast((__sz + 511) div 512 AS INT) * 1024, '0')"))
+      def entry0Hdr(prefix: String, chkBump: Int): Column = {
+        val constSum = tarByteSum(TarMode + TarUid + TarUid) +
+          tarByteSum(TarMtime) + 8 * 32 + '0'.toInt +
+          tarByteSum(tarMagicVer(gnu = false)) + tarByteSum(prefix)
+        val chk = lit(constSum + 32 + chkBump) + tarAsciiSum(col("__name")) +
+          tarAsciiSum(col("__szoct"))
+        concat(
+          rpad(hex(col("__name").cast(BinaryType)), 200, "0"),
+          lit(tarHexOf(TarMode + TarUid + TarUid)),
+          hex(col("__szoct").cast(BinaryType)), lit("20"),
+          lit(tarHexOf(TarMtime)),
+          hex(lpad(conv(chk, 10, 8), 6, "0").cast(BinaryType)), lit("0020"),
+          lit("30"), lit("00" * 100),
+          lit(tarHexOf(tarMagicVer(gnu = false))),
+          lit("00" * 80), lit(tarFieldHex(prefix, 155)), lit("00" * 12))
+      }
+      def tarHexCol(prefix: String, gnuSecond: Boolean,
+          chkBump: Int): Column = concat(
+        entry0Hdr(prefix, chkBump), col("__paypad"),
+        lit(tarConstEntryHex(gnuSecond)), lit("00" * 1024))
+      def le24(c: Column): Column = {
+        val x = lpad(hex(c), 6, "0")
+        concat(substring(x, 5, 2), substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def zst(tarHex: Column, magic: String): Column = {
+        val bl = length(tarHex) / 2
+        val ck = graft.functions.Checksums.xxh64_fn(unhex(tarHex))
+          .bitwiseAND(lit(4294967295L))
+        unhex(concat(lit(magic + "A4"), le32(bl), le24(bl * 8 + 1), tarHex,
+          le32(ck)))
+      }
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          zst(tarHexCol("", gnuSecond = false, 0), "28B52FFD"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          zst(tarHexCol("corpus", gnuSecond = true, 0), "28B52FFD"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, // corrupt zstd layer
+          zst(tarHexCol("", gnuSecond = false, 0), "28B52FFC"))
+        .otherwise( // valid zstd, corrupt inner tar checksum
+          zst(tarHexCol("", gnuSecond = false, 1), "28B52FFD"))
+      base
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.TarEntries.tar_entries(
+            graft.functions.ZstdInflate.zstd_inflate(blob))))
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("entry_idx"),
+          col("col.name").as("name"),
+          col("col.typeflag").as("typeflag"),
+          col("col.size").as("size"),
+          col("col.payload_md5").as("payload_md5"))
+        .orderBy("doc_id", "entry_idx")
+    },
+    Some(tarOracleSql))
+
   /** In-engine ZIP parsing (functions/ZipEntries — PKWARE APPNOTE, read
     * the spec-correct way from the CENTRAL DIRECTORY, per-entry CRC-32
     * verified, DEFLATE entries inflated in-engine): per-doc two-entry
@@ -5622,7 +5706,7 @@ $steps,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlMembers,
     sourceTar,
-    sourceTarGz, sourceZip, sourceZlib, sourceLz4, sourceZst,
+    sourceTarGz, sourceTarZst, sourceZip, sourceZlib, sourceLz4, sourceZst,
     multimodalPixelsGif, multimodalPixelsWebp,
     multimodalPixelsJpeg, mediaCatalog,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
