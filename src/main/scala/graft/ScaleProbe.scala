@@ -1795,14 +1795,54 @@ object ScaleProbe {
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // real zstd frames via zstd-jni (the reference C library Spark
+    // ships for parquet — runtime-classpath only, a probe dependency)
+    def zstdBytes(p: Array[Byte]): Array[Byte] = {
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try { ctx.setLevel(3); ctx.setChecksum(true); ctx.compress(p) }
+      finally ctx.close()
+    }
+    val zst = zstdBytes(payload)
+    val tarZst = zstdBytes(
+      (0 until 4).map(i => tarEntry(s"f$i.txt", payload)).reduce(_ ++ _) ++
+        new Array[Byte](1024))
+    // real LZ4 frame via lz4-java
+    val lz4 = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      o.write(payload); o.close(); bos.toByteArray
+    }
+    // a 128×128 flat VP8L (the five-single-symbol-tree template the
+    // driver query uses; literal pixels cost zero data bits, so the
+    // probe measures the header/transform-free pixel loop)
+    val webp = {
+      val w = 128; val h = 128; val r = 10; val g = 200; val b = 30
+      val word = (w - 1) | ((h - 1) << 14)
+      val pl = Array[Int](0x2f, word & 0xff, (word >> 8) & 0xff,
+        (word >> 16) & 0xff, (word >> 24) & 0xff,
+        40 + (g % 4) * 64, g / 4 + 64, 1 + (r % 128) * 2,
+        r / 128 + 10 + (b % 16) * 16, b / 16 + 208, 255, 2, 0)
+        .map(_.toByte)
+      val bb = java.nio.ByteBuffer.allocate(12 + 8 + pl.length + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(4 + 8 + pl.length + 1)
+        .put("WEBP".getBytes).put("VP8L".getBytes).putInt(pl.length)
+        .put(pl).put(0.toByte)
+      bb.array()
+    }
     val cases: Seq[(String, Array[Byte],
         org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
       ("gzip", gz, c => octet_length(GzipInflate.gzip_inflate(c))),
       ("targz", tarGz,
         c => size(TarEntries.tar_entries(GzipInflate.gzip_inflate(c)))),
       ("zip", zip, c => size(ZipEntries.zip_entries(c))),
+      ("zstd", zst, c => octet_length(ZstdInflate.zstd_inflate(c))),
+      ("tarzst", tarZst,
+        c => size(TarEntries.tar_entries(ZstdInflate.zstd_inflate(c)))),
+      ("lz4", lz4, c => octet_length(Lz4Inflate.lz4_inflate(c))),
       ("png", png, c => PngPixels.png_pixels(c).getField("n_px")),
       ("gif", gif, c => GifPixels.gif_pixels(c).getField("n_px")),
+      ("webp", webp, c => WebpPixels.webp_pixels(c).getField("n_px")),
       ("jpeg_gray", jpegG, c => JpegPixels.jpeg_pixels(c).getField("n_px")),
       ("jpeg_rgb", jpegC, c => JpegPixels.jpeg_pixels(c).getField("n_px")))
     cases.foreach { case (name, blob, decode) =>

@@ -228,11 +228,20 @@ object Lz4Inflate {
             if (stored > n - p) return null
             // decode limit: the declared size when present, else the cap
             // — capacity grows by at most a block, clamped to the cap,
-            // and ONLY an actual write past dLimit fails
+            // and ONLY an actual write past dLimit fails. The per-block
+            // growth is the ARITHMETIC expansion bound, not the declared
+            // block-max: a block of `stored` bytes can emit at most
+            // ~262·stored (literals ≤ stored; a no-extension match costs
+            // 3 bytes for ≤ 18 out; every extension byte adds ≤ 255), so
+            // a 4 MB-block-max frame holding tiny blocks no longer
+            // allocates 4 MB per block (measured ×19 on `ScaleProbe
+            // media`'s 112-byte frames).
             val dLimit =
               if (contentSize >= 0) (frameStart + contentSize).toInt
               else {
-                ensure(math.min(MaxOutputBytes, produced.toLong + maxBlock))
+                val bound = math.min(maxBlock.toLong,
+                  if (uncompressed) stored.toLong else 264L * stored + 64L)
+                ensure(math.min(MaxOutputBytes, produced.toLong + bound))
                 dst.length
               }
             val out =
