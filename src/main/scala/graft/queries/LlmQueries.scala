@@ -1931,6 +1931,80 @@ $steps,
     },
     Some(tarOracleSql))
 
+  /** COMPRESSED-block zstd lanes — the entropy-section structures SQL
+    * can assemble, putting `ZstdInflate.decodeBlock` itself on the
+    * driver oracle (the Huffman/FSE-coded wild shapes are pinned
+    * against zstd CLI + zstd-jni + aircompressor in ZstdInflateSpec;
+    * this row proves the block grammar end-to-end cross-engine). All
+    * frames use an explicit window descriptor (windowLog 10) so the
+    * 128 KB-vs-window block ceiling is exercised on the REAL branch.
+    * Lanes by doc_id % 4:
+    *  (0) a Compressed block holding RLE LITERALS (2-byte 12-bit size
+    *      header) and zero sequences → len × 'q';
+    *  (1) RLE literals plus ONE LIVE SEQUENCE under RLE-mode FSE
+    *      tables (accuracy 0 ⇒ every state/extra read is 0 bits; the
+    *      backward bitstream is just the sentinel byte): ll=5 literals,
+    *      then a 3-byte match at offset rep1=1 — the repeat-offset and
+    *      overlap-copy machinery live — then the literal tail
+    *      → (len+8) × 'q';
+    *  (2) RESERVED block type → NULL;
+    *  (3) raw text → NULL.
+    */
+  val sourceZstBlocks = QueryDef(
+    "llm_source_zst_blocks",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le24(c: Column): Column = {
+        val x = lpad(hex(c), 6, "0")
+        concat(substring(x, 5, 2), substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def b2(c: Column): Column = lpad(hex(c), 2, "0")
+      val len = octet_length(col("text"))
+      // RLE-literals header, 2-byte 12-bit form: type=1, SF=01
+      def litHdr(n: Column): Column =
+        concat(b2(pmod(n, lit(16)) * 16 + 5),
+          b2((n.cast(LongType) / 16).cast(LongType)))
+      val magicWd = "28B52FFD" + "80" + "00" // FHD: 4-byte FCS; WD: log10
+      // lane 0: [litHdr][0x71 'q'][nbSeq=0] -> 4-byte compressed block
+      val lane0 = concat(lit(magicWd), le32(len),
+        le24(lit((4 << 3) | (2 << 1) | 1)), litHdr(len), lit("71" + "00"))
+      // lane 1: one RLE-mode sequence: modes 0x54, LL sym 5, OF sym 0,
+      // ML sym 0, sentinel-only backward stream -> 9-byte block
+      val lane1 = concat(lit(magicWd), le32(len + 8),
+        le24(lit((9 << 3) | (2 << 1) | 1)), litHdr(len + 5),
+        lit("71" + "01" + "54" + "05" + "00" + "00" + "01"))
+      // lane 2: reserved block type 3
+      val lane2 = concat(lit(magicWd), le32(len),
+        le24(lit((4 << 3) | (3 << 1) | 1)), litHdr(len), lit("71" + "00"))
+      val m = pmod(col("doc_id"), lit(4))
+      val blob = when(m === 0, unhex(lane0))
+        .when(m === 1, unhex(lane1))
+        .when(m === 2, unhex(lane2))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.ZstdInflate.zstd_inflate(blob).as("__d"))
+        .select(col("doc_id"),
+          octet_length(col("__d")).as("n_bytes"),
+          md5(col("__d")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN CAST(strlen(text) AS INTEGER)
+                  WHEN doc_id % 4 = 1 THEN CAST(strlen(text) + 8 AS INTEGER)
+                  END AS n_bytes,
+             CASE WHEN doc_id % 4 = 0 THEN md5(repeat('q', strlen(text)))
+                  WHEN doc_id % 4 = 1
+                  THEN md5(repeat('q', strlen(text) + 8))
+                  END AS fp
+      FROM documents ORDER BY doc_id"""))
+
   /** The MODERN composed shard pipeline: a tarball inside a ZSTANDARD
     * frame — the `.tar.zst` layout new training corpora ship (zstd
     * replaced gzip as the default shard compression) — decoded by
@@ -5707,6 +5781,7 @@ $steps,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceZip, sourceZlib, sourceLz4, sourceZst,
+    sourceZstBlocks,
     multimodalPixelsGif, multimodalPixelsWebp,
     multimodalPixelsJpeg, mediaCatalog,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
