@@ -82,6 +82,15 @@ class WebpPixelsSpec extends SparkSpec {
     }
   }
 
+  test("VP8X extended container: metadata chunks walked past to VP8L") {
+    // the gradient VP8L chunk wrapped in VP8X + an odd-sized EXIF chunk
+    // (pad byte live) — the shape real webp files with metadata use;
+    // libwebp decodes it to the same pixels (validated at generation)
+    val (w, h, px) = WebpPixels.decodeArgb(res("vp8x_gradient.hex"))
+    assert((w, h) == (64, 48))
+    assert(argbMd5(px) == "3e59ec33fd54270d572509cc139affe5")
+  }
+
   test("strict NULL contract") {
     val good = res("photo.hex")
     def mut(f: Array[Byte] => Unit): Array[Byte] = {
