@@ -1803,6 +1803,19 @@ object ScaleProbe {
       finally ctx.close()
     }
     val zst = zstdBytes(payload)
+    // a 2 MB structured shard (multi-block: >128 KB blocks, treeless/
+    // repeat entropy modes hot) — the honest decode-MB/s number; rows
+    // are scaled down 100× so both row counts stay comparable work
+    val zstBig = zstdBytes {
+      val words = ("the quick brown fox jumps over the lazy dog " * 4)
+        .split(" ")
+      val rng = new scala.util.Random(5)
+      val sb = new StringBuilder(2200000)
+      while (sb.length < 2097152)
+        sb.append(words(rng.nextInt(words.length))).append(' ')
+          .append(rng.nextInt(1000)).append(' ')
+      sb.toString.take(2097152).getBytes("UTF-8")
+    }
     val tarZst = zstdBytes(
       (0 until 4).map(i => tarEntry(s"f$i.txt", payload)).reduce(_ ++ _) ++
         new Array[Byte](1024))
@@ -1837,6 +1850,7 @@ object ScaleProbe {
         c => size(TarEntries.tar_entries(GzipInflate.gzip_inflate(c)))),
       ("zip", zip, c => size(ZipEntries.zip_entries(c))),
       ("zstd", zst, c => octet_length(ZstdInflate.zstd_inflate(c))),
+      ("zstd_2mb", zstBig, c => octet_length(ZstdInflate.zstd_inflate(c))),
       ("tarzst", tarZst,
         c => size(TarEntries.tar_entries(ZstdInflate.zstd_inflate(c)))),
       ("lz4", lz4, c => octet_length(Lz4Inflate.lz4_inflate(c))),
@@ -1847,7 +1861,10 @@ object ScaleProbe {
       ("jpeg_rgb", jpegC, c => JpegPixels.jpeg_pixels(c).getField("n_px")))
     cases.foreach { case (name, blob, decode) =>
       val mb = blob.length / 1048576.0
-      for (n <- Seq(baseRows, baseRows * 10)) {
+      // the 2 MB shard lane runs 100× fewer rows (same order of decoded
+      // bytes as the small lanes at their row counts)
+      val rowsBase = if (name.endsWith("_2mb")) baseRows / 100 else baseRows
+      for (n <- Seq(rowsBase, rowsBase * 10)) {
         // the id-guarded CASE keeps the blob expression NON-FOLDABLE:
         // without it Catalyst constant-folds the whole decode once at
         // plan time and the probe measures nothing
