@@ -493,7 +493,7 @@ object ZstdInflate {
     */
   private def decodeBlock(src: Array[Byte], from: Int, to: Int,
       dst: Array[Byte], produced0: Int, dLimit: Int, frameStart: Int,
-      st: FrameState, blockMax: Int): Int = {
+      st: FrameState, blockMax: Int, windowSize: Long): Int = {
     var p = from
     if (p >= to) bad()
 
@@ -697,7 +697,10 @@ object ZstdInflate {
       litPos += ll
       produced += ll
       val mSrc = produced - offset
-      if (mSrc < frameStart || offset <= 0) bad()
+      // spec strictness: a match may reach neither before the frame nor
+      // past the declared window (encoders must respect Window_Size —
+      // the three-implementation differential pins no false reject)
+      if (mSrc < frameStart || offset <= 0 || offset > windowSize) bad()
       if (ml > dLimit - produced) bad()
       var m = mSrc.toInt
       var k = 0
@@ -848,7 +851,8 @@ object ZstdInflate {
             case 2 => // Compressed
               if (bsize > blockMax || p + bsize > n) bad()
               produced += decodeBlock(bytes, p, p + bsize, dst, produced,
-                dLimit, frameStart, st, blockMax)
+                dLimit, frameStart, st, blockMax,
+                math.max(windowSize, 1L))
               p += bsize
             case _ => bad() // Reserved
           }
