@@ -2005,6 +2005,71 @@ $steps,
                   END AS fp
       FROM documents ORDER BY doc_id"""))
 
+  /** The literal `.jsonl.zst` ingestion path — THE format modern text
+    * corpora ship in (one JSON record per line, zstd-compressed
+    * shards): zstd_inflate → line split → from_json, one map-only
+    * plan. Each doc's shard holds its record line (id + HEX text —
+    * hex keeps the JSON construction escape-free in column space and,
+    * unlike Spark's MIME-chunking base64, never inserts line breaks) plus a constant meta line,
+    * RAW-block-framed with the declared content size live. Output pins
+    * the whole composition: line count, the json-extracted id
+    * roundtrip, and text equality THROUGH zstd+json+base64. Corrupt
+    * lane flips one frame byte under a stale checksum → all-NULL row;
+    * raw-text lane NULLs at the zstd layer.
+    */
+  val sourceJsonlZst = QueryDef(
+    "llm_source_jsonl_zst",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le24(c: Column): Column = {
+        val x = lpad(hex(c), 6, "0")
+        concat(substring(x, 5, 2), substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val jsonl = concat(lit("{\"i\":"), col("doc_id"), lit(",\"b\":\""),
+        hex(col("text").cast(BinaryType)), lit("\"}\n"),
+        lit("{\"i\":-1,\"b\":\"\"}\n"))
+      val jl = jsonl.cast(BinaryType)
+      val len = octet_length(jl)
+      def frame(payloadHex: Column, sz: Column): Column = concat(
+        lit("28B52FFD" + "A0"), le32(sz), le24(sz * 8 + 1), payloadHex)
+      val m = pmod(col("doc_id"), lit(3))
+      val blob = when(m === 0, unhex(frame(hex(jl), len)))
+        .when(m === 1, // lying declared content size (+1): the exact-
+          // output contract trips and the WHOLE row NULLs at the zstd
+          // layer — nothing partial reaches the json stage
+          unhex(frame(hex(jl), len + 1)))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      val dec = graft.functions.ZstdInflate.zstd_inflate(blob)
+        .cast(StringType)
+      val lines = filter(split(dec, "\n"), l => length(l) > 0)
+      val rec = get_json_object(element_at(lines, 1), "$.i")
+      val b64 = get_json_object(element_at(lines, 1), "$.b")
+      val meta = get_json_object(element_at(lines, 2), "$.i")
+      documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          size(lines).as("__n"), rec.as("__i"), b64.as("__b"),
+          meta.as("__m"))
+        .select(col("doc_id"),
+          when(col("__n") >= 0, col("__n")).as("n_lines"),
+          col("__i").cast(LongType).as("rec_id"),
+          col("__m").cast(LongType).as("meta_id"),
+          (unhex(col("__b")).cast(StringType) === col("text"))
+            .as("roundtrip"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 2 END AS n_lines,
+             CASE WHEN doc_id % 3 = 0 THEN doc_id END AS rec_id,
+             CASE WHEN doc_id % 3 = 0 THEN CAST(-1 AS BIGINT) END AS meta_id,
+             CASE WHEN doc_id % 3 = 0 THEN TRUE END AS roundtrip
+      FROM documents ORDER BY doc_id"""))
+
   /** The MODERN composed shard pipeline: a tarball inside a ZSTANDARD
     * frame — the `.tar.zst` layout new training corpora ship (zstd
     * replaced gzip as the default shard compression) — decoded by
@@ -5781,7 +5846,7 @@ $steps,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceZip, sourceZlib, sourceLz4, sourceZst,
-    sourceZstBlocks,
+    sourceZstBlocks, sourceJsonlZst,
     multimodalPixelsGif, multimodalPixelsWebp,
     multimodalPixelsJpeg, mediaCatalog,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
