@@ -126,12 +126,20 @@ object BpeAlgo {
     * its occurrences left-to-right; stop when no adjacent pair is ranked.
     */
   private def countWord(w: String,
-      ranks: java.util.HashMap[String, Integer]): Int = {
+      ranks: java.util.HashMap[String, Integer]): Int =
+    mergeWord(w, ranks).size
+
+  /** The merge loop itself, returning the symbol list — shared by the
+    * count and the token-EMITTING expression ([[BpeTokens]]).
+    */
+  private def mergeWord(w: String,
+      ranks: java.util.HashMap[String, Integer])
+      : java.util.ArrayList[String] = {
     val len = w.length
-    if (len <= 1) return len
-    val parts = new java.util.ArrayList[String](len)
+    val parts = new java.util.ArrayList[String](math.max(len, 1))
     var i = 0
     while (i < len) { parts.add(String.valueOf(w.charAt(i))); i += 1 }
+    if (len <= 1) return parts
     var done = false
     while (!done && parts.size >= 2) {
       var best = Int.MaxValue
@@ -156,6 +164,99 @@ object BpeAlgo {
         }
       }
     }
-    parts.size
+    parts
   }
+
+  /** The SEPARATOR between emitted tokens (U+001F UNIT SEPARATOR): both
+    * engines construct the joined string identically, so the choice only
+    * needs to be shared, not collision-free.
+    */
+  val TokenSep: Char = 0x1f.toChar
+
+  /** Full tokenization: the actual BPE token SEQUENCE (joined by
+    * [[TokenSep]]), not just the count — the training-pipeline step that
+    * turns text into model input. Same pre-tokenization and merge loop
+    * as [[count]]; marks advance by codepoint.
+    */
+  def tokens(s: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val out = new java.lang.StringBuilder(n + (n >> 2) + 8)
+    def emit(tok: String): Unit = {
+      if (out.length > 0) out.append(TokenSep)
+      out.append(tok)
+    }
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (isAsciiSpace(c)) {
+        i += 1
+      } else if (isAsciiLetter(c)) {
+        var j = i + 1
+        while (j < n && isAsciiLetter(str.charAt(j))) j += 1
+        val parts = mergeWord(str.substring(i, j), ranks)
+        var k = 0
+        while (k < parts.size) { emit(parts.get(k)); k += 1 }
+        i = j
+      } else if (isAsciiDigit(c)) {
+        var j = i + 1
+        while (j < n && isAsciiDigit(str.charAt(j))) j += 1
+        val parts = mergeWord(str.substring(i, j), ranks)
+        var k = 0
+        while (k < parts.size) { emit(parts.get(k)); k += 1 }
+        i = j
+      } else {
+        val w = Character.charCount(str.codePointAt(i))
+        emit(str.substring(i, i + w))
+        i += w
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
+/** bpe_tokens(text) → STRING: the vocab-driven BPE token SEQUENCE
+  * (tokens joined by U+001F), sharing [[BpeAlgo]]'s pre-tokenization
+  * and merge loop with the count expression — counts budget a corpus,
+  * the sequence IS the model input. Null text → null; empty → empty.
+  */
+case class BpeTokens(child: Expression, ranks: Map[String, Int])
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"BpeTokens requires STRING, got ${other.sql}")
+    }
+
+  @transient private lazy val javaRanks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](ranks.size * 2)
+    ranks.foreach { case (k, v) => m.put(k, Integer.valueOf(v)) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeAlgo.tokens(input.asInstanceOf[UTF8String], javaRanks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("bpeRanks", javaRanks,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeAlgo.tokens($c, $ranksRef);")
+  }
+
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression)
+      : BpeTokens = copy(child = newChild)
+  override def prettyName: String = "bpe_tokens"
+}
+
+object BpeTokens {
+  def bpe_tokens(text: Column, ranks: Map[String, Int]): Column =
+    GraftColumnBridge.column(
+      BpeTokens(GraftColumnBridge.expression(text), ranks))
 }

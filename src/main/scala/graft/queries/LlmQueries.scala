@@ -261,8 +261,8 @@ object LlmQueries {
     * SYMBOL to equal l). Generated from [[TextAnalysis.DefaultBpeRanks]]
     * itself — oracle and engine share one fixture by construction.
     */
-  private def bpeEncodeCountSql(tokExpr: String): String = {
-    val chain = TextAnalysis.DefaultBpeRanks.toSeq.sortBy(_._2)
+  private def bpeEncodeChainSql(tokExpr: String): String =
+    TextAnalysis.DefaultBpeRanks.toSeq.sortBy(_._2)
       .foldLeft(s"array_to_string(list_transform(range(1, length($tokExpr) + 1), i -> substr($tokExpr, i, 1)), chr(30))") {
         case (prev, (pair, _)) =>
           val Array(l, r) = pair.split(" ", 2)
@@ -272,8 +272,9 @@ object LlmQueries {
                     AND x = '$r'
                   THEN acc || '$r' ELSE acc || chr(30) || x END)"""
       }
-    s"CAST(len(string_split($chain, chr(30))) AS INTEGER)"
-  }
+
+  private def bpeEncodeCountSql(tokExpr: String): String =
+    s"CAST(len(string_split(${bpeEncodeChainSql(tokExpr)}, chr(30))) AS INTEGER)"
 
   /** Shared CTE block: per-doc REAL BPE token count via [[bpeEncodeCountSql]]
     * on the DISTINCT multi-char pre-tokens (marks and single chars count 1
@@ -316,6 +317,58 @@ object LlmQueries {
                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x0b]')) AS INTEGER)
                AS n_bpe_regex
       FROM documents d LEFT JOIN bcnt c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** FULL tokenization — the actual BPE token SEQUENCE, not just the
+    * count (functions/BpeTokens, sharing BpeAlgo's merge loop): the
+    * training-pipeline step that turns text into model input. Output
+    * pins the per-doc token count AND the first-40-token head (joined
+    * '|'), so the sequence itself is cross-engine proven: the oracle
+    * replays the fixed-merge-list chain per DISTINCT pre-token
+    * ([[bpeEncodeChainSql]] — the llm_text_tokens_bpe_real discipline,
+    * keeping the SYMBOLS instead of their count) and reassembles each
+    * document in pre-token order via string_agg(... ORDER BY position).
+    */
+  val textBpeSequence = QueryDef(
+    "llm_text_bpe_sequence",
+    (s, dir) => {
+      val seq = graft.functions.BpeTokens
+        .bpe_tokens(col("text"), TextAnalysis.DefaultBpeRanks)
+      val toks = split(seq, "")
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.bpeTokenCountReal(col("text")).as("n_bpe_real"),
+          concat_ws("|", slice(toks, 1, 40)).as("head_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH pre AS MATERIALIZED (
+        SELECT doc_id,
+               regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s\x0b]') AS toks
+        FROM documents),
+      pos AS (
+        SELECT doc_id, p.i AS i, p.tok AS tok FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+            i -> struct_pack(i := i, tok := toks[i]))) AS p
+          FROM pre)),
+      words AS (SELECT DISTINCT tok FROM pos WHERE length(tok) >= 2),
+      enc AS MATERIALIZED (
+        SELECT tok, ${bpeEncodeChainSql("tok")} AS s FROM words),
+      seq AS (
+        SELECT p.doc_id, p.i,
+               CASE WHEN length(p.tok) = 1 THEN p.tok ELSE e.s END AS s
+        FROM pos p LEFT JOIN enc e ON p.tok = e.tok),
+      agg AS (
+        SELECT doc_id, string_agg(s, chr(30) ORDER BY i) AS allsym,
+               CAST(SUM(len(string_split(s, chr(30)))) AS INTEGER) AS n
+        FROM seq GROUP BY doc_id)
+      SELECT d.doc_id,
+             CAST(coalesce(a.n, 0) AS INTEGER) AS n_bpe_real,
+             coalesce(array_to_string(
+               list_slice(string_split(a.allsym, chr(30)), 1, 40), '|'),
+               '') AS head_tokens
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       ORDER BY d.doc_id"""))
 
   /** Quality scoring: integer-count-derived ratios in IEEE double —
@@ -5839,7 +5892,7 @@ $steps,
     docCosineSparse,
     bpeTrain, bpeTrainBatched, kmeans, dedupExact, dedupMinhash,
     dedupSimhash, ngramProfile,
-    textTokens, textTokensBpeReal, textQuality, textLangId, textProfile,
+    textTokens, textTokensBpeReal, textBpeSequence, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,

@@ -71,6 +71,22 @@ class BpeTokenCountSpec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("bpe_tokens emits the actual merge-table sequence") {
+    // fixture merges: t+h->th, th+e->the, i+s->is; '!' is a mark
+    val out = Seq(Some("the this! 🙂"), Some(""), None).toDF("text")
+      .select(BpeTokens.bpe_tokens(col("text"),
+        TextAnalysis.DefaultBpeRanks).as("s"))
+      .collect()
+    val toks = out(0).getString(0).split(BpeAlgo.TokenSep).toSeq
+    assert(toks == Seq("the", "th", "is", "!", "🙂"))
+    assert(out(1).getString(0) == "")
+    assert(out(2).isNullAt(0))
+    // the count expression and the sequence length agree by construction
+    val n = Seq("the this! 🙂").toDF("text")
+      .select(TextAnalysis.bpeTokenCountReal(col("text"))).head().getInt(0)
+    assert(n == toks.size)
+  }
+
   test("marks count per CODEPOINT: a surrogate-pair emoji is ONE token") {
     // "🙂" is U+1F642 (2 UTF-16 units); a char-indexed walk would count 2
     // — the codepoint alphabet (and every codepoint regex engine) says 1
