@@ -80,6 +80,16 @@ object AdversarialCorpus {
     (23L, "a long engine discussion mentions spark once then window once " +
       "then merge once among many many other ordinary filler words that " +
       "stretch the document length well past the dense probe document",
+      "en", "web"),
+    // separator control codes INSIDE text: U+001F is the engine's BPE
+    // token-sequence separator, U+001E the DuckDB oracles' chr(30)
+    // reduce separator. Both are EXCLUDED from the BPE pre-token
+    // alphabet by contract (BpeAlgo.isAsciiSpace + the oracles'
+    // [^...\x1e\x1f] class, r12 advice) -- this doc proves both
+    // engines skip them identically instead of emitting ambiguous
+    // joined sequences. Other tokenizers (\s-based) see them as
+    // ordinary non-space chars -- also exercised here.
+    (24L, "unit\u001fseparated\u001erecord controls embedded mid word",
       "en", "web"))
 
   /** One shared definition with the query layer's testdata-dim constant:

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Regenerates the golden hashes pinned in src/test/resources/golden/.
   * Usage: runMain graft.GoldenGen <sfDir>
-  * Prints one `name=hash` line per oracle-less query; redirect into the
+  * Prints one `name=hash` line per pinned query; redirect into the
   * matching resource file after an INTENTIONAL output change (review the
   * diff — a surprise hash change is a regression, not a refresh).
   */
@@ -19,7 +19,7 @@ object GoldenGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    GoldenHash.unoracledQueries.foreach { name =>
+    GoldenHash.pinnedQueries.foreach { name =>
       val h = GoldenHash.tableHash(SparkEntry.queries(name)(spark, sfDir))
       println(s"GOLDEN $name=$h")
     }

@@ -38,4 +38,14 @@ object GoldenHash {
     */
   def unoracledQueries: Seq[String] =
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+
+  /** Queries pinned in the golden sf files: the oracle-less set (EMPTY
+    * since r13 — every registered query carries a DuckDB oracle) plus
+    * rows that warrant a belt-and-suspenders cross-SF pin on top of
+    * their true oracle: q27's portable-HLL estimate is a deterministic
+    * DOUBLE whose silent drift (hash change, register-layout change)
+    * should fail a pin even when no oracle run happens.
+    */
+  def pinnedQueries: Seq[String] =
+    (unoracledQueries ++ Seq("q27_approx_distinct")).distinct.sorted
 }

@@ -77,9 +77,19 @@ object BpeTokenCount {
   */
 object BpeAlgo {
 
+  /** Characters the pre-tokenizer SKIPS: ASCII whitespace plus the two
+    * separator control codes U+001E/U+001F. The latter are excluded from
+    * the mark alphabet BY CONTRACT (mirrored in every BPE oracle's
+    * `[^A-Za-z0-9\s\x0b\x1e\x1f]` class): U+001F is [[BpeAlgo.TokenSep]]
+    * (the engine's joined-sequence separator) and U+001E is the DuckDB
+    * oracles' chr(30) reduce separator — if either could appear INSIDE a
+    * token, the joined sequence would be ambiguous and the oracle replay
+    * would diverge (r12 advice). Excluding both makes any separator
+    * choice collision-free on any corpus.
+    */
   private def isAsciiSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0B.toChar ||
-      c == '\f' || c == '\r'
+      c == '\f' || c == '\r' || c == 0x1E.toChar || c == 0x1F.toChar
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
@@ -167,9 +177,11 @@ object BpeAlgo {
     parts
   }
 
-  /** The SEPARATOR between emitted tokens (U+001F UNIT SEPARATOR): both
-    * engines construct the joined string identically, so the choice only
-    * needs to be shared, not collision-free.
+  /** The SEPARATOR between emitted tokens (U+001F UNIT SEPARATOR).
+    * Collision-free by construction: U+001E/U+001F are excluded from the
+    * pre-token alphabet (see [[isAsciiSpace]]), so no emitted token can
+    * contain or equal either separator — the joined sequence splits back
+    * unambiguously on any corpus.
     */
   val TokenSep: Char = 0x1f.toChar
 

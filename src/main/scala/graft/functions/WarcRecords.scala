@@ -151,4 +151,88 @@ object WarcRecords {
 
   def warc_records(c: Column): Column =
     GraftColumnBridge.column(WarcRecords(GraftColumnBridge.expression(c)))
+
+  /** Payload twin of [[parse]]: the SAME strict grammar walk (any
+    * malformation NULLs the whole array), but returning each record's
+    * raw payload BYTES instead of its md5 — the hand-off the crawl
+    * pipeline needs to feed `html_text` (r12 verdict #3: the family
+    * decoded down to digests and stopped). Kept as a separate
+    * expression so [[WarcRecords]]' bounded-width metadata schema (and
+    * its pinned consumers) stay unchanged; the two share `parse`'s
+    * validation by construction — this re-walks with the identical
+    * rules, and WarcPayloadsSpec pins that both NULL on exactly the
+    * same corrupt inputs.
+    */
+  def parsePayloads(bytes: Array[Byte]): GenericArrayData = {
+    if (bytes == null) return null
+    val meta = parse(bytes) // identical strictness gate
+    if (meta == null) return null
+    val n = bytes.length
+    var p = 0
+    val outs = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def line(from: Int): (String, Int) = {
+      var i = from
+      while (i + 1 < n && !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 >= n) return (null, -1)
+      (new String(bytes, from, i - from,
+        java.nio.charset.StandardCharsets.UTF_8), i + 2)
+    }
+    while (p < n) {
+      val (_, p1) = line(p) // version line (validated by parse above)
+      p = p1
+      var contentLength = -1L
+      var headerDone = false
+      while (!headerDone) {
+        val (h, pn) = line(p)
+        p = pn
+        if (h.isEmpty) headerDone = true
+        else {
+          val colon = h.indexOf(':')
+          if (h.substring(0, colon).trim.toLowerCase == "content-length")
+            contentLength = h.substring(colon + 1).trim.toLong
+        }
+      }
+      outs += java.util.Arrays.copyOfRange(bytes, p,
+        p + contentLength.toInt)
+      p += contentLength.toInt + 4 // payload + CRLF CRLF terminator
+    }
+    new GenericArrayData(outs.toArray)
+  }
+
+  def warc_payloads(c: Column): Column =
+    GraftColumnBridge.column(WarcPayloads(GraftColumnBridge.expression(c)))
+}
+
+/** `warc_payloads(bytes) → ARRAY<BINARY>` — see
+  * [[WarcRecords.parsePayloads]]: the same strict WARC walk, returning
+  * raw record payloads for downstream decode stages (html_text).
+  */
+case class WarcPayloads(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"WarcPayloads requires BINARY input, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WarcRecords.parsePayloads(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcRecords.parsePayloads($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WarcPayloads = copy(child = newChild)
+
+  override def prettyName: String = "warc_payloads"
 }

@@ -217,12 +217,13 @@ object Dedup {
     // EVERY row of a hot band to one task before the filter could drop it —
     // the guard itself was the hotspot. groupBy.count partial-aggregates
     // map-side (a hot key costs one long per input partition), the over-cap
-    // key set is tiny by construction, and broadcasting it back as an
-    // anti-join blacklist touches no shuffle boundary at all.
+    // key set is <= |rows|/MaxBucket — corpus-scaling, so the anti join
+    // carries NO forced hint: AQE broadcasts the blacklist while it fits
+    // and falls back to a shuffled anti join on the band key beyond.
     val hotBands = banded.groupBy(col("band")).count()
       .filter(col("count") > MaxBucket).select(col("band"))
     val smallBuckets = banded
-      .join(broadcast(hotBands), Seq("band"), "left_anti")
+      .join(hotBands, Seq("band"), "left_anti")
       .select(col("doc_id"), col("band"))
     val pairs = smallBuckets.select(col("band"), col("doc_id").as("doc_a"))
       .join(smallBuckets.select(col("band"), col("doc_id").as("doc_b")),
@@ -365,7 +366,8 @@ object Dedup {
     * the corpus, and the window form ships all of it to one task before
     * filtering — the skew guard itself became the hotspot. groupBy.count
     * partial-aggregates map-side; the over-cap gram set is tiny (it is
-    * exactly the set being excluded for being common), so it broadcasts.
+    * exactly the set being excluded for being common); the anti join is
+    * unhinted — the over-cap set is corpus-scaling, AQE sizes it.
     */
   def cappedGrams(docs: DataFrame, maxDf: Int = MaxBucket): DataFrame = {
     val grams0 = docs
@@ -376,7 +378,7 @@ object Dedup {
     val hotGrams = grams0.groupBy(col("gram")).count()
       .filter(col("count") > maxDf).select(col("gram"))
     grams0
-      .join(broadcast(hotGrams), Seq("gram"), "left_anti")
+      .join(hotGrams, Seq("gram"), "left_anti")
       .select(col("doc_id"), col("gram"))
   }
 
@@ -661,11 +663,12 @@ object Dedup {
     // Same skew-safe cap as the band/gram paths: a window partitioned by
     // the hot chunk would ship every row of that chunk to one task before
     // the filter could drop it. groupBy.count partial-aggregates map-side
-    // and the over-cap chunk set is tiny, so it broadcasts as a blacklist.
+    // and the over-cap chunk set is <= |rows|/MaxBucket — corpus-scaling, so
+    // the anti join is unhinted (AQE broadcasts while it fits).
     val hotChunks = chunks.groupBy(col("chunk")).count()
       .filter(col("count") > MaxBucket).select(col("chunk"))
     val small = chunks
-      .join(broadcast(hotChunks), Seq("chunk"), "left_anti")
+      .join(hotChunks, Seq("chunk"), "left_anti")
     val a = small.select(col("chunk"), col("doc_id").as("doc_a"),
       col("simhash").as("sim_a"))
     val b = small.select(col("chunk"), col("doc_id").as("doc_b"),

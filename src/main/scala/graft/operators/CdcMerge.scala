@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *    are RETAINED: a compacted table must keep them mergeable until a
   *    fold horizon, else a late non-delete could resurrect behind one.
   *  - [[merge]]: a NEW batch into an EXISTING compacted table — touched
-  *    keys (the batch's distinct ids, broadcast: batch-sized, never
+  *    keys (the batch's distinct ids: batch-sized in steady state, so
   *    table-sized) are recompacted over (base candidate ∪ new rows);
-  *    untouched rows pass through a single broadcast anti join with NO
+  *    AQE broadcasts the membership set; untouched rows pass an anti join with NO
   *    recompute. Cost scales with the batch, not the table. Correct for
   *    LATE data too: the base row is already the ordering-max of the old
   *    changes, so max_by over (base row ∪ batch) equals max_by over the
@@ -49,9 +49,12 @@ object CdcMerge {
   def merge(base: DataFrame, batch: DataFrame, keyCols: Seq[String],
       orderCols: Seq[String]): DataFrame = {
     val touched = batch.select(keyCols.map(col): _*).distinct()
-    val untouched = base.join(broadcast(touched), keyCols, "left_anti")
+    // touched = the delta's distinct keys: micro-batch-sized in steady
+    // state but UNBOUNDED on a backfill, so no forced hint — AQE
+    // broadcasts the membership set while it fits and shuffles beyond
+    val untouched = base.join(touched, keyCols, "left_anti")
     val recompacted = compact(
-      base.join(broadcast(touched), keyCols, "left_semi")
+      base.join(touched, keyCols, "left_semi")
         .unionByName(batch),
       keyCols, orderCols)
     untouched.unionByName(recompacted)
@@ -73,7 +76,7 @@ object CdcMerge {
     * Cost shape: one pass over the base snapshot for yesterday's
     * aggregate (stands in for reading back the persisted MV — at steady
     * state a |groups|-row table) — every other frame is keyed by the
-    * batch's broadcast touched-ids, so delta cost scales with the batch.
+    * batch's touched-ids (AQE-sized join), so delta cost scales with the batch.
     * `valueCol` must be an exact type (DECIMAL/BIGINT): the fold
     * introduces negative contributions, which exact addition handles
     * order-independently where a float fold would not. Groups folded to
@@ -97,7 +100,7 @@ object CdcMerge {
   /** [[maintainAgg]] with the previous aggregate PASSED IN instead of
     * recomputed — the true steady-state fold (the streaming form holds
     * the |groups|-row MV across batches, so per-batch work is ONLY the
-    * broadcast-touched-key deltas plus the key-pruned base-snapshot
+    * touched-key deltas plus the key-pruned base-snapshot
     * semi join). `baseAgg` must be the (groupCol, n_keys, total) frame
     * this function (or [[servingAgg]]) produced over `base`.
     */
@@ -106,7 +109,7 @@ object CdcMerge {
       valueCol: Column, isServing: Column): DataFrame = {
     val touched = batch.select(keyCols.map(col): _*).distinct()
     def serving(df: DataFrame) = df.filter(isServing)
-    val touchedBase = base.join(broadcast(touched), keyCols, "left_semi")
+    val touchedBase = base.join(touched, keyCols, "left_semi")
     val retract = serving(touchedBase)
       .select(col(groupCol), lit(-1L).as("dn"), (-valueCol).as("dv"))
     val insert = serving(

@@ -43,7 +43,7 @@ object IntervalJoin {
     * @param maxBucketRows hot-bucket guard (the hotgram-blacklist
     *        discipline from llm/Dedup applied to `__bk`): buckets holding
     *        more than this many exploded rows on EITHER side are
-    *        blacklisted via a groupBy-count → broadcast anti join before
+    *        blacklisted via a groupBy-count → unhinted anti join before
     *        the equi join, because one bucket with B concurrent intervals
     *        contributes ~B² pairs — a single pathological hour with 10⁶
     *        co-tenant sessions is a 10¹²-row one-bucket explosion no
@@ -66,9 +66,9 @@ object IntervalJoin {
       .withColumn("__bk", explode(buckets(lStart, lEnd)))
     val r = right.filter(col(rStart) <= col(rEnd))
       .withColumn("__bk", explode(buckets(rStart, rEnd)))
-    // hot-bucket blacklist: tiny by construction (only over-cap buckets
-    // survive the HAVING), so the anti joins stay broadcast — no wide
-    // move happens before the cap is applied
+    // hot-bucket blacklist: only over-cap buckets survive the HAVING,
+    // but that set is <= (|l|+|r|)/maxBucketRows — corpus-scaling — so
+    // the anti joins carry no forced hint (AQE broadcasts while it fits)
     val (lc, rc) =
       if (maxBucketRows == Long.MaxValue) (l, r)
       else {
@@ -77,8 +77,10 @@ object IntervalJoin {
           .groupBy("__bk").agg(max(col("__n")).as("__n"))
           .filter(col("__n") > maxBucketRows)
           .select("__bk")
-        (l.join(broadcast(hot), Seq("__bk"), "left_anti"),
-          r.join(broadcast(hot), Seq("__bk"), "left_anti"))
+        // hot is <= (|l|+|r|)/maxBucketRows — corpus-scaling, so the
+        // anti joins are unhinted: AQE broadcasts while the set fits
+        (l.join(hot, Seq("__bk"), "left_anti"),
+          r.join(hot, Seq("__bk"), "left_anti"))
       }
     lc.join(rc, Seq("__bk"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))

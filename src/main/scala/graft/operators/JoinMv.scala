@@ -20,14 +20,14 @@ import org.apache.spark.sql.functions._
   *   V' = V ⋉̄ J  ∪  (A' ⋉ J) ⋈ (B' ⋉ J)
   *
   * — view rows whose join key is unaffected pass through untouched (one
-  * broadcast anti join, map-side); only the J-slices of the merged
+  * anti join, AQE-broadcast while it fits); only the J-slices of the merged
   * tables re-join. Late data, deletes, inserts and moves all reduce to
   * this because [[CdcMerge.merge]]'s max_by fold makes A'/B' correct
   * under all of them and J covers both endpoints of every move.
   *
   * Cost shape at 100 TB: J is bounded by 2×|batch rows| per side
-  * (broadcast by construction — batch-sized, never table-sized); the
-  * pass-through and the J-slice semis are map-side broadcast tests over
+  * (batch-sized in steady state, unbounded on a backfill — unhinted); the
+  * pass-through and the J-slice semis are membership tests over
   * scans of V/A'/B'; the only shuffle is the recompute join over the
   * J-slices, sized by the touched join groups' fanout, not the tables.
   * Skewed touched groups are the caller's interval-join-style cap
@@ -73,13 +73,14 @@ object JoinMv {
     // base row — their j comes from the merged side; tombstoned keys'
     // old j comes from the base side. Union of both endpoints covers
     // moves. All frames here are batch-keyed: touched is the batch's
-    // distinct keys, and both semis are broadcast membership tests.
+    // distinct keys — micro-batch-sized in steady state, unbounded on a
+    // backfill, so the membership semis are unhinted (AQE decides).
     def affectedJ(base: DataFrame, merged: DataFrame, batch: DataFrame,
         key: Seq[String]): DataFrame = {
       val touched = batch.select(key.map(col): _*).distinct()
-      base.join(broadcast(touched), key, "left_semi")
+      base.join(touched, key, "left_semi")
         .select(jCols: _*)
-        .unionByName(merged.join(broadcast(touched), key, "left_semi")
+        .unionByName(merged.join(touched, key, "left_semi")
           .select(jCols: _*))
     }
 
@@ -94,11 +95,11 @@ object JoinMv {
       .unionByName(affectedJ(bBase, bCur, bBatch, bKey))
       .distinct().localCheckpoint(false)
 
-    val pass = view.join(broadcast(j), joinCols, "left_anti")
+    val pass = view.join(j, joinCols, "left_anti")
     val recompute = aCur.filter(aServing)
-      .join(broadcast(j), joinCols, "left_semi")
+      .join(j, joinCols, "left_semi")
       .join(bCur.filter(bServing)
-        .join(broadcast(j), joinCols, "left_semi"), joinCols)
+        .join(j, joinCols, "left_semi"), joinCols)
     pass.unionByName(recompute)
   }
 

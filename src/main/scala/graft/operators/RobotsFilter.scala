@@ -23,13 +23,15 @@ import org.apache.spark.sql.functions._
   * Patterns compile to anchored regexes with plain column ops (escape
   * regex metacharacters except the two special ones; `*` → `.*`;
   * trailing `$` kept as the anchor, interior `$` escaped) — no UDF, so
-  * the whole decision stays one declarative plan: URLs ⋈ broadcast
+  * the whole decision stays one declarative plan: URLs ⋈ host-keyed
   * rules on host, a [[graft.functions.CachedRLike]] match, one per-row
   * window argmax.
   *
-  * Scale shape: the rule set is operator input and policy-sized (a
-  * site's robots.txt is KBs), so the join is a BROADCAST by
-  * construction and the only corpus-sized shuffle is the per-row argmax
+  * Scale shape: one ruleset per host (a site's robots.txt is KBs) but
+  * host count scales with the crawl, so the rules join is unhinted —
+  * AQE broadcasts the ruleset table while it fits and falls back to a
+  * host-keyed shuffle join beyond. The only corpus-sized shuffle
+  * otherwise is the per-row argmax
   * window, keyed on a row id captured BEFORE the join (so duplicate
   * input rows each keep their verdict — output cardinality == input
   * cardinality, no uniqueness precondition). Candidate rows are
@@ -80,7 +82,10 @@ object RobotsFilter {
     // the url columns would merge them and the rn=1 filter would
     // silently drop one).
     val withId = urls.withColumn("__rid", monotonically_increasing_id())
-    val cand = withId.join(F.broadcast(rx), Seq("host"), "left")
+    // rx is one ruleset per HOST — host count scales with the crawl,
+    // so the join is unhinted: AQE broadcasts while the ruleset table
+    // fits and falls back to a host-keyed shuffle join beyond
+    val cand = withId.join(rx, Seq("host"), "left")
       .select(col("__rid") +: urls.columns.map(col) ++: Seq(
         when(m, col("directive")).as("__dir"),
         when(m, col("pattern")).as("__pat"),

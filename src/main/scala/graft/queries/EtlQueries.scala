@@ -17,14 +17,18 @@ object EtlQueries {
     * parsed out of the JSON-ish props payload (F2 key-cast tolerance),
     * quantity is `value` (F4), sales_amount = round(qty*price, 2) in exact
     * decimal (F5), date_id is the deterministic yyyyMMdd surrogate (F8).
-    * Dims are broadcast: the fact side never shuffles.
+    * Dim hints are soft: AQE broadcasts the slim customer/part
+    * projections while they fit `autoBroadcastJoinThreshold` and falls
+    * back to a shuffled join on int keys beyond — customer/part grow
+    * linearly with the corpus (TPC-H SF), so a forced hint would pin a
+    * BroadcastHashJoin onto a multi-billion-row side at 100 TB.
     */
   val factBuild = QueryDef(
     "etl_fact_build",
     (s, dir) => {
       val ev = events(s, dir)
-      val cust = broadcast(customer(s, dir).select("c_custkey", "c_mktsegment"))
-      val prod = broadcast(part(s, dir).select("p_partkey", "p_retailprice"))
+      val cust = customer(s, dir).select("c_custkey", "c_mktsegment")
+      val prod = part(s, dir).select("p_partkey", "p_retailprice")
       ev
         .withColumn("part_key",
           expr("try_cast(regexp_extract(props, '[0-9]+', 0) AS BIGINT)"))
@@ -444,9 +448,10 @@ object EtlQueries {
       val batch = tagged.filter(col("ts") >= col("t0")).drop("t0")
       val baseV = chains(base).localCheckpoint(false)
       val touched = batch.select("user_id").distinct()
-      val untouched = baseV.join(broadcast(touched), Seq("user_id"),
+      // touched is delta-keyed (unbounded on a backfill): unhinted
+      val untouched = baseV.join(touched, Seq("user_id"),
         "left_anti")
-      val touchedBase = baseV.join(broadcast(touched), Seq("user_id"),
+      val touchedBase = baseV.join(touched, Seq("user_id"),
         "left_semi")
       val closed = touchedBase.filter(!col("is_current"))
       val pseudo = touchedBase.filter(col("is_current"))
@@ -1365,7 +1370,8 @@ object EtlQueries {
       val dimLate = customer(s, dir)
         .filter(!(col("c_custkey") % 97 === 0))
         .select(col("c_custkey"))
-      val flagged = o.join(broadcast(dimLate),
+      // dimLate is customer-derived — SF-scaling — so no forced hint
+      val flagged = o.join(dimLate,
         col("o_custkey") === col("c_custkey"), "left")
         .withColumn("is_matched", col("c_custkey").isNotNull)
       val totals = flagged.agg(
@@ -1531,10 +1537,9 @@ object EtlQueries {
   /** KMV distinct-count sketch (operators/KmvDistinct) over lineitem's
     * part keys, k = 256, reported beside the exact distinct with the
     * realized relative error — the ENGINE-PORTABLE approximate-distinct
-    * rung: q27's HLL rides Spark-internal registers (differential-only
-    * by design), while KMV's k-min set under the deterministic
-    * md5-ascii fold is bit-replayable in DuckDB, so estimate and error
-    * are a TRUE cross-engine green row. The exact count here is the
+    * rung beside q27's portable HLL (both now md5-replayable): KMV's
+    * k-min set under the deterministic md5 fold is bit-replayable in
+    * DuckDB, so estimate and error are a TRUE cross-engine green row. The exact count here is the
     * honesty column (at bench scale it is cheap); production use is the
     * sketch alone — mergeable k-min sets per partition/day, ~1/√(k−2)
     * error at constant state. rel_err is derived from the est column in

@@ -937,34 +937,77 @@ object Workload {
       FROM cust FULL OUTER JOIN supp ON cust.nation_key = supp.nation_key
       ORDER BY nation_key"""))
 
-  /** HLL sketch next to the exact count (approx side is rows-only
-    * territory, so the oracle checks only the deterministic columns via
-    * the exact query q23; this entry demonstrates the sketch path).
+  /** HLL sketch next to the exact count — on the ENGINE'S OWN portable
+    * HyperLogLog ([[graft.operators.HllDistinct]]: md5-derived 48-bit
+    * hash, bin()-bitlength ranks, literal-table 2^−ρ terms and
+    * linear-counting values) instead of Spark's `approx_count_distinct`,
+    * whose Spark-internal HLL++ register layout no other engine
+    * replays: every register maximum AND the final estimate are now a
+    * pure function of (values, md5, p), so DuckDB reproduces the DOUBLE
+    * value-for-value and the row carries a TRUE oracle — the last
+    * `no_oracle` row closed (r12 verdict #7).
     *
-    * Shape: dedup first, then both counts over the distinct rows — NOT
-    * countDistinct + approx in one agg, which Catalyst rewrites through
-    * an Expand that doubles every shuffled row. HLL is insensitive to
-    * duplicates, so approx_count_distinct over the deduped (priority,
-    * custkey) pairs is value-identical (golden-pinned); the dedup shuffle
-    * partial-aggregates map-side and the second shuffle is
-    * |distinct pairs|, not 2×|orders|.
+    * Shape: one register shuffle keyed (priority, idx) with map-side
+    * MAX combine — ≤ m = 1024 rows per priority survive, the mergeable-
+    * sketch property — then a ≤ m-row final agg; the exact count rides
+    * its own dedup'd partial agg and joins back on the 5-value
+    * priority domain.
     */
   val q27 = QueryDef(
     "q27_approx_distinct",
     (s, dir) => {
-      orders(s, dir)
+      val o = orders(s, dir)
         .select(col("o_orderpriority"), col("o_custkey"))
-        // countDistinct ignores NULLs but a distinct-then-count would
-        // tally a (priority, NULL) row — filter so the rewrite stays
-        // value-identical even if a null key ever appears
+        // countDistinct semantics: NULL keys don't tally
         .filter(col("o_custkey").isNotNull)
-        .distinct()
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("exact_customers"),
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      val exact = o.distinct().groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("exact_customers"))
+      val approx = graft.operators.HllDistinct
+        .estimate(o, Seq("o_orderpriority"), col("o_custkey"))
+        .withColumnRenamed("approx_distinct", "approx_customers")
+      exact.join(approx, Seq("o_orderpriority"))
         .orderBy("o_orderpriority")
     },
-    None)
+    Some(s"""
+      WITH d AS (
+        SELECT DISTINCT o_orderpriority AS pr, o_custkey AS k
+        FROM orders WHERE o_custkey IS NOT NULL),
+      h AS (
+        SELECT pr, list_reduce(
+          list_transform(generate_series(1, 12),
+            i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(k AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+          (a, b) -> a * 16 + b) AS hv
+        FROM d),
+      regs AS (
+        SELECT pr, hv % ${graft.operators.HllDistinct.M} AS idx,
+               MAX(CASE WHEN hv // ${graft.operators.HllDistinct.M} = 0
+                        THEN 39
+                        ELSE 39 - length(bin(
+                          hv // ${graft.operators.HllDistinct.M})) END) AS r
+        FROM h GROUP BY 1, 2),
+      g AS (
+        SELECT pr, CAST(COUNT(*) AS BIGINT) AS occ,
+               SUM((${graft.operators.HllDistinct.pow2InvSql}::DOUBLE[])[r])
+                 AS socc
+        FROM regs GROUP BY 1),
+      e AS (
+        SELECT pr,
+               CAST(${graft.operators.HllDistinct.M} - occ AS INTEGER) AS v,
+               ${graft.operators.HllDistinct.alphaM2Sql} /
+                 (socc + CAST(${graft.operators.HllDistinct.M} - occ
+                   AS DOUBLE)) AS eraw
+        FROM g),
+      x AS (SELECT pr, CAST(COUNT(*) AS BIGINT) AS exact_customers
+            FROM d GROUP BY pr)
+      SELECT x.pr AS o_orderpriority, x.exact_customers,
+             CASE WHEN e.v > 0
+                    AND e.eraw <= ${graft.operators.HllDistinct.LcThreshold}
+                  THEN (${graft.operators.HllDistinct.linearCountSql}
+                        ::DOUBLE[])[greatest(e.v, 1)]
+                  ELSE e.eraw END AS approx_customers
+      FROM x JOIN e ON x.pr = e.pr
+      ORDER BY o_orderpriority"""))
 
   /** Explicit GROUPING SETS — the third grouping-lattice shape next to
     * ROLLUP (q17) and CUBE (q22), but with a HAND-PICKED set list:
@@ -1404,7 +1447,7 @@ object Workload {
     "q36_trailing_week_range",
     (s, dir) => {
       val daily = orders(s, dir)
-        .join(broadcast(customer(s, dir).select("c_custkey", "c_nationkey")),
+        .join((customer(s, dir).select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, dir).select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))
@@ -1618,7 +1661,7 @@ object Workload {
             .when(col("a98") === 1, "acquired"))
         .filter(col("cohort").isNotNull)
       labeled
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_mktsegment"))),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("cohort"), col("c_mktsegment"))
@@ -1910,7 +1953,7 @@ object Workload {
       val o = orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val c = customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
-      val seg = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val seg = o.join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"),
           col("o_totalprice"), col("o_orderkey"))
       val ranked = graft.operators.OrderedPrefix.rankAndPrefixBy(
@@ -2032,7 +2075,7 @@ object Workload {
         .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
       val p = part(s, dir).select(col("p_partkey"), col("p_brand"))
       val monthly = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand").as("brand"),
           month(col("o_orderdate")).cast(LongType).as("m"))
         .agg((decSumExact(col("l_extendedprice")) * 100).cast(LongType)
@@ -2095,7 +2138,7 @@ object Workload {
     "q45_segment_mad",
     (s, dir) => {
       val seg = orders(s, dir)
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_mktsegment"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"),
@@ -2166,7 +2209,7 @@ object Workload {
         .join(orders(s, dir).filter(inYear(col("o_orderdate"), 2000))
           .select("o_orderkey", "o_custkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(customer(s, dir).select("c_custkey", "c_nationkey")),
+        .join((customer(s, dir).select("c_custkey", "c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, dir).select("n_nationkey", "n_name")),
           col("c_nationkey") === col("n_nationkey"))
@@ -2324,7 +2367,7 @@ object Workload {
     "q49_segment_price_sketch",
     (s, dir) => {
       val priced = orders(s, dir)
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_mktsegment"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"),
@@ -2449,7 +2492,7 @@ object Workload {
     (s, dir) => {
       val E = DecimalType(38, 0)
       val li = lineitem(s, dir)
-        .join(broadcast(part(s, dir).select("p_partkey", "p_brand")),
+        .join((part(s, dir).select("p_partkey", "p_brand")),
           col("l_partkey") === col("p_partkey"))
         .select(col("p_brand").as("brand"),
           col("l_quantity").cast(LongType).as("x"),
@@ -2604,9 +2647,8 @@ object Workload {
       FROM e GROUP BY region ORDER BY region"""))
 
   /** Q54 — distinct-count SKETCH with a cross-engine oracle (linear /
-    * bitmap counting): the oracleable member of the sketch family
-    * beside q27's HLL (whose register layout is Spark-internal and
-    * can only be pinned). Each order's custkey hashes to one of
+    * bitmap counting): the simplest member of the sketch family beside
+    * q27's portable HLL (whose registers are now md5-replayable too). Each order's custkey hashes to one of
     * m = 4096 buckets via the md5 base-16 fold (the BloomPrefilter
     * hash discipline — bit-reproducible on any engine with
     * md5/substr); the sketch STATE is the set of occupied buckets —
@@ -2726,7 +2768,9 @@ object Workload {
     * The exact count rides beside it so the hash also pins the error
     * envelope the estimate would be derived from (the −m·ln(1−z/m)
     * estimate itself stays un-oracled for the q54 reason: engines' ln
-    * rounding differs). One broadcast dim join; both aggs are
+    * rounding differs). The customer join carries no hint (AQE
+    * broadcasts while the projection fits, shuffles beyond — customer
+    * scales with SF); both aggs are
     * shuffle-parallel partial aggs; the final occ⋈exact join is
     * |segments|-sized.
     */
@@ -2738,7 +2782,7 @@ object Workload {
         md5(col("o_custkey").cast(StringType).cast(BinaryType)), 1, 5),
         16, 10).cast(LongType) % m
       val j = orders(s, dir)
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_mktsegment"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment"), col("o_custkey"), bucket.as("b"))
@@ -2788,7 +2832,7 @@ object Workload {
     "q57_nation_quarter_pivot",
     (s, dir) => {
       val j = ordersLatestYear(s, dir)
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, dir)
@@ -2987,7 +3031,7 @@ object Workload {
     (s, dir) => {
       val E = DecimalType(38, 0)
       val series = orders(s, dir)
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, dir)
@@ -3067,7 +3111,7 @@ object Workload {
     "q61_yoy_calendar_growth",
     (s, dir) => {
       val monthly = orders(s, dir)
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, dir)
@@ -3142,7 +3186,7 @@ object Workload {
           max(when(col("event_type") === "purchase", 1).otherwise(0))
             .as("has_buy"))
       perUser
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_mktsegment"))),
           col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("segment"))
@@ -3279,7 +3323,7 @@ object Workload {
         col("l_orderkey"), col("l_linenumber"))
         .where(col("qty") > 0)
       val rows = li
-        .join(broadcast(supplier(s, dir)
+        .join((supplier(s, dir)
           .select(col("s_suppkey"), col("s_nationkey"))),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nation(s, dir)
@@ -3424,7 +3468,7 @@ object Workload {
     "q66_nation_region_share",
     (s, dir) => {
       val nat = orders(s, dir)
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_nationkey"))),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, dir)
@@ -3557,7 +3601,7 @@ object Workload {
     "q68_segment_trimmed_mean",
     (s, dir) => {
       val seg = orders(s, dir)
-        .join(broadcast(customer(s, dir)
+        .join((customer(s, dir)
           .select(col("c_custkey"), col("c_mktsegment"))),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"),

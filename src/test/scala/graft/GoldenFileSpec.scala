@@ -2,10 +2,10 @@ package graft
 
 import scala.io.Source
 
-/** Golden-file pinning for the driver-contract queries that carry no DuckDB
-  * oracle (they use Spark-internal hash functions): their outputs are pinned
-  * as content hashes at two scale factors, so a regression cannot hide
-  * behind the driver's rows-only check. Regenerate (after an INTENTIONAL
+/** Golden-file pinning for [[GoldenHash.pinnedQueries]] — any oracle-less
+  * query (none since r13) plus declared belt-and-suspenders rows (q27's
+  * portable HLL): outputs are pinned as content hashes at three scale
+  * factors, so a regression cannot hide between oracle runs. Regenerate (after an INTENTIONAL
   * output change only) with:
   *   sbt "runMain graft.GoldenGen /root/testdata/sf0.001"
   * and copy the `GOLDEN name=hash` lines into the resource file.
@@ -24,10 +24,11 @@ class GoldenFileSpec extends SparkSpec {
 
   private def checkAll(sfDir: String, res: String): Unit = {
     val expected = pins(res)
-    // every oracle-less query MUST carry a pin — adding a new one without
-    // pinning it fails here, not silently in the driver's rows-only check
-    assert(expected.keySet == GoldenHash.unoracledQueries.toSet,
-      s"pin set drift: pinned=${expected.keySet} vs unoracled=${GoldenHash.unoracledQueries}")
+    // every pinned query MUST carry a pin — adding an oracle-less query
+    // without pinning it fails here, not silently in the driver's
+    // rows-only check
+    assert(expected.keySet == GoldenHash.pinnedQueries.toSet,
+      s"pin set drift: pinned=${expected.keySet} vs required=${GoldenHash.pinnedQueries}")
     val drifted = expected.toSeq.sortBy(_._1).flatMap { case (name, want) =>
       val got = GoldenHash.tableHash(SparkEntry.queries(name)(spark, sfDir))
       if (got == want) None else Some(s"$name: $got != pinned $want")

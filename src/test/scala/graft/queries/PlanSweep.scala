@@ -210,6 +210,130 @@ class PlanSweepSpec extends SparkSpec {
         stale.mkString("\n"))
   }
 
+  /** Fourth audit (r12 verdict #2, making the r11/r12 manual hint audits
+    * mechanical): a forced `broadcast()` hint bypasses
+    * autoBroadcastJoinThreshold AND AQE's runtime size check, so a hint
+    * riding a frame that grows with the corpus (any frame derived from an
+    * SF-scaling table — customer/part/supplier/orders/lineitem/events/
+    * documents/embeddings all scale linearly with SF) pins a
+    * BroadcastHashJoin onto a multi-billion-row side at the 100 TB bar.
+    * r11 caught q43 by hand; r12's manual audit then misclassified
+    * customer/part as "dim-sized" — this gate makes the rule structural.
+    *
+    * A hinted frame is mechanically bounded when every path from the hint
+    * to each SF-scaling leaf passes through a cardinality-bounding node:
+    * a grouping-free Aggregate (1 row) or a Limit. Literal frames
+    * (LocalRelation/Range) and nation/region (25/5 rows by TPC-H spec,
+    * FIXED across SF) are bounded leaves. Anything else — including
+    * grouped aggregates (a group key could be corpus-keyed) and
+    * rank-equality filters — must be allowlisted HERE with a written
+    * cardinality argument, or the hint must go.
+    *
+    * Two frame FAMILIES are structurally bounded and recognized by
+    * column convention instead of per-query entries:
+    *  - operator-internal bucket/offset/stats frames (`__b`/`__off`/
+    *    `__mn`/`__quota` columns): only OrderedPrefix /
+    *    HistogramQuantile / Sampling emit these, and each caps its
+    *    frame at <= buckets(256 or B)·|groups| rows by construction;
+    *  - ANN query-set frames (a `query_id` column): bounded by the
+    *    `vec_id < NQueries` policy knob — the DeclaredBroadcastAnn
+    *    argument, the query set is parameter-sized at any corpus scale.
+    *
+    * Known limitation: an EAGER localCheckpoint executes its subplan
+    * during query construction, so hints INSIDE a checkpointed stage are
+    * invisible here (the stage's plan is already a LogicalRDD leaf).
+    * Those stages run with whatever plan they declared — the gate covers
+    * every hint that survives to the final plan.
+    */
+  private val AllowedScalingHints: Map[String, Set[String]] = Map(
+    // PQ codebooks: k·m centroid parameters (k=16 subquantizer codes x
+    // m subspaces) — model-sized by construction, corpus-invariant.
+    "llm_ann_pq" -> Set("c,j,k,m"),
+    "llm_embed_pq" -> Set("c,j,k,m"),
+    // Character n-gram LM count frames: keyed by charset² (bigrams) /
+    // charset³ (trigrams) — saturate at the alphabet's combinatorics,
+    // corpus-INVARIANT once the charset is covered (the "MODEL-sized"
+    // argument in TextAnalysis.trigramSurprisal's doc).
+    "llm_bigram_lm" -> Set("bg,c"),
+    "llm_lm_surprisal" -> Set("c3,tri", "c2,ctx"),
+    // Top-k-per-group join-back: <= k(5) rows per p_type, and p_type is
+    // the fixed 150-value TPC-H domain — 750 rows at any SF.
+    "q05_top_segments_topk_agg" -> Set("c_mktsegment,p_type,rn"),
+    // Per-source totals grouped by event_type — the |types| <= 8
+    // generator domain (the |types|² <= 64 output matrix is the query's
+    // own declared bound).
+    "q48_event_transitions" -> Set("src,src_n"),
+    // Exact-distinct join-backs grouped by c_mktsegment (5 values) /
+    // calendar day (<= 366 in the queried year) — domain keys that grow
+    // with neither SF nor corpus bytes.
+    "q56_segment_distinct_sketch" -> Set("c_mktsegment,n_exact"),
+    // Prior-year monthly revenue grouped by (n_name, yr, mon): 25
+    // nations x years-in-filter(2) x 12 months <= 600 rows — TPC-H
+    // nation count is SF-invariant.
+    "q61_yoy_calendar_growth" -> Set("mon,n_name,prev_rev,yr"),
+    "q58_rolling_distinct_users" -> Set("day,n_distinct"),
+    "stream_rolling_distinct" -> Set("day,n_exact"))
+
+  test("no broadcast hint rides an SF-scaling frame without a " +
+    "cardinality-bounding aggregate or limit") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val fixed = Seq("nation", "region") // 25/5 rows by spec, SF-invariant
+    def boundedLeaf(l: LeafNode): Boolean = l match {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.forall(p =>
+            fixed.exists(t => p.toString.endsWith(s"/$t.parquet")))
+        case _ => false
+      }
+      case _: LocalRelation => true
+      case _: Range => true
+      case _: OneRowRelation => true
+      // anything opaque (LogicalRDD behind a localCheckpoint, a memory
+      // stream, an unknown source) is CONSERVATIVELY unbounded — the r12
+      // audit failed precisely by classifying opaque frames by eye
+      case _ => false
+    }
+    def boundedFrame(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case l: LeafNode => boundedLeaf(l)
+      case other => other.children.forall(boundedFrame)
+    }
+    val operatorCols = Set("__b", "__off", "__mn", "__quota")
+    def familyBounded(cols: Seq[String]): Boolean =
+      cols.exists(operatorCols) || cols.contains("query_id")
+    val dir = "/root/testdata/sf0.001"
+    val got: Map[String, Set[String]] =
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val hinted = fn(noAqe, dir).queryExecution.analyzed.collect {
+          case h: ResolvedHint
+            if h.hints.strategy.exists(
+              _.toString.toLowerCase.contains("broadcast")) &&
+              !boundedFrame(h.child) &&
+              !familyBounded(h.child.output.map(_.name)) =>
+            h.child.output.map(_.name).sorted.mkString(",")
+        }.toSet
+        if (hinted.isEmpty) None else Some(name -> hinted)
+      }.toMap
+    val unlisted = got.toSeq.sortBy(_._1).flatMap { case (name, sigs) =>
+      val extra = sigs -- AllowedScalingHints.getOrElse(name, Set.empty)
+      if (extra.isEmpty) None else Some(s"$name: ${extra.mkString(" | ")}")
+    }
+    assert(unlisted.isEmpty,
+      s"broadcast hints on SF-scaling frames (drop the hint and let " +
+        s"AQE decide, or allowlist with a cardinality argument):\n" +
+        unlisted.mkString("\n"))
+    val stale = AllowedScalingHints.toSeq.sortBy(_._1).flatMap {
+      case (name, sigs) =>
+        val gone = sigs -- got.getOrElse(name, Set.empty)
+        if (gone.isEmpty) None else Some(s"$name: ${gone.mkString(" | ")}")
+    }
+    assert(stale.isEmpty,
+      s"allowlisted scaling hints no longer present (prune):\n" +
+        stale.mkString("\n"))
+  }
+
   test("every nested-loop/cartesian join has a provably bounded side") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}

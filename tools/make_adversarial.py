@@ -89,6 +89,12 @@ docs = [
      "then merge once among many many other ordinary filler words that "
      "stretch the document length well past the dense probe document",
      "en", "web"),
+    # separator control codes INSIDE text: U+001F (engine BPE sequence
+    # separator) and U+001E (oracle chr(30) reduce separator) are
+    # excluded from the BPE pre-token alphabet by contract; other
+    # tokenizers treat them as ordinary non-space chars (r12 advice)
+    (24, "unit\u001fseparated\u001erecord controls embedded mid word",
+     "en", "web"),
 ]
 pq.write_table(pa.table({
     "doc_id": pa.array([d[0] for d in docs], pa.int64()),
