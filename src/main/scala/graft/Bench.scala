@@ -297,15 +297,33 @@ object Bench {
     // window hitting one of them inflates the committed anchor even
     // under min-of-2, because both laps sit back-to-back INSIDE the
     // same window (four same-code laps spanned 158.9–205.9 s in r11).
-    // The [[RevisitTop]] most expensive queries are therefore re-lapped
-    // at the END of the run — a different time window — and the
-    // reported value is the min across BOTH visits: a window now has to
-    // span the whole run to bias a top query. The revisit laps are
-    // appended to the laps artifact (visible protocol), and the names
-    // are recorded under "revisit" in env.
-    val RevisitTop = 20
-    val revisitNames = results.filter(_._2 >= 0)
-      .sortBy(-_._2).take(RevisitTop).map(_._1).toSet
+    // The most expensive queries are therefore re-lapped at the END of
+    // the run — a different time window — and the reported value is the
+    // min across BOTH visits: a window now has to span the whole run to
+    // bias a top query. The revisit laps are appended to the laps
+    // artifact (visible protocol), and the names are recorded under
+    // "revisit" in env.
+    //
+    // r12 verdict #6 — the fixed top-20 left ~40 % of wall in the
+    // single-window tail, and that is exactly where the r12
+    // driver-window noise (×2.7–4 on sub-second rows) landed. The
+    // revisit set is now SHARE-DRIVEN: the smallest descending-cost
+    // prefix covering [[RevisitShare]] of total measured wall (with the
+    // old top-20 as a floor), so the un-revisited residual is bounded
+    // at ≤ 1−share of wall by construction rather than by query count.
+    val RevisitShare = 0.80
+    val RevisitTopFloor = 20
+    val okResults = results.filter(_._2 >= 0).sortBy(-_._2)
+    val totalWall = okResults.map(_._2).sum
+    val revisitNames: Set[String] = {
+      var acc = 0.0
+      val byShare = okResults.takeWhile { r =>
+        val take = acc < RevisitShare * totalWall
+        acc += r._2
+        take
+      }.map(_._1)
+      (byShare ++ okResults.take(RevisitTopFloor).map(_._1)).toSet
+    }
     val revisited: Map[String, Seq[Lap]] =
       execOrder.filter(q => revisitNames(q._1)).map { case (name, fn) =>
         val extra =
@@ -343,7 +361,10 @@ object Bench {
       val rt = Runtime.getRuntime
       val rev = revisitNames.toSeq.sorted.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
-      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors},"bench_seed":$benchSeed,"revisit_top":$RevisitTop,"revisit":$rev}"""
+      val covered =
+        okResults.filter(r => revisitNames(r._1)).map(_._2).sum
+      val share = if (totalWall > 0) covered / totalWall else 0.0
+      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors},"bench_seed":$benchSeed,"revisit_share_target":$RevisitShare,"revisit_share_actual":${fmt(share)},"revisit":$rev}"""
     }
     val orderJson =
       execOrder.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")

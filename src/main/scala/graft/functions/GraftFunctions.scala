@@ -76,6 +76,15 @@ object GraftFunctions {
       "xxh64", exprs => Xxh64Fn(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "zstd_inflate", exprs => ZstdInflate(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "zstd_inflate_dict",
+      exprs => ZstdInflateDict(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "bz2_inflate", exprs => Bz2Inflate(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "html_text", exprs => HtmlText(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "warc_payloads", exprs => WarcPayloads(exprs.head), "scala_udf")
     // bpe_token_count(text): the shipped default merge table; pass a
     // custom vocab through the Column API (TextAnalysis.bpeTokenCountReal)
     registry.createOrReplaceTempFunction(
@@ -212,6 +221,23 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("zstd_inflate"),
       new ExpressionInfo(classOf[ZstdInflate].getName, "zstd_inflate"),
       (exprs: Seq[Expression]) => ZstdInflate(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("zstd_inflate_dict"),
+      new ExpressionInfo(classOf[ZstdInflateDict].getName,
+        "zstd_inflate_dict"),
+      (exprs: Seq[Expression]) => ZstdInflateDict(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("bz2_inflate"),
+      new ExpressionInfo(classOf[Bz2Inflate].getName, "bz2_inflate"),
+      (exprs: Seq[Expression]) => Bz2Inflate(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("html_text"),
+      new ExpressionInfo(classOf[HtmlText].getName, "html_text"),
+      (exprs: Seq[Expression]) => HtmlText(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("warc_payloads"),
+      new ExpressionInfo(classOf[WarcPayloads].getName, "warc_payloads"),
+      (exprs: Seq[Expression]) => WarcPayloads(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("bpe_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_token_count"),

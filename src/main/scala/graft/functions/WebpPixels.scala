@@ -647,7 +647,11 @@ object WebpPixels {
         return decodeVp8l(bytes, dataOff, dataOff + size.toInt)
       }
       // VP8X (extended header) and metadata chunks are walked past;
-      // lossy 'VP8 ' falls out of the loop -> NULL (out of scope)
+      // lossy 'VP8 ' falls out of the loop -> NULL: no independent
+      // VP8 implementation exists in this environment to pin a boolean-
+      // coder decoder against (no libwebp/PIL/JDK support), so the
+      // bound is declared rather than silently wrong — dims-only via
+      // ImageDims (see llm_media_catalog's DECLARED BOUND paragraph)
       if (bytes(p) == 'V' && bytes(p + 1) == 'P' && bytes(p + 2) == '8' &&
         bytes(p + 3) == ' ') bad()
       p = dataOff + size.toInt + (size.toInt & 1) // chunks pad to even

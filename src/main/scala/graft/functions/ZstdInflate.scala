@@ -44,13 +44,24 @@ import org.apache.spark.sql.types._
   *    three-state interleave over one backward bitstream — init order
   *    LL/OF/ML, value-bit reads OF/ML/LL, state updates LL/ML/OF,
   *    last sequence exempt — with the three REPEAT OFFSETS (init
-  *    1,4,8; the literals-length-0 shift and the rep1−1 special case
-  *    per §3.1.1.5) and overlap-replicating match copies bounded by
-  *    the frame start (no dictionary reach).
+  *    1,4,8 or the dictionary's; the literals-length-0 shift and the
+  *    rep1−1 special case per §3.1.1.5) and overlap-replicating match
+  *    copies bounded by the frame start minus the supplied
+  *    dictionary's content (no further reach).
   *
-  * Dictionaries are OUT OF SCOPE (a nonzero Dictionary_ID rejects —
-  * out-of-band data by definition); everything else a real encoder
-  * emits decodes. Pinned three ways in ZstdInflateSpec: real zstd(1)
+  * DICTIONARIES (RFC 8878 §5) are supported through the two-argument
+  * form `zstd_inflate_dict(blob, dict)` (r12 verdict #4 — small-record
+  * shards in real corpora use trained dictionaries): both FORMATTED
+  * dictionaries (magic 0xEC30A437, dictionary id, entropy tables in
+  * the spec order Huffman/OF/ML/LL, three validated repeat offsets,
+  * content) and RAW-CONTENT dictionaries (no magic — the bytes are
+  * history only, default tables and reps). The dictionary initializes
+  * the frame's entropy state (a first-block Treeless/Repeat_Mode reads
+  * the dictionary tables) and its content is reachable match history
+  * BELOW the frame start. ID discipline: a frame declaring a nonzero
+  * Dictionary_ID requires a formatted dictionary with the SAME id; the
+  * one-argument form still rejects any nonzero id (out-of-band data by
+  * definition). Everything else a real encoder emits decodes. Pinned three ways in ZstdInflateSpec: real zstd(1)
   * CLI frames across levels/shapes, zstd-jni (the reference C library
   * Spark ships for parquet), and aircompressor (an independent
   * pure-Java implementation), plus hand-mutated NULL vectors.
@@ -60,7 +71,8 @@ import org.apache.spark.sql.types._
   * geometrically, CLAMPED to the named [[ZstdInflate.MaxOutputBytes]]
   * zip-bomb guard (the family policy — only an actual write past the
   * limit fails). Window_Size past the cap rejects for the same reason.
-  * NULL for: bad magic/reserved bits, dictionary frames, oversized
+  * NULL for: bad magic/reserved bits, dictionary frames without a
+  * matching supplied dictionary, oversized
   * windows/blocks, any malformed Huffman/FSE description, a bitstream
   * not consumed EXACTLY, an offset before the frame, output past the
   * guard or unequal to the declared size, a content-checksum
@@ -489,11 +501,14 @@ object ZstdInflate {
 
   /** Decode one Compressed_Block from src[from, to) into dst at
     * `produced`, never writing at/past dLimit nor matching before
-    * frameStart. @return bytes regenerated.
+    * frameStart minus the dictionary content `dictC` (RFC 8878 §5:
+    * dictionary bytes are virtual history just below the frame).
+    * @return bytes regenerated.
     */
   private def decodeBlock(src: Array[Byte], from: Int, to: Int,
       dst: Array[Byte], produced0: Int, dLimit: Int, frameStart: Int,
-      st: FrameState, blockMax: Int, windowSize: Long): Int = {
+      st: FrameState, blockMax: Int, windowSize: Long,
+      dictC: Array[Byte]): Int = {
     var p = from
     if (p >= to) bad()
 
@@ -696,16 +711,22 @@ object ZstdInflate {
       System.arraycopy(lit, litPos, dst, produced, ll)
       litPos += ll
       produced += ll
-      val mSrc = produced - offset
-      // spec strictness: a match may reach neither before the frame nor
-      // past the declared window (encoders must respect Window_Size —
-      // the three-implementation differential pins no false reject)
-      if (mSrc < frameStart || offset <= 0 || offset > windowSize) bad()
+      val mSrc = produced.toLong - offset
+      // spec strictness: a match may reach neither before the frame's
+      // history (frame output + supplied dictionary content) nor past
+      // the declared window extended by that content (encoders respect
+      // Window_Size — the multi-implementation differential pins no
+      // false reject)
+      if (mSrc < frameStart.toLong - dictC.length || offset <= 0 ||
+        offset > windowSize + dictC.length) bad()
       if (ml > dLimit - produced) bad()
-      var m = mSrc.toInt
+      var m = mSrc
       var k = 0
       while (k < ml) { // byte-by-byte: overlap replication is the point
-        dst(produced) = dst(m)
+        dst(produced) =
+          if (m < frameStart)
+            dictC(dictC.length - (frameStart - m.toInt))
+          else dst(m.toInt)
         produced += 1
         m += 1
         k += 1
@@ -725,14 +746,77 @@ object ZstdInflate {
   // frame walk
   // ------------------------------------------------------------------
 
+  /** Parsed RFC 8878 §5 dictionary (or raw-content fallback). */
+  private final class Dict(
+      val id: Long,
+      val content: Array[Byte],
+      val huf: HufTable,
+      val llT: FseTable,
+      val ofT: FseTable,
+      val mlT: FseTable,
+      val rep1: Long, val rep2: Long, val rep3: Long,
+      val formatted: Boolean)
+
+  private val NoDict = new Dict(0L, new Array[Byte](0),
+    null, null, null, null, 1L, 4L, 8L, false)
+
+  /** Parse a dictionary blob: formatted (magic 0xEC30A437 LE) or raw
+    * content. Formatted layout per §5: magic, LE32 id, entropy tables
+    * in the order Huffman / Offsets / Match_Lengths / Literals_Lengths
+    * (same descriptions and accuracy caps as in-frame), THREE LE32
+    * repeat offsets (non-zero, ≤ content size), then content. An EMPTY
+    * blob means "no dictionary" (the two-arg form's neutral element).
+    */
+  private def parseDict(d: Array[Byte]): Dict = {
+    if (d.length == 0) return NoDict
+    if (d.length < 8 ||
+      !((d(0) & 0xff) == 0x37 && (d(1) & 0xff) == 0xA4 &&
+        (d(2) & 0xff) == 0x30 && (d(3) & 0xff) == 0xEC))
+      return new Dict(0L, d, null, null, null, null, 1L, 4L, 8L, false)
+    var p = 4
+    val id = (d(p) & 0xffL) | ((d(p + 1) & 0xffL) << 8) |
+      ((d(p + 2) & 0xffL) << 16) | ((d(p + 3) & 0xffL) << 24)
+    p += 4
+    val (huf, used) = readHufTree(d, p, d.length)
+    p += used
+    def fse(maxAcc: Int, maxSym: Int): FseTable = {
+      val f = new FwdBits(d, p, d.length)
+      val (norm, maxS, accLog) = readFseNorm(f, maxAcc, maxSym)
+      p += f.bytesConsumed
+      buildFse(norm, maxS, accLog)
+    }
+    val ofT = fse(8, 31)
+    val mlT = fse(9, 52)
+    val llT = fse(9, 35)
+    if (p + 12 > d.length) bad()
+    def le32(i: Int): Long = (d(i) & 0xffL) | ((d(i + 1) & 0xffL) << 8) |
+      ((d(i + 2) & 0xffL) << 16) | ((d(i + 3) & 0xffL) << 24)
+    val r1 = le32(p); val r2 = le32(p + 4); val r3 = le32(p + 8)
+    p += 12
+    val content = java.util.Arrays.copyOfRange(d, p, d.length)
+    if (r1 == 0 || r2 == 0 || r3 == 0 ||
+      r1 > content.length || r2 > content.length || r3 > content.length)
+      bad()
+    new Dict(id, content, huf, llT, ofT, mlT, r1, r2, r3, true)
+  }
+
   /** Static kernel shared by eval and generated code. */
   def unzstd(bytes: Array[Byte]): Array[Byte] = {
     if (bytes == null) return null
-    try decode(bytes)
+    try decode(bytes, NoDict)
     catch { case Corrupt => null }
   }
 
-  private def decode(bytes: Array[Byte]): Array[Byte] = {
+  /** Two-argument kernel: decode with a supplied dictionary (empty =
+    * none).
+    */
+  def unzstdDict(bytes: Array[Byte], dict: Array[Byte]): Array[Byte] = {
+    if (bytes == null) return null
+    try decode(bytes, if (dict == null) NoDict else parseDict(dict))
+    catch { case Corrupt => null }
+  }
+
+  private def decode(bytes: Array[Byte], dict: Dict): Array[Byte] = {
     val n = bytes.length
     if (n < 8) bad()
     def u32(i: Int): Long = (bytes(i) & 0xffL) |
@@ -791,7 +875,9 @@ object ZstdInflate {
           i += 1
         }
         p += dictBytes
-        if (dictId != 0) bad() // dictionaries are out of scope
+        // ID discipline: a declared id needs a formatted dict with the
+        // SAME id; an id-less frame may still use any supplied dict
+        if (dictId != 0 && !(dict.formatted && dict.id == dictId)) bad()
         val fcsBytes = fcsFlag match {
           case 0 => if (singleSeg) 1 else 0
           case 1 => 2
@@ -820,6 +906,9 @@ object ZstdInflate {
         val frameStart = produced
         if (contentSize >= 0) ensure(frameStart + contentSize)
         val st = new FrameState
+        st.rep1 = dict.rep1; st.rep2 = dict.rep2; st.rep3 = dict.rep3
+        st.huf = dict.huf
+        st.llT = dict.llT; st.ofT = dict.ofT; st.mlT = dict.mlT
         var last = false
         while (!last) {
           if (p + 3 > n) bad()
@@ -852,7 +941,7 @@ object ZstdInflate {
               if (bsize > blockMax || p + bsize > n) bad()
               produced += decodeBlock(bytes, p, p + bsize, dst, produced,
                 dLimit, frameStart, st, blockMax,
-                math.max(windowSize, 1L))
+                math.max(windowSize, 1L), dict.content)
               p += bsize
             case _ => bad() // Reserved
           }
@@ -875,4 +964,48 @@ object ZstdInflate {
 
   def zstd_inflate(c: Column): Column =
     GraftColumnBridge.column(ZstdInflate(GraftColumnBridge.expression(c)))
+
+  def zstd_inflate_dict(c: Column, dict: Column): Column =
+    GraftColumnBridge.column(ZstdInflateDict(
+      GraftColumnBridge.expression(c), GraftColumnBridge.expression(dict)))
+}
+
+/** Two-argument dictionary form: `zstd_inflate_dict(blob, dict)` — see
+  * [[ZstdInflate]]'s dictionary paragraph. Null-safe on BOTH arguments
+  * (the family's expression convention); pass an EMPTY dictionary for
+  * "no dictionary" — it is the neutral element, decoding exactly like
+  * the one-argument form.
+  */
+case class ZstdInflateDict(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ZstdInflateDict requires (BINARY, BINARY), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(blob: Any, dict: Any): Any =
+    ZstdInflate.unzstdDict(blob.asInstanceOf[Array[Byte]],
+      dict.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, d) => s"""
+      ${ev.value} = graft.functions.ZstdInflate.unzstdDict($b, $d);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ZstdInflateDict =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "zstd_inflate_dict"
 }

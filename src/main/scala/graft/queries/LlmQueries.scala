@@ -2697,6 +2697,19 @@ $steps,
     * NULLs rather than mislabeling. The format label is the same
     * coalesce over literal tags. (WEBP joined in r12 when WebpPixels
     * closed the last header-only format.)
+    *
+    * DECLARED BOUND — lossy WebP (`VP8 `): the catalog's webp lane
+    * fires on LOSSLESS (`VP8L`) files only. Lossy bitstreams need the
+    * VP8 boolean arithmetic coder + intra prediction + IDCT + loop
+    * filter, and this environment ships NO independent VP8
+    * implementation (no libwebp/dwebp, no PIL, no JDK support) to pin
+    * pixel-exactness against — an unpinned from-scratch decoder would
+    * break the codec family's every-decoder-pinned discipline, so the
+    * boundary stays explicit rather than silently wrong: lossy files
+    * surface DIMS-ONLY through `image_dims` (the `VP8 ` 14-bit
+    * keyframe header parse — a green cross-engine lane of
+    * llm_multimodal_dims), and their pixel columns are NULL here by
+    * contract, exactly like a corrupt blob is.
     */
   val mediaCatalog = QueryDef(
     "llm_media_catalog",
@@ -3113,6 +3126,149 @@ $steps,
                WHEN 2 THEN md5(repeat('z', 1000) || repeat('ab', 30)
                  || repeat('z', 255))
              END AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** ZSTANDARD DICTIONARY lane (functions/ZstdInflate.zstd_inflate_dict
+    * — RFC 8878 §5, r12 verdict #4: small-record shards in real corpora
+    * ship with trained dictionaries; the one-arg form rightly NULLs on
+    * them). The lane that SQL can assemble is the raw-content
+    * dictionary with a match reaching BELOW the frame start — the
+    * mechanism trained dictionaries rely on — with the DOCUMENT TEXT
+    * as the dictionary: a constant 1-sequence frame (RLE-mode tables,
+    * offset 16, match 16, zero literals) copies the LAST 16 BYTES of
+    * the dictionary, so variable corpus data flows through the
+    * dict-history path and the oracle predicts it with blob slicing.
+    * Short docs fall back to a constant dictionary (the bound is
+    * explicit on both sides). Trained-dictionary frames (entropy
+    * tables, id discipline, wrong-dict NULL) are pinned against
+    * zstd-jni (libzstd) in ZstdInflateSpec. Lanes by doc_id % 3:
+    * (0) text-as-dictionary decode; (1) the same frame with an EMPTY
+    * dictionary — history unreachable → NULL; (2) raw text → NULL.
+    */
+  val sourceZstDict = QueryDef(
+    "llm_source_zst_dict",
+    (s, dir) => {
+      // magic | FHD 0x80 (4-byte FCS) | WD log10 | FCS=16 | one
+      // compressed block (7 B): raw literals size 0, nbSeq 1, RLE modes
+      // 0x54, LL=0 OF=4 ML=13, backward stream 0x13 (sentinel + 0011:
+      // offVal = 16+3 → offset 16; MlBase(13) = 16)
+      val frame = "28b52ffd" + "80" + "00" + "10000000" +
+        "3d0000" + "00015400040d13"
+      val len = octet_length(col("text"))
+      val constDict = lit("GRAFTDICTCONTENT".getBytes("UTF-8"))
+      val m = pmod(col("doc_id"), lit(3))
+      val blob = when(m <= 1, unhex(lit(frame)))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      val dict = when(m === 0,
+        when(len >= 16, col("text").cast(BinaryType)).otherwise(constDict))
+        .otherwise(lit(Array.empty[Byte]))
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.ZstdInflate.zstd_inflate_dict(blob, dict)
+            .as("__d"))
+        // the byte slice can split a UTF-8 char, so the pin is the HEX
+        // of the decoded bytes (DuckDB md5 only takes VARCHAR; hex is
+        // uppercase on both engines)
+        .select(col("doc_id"),
+          octet_length(col("__d")).as("n_bytes"),
+          hex(col("__d")).as("tail_hex"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 16 END AS n_bytes,
+             CASE WHEN doc_id % 3 = 0 THEN
+               CASE WHEN strlen(text) >= 16
+                    THEN substring(hex(encode(text)),
+                                   strlen(text) * 2 - 31, 32)
+                    ELSE hex(encode('GRAFTDICTCONTENT')) END
+             END AS tail_hex
+      FROM documents ORDER BY doc_id"""))
+
+  /** In-engine XZ source decode (functions/XzInflate — full xz format
+    * with the LZMA2 filter: range coder, all four check types, index/
+    * footer cross-checks) — the second Wikipedia-dump codec beside
+    * llm_source_bz2. Unlike bzip2, LZMA2 HAS a stored mode
+    * (uncompressed chunks), so this lane carries VARIABLE document
+    * text through a fully column-built stream: constant header, one
+    * CRC32-checked block holding the text in an uncompressed chunk,
+    * then index varints, padding, and footer — every CRC computed in
+    * column space, validated byte-for-byte against CPython lzma during
+    * construction. The entropy-coded paths are pinned three ways in
+    * XzInflateSpec (xz CLI, xz-java, CPython). The single-chunk form
+    * bounds text to [1, 60000] bytes — EXPLICIT in both engine and
+    * oracle (the zst_blocks discipline), far above any testdata doc.
+    * Lanes by doc_id % 3: (0) valid stream → text round-trips;
+    * (1) content-check CRC flipped → NULL; (2) raw text → NULL.
+    */
+  val sourceXz = QueryDef(
+    "llm_source_xz",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def b2(c: Column): Column = lpad(hex(c), 2, "0")
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def be16(c: Column): Column = lpad(hex(c), 4, "0")
+      // little-endian base-128 varint, values < 2^21
+      def vint(v: Column): Column = when(v < 128, b2(v))
+        .when(v < 16384, concat(b2(pmod(v, lit(128)) + 128),
+          b2(floor(v / 128).cast(LongType))))
+        .otherwise(concat(b2(pmod(v, lit(128)) + 128),
+          b2(pmod(floor(v / 128).cast(LongType), lit(128)) + 128),
+          b2(floor(v / 16384).cast(LongType))))
+      def vlen(v: Column): Column =
+        when(v < 128, 1).when(v < 16384, 2).otherwise(lit(3))
+      val tb = col("text").cast(BinaryType)
+      val len = octet_length(col("text"))
+      // stream header: magic | flags 00 01 (CRC32) | crc32(flags)
+      val hdr = "fd377a585a00" + "0001" + "6922de36"
+      // block header: size 12, 1 LZMA2 filter, zero padding, own CRC32
+      val bh = "0200210100000000" + "372797d6"
+      // block data: one uncompressed dict-reset chunk + end marker
+      val dataHex = concat(lit("01"), be16(len - 1), hex(tb), lit("00"))
+      val compSize = len + 4
+      val bpad = pmod(lit(4) - pmod(compSize, lit(4)), lit(4))
+      def ckHex(c: Column): Column = le32(c)
+      val goodCk = ckHex(crc32(tb))
+      val badCk = ckHex(pmod(crc32(tb) + 1, lit(4294967296L)))
+      val unpadded = len + 20 // 12 hdr + compSize + 4 check
+      val idxBody = concat(lit("0001"), vint(unpadded), vint(len))
+      val idxBodyLen = lit(2) + vlen(unpadded) + vlen(len)
+      val ipad = pmod(lit(4) - pmod(idxBodyLen, lit(4)), lit(4))
+      val idx = concat(idxBody,
+        when(ipad === 0, lit("")).otherwise(
+          lit("000000").substr(lit(1), (ipad * 2).cast(IntegerType))))
+      val idxFull = concat(idx, le32(crc32(unhex(idx))))
+      val idxSize = idxBodyLen + ipad + 4
+      val backward = (idxSize / 4).cast(LongType) - 1
+      val ftrBody = concat(le32(backward), lit("0001"))
+      val ftr = concat(le32(crc32(unhex(ftrBody))), ftrBody, lit("595a"))
+      def stream(ck: Column): Column = concat(lit(hdr), lit(bh), dataHex,
+        when(bpad === 0, lit("")).otherwise(
+          lit("000000").substr(lit(1), (bpad * 2).cast(IntegerType))),
+        ck, idxFull, ftr)
+      val fits = len >= 1 && len <= 60000
+      val m = pmod(col("doc_id"), lit(3))
+      val blob = when(m === 0 && fits, unhex(stream(goodCk)))
+        .when(m === 1 && fits, unhex(stream(badCk)))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          graft.functions.XzInflate.xz_inflate(blob).as("__d"))
+        .select(col("doc_id"),
+          octet_length(col("__d")).as("n_bytes"),
+          (col("__d").cast(StringType) === col("text")).as("roundtrip"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 AND strlen(text) BETWEEN 1 AND 60000
+                  THEN CAST(strlen(text) AS INTEGER) END AS n_bytes,
+             CASE WHEN doc_id % 3 = 0 AND strlen(text) BETWEEN 1 AND 60000
+                  THEN TRUE END AS roundtrip
       FROM documents ORDER BY doc_id"""))
 
   /** Baseline JPEG pixel decode (functions/JpegPixels — the LAST format
@@ -6127,7 +6283,7 @@ $steps,
     crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceZip, sourceZlib, sourceLz4, sourceZst,
-    sourceBz2,
+    sourceZstDict, sourceBz2, sourceXz,
     sourceZstBlocks, sourceJsonlZst,
     multimodalPixelsGif, multimodalPixelsWebp,
     multimodalPixelsJpeg, mediaCatalog,

@@ -26,7 +26,12 @@ class SparkEntrySpec extends AnyFunSuite {
     SparkEntry.oracleSql.values.foreach { sql =>
       val head = sql.trim.split("\\s+").head.toUpperCase
       assert(head == "SELECT" || head == "WITH", s"unexpected head: $head")
-      assert(!sql.trim.stripSuffix(";").contains(";"), "multi-statement oracle")
+      // semicolons INSIDE string literals are data (the crawl_text
+      // entity vectors), not statement separators — blank out quoted
+      // strings before checking
+      val noStrings = sql.replaceAll("'[^']*'", "''")
+      assert(!noStrings.trim.stripSuffix(";").contains(";"),
+        "multi-statement oracle")
     }
   }
 

@@ -196,6 +196,75 @@ class ZstdInflateSpec extends SparkSpec {
     assert(out.forall(_ == null))
   }
 
+  test("dictionary frames: zstd-jni trained dict round-trips; wrong, " +
+    "missing, and id-mismatched dicts NULL; empty dict is neutral") {
+    // small structured records — the shard shape dictionaries exist for
+    val samples = (0 until 256).map(i =>
+      s"""{"user":"user$i","event":"click","ts":${100000 + i},""" +
+        s""""page":"/product/${i % 17}","ref":"search"}""")
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      1024 * 1024, 16 * 1024)
+    samples.foreach(x => trainer.addSample(x.getBytes("UTF-8")))
+    val dict = trainer.trainSamples()
+    val other = {
+      val t2 = new com.github.luben.zstd.ZstdDictTrainer(
+        1024 * 1024, 16 * 1024)
+      (0 until 256).foreach(i =>
+        t2.addSample((s"totally different corpus line number $i with " +
+          s"other words entirely ${i * 31}").getBytes("UTF-8")))
+      t2.trainSamples()
+    }
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setLevel(3)
+      ctx.loadDict(dict)
+      for (x <- samples.take(32)) {
+        val payload = x.getBytes("UTF-8")
+        val blob = ctx.compress(payload)
+        val got = ZstdInflate.unzstdDict(blob, dict)
+        assert(got != null && java.util.Arrays.equals(got, payload),
+          s"dict round-trip failed for: $x")
+        // one-arg form: declared dictionary id, no dict -> NULL
+        assert(ZstdInflate.unzstd(blob) == null)
+        // empty dict = "no dictionary" -> same NULL
+        assert(ZstdInflate.unzstdDict(blob, Array.empty[Byte]) == null)
+        // wrong trained dict: id mismatch -> NULL
+        assert(ZstdInflate.unzstdDict(blob, other) == null)
+      }
+    } finally ctx.close()
+    // neutrality: a dict supplied to an ordinary frame changes nothing
+    val plain = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      plain.setLevel(3)
+      val payload = ("plain frame " * 50).getBytes("UTF-8")
+      val blob = plain.compress(payload)
+      assert(java.util.Arrays.equals(
+        ZstdInflate.unzstdDict(blob, dict), payload))
+      assert(java.util.Arrays.equals(
+        ZstdInflate.unzstdDict(blob, Array.empty[Byte]), payload))
+    } finally plain.close()
+  }
+
+  test("raw-content dictionary: match history reaches below the frame") {
+    val dictBytes =
+      ("shared prefix vocabulary the encoder will reference " * 40)
+        .getBytes("UTF-8")
+    val payload =
+      ("shared prefix vocabulary the encoder will reference AND MORE " * 10)
+        .getBytes("UTF-8")
+    val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+    try {
+      ctx.setLevel(19)
+      ctx.loadDict(dictBytes) // no magic -> raw content dictionary
+      val blob = ctx.compress(payload)
+      val got = ZstdInflate.unzstdDict(blob, dictBytes)
+      assert(got != null && java.util.Arrays.equals(got, payload))
+      // the frame references history below frameStart: without the
+      // dictionary the offsets reach before the frame -> NULL
+      assert(ZstdInflate.unzstd(blob) == null)
+    } finally ctx.close()
+  }
+
   test("null input yields NULL; SQL surface registered") {
     val out = Seq((1L, null: Array[Byte])).toDF("id", "b")
       .select(ZstdInflate.zstd_inflate(col("b")).as("d")).collect()
