@@ -1825,6 +1825,39 @@ object ScaleProbe {
       val o = new net.jpountz.lz4.LZ4FrameOutputStream(bos)
       o.write(payload); o.close(); bos.toByteArray
     }
+    // real bzip2 via commons-compress (r13: the Wikipedia-dump codec)
+    def bz2Bytes(p: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos, 9)
+      o.write(p); o.close(); bos.toByteArray
+    }
+    val bz2 = bz2Bytes(payload)
+    // real xz via xz-java (r13: the other dump codec; 2 MB shard lane
+    // exercises multi-chunk LZMA2 at honest MB/s)
+    def xzBytes(p: Array[Byte], preset: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new org.tukaani.xz.XZOutputStream(bos,
+        new org.tukaani.xz.LZMA2Options(preset))
+      o.write(p); o.close(); bos.toByteArray
+    }
+    val xz = xzBytes(payload, 6)
+    val xzBig = xzBytes({
+      val words = ("the quick brown fox jumps over the lazy dog " * 4)
+        .split(" ")
+      val rng = new scala.util.Random(5)
+      val sb = new StringBuilder(2200000)
+      while (sb.length < 2097152)
+        sb.append(words(rng.nextInt(words.length))).append(' ')
+          .append(rng.nextInt(1000)).append(' ')
+      sb.toString.take(2097152).getBytes("UTF-8")
+    }, 6)
+    // an HTML page around the payload text (r13: extraction throughput)
+    val htmlBlob = ("<!DOCTYPE html><html><head><script>var x=1<2;" +
+      "</script><style>p{}</style></head><body><h1>H</h1><p>" +
+      new String(payload, "UTF-8").replace("&", "&amp;")
+        .replace("<", "&lt;").replace(">", "&gt;") +
+      "</p><!-- c --></body></html>").getBytes("UTF-8")
     // a 128×128 flat VP8L (the five-single-symbol-tree template the
     // driver query uses; literal pixels cost zero data bits, so the
     // probe measures the header/transform-free pixel loop)
@@ -1854,6 +1887,10 @@ object ScaleProbe {
       ("tarzst", tarZst,
         c => size(TarEntries.tar_entries(ZstdInflate.zstd_inflate(c)))),
       ("lz4", lz4, c => octet_length(Lz4Inflate.lz4_inflate(c))),
+      ("bz2", bz2, c => octet_length(Bz2Inflate.bz2_inflate(c))),
+      ("xz", xz, c => octet_length(XzInflate.xz_inflate(c))),
+      ("xz_2mb", xzBig, c => octet_length(XzInflate.xz_inflate(c))),
+      ("html", htmlBlob, c => length(HtmlText.html_text(c))),
       ("png", png, c => PngPixels.png_pixels(c).getField("n_px")),
       ("gif", gif, c => GifPixels.gif_pixels(c).getField("n_px")),
       ("webp", webp, c => WebpPixels.webp_pixels(c).getField("n_px")),

@@ -308,7 +308,15 @@ object Bz2Inflate {
     i = 0
     while (i < nInUse) { mtf(i) = i; i += 1 }
     val unzftab = new Array[Int](256)
-    val tt = new Array[Int](blockMax) // BWT bytes (low 8 bits used here)
+    // BWT bytes (low 8 bits here, next-pointers packed above later).
+    // Grown on demand: a fixed level*100k allocation per block costs
+    // 3.6 MB of zeroing per tiny shard row (measured dominating the
+    // small-blob decode in ScaleProbe media)
+    var tt = new Array[Int](math.min(blockMax, 1 << 14))
+    def ensureTT(min: Int): Unit =
+      if (min > tt.length)
+        tt = java.util.Arrays.copyOf(tt,
+          math.min(math.max(tt.length * 2, min), blockMax))
     var nblock = 0
     var groupNo = -1
     var groupPos = 0
@@ -335,6 +343,7 @@ object Bz2Inflate {
           sym = nextSym()
         }
         if (run > blockMax - nblock) bad()
+        ensureTT(nblock + run.toInt)
         val byteVal = seqToUnseq(mtf(0))
         unzftab(byteVal) += run.toInt
         var r = 0L
@@ -349,6 +358,7 @@ object Bz2Inflate {
         mtf(0) = tmp
         val byteVal = seqToUnseq(tmp)
         if (nblock >= blockMax) bad()
+        ensureTT(nblock + 1)
         unzftab(byteVal) += 1
         tt(nblock) = byteVal
         nblock += 1
@@ -367,15 +377,23 @@ object Bz2Inflate {
       cftab(ch) += 1
       i += 1
     }
-    // walk + RLE1 decode + CRC
+    // walk + RLE1 decode + CRC — into a LOCAL buffer: per-byte
+    // ByteArrayOutputStream.write is synchronized and measured 10x the
+    // whole decode (ScaleProbe media bz2, r13)
     var crc = 0xFFFFFFFF
     var tPos = tt(origPtr) >>> 8
     var count = 0
     var runLen = 0
     var prev = -1
+    var buf = new Array[Byte](math.min(nblock * 2, MaxOutputBytes))
+    var bl = 0
     def emit(byte: Int): Unit = {
-      if (out.size() >= MaxOutputBytes) bad()
-      out.write(byte)
+      if (out.size() + bl >= MaxOutputBytes) bad()
+      if (bl == buf.length)
+        buf = java.util.Arrays.copyOf(buf,
+          math.min(buf.length * 2L, MaxOutputBytes.toLong + 1).toInt)
+      buf(bl) = byte.toByte
+      bl += 1
       crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ byte) & 0xff)
     }
     while (count < nblock) {
@@ -396,6 +414,7 @@ object Bz2Inflate {
     if (runLen == 4) bad() // block ended expecting an RLE1 count byte
     crc = ~crc
     if (crc != wantCrc) bad()
+    out.write(buf, 0, bl)
   }
 
   def bz2_inflate(c: Column): Column =

