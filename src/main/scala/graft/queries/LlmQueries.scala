@@ -1994,14 +1994,18 @@ $steps,
     val len = (length(payloadHex) / 2).cast(LongType)
     val nBlocks = greatest(
       floor((len + lit(B - 1)) / lit(B)).cast(LongType), lit(1L))
-    array_join(transform(sequence(lit(0L), nBlocks - 1), i => {
-      val off = i * lit(B)
-      val size = least(len - off, lit(B))
-      val last = when(i === nBlocks - 1, lit(1L)).otherwise(lit(0L))
-      concat(zstLe24(size * 8 + last),
-        payloadHex.substr((off * 2 + 1).cast(IntegerType),
-          (size * 2).cast(IntegerType)))
-    }), "")
+    // fast path: one block covers it (every testdata doc) — the chain's
+    // transform/sequence/substr machinery measured ~2x on the zst lanes
+    // (r13 bench), so pay it only when a payload actually needs it
+    when(len <= B, concat(zstLe24(len * 8 + 1), payloadHex))
+      .otherwise(array_join(transform(sequence(lit(0L), nBlocks - 1), i => {
+        val off = i * lit(B)
+        val size = least(len - off, lit(B))
+        val last = when(i === nBlocks - 1, lit(1L)).otherwise(lit(0L))
+        concat(zstLe24(size * 8 + last),
+          payloadHex.substr((off * 2 + 1).cast(IntegerType),
+            (size * 2).cast(IntegerType)))
+      }), ""))
   }
 
   /** RLE twin of [[zstRawBlocksHex]]: regenerates `totalLen` copies of
@@ -2016,12 +2020,13 @@ $steps,
     val len = totalLen.cast(LongType)
     val nBlocks = greatest(
       floor((len + lit(B - 1)) / lit(B)).cast(LongType), lit(1L))
-    array_join(transform(sequence(lit(0L), nBlocks - 1), i => {
-      val off = i * lit(B)
-      val size = least(len - off, lit(B))
-      val last = when(i === nBlocks - 1, lit(1L)).otherwise(lit(0L))
-      concat(zstLe24(size * 8 + 2 + last), lit(byteHex))
-    }), "")
+    when(len <= B, concat(zstLe24(len * 8 + 2 + 1), lit(byteHex)))
+      .otherwise(array_join(transform(sequence(lit(0L), nBlocks - 1), i => {
+        val off = i * lit(B)
+        val size = least(len - off, lit(B))
+        val last = when(i === nBlocks - 1, lit(1L)).otherwise(lit(0L))
+        concat(zstLe24(size * 8 + 2 + last), lit(byteHex))
+      }), ""))
   }
   private def tarHexOf(s: String): String =
     s.getBytes("UTF-8").map("%02x".format(_)).mkString
