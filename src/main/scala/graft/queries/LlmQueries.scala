@@ -1779,6 +1779,95 @@ $steps,
              target_uri, content_length, payload_md5
       FROM r ORDER BY doc_id, rec_idx NULLS FIRST"""))
 
+  // ---- column-space XZ stream construction (llm_source_xz /
+  // llm_source_tarxz) — uncompressed LZMA2 chunks, every CRC computed
+  // in column space; validated byte-for-byte against CPython lzma ----
+
+  private def xzB2(c: Column): Column = lpad(hex(c), 2, "0")
+
+  private def xzLe32(c: Column): Column = {
+    val x = lpad(hex(c), 8, "0")
+    concat(substring(x, 7, 2), substring(x, 5, 2),
+      substring(x, 3, 2), substring(x, 1, 2))
+  }
+
+  /** Little-endian base-128 varint, values < 2^28 (covers sizes up to
+    * the 64 MB family cap plus framing).
+    */
+  private def xzVint(v: Column): Column = when(v < 128, xzB2(v))
+    .when(v < 16384, concat(xzB2(pmod(v, lit(128)) + 128),
+      xzB2(floor(v / 128).cast(LongType))))
+    .when(v < 2097152, concat(xzB2(pmod(v, lit(128)) + 128),
+      xzB2(pmod(floor(v / 128).cast(LongType), lit(128)) + 128),
+      xzB2(floor(v / 16384).cast(LongType))))
+    .otherwise(concat(xzB2(pmod(v, lit(128)) + 128),
+      xzB2(pmod(floor(v / 128).cast(LongType), lit(128)) + 128),
+      xzB2(pmod(floor(v / 16384).cast(LongType), lit(128)) + 128),
+      xzB2(floor(v / 2097152).cast(LongType))))
+
+  private def xzVlen(v: Column): Column =
+    when(v < 128, 1).when(v < 16384, 2).when(v < 2097152, 3)
+      .otherwise(lit(4))
+
+  /** Uncompressed-LZMA2 chunk chain over `payloadHex` (≥ 1 byte):
+    * control 0x01 (dict reset) for the first ≤ 64 KiB chunk, 0x02 for
+    * the rest, then the end marker — single-chunk fast path for every
+    * payload ≤ 64 KiB (the zstRawBlocksHex discipline: the chained
+    * branch is a higher-order function, paid only when needed).
+    */
+  private[queries] def xzChunksHex(payloadHex: Column): Column = {
+    val C = 65536L
+    val len = (length(payloadHex) / 2).cast(LongType)
+    def be16(c: Column): Column = lpad(hex(c), 4, "0")
+    val nChunks = floor((len + lit(C - 1)) / lit(C)).cast(LongType)
+    when(len <= C,
+      concat(lit("01"), be16(len - 1), payloadHex, lit("00")))
+      .otherwise(concat(
+        array_join(transform(sequence(lit(0L), nChunks - 1), i => {
+          val off = i * lit(C)
+          val size = least(len - off, lit(C))
+          val ctrl = when(i === 0, lit("01")).otherwise(lit("02"))
+          concat(ctrl, be16(size - 1),
+            payloadHex.substr((off * 2 + 1).cast(IntegerType),
+              (size * 2).cast(IntegerType)))
+        }), ""), lit("00")))
+  }
+
+  /** A complete single-block xz stream (check type CRC32) around
+    * `payloadHex`: constant header, CRC-verified block header, the
+    * uncompressed chunk chain, block padding, content CRC32
+    * (+`ckDelta` to build the flipped-check NULL lane), index varints
+    * with padding and CRC, footer. `magic` is parameterized so the
+    * corrupt-outer-layer lane can flip it.
+    */
+  private[queries] def xzStreamHex(payloadHex: Column, ckDelta: Long,
+      magic: String = "fd377a585a00"): Column = {
+    val len = (length(payloadHex) / 2).cast(LongType)
+    val hdr = magic + "0001" + "6922de36"
+    val bh = "0200210100000000" + "372797d6"
+    val dataHex = xzChunksHex(payloadHex)
+    val compSize = (length(dataHex) / 2).cast(LongType)
+    val bpad = pmod(lit(4) - pmod(compSize, lit(4)), lit(4))
+    val ck = xzLe32(pmod(crc32(unhex(payloadHex)) + ckDelta,
+      lit(4294967296L)))
+    val unpadded = compSize + 16 // 12 header + data + 4 check
+    val idxBody = concat(lit("0001"), xzVint(unpadded), xzVint(len))
+    val idxBodyLen = lit(2) + xzVlen(unpadded) + xzVlen(len)
+    val ipad = pmod(lit(4) - pmod(idxBodyLen, lit(4)), lit(4))
+    val idx = concat(idxBody,
+      when(ipad === 0, lit("")).otherwise(
+        lit("000000").substr(lit(1), (ipad * 2).cast(IntegerType))))
+    val idxFull = concat(idx, xzLe32(crc32(unhex(idx))))
+    val idxSize = idxBodyLen + ipad + 4
+    val backward = (idxSize / 4).cast(LongType) - 1
+    val ftrBody = concat(xzLe32(backward), lit("0001"))
+    val ftr = concat(xzLe32(crc32(unhex(ftrBody))), ftrBody, lit("595a"))
+    concat(lit(hdr), lit(bh), dataHex,
+      when(bpad === 0, lit("")).otherwise(
+        lit("000000").substr(lit(1), (bpad * 2).cast(IntegerType))),
+      ck, idxFull, ftr)
+  }
+
   /** HTML → text extraction (functions/HtmlText: tag/script/style
     * strip, entity decode, whitespace canon) — the stage between the
     * crawl family's WARC payloads and the gopher/langid quality
@@ -2464,6 +2553,72 @@ $steps,
         .select(col("doc_id"),
           posexplode_outer(graft.functions.TarEntries.tar_entries(
             graft.functions.ZstdInflate.zstd_inflate(blob))))
+        .select(col("doc_id"), col("pos").cast(IntegerType).as("entry_idx"),
+          col("col.name").as("name"),
+          col("col.typeflag").as("typeflag"),
+          col("col.size").as("size"),
+          col("col.payload_md5").as("payload_md5"))
+        .orderBy("doc_id", "entry_idx")
+    },
+    Some(tarOracleSql))
+
+  /** The FOURTH container route to the same rows: a tarball inside an
+    * XZ stream — `.tar.xz`, the layout kernel/source and many academic
+    * archives ship. tar_entries(xz_inflate(blob)) in one map-only plan;
+    * the xz layer is the column-built uncompressed-chunk stream of
+    * [[xzStreamHex]] with its CRC32 block check live. Shares
+    * [[tarOracleSql]] VERBATIM, so the valid lanes' pin hash is
+    * IDENTICAL across llm_source_tar / targz / tarzst / tarxz — four
+    * container routes provably landing on the same rows; the failure
+    * layers then separate: a corrupt XZ MAGIC (outer NULLs before the
+    * tar parser runs) vs a valid stream whose INNER tar has a flipped
+    * header checksum.
+    */
+  val sourceTarXz = QueryDef(
+    "llm_source_tarxz",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val base = documents(s, dir)
+        .withColumn("__name", concat(lit("doc"), col("doc_id"), lit(".txt")))
+        .withColumn("__sz", octet_length(col("text")))
+        .withColumn("__szoct", lpad(conv(col("__sz"), 10, 8), 11, "0"))
+        .withColumn("__paypad",
+          expr("rpad(hex(cast(text AS BINARY)), " +
+            "cast((__sz + 511) div 512 AS INT) * 1024, '0')"))
+      def entry0Hdr(prefix: String, chkBump: Int): Column = {
+        val constSum = tarByteSum(TarMode + TarUid + TarUid) +
+          tarByteSum(TarMtime) + 8 * 32 + '0'.toInt +
+          tarByteSum(tarMagicVer(gnu = false)) + tarByteSum(prefix)
+        val chk = lit(constSum + 32 + chkBump) + tarAsciiSum(col("__name")) +
+          tarAsciiSum(col("__szoct"))
+        concat(
+          rpad(hex(col("__name").cast(BinaryType)), 200, "0"),
+          lit(tarHexOf(TarMode + TarUid + TarUid)),
+          hex(col("__szoct").cast(BinaryType)), lit("20"),
+          lit(tarHexOf(TarMtime)),
+          hex(lpad(conv(chk, 10, 8), 6, "0").cast(BinaryType)), lit("0020"),
+          lit("30"), lit("00" * 100),
+          lit(tarHexOf(tarMagicVer(gnu = false))),
+          lit("00" * 80), lit(tarFieldHex(prefix, 155)), lit("00" * 12))
+      }
+      def tarHexCol(prefix: String, gnuSecond: Boolean,
+          chkBump: Int): Column = concat(
+        entry0Hdr(prefix, chkBump), col("__paypad"),
+        lit(tarConstEntryHex(gnuSecond)), lit("00" * 1024))
+      def xzOf(tarHex: Column, magic: String): Column =
+        unhex(xzStreamHex(tarHex, 0L, magic))
+      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
+          xzOf(tarHexCol("", gnuSecond = false, 0), "fd377a585a00"))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          xzOf(tarHexCol("corpus", gnuSecond = true, 0), "fd377a585a00"))
+        .when(pmod(col("doc_id"), lit(4)) === 2, // corrupt xz layer
+          xzOf(tarHexCol("", gnuSecond = false, 0), "fc377a585a00"))
+        .otherwise( // valid xz, corrupt inner tar checksum
+          xzOf(tarHexCol("", gnuSecond = false, 1), "fd377a585a00"))
+      base
+        .select(col("doc_id"),
+          posexplode_outer(graft.functions.TarEntries.tar_entries(
+            graft.functions.XzInflate.xz_inflate(blob))))
         .select(col("doc_id"), col("pos").cast(IntegerType).as("entry_idx"),
           col("col.name").as("name"),
           col("col.typeflag").as("typeflag"),
@@ -3288,70 +3443,30 @@ $steps,
     * footer cross-checks) — the second Wikipedia-dump codec beside
     * llm_source_bz2. Unlike bzip2, LZMA2 HAS a stored mode
     * (uncompressed chunks), so this lane carries VARIABLE document
-    * text through a fully column-built stream: constant header, one
-    * CRC32-checked block holding the text in an uncompressed chunk,
-    * then index varints, padding, and footer — every CRC computed in
-    * column space, validated byte-for-byte against CPython lzma during
+    * text through a fully column-built stream ([[xzStreamHex]]):
+    * constant header, one CRC32-checked block holding the text as a
+    * ≤ 64 KiB uncompressed-chunk CHAIN (any document size — the
+    * zstRawBlocksHex discipline, single-chunk fast path), then index
+    * varints, padding, and footer — every CRC computed in column
+    * space, validated byte-for-byte against CPython lzma during
     * construction. The entropy-coded paths are pinned three ways in
-    * XzInflateSpec (xz CLI, xz-java, CPython). The single-chunk form
-    * bounds text to [1, 60000] bytes — EXPLICIT in both engine and
-    * oracle (the zst_blocks discipline), far above any testdata doc.
-    * Lanes by doc_id % 3: (0) valid stream → text round-trips;
-    * (1) content-check CRC flipped → NULL; (2) raw text → NULL.
+    * XzInflateSpec (xz CLI, xz-java, CPython). Empty text has no chunk
+    * to carry — explicit NULL on both sides. Lanes by doc_id % 3:
+    * (0) valid stream → text round-trips; (1) content-check CRC
+    * flipped → NULL; (2) raw text → NULL.
     */
   val sourceXz = QueryDef(
     "llm_source_xz",
     (s, dir) => {
-      import org.apache.spark.sql.Column
-      def b2(c: Column): Column = lpad(hex(c), 2, "0")
-      def le32(c: Column): Column = {
-        val x = lpad(hex(c), 8, "0")
-        concat(substring(x, 7, 2), substring(x, 5, 2),
-          substring(x, 3, 2), substring(x, 1, 2))
-      }
-      def be16(c: Column): Column = lpad(hex(c), 4, "0")
-      // little-endian base-128 varint, values < 2^21
-      def vint(v: Column): Column = when(v < 128, b2(v))
-        .when(v < 16384, concat(b2(pmod(v, lit(128)) + 128),
-          b2(floor(v / 128).cast(LongType))))
-        .otherwise(concat(b2(pmod(v, lit(128)) + 128),
-          b2(pmod(floor(v / 128).cast(LongType), lit(128)) + 128),
-          b2(floor(v / 16384).cast(LongType))))
-      def vlen(v: Column): Column =
-        when(v < 128, 1).when(v < 16384, 2).otherwise(lit(3))
-      val tb = col("text").cast(BinaryType)
+      val hexText = hex(col("text").cast(BinaryType))
       val len = octet_length(col("text"))
-      // stream header: magic | flags 00 01 (CRC32) | crc32(flags)
-      val hdr = "fd377a585a00" + "0001" + "6922de36"
-      // block header: size 12, 1 LZMA2 filter, zero padding, own CRC32
-      val bh = "0200210100000000" + "372797d6"
-      // block data: one uncompressed dict-reset chunk + end marker
-      val dataHex = concat(lit("01"), be16(len - 1), hex(tb), lit("00"))
-      val compSize = len + 4
-      val bpad = pmod(lit(4) - pmod(compSize, lit(4)), lit(4))
-      def ckHex(c: Column): Column = le32(c)
-      val goodCk = ckHex(crc32(tb))
-      val badCk = ckHex(pmod(crc32(tb) + 1, lit(4294967296L)))
-      val unpadded = len + 20 // 12 hdr + compSize + 4 check
-      val idxBody = concat(lit("0001"), vint(unpadded), vint(len))
-      val idxBodyLen = lit(2) + vlen(unpadded) + vlen(len)
-      val ipad = pmod(lit(4) - pmod(idxBodyLen, lit(4)), lit(4))
-      val idx = concat(idxBody,
-        when(ipad === 0, lit("")).otherwise(
-          lit("000000").substr(lit(1), (ipad * 2).cast(IntegerType))))
-      val idxFull = concat(idx, le32(crc32(unhex(idx))))
-      val idxSize = idxBodyLen + ipad + 4
-      val backward = (idxSize / 4).cast(LongType) - 1
-      val ftrBody = concat(le32(backward), lit("0001"))
-      val ftr = concat(le32(crc32(unhex(ftrBody))), ftrBody, lit("595a"))
-      def stream(ck: Column): Column = concat(lit(hdr), lit(bh), dataHex,
-        when(bpad === 0, lit("")).otherwise(
-          lit("000000").substr(lit(1), (bpad * 2).cast(IntegerType))),
-        ck, idxFull, ftr)
-      val fits = len >= 1 && len <= 60000
+      // the chunk chain removed r13's interim 60000-byte bound: any
+      // non-empty document encodes (empty text has no chunk to carry —
+      // explicit NULL on both sides)
+      val fits = len >= 1
       val m = pmod(col("doc_id"), lit(3))
-      val blob = when(m === 0 && fits, unhex(stream(goodCk)))
-        .when(m === 1 && fits, unhex(stream(badCk)))
+      val blob = when(m === 0 && fits, unhex(xzStreamHex(hexText, 0L)))
+        .when(m === 1 && fits, unhex(xzStreamHex(hexText, 1L)))
         .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
       documents(s, dir)
         .select(col("doc_id"), col("text"),
@@ -3363,9 +3478,9 @@ $steps,
     },
     Some("""
       SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0 AND strlen(text) BETWEEN 1 AND 60000
+             CASE WHEN doc_id % 3 = 0 AND strlen(text) >= 1
                   THEN CAST(strlen(text) AS INTEGER) END AS n_bytes,
-             CASE WHEN doc_id % 3 = 0 AND strlen(text) BETWEEN 1 AND 60000
+             CASE WHEN doc_id % 3 = 0 AND strlen(text) >= 1
                   THEN TRUE END AS roundtrip
       FROM documents ORDER BY doc_id"""))
 
@@ -6380,7 +6495,8 @@ $steps,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
     crawlQuality, crawlMembers,
     sourceTar,
-    sourceTarGz, sourceTarZst, sourceZip, sourceZlib, sourceLz4, sourceZst,
+    sourceTarGz, sourceTarZst, sourceTarXz, sourceZip, sourceZlib,
+    sourceLz4, sourceZst,
     sourceZstDict, sourceBz2, sourceXz,
     sourceZstBlocks, sourceJsonlZst,
     multimodalPixelsGif, multimodalPixelsWebp,
