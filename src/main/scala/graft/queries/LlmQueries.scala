@@ -2176,6 +2176,106 @@ $steps,
       : org.apache.spark.sql.Column =
     aggregate(split(c, ""), lit(0), (a, ch) => a + ascii(ch))
 
+  /** Shared tar-construction STAGING for the wrapped-container family
+    * (llm_source_targz / tarzst / tarxz): stages `__name`/`__szoct`/
+    * `__paypad` and then `__tarhex` — the complete per-row tar archive
+    * as hex, lane-selected by doc_id % 4 (plain POSIX; GNU second
+    * entry + PREFIX field; plain again for the corrupt-OUTER-layer
+    * lane; flipped header checksum). Materializing `__tarhex` as a
+    * REAL column is the r13 plan-size fix: every compression wrapper
+    * then references ONE attribute instead of re-inlining the
+    * ~500-node tar concat per reference — the un-staged tarxz
+    * composition held ~150-200 copies of this subtree and broadcast
+    * 78-107 MiB task binaries, which timed out the r13 driver bench.
+    * (CollapseProject will not inline a non-cheap expression that is
+    * consumed more than once, so the staged Projects survive into the
+    * physical plan as single computations.)
+    */
+  private def tarHexStaged(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val base = documents(s, dir)
+      .withColumn("__name", concat(lit("doc"), col("doc_id"), lit(".txt")))
+      .withColumn("__sz", octet_length(col("text")))
+      .withColumn("__szoct", lpad(conv(col("__sz"), 10, 8), 11, "0"))
+      .withColumn("__paypad",
+        expr("rpad(hex(cast(text AS BINARY)), " +
+          "cast((__sz + 511) div 512 AS INT) * 1024, '0')"))
+    def entry0Hdr(prefix: String, chkBump: Int): Column = {
+      val constSum = tarByteSum(TarMode + TarUid + TarUid) +
+        tarByteSum(TarMtime) + 8 * 32 + '0'.toInt +
+        tarByteSum(tarMagicVer(gnu = false)) + tarByteSum(prefix)
+      val chk = lit(constSum + 32 + chkBump) + tarAsciiSum(col("__name")) +
+        tarAsciiSum(col("__szoct"))
+      concat(
+        rpad(hex(col("__name").cast(BinaryType)), 200, "0"),
+        lit(tarHexOf(TarMode + TarUid + TarUid)),
+        hex(col("__szoct").cast(BinaryType)), lit("20"),
+        lit(tarHexOf(TarMtime)),
+        hex(lpad(conv(chk, 10, 8), 6, "0").cast(BinaryType)), lit("0020"),
+        lit("30"), lit("00" * 100),
+        lit(tarHexOf(tarMagicVer(gnu = false))),
+        lit("00" * 80), lit(tarFieldHex(prefix, 155)), lit("00" * 12))
+    }
+    def tarHexCol(prefix: String, gnuSecond: Boolean,
+        chkBump: Int): Column = concat(
+      entry0Hdr(prefix, chkBump), col("__paypad"),
+      lit(tarConstEntryHex(gnuSecond)), lit("00" * 1024))
+    base.withColumn("__tarhex",
+      when(pmod(col("doc_id"), lit(4)) === 1,
+        tarHexCol("corpus", gnuSecond = true, 0))
+        .when(pmod(col("doc_id"), lit(4)) === 3,
+          tarHexCol("", gnuSecond = false, 1))
+        .otherwise(tarHexCol("", gnuSecond = false, 0)))
+  }
+
+  /** Staged twin of [[xzStreamHex]]: materializes the LZMA2 chunk
+    * chain, its byte length, the index, and the footer body as REAL
+    * columns, then assembles `out` from attributes only. xzVint
+    * references its argument 10 times and the index CRC re-references
+    * the whole index — over attributes that is free; over the inlined
+    * tar subtree it was the multiplicative blow-up the r13 verdict
+    * root-caused (~6 min at sf0.1 for llm_source_tarxz). Byte-for-byte
+    * identical output to [[xzStreamHex]] (same sub-expressions, just
+    * staged); the magic rides a per-row COLUMN so the corrupt-outer
+    * lane stays a lane, not a second plan copy.
+    */
+  private[queries] def xzStreamStaged(df: org.apache.spark.sql.DataFrame,
+      payloadCol: String, magicCol: String, ckDelta: Long,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val p = col(payloadCol)
+    df.withColumn("__xz_len", (length(p) / 2).cast(LongType))
+      .withColumn("__xz_data", xzChunksHex(p))
+      .withColumn("__xz_csize", (length(col("__xz_data")) / 2).cast(LongType))
+      .withColumn("__xz_unpadded", col("__xz_csize") + 16)
+      .withColumn("__xz_idx", {
+        val idxBody = concat(lit("0001"), xzVint(col("__xz_unpadded")),
+          xzVint(col("__xz_len")))
+        val idxBodyLen = lit(2) + xzVlen(col("__xz_unpadded")) +
+          xzVlen(col("__xz_len"))
+        val ipad = pmod(lit(4) - pmod(idxBodyLen, lit(4)), lit(4))
+        concat(idxBody,
+          when(ipad === 0, lit("")).otherwise(
+            lit("000000").substr(lit(1), (ipad * 2).cast(IntegerType))))
+      })
+      .withColumn("__xz_ftrbody", {
+        val idxSize = (length(col("__xz_idx")) / 2) + 4
+        concat(xzLe32((idxSize / 4).cast(LongType) - 1), lit("0001"))
+      })
+      .withColumn(out, {
+        val bpad = pmod(lit(4) - pmod(col("__xz_csize"), lit(4)), lit(4))
+        val ck = xzLe32(pmod(crc32(unhex(p)) + ckDelta, lit(4294967296L)))
+        concat(col(magicCol), lit("0001" + "6922de36"),
+          lit("0200210100000000" + "372797d6"),
+          col("__xz_data"),
+          when(bpad === 0, lit("")).otherwise(
+            lit("000000").substr(lit(1), (bpad * 2).cast(IntegerType))),
+          ck,
+          col("__xz_idx"), xzLe32(crc32(unhex(col("__xz_idx")))),
+          xzLe32(crc32(unhex(col("__xz_ftrbody")))), col("__xz_ftrbody"),
+          lit("595a"))
+      })
+  }
+
   /** In-engine TAR parsing (functions/TarEntries — POSIX ustar, the
     * container training corpora actually ship): per-doc two-entry
     * archives parsed to (entry_idx, name, typeflag, size, payload_md5),
@@ -2263,33 +2363,10 @@ $steps,
     "llm_source_targz",
     (s, dir) => {
       import org.apache.spark.sql.Column
-      val base = documents(s, dir)
-        .withColumn("__name", concat(lit("doc"), col("doc_id"), lit(".txt")))
-        .withColumn("__sz", octet_length(col("text")))
-        .withColumn("__szoct", lpad(conv(col("__sz"), 10, 8), 11, "0"))
-        .withColumn("__paypad",
-          expr("rpad(hex(cast(text AS BINARY)), " +
-            "cast((__sz + 511) div 512 AS INT) * 1024, '0')"))
-      def entry0Hdr(prefix: String, chkBump: Int): Column = {
-        val constSum = tarByteSum(TarMode + TarUid + TarUid) +
-          tarByteSum(TarMtime) + 8 * 32 + '0'.toInt +
-          tarByteSum(tarMagicVer(gnu = false)) + tarByteSum(prefix)
-        val chk = lit(constSum + 32 + chkBump) + tarAsciiSum(col("__name")) +
-          tarAsciiSum(col("__szoct"))
-        concat(
-          rpad(hex(col("__name").cast(BinaryType)), 200, "0"),
-          lit(tarHexOf(TarMode + TarUid + TarUid)),
-          hex(col("__szoct").cast(BinaryType)), lit("20"),
-          lit(tarHexOf(TarMtime)),
-          hex(lpad(conv(chk, 10, 8), 6, "0").cast(BinaryType)), lit("0020"),
-          lit("30"), lit("00" * 100),
-          lit(tarHexOf(tarMagicVer(gnu = false))),
-          lit("00" * 80), lit(tarFieldHex(prefix, 155)), lit("00" * 12))
-      }
-      def tarHexCol(prefix: String, gnuSecond: Boolean,
-          chkBump: Int): Column = concat(
-        entry0Hdr(prefix, chkBump), col("__paypad"),
-        lit(tarConstEntryHex(gnuSecond)), lit("00" * 1024))
+      val base = tarHexStaged(s, dir)
+        .withColumn("__magic",
+          when(pmod(col("doc_id"), lit(4)) === 2, lit("1E8B"))
+            .otherwise(lit("1F8B"))) // corrupt gzip layer on lane 2
       def le16(c: Column): Column = {
         val x = lpad(hex(c), 4, "0")
         concat(substring(x, 3, 2), substring(x, 1, 2))
@@ -2299,20 +2376,15 @@ $steps,
         concat(substring(x, 7, 2), substring(x, 5, 2),
           substring(x, 3, 2), substring(x, 1, 2))
       }
-      def gz(tarHex: Column, magic: String): Column = {
-        val bl = length(tarHex) / 2
-        unhex(concat(lit(magic + "08000000000000" + "03"),
-          lit("01"), le16(bl), le16(lit(65535) - bl), tarHex,
-          le32(crc32(unhex(tarHex))), le32(bl)))
-      }
-      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
-          gz(tarHexCol("", gnuSecond = false, 0), "1F8B"))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
-          gz(tarHexCol("corpus", gnuSecond = true, 0), "1F8B"))
-        .when(pmod(col("doc_id"), lit(4)) === 2, // corrupt gzip layer
-          gz(tarHexCol("", gnuSecond = false, 0), "1E8B"))
-        .otherwise( // valid gzip, corrupt inner tar checksum
-          gz(tarHexCol("", gnuSecond = false, 1), "1F8B"))
+      // one stored-deflate member over the STAGED `__tarhex` attribute —
+      // lane divergence (GNU prefix / flipped inner checksum / corrupt
+      // outer magic) already lives in `__tarhex`/`__magic`, so the gzip
+      // wrapper appears ONCE in the plan instead of once per lane
+      val t = col("__tarhex")
+      val bl = length(t) / 2
+      val blob = unhex(concat(col("__magic"), lit("08000000000000" + "03"),
+        lit("01"), le16(bl), le16(lit(65535) - bl), t,
+        le32(crc32(unhex(t))), le32(bl)))
       base
         .select(col("doc_id"),
           posexplode_outer(graft.functions.TarEntries.tar_entries(
@@ -2498,57 +2570,25 @@ $steps,
     "llm_source_tarzst",
     (s, dir) => {
       import org.apache.spark.sql.Column
-      val base = documents(s, dir)
-        .withColumn("__name", concat(lit("doc"), col("doc_id"), lit(".txt")))
-        .withColumn("__sz", octet_length(col("text")))
-        .withColumn("__szoct", lpad(conv(col("__sz"), 10, 8), 11, "0"))
-        .withColumn("__paypad",
-          expr("rpad(hex(cast(text AS BINARY)), " +
-            "cast((__sz + 511) div 512 AS INT) * 1024, '0')"))
-      def entry0Hdr(prefix: String, chkBump: Int): Column = {
-        val constSum = tarByteSum(TarMode + TarUid + TarUid) +
-          tarByteSum(TarMtime) + 8 * 32 + '0'.toInt +
-          tarByteSum(tarMagicVer(gnu = false)) + tarByteSum(prefix)
-        val chk = lit(constSum + 32 + chkBump) + tarAsciiSum(col("__name")) +
-          tarAsciiSum(col("__szoct"))
-        concat(
-          rpad(hex(col("__name").cast(BinaryType)), 200, "0"),
-          lit(tarHexOf(TarMode + TarUid + TarUid)),
-          hex(col("__szoct").cast(BinaryType)), lit("20"),
-          lit(tarHexOf(TarMtime)),
-          hex(lpad(conv(chk, 10, 8), 6, "0").cast(BinaryType)), lit("0020"),
-          lit("30"), lit("00" * 100),
-          lit(tarHexOf(tarMagicVer(gnu = false))),
-          lit("00" * 80), lit(tarFieldHex(prefix, 155)), lit("00" * 12))
-      }
-      def tarHexCol(prefix: String, gnuSecond: Boolean,
-          chkBump: Int): Column = concat(
-        entry0Hdr(prefix, chkBump), col("__paypad"),
-        lit(tarConstEntryHex(gnuSecond)), lit("00" * 1024))
-      def le24(c: Column): Column = {
-        val x = lpad(hex(c), 6, "0")
-        concat(substring(x, 5, 2), substring(x, 3, 2), substring(x, 1, 2))
-      }
+      val base = tarHexStaged(s, dir)
+        .withColumn("__magic",
+          when(pmod(col("doc_id"), lit(4)) === 2, lit("28B52FFC"))
+            .otherwise(lit("28B52FFD"))) // corrupt zstd layer on lane 2
+        // the RAW-block chain references its payload several times
+        // (length + the chunk substrs) — stage it too, so the frame
+        // assembly below is attributes end-to-end
+        .withColumn("__blk", zstRawBlocksHex(col("__tarhex")))
       def le32(c: Column): Column = {
         val x = lpad(hex(c), 8, "0")
         concat(substring(x, 7, 2), substring(x, 5, 2),
           substring(x, 3, 2), substring(x, 1, 2))
       }
-      def zst(tarHex: Column, magic: String): Column = {
-        val bl = length(tarHex) / 2
-        val ck = graft.functions.Checksums.xxh64_fn(unhex(tarHex))
-          .bitwiseAND(lit(4294967295L))
-        unhex(concat(lit(magic + "A4"), le32(bl), zstRawBlocksHex(tarHex),
-          le32(ck)))
-      }
-      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
-          zst(tarHexCol("", gnuSecond = false, 0), "28B52FFD"))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
-          zst(tarHexCol("corpus", gnuSecond = true, 0), "28B52FFD"))
-        .when(pmod(col("doc_id"), lit(4)) === 2, // corrupt zstd layer
-          zst(tarHexCol("", gnuSecond = false, 0), "28B52FFC"))
-        .otherwise( // valid zstd, corrupt inner tar checksum
-          zst(tarHexCol("", gnuSecond = false, 1), "28B52FFD"))
+      val t = col("__tarhex")
+      val bl = length(t) / 2
+      val ck = graft.functions.Checksums.xxh64_fn(unhex(t))
+        .bitwiseAND(lit(4294967295L))
+      val blob = unhex(concat(col("__magic"), lit("A4"), le32(bl),
+        col("__blk"), le32(ck)))
       base
         .select(col("doc_id"),
           posexplode_outer(graft.functions.TarEntries.tar_entries(
@@ -2577,44 +2617,20 @@ $steps,
   val sourceTarXz = QueryDef(
     "llm_source_tarxz",
     (s, dir) => {
-      import org.apache.spark.sql.Column
-      val base = documents(s, dir)
-        .withColumn("__name", concat(lit("doc"), col("doc_id"), lit(".txt")))
-        .withColumn("__sz", octet_length(col("text")))
-        .withColumn("__szoct", lpad(conv(col("__sz"), 10, 8), 11, "0"))
-        .withColumn("__paypad",
-          expr("rpad(hex(cast(text AS BINARY)), " +
-            "cast((__sz + 511) div 512 AS INT) * 1024, '0')"))
-      def entry0Hdr(prefix: String, chkBump: Int): Column = {
-        val constSum = tarByteSum(TarMode + TarUid + TarUid) +
-          tarByteSum(TarMtime) + 8 * 32 + '0'.toInt +
-          tarByteSum(tarMagicVer(gnu = false)) + tarByteSum(prefix)
-        val chk = lit(constSum + 32 + chkBump) + tarAsciiSum(col("__name")) +
-          tarAsciiSum(col("__szoct"))
-        concat(
-          rpad(hex(col("__name").cast(BinaryType)), 200, "0"),
-          lit(tarHexOf(TarMode + TarUid + TarUid)),
-          hex(col("__szoct").cast(BinaryType)), lit("20"),
-          lit(tarHexOf(TarMtime)),
-          hex(lpad(conv(chk, 10, 8), 6, "0").cast(BinaryType)), lit("0020"),
-          lit("30"), lit("00" * 100),
-          lit(tarHexOf(tarMagicVer(gnu = false))),
-          lit("00" * 80), lit(tarFieldHex(prefix, 155)), lit("00" * 12))
-      }
-      def tarHexCol(prefix: String, gnuSecond: Boolean,
-          chkBump: Int): Column = concat(
-        entry0Hdr(prefix, chkBump), col("__paypad"),
-        lit(tarConstEntryHex(gnuSecond)), lit("00" * 1024))
-      def xzOf(tarHex: Column, magic: String): Column =
-        unhex(xzStreamHex(tarHex, 0L, magic))
-      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
-          xzOf(tarHexCol("", gnuSecond = false, 0), "fd377a585a00"))
-        .when(pmod(col("doc_id"), lit(4)) === 1,
-          xzOf(tarHexCol("corpus", gnuSecond = true, 0), "fd377a585a00"))
-        .when(pmod(col("doc_id"), lit(4)) === 2, // corrupt xz layer
-          xzOf(tarHexCol("", gnuSecond = false, 0), "fc377a585a00"))
-        .otherwise( // valid xz, corrupt inner tar checksum
-          xzOf(tarHexCol("", gnuSecond = false, 1), "fd377a585a00"))
+      // STAGED composition (r13 verdict #1): `__tarhex` and every xz
+      // intermediate (chunk chain, index, footer) are real columns, so
+      // xzVint's 10 argument references and the index/footer CRCs each
+      // land on an attribute — the un-staged xzStreamHex-over-tarHexCol
+      // version re-inlined the whole tar builder ~150-200× per lane ×4
+      // lanes, broadcast 78-107 MiB task binaries, ran ~6 min at sf0.1
+      // and timed out the r13 driver bench.
+      val base = xzStreamStaged(
+        tarHexStaged(s, dir)
+          .withColumn("__magic",
+            when(pmod(col("doc_id"), lit(4)) === 2, lit("fc377a585a00"))
+              .otherwise(lit("fd377a585a00"))), // corrupt xz layer lane 2
+        "__tarhex", "__magic", 0L, "__xz")
+      val blob = unhex(col("__xz"))
       base
         .select(col("doc_id"),
           posexplode_outer(graft.functions.TarEntries.tar_entries(
