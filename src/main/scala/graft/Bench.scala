@@ -266,6 +266,10 @@ object Bench {
     var done = 0
     val results: Seq[(String, Double, Seq[Lap])] =
       execOrder.map { case (name, fn) =>
+        // stderr marker: lets any log noise (codegen fallbacks,
+        // accumulator-cleanup races) be attributed to a query by
+        // timestamp — the r14 accumulator-tail triage had no anchor
+        System.err.println(s"[bench] start $name")
         val r = try {
           run(fn(spark, sfDir)) // warm-up lap: JIT + codegen + shuffle
           def one(): Lap = lap(() => fn(spark, sfDir))

@@ -1852,6 +1852,20 @@ object ScaleProbe {
           .append(rng.nextInt(1000)).append(' ')
       sb.toString.take(2097152).getBytes("UTF-8")
     }, 6)
+    // real brotli via frozen libbrotli blobs (r14: no JVM brotli encoder
+    // exists on this classpath — the blobs are libbrotli q9 output over
+    // a rot13 9.4 KB payload and a 2 MB structured shard, stored as
+    // resources; rot13 keeps the streams static-dictionary-free, the
+    // documented decode bound)
+    def probeHexResource(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/probe/$name.hex")
+      require(in != null, s"missing /probe/$name.hex")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      finally in.close()
+    }
+    val brSmall = probeHexResource("br")
+    val brBig = probeHexResource("br_2mb")
     // an HTML page around the payload text (r13: extraction throughput)
     val htmlBlob = ("<!DOCTYPE html><html><head><script>var x=1<2;" +
       "</script><style>p{}</style></head><body><h1>H</h1><p>" +
@@ -1890,6 +1904,9 @@ object ScaleProbe {
       ("bz2", bz2, c => octet_length(Bz2Inflate.bz2_inflate(c))),
       ("xz", xz, c => octet_length(XzInflate.xz_inflate(c))),
       ("xz_2mb", xzBig, c => octet_length(XzInflate.xz_inflate(c))),
+      ("br", brSmall, c => octet_length(BrotliInflate.brotli_inflate(c))),
+      ("br_2mb", brBig,
+        c => octet_length(BrotliInflate.brotli_inflate(c))),
       ("html", htmlBlob, c => length(HtmlText.html_text(c))),
       ("png", png, c => PngPixels.png_pixels(c).getField("n_px")),
       ("gif", gif, c => GifPixels.gif_pixels(c).getField("n_px")),

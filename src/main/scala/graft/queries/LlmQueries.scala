@@ -1833,40 +1833,9 @@ $steps,
         }), ""), lit("00")))
   }
 
-  /** A complete single-block xz stream (check type CRC32) around
-    * `payloadHex`: constant header, CRC-verified block header, the
-    * uncompressed chunk chain, block padding, content CRC32
-    * (+`ckDelta` to build the flipped-check NULL lane), index varints
-    * with padding and CRC, footer. `magic` is parameterized so the
-    * corrupt-outer-layer lane can flip it.
-    */
-  private[queries] def xzStreamHex(payloadHex: Column, ckDelta: Long,
-      magic: String = "fd377a585a00"): Column = {
-    val len = (length(payloadHex) / 2).cast(LongType)
-    val hdr = magic + "0001" + "6922de36"
-    val bh = "0200210100000000" + "372797d6"
-    val dataHex = xzChunksHex(payloadHex)
-    val compSize = (length(dataHex) / 2).cast(LongType)
-    val bpad = pmod(lit(4) - pmod(compSize, lit(4)), lit(4))
-    val ck = xzLe32(pmod(crc32(unhex(payloadHex)) + ckDelta,
-      lit(4294967296L)))
-    val unpadded = compSize + 16 // 12 header + data + 4 check
-    val idxBody = concat(lit("0001"), xzVint(unpadded), xzVint(len))
-    val idxBodyLen = lit(2) + xzVlen(unpadded) + xzVlen(len)
-    val ipad = pmod(lit(4) - pmod(idxBodyLen, lit(4)), lit(4))
-    val idx = concat(idxBody,
-      when(ipad === 0, lit("")).otherwise(
-        lit("000000").substr(lit(1), (ipad * 2).cast(IntegerType))))
-    val idxFull = concat(idx, xzLe32(crc32(unhex(idx))))
-    val idxSize = idxBodyLen + ipad + 4
-    val backward = (idxSize / 4).cast(LongType) - 1
-    val ftrBody = concat(xzLe32(backward), lit("0001"))
-    val ftr = concat(xzLe32(crc32(unhex(ftrBody))), ftrBody, lit("595a"))
-    concat(lit(hdr), lit(bh), dataHex,
-      when(bpad === 0, lit("")).otherwise(
-        lit("000000").substr(lit(1), (bpad * 2).cast(IntegerType))),
-      ck, idxFull, ftr)
-  }
+  // (the un-staged xzStreamHex builder was removed in r14: it re-inlined
+  // its payload subtree ~200× — see xzStreamStaged, the staged twin that
+  // produces the identical bytes with every intermediate a real column)
 
   /** HTML → text extraction (functions/HtmlText: tag/script/style
     * strip, entity decode, whitespace canon) — the stage between the
@@ -1974,6 +1943,123 @@ $steps,
     * oracle replays the PROVEN llm_text_quality metric SQL over that
     * derived string — extraction and scoring cross-checked together.
     */
+  /** Column-built Brotli stream over `payloadHex` (≥ 1 byte): a chain
+    * of ≤ 64 KiB UNCOMPRESSED meta-blocks (wbits16 header bit on the
+    * first, ISLAST=0 / MNIBBLES=4 / MLEN-1 / ISUNCOMPRESSED=1, byte-
+    * aligned raw bytes) closed by the empty last block 0x03 — the
+    * layout a CDN's pre-compressed static `.br` asset or a
+    * `Content-Encoding: br` body decodes as. Validated byte-for-byte
+    * against libbrotli at fixture-generation time (BrotliInflateSpec's
+    * hand-built-layout pins decode the same construction).
+    */
+  private[queries] def brotliRawHex(payloadHex: Column): Column = {
+    val B = 65536L
+    val len = (length(payloadHex) / 2).cast(LongType)
+    def hx2(c: Column): Column = lpad(hex(c), 2, "0")
+    val nBlocks = greatest(
+      floor((len + lit(B - 1)) / lit(B)).cast(LongType), lit(1L))
+    val blocks = array_join(transform(sequence(lit(0L), nBlocks - 1), i => {
+      val off = i * lit(B)
+      val size = least(len - off, lit(B))
+      val lm1 = size - 1
+      // first block header carries the window bit (22 bits -> 3 bytes);
+      // later headers start byte-aligned after raw data (20 bits -> 3)
+      val hdr = when(i === 0, concat(
+          hx2(pmod(lm1, lit(16)) * 16),
+          hx2(pmod(floor(lm1 / 16).cast(LongType), lit(256))),
+          hx2(floor(lm1 / 4096).cast(LongType) + 16)))
+        .otherwise(concat(
+          hx2(pmod(lm1, lit(32)) * 8),
+          hx2(pmod(floor(lm1 / 32).cast(LongType), lit(256))),
+          hx2(floor(lm1 / 8192).cast(LongType) + 8)))
+      concat(hdr, payloadHex.substr((off * 2 + 1).cast(IntegerType),
+        (size * 2).cast(IntegerType)))
+    }), "")
+    concat(blocks, lit("03"))
+  }
+
+  /** The `Content-Encoding: br` crawl lane (r13 verdict #5): real WARC
+    * response bodies are frequently Brotli — until r14 those bytes
+    * NULLed before HtmlText ran. One map-only codegen'd chain:
+    * gzip_inflate(.warc.gz) → warc_payloads → brotli_inflate(body) →
+    * html_text → token metrics; the brotli layer is the column-built
+    * uncompressed-meta-block stream of [[brotliRawHex]] (headers +
+    * framing live, entropy-coded shapes pinned against libbrotli in
+    * BrotliInflateSpec). Lanes by doc_id % 3: (0) the full line;
+    * (1) the same warc/gzip envelope around a brotli body with ONE
+    * TRAILING GARBAGE BYTE — the outer layers are valid, the brotli
+    * family contract NULLs, nothing partial reaches html_text;
+    * (2) raw text (NULLs at the gzip layer). Oracle is the same
+    * closed-form extraction arithmetic as llm_crawl_quality's.
+    */
+  val crawlBr = QueryDef(
+    "llm_crawl_br",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val crlf = "\r\n"
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      // staged construction (the tarxz discipline): page -> brotli
+      // chain -> warc segment -> gzip member, each a real column
+      val staged = documents(s, dir)
+        .withColumn("__pagehex", hex(concat(
+          lit("<!DOCTYPE html><html><head><script>var x=1<2;</script>" +
+            "<style>p{}</style></head><body><h1>H</h1><p>"),
+          esc, lit("</p><!-- c --></body></html>")).cast(BinaryType)))
+        .withColumn("__br", brotliRawHex(col("__pagehex")))
+        .withColumn("__brlane", when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(col("__br"), lit("55"))).otherwise(col("__br")))
+        .withColumn("__seg", concat(
+          hex(concat(lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+            "Content-Encoding: br" + crlf + "Content-Length: "),
+            (length(col("__brlane")) / 2).cast(LongType),
+            lit(crlf + crlf)).cast(BinaryType)),
+          col("__brlane"), lit("0D0A0D0A")))
+      val sl = (length(col("__seg")) / 2).cast(IntegerType)
+      val gz = unhex(concat(lit("1F8B" + "08000000000000" + "03"),
+        lit("01"), le16(sl), le16(lit(65535) - sl),
+        col("__seg"),
+        le32(crc32(unhex(col("__seg")))), le32(sl)))
+      val blob = when(pmod(col("doc_id"), lit(3)) === 2,
+        substring(col("text"), 1, 16).cast(BinaryType)).otherwise(gz)
+      val extracted = graft.functions.HtmlText.html_text(
+        graft.functions.BrotliInflate.brotli_inflate(element_at(
+          graft.functions.WarcRecords.warc_payloads(
+            graft.functions.GzipInflate.gzip_inflate(blob)), 1)))
+      staged
+        .select(col("doc_id"), extracted.as("__t"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountFromTokens(
+            TextAnalysis.tokenArray(col("__t"))).as("n_tokens"),
+          md5(col("__t").cast(BinaryType)).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH t0 AS (
+        SELECT doc_id,
+               trim(regexp_replace(text, '[\s]+', ' ', 'g')) AS c
+        FROM documents),
+      e AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN
+                 CASE WHEN c = '' THEN 'H' ELSE 'H ' || c END
+               END AS e
+        FROM t0)
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(e, '[\s]+')) AS INTEGER) AS n_tokens,
+        md5(e) AS fp
+      FROM e ORDER BY doc_id"""))
+
   val crawlQuality = QueryDef(
     "llm_crawl_quality",
     (s, dir) => {
@@ -2228,19 +2314,21 @@ $steps,
         .otherwise(tarHexCol("", gnuSecond = false, 0)))
   }
 
-  /** Staged twin of [[xzStreamHex]]: materializes the LZMA2 chunk
+  /** Staged xz single-block stream builder: materializes the LZMA2 chunk
     * chain, its byte length, the index, and the footer body as REAL
     * columns, then assembles `out` from attributes only. xzVint
     * references its argument 10 times and the index CRC re-references
     * the whole index — over attributes that is free; over the inlined
     * tar subtree it was the multiplicative blow-up the r13 verdict
     * root-caused (~6 min at sf0.1 for llm_source_tarxz). Byte-for-byte
-    * identical output to [[xzStreamHex]] (same sub-expressions, just
-    * staged); the magic rides a per-row COLUMN so the corrupt-outer
-    * lane stays a lane, not a second plan copy.
+    * identical output to the removed un-staged builder (same
+    * sub-expressions, just staged); the magic and the flipped-check
+    * delta ride per-row COLUMNS so the corrupt-outer and bad-check
+    * lanes stay lanes, not extra plan copies. Validated byte-for-byte
+    * against CPython lzma (XzInflateSpec pins + the adversarial hash).
     */
   private[queries] def xzStreamStaged(df: org.apache.spark.sql.DataFrame,
-      payloadCol: String, magicCol: String, ckDelta: Long,
+      payloadCol: String, magicCol: String, ckDelta: Column,
       out: String): org.apache.spark.sql.DataFrame = {
     val p = col(payloadCol)
     df.withColumn("__xz_len", (length(p) / 2).cast(LongType))
@@ -2606,7 +2694,7 @@ $steps,
     * XZ stream — `.tar.xz`, the layout kernel/source and many academic
     * archives ship. tar_entries(xz_inflate(blob)) in one map-only plan;
     * the xz layer is the column-built uncompressed-chunk stream of
-    * [[xzStreamHex]] with its CRC32 block check live. Shares
+    * [[xzStreamStaged]] with its CRC32 block check live. Shares
     * [[tarOracleSql]] VERBATIM, so the valid lanes' pin hash is
     * IDENTICAL across llm_source_tar / targz / tarzst / tarxz — four
     * container routes provably landing on the same rows; the failure
@@ -2629,7 +2717,7 @@ $steps,
           .withColumn("__magic",
             when(pmod(col("doc_id"), lit(4)) === 2, lit("fc377a585a00"))
               .otherwise(lit("fd377a585a00"))), // corrupt xz layer lane 2
-        "__tarhex", "__magic", 0L, "__xz")
+        "__tarhex", "__magic", lit(0L), "__xz")
       val blob = unhex(col("__xz"))
       base
         .select(col("doc_id"),
@@ -2676,21 +2764,18 @@ $steps,
       }
       val sz = octet_length(col("text"))
       val crc = crc32(col("text").cast(BinaryType))
-      val textHex = hex(col("text").cast(BinaryType))
       val nameA = concat(lit("doc"), col("doc_id"), lit(".txt"))
       val nameB = concat(lit("doc"), col("doc_id"), lit(".z"))
       val lenA = length(nameA)
       val lenB = length(nameB)
-      // method-8 payload: one stored-deflate block over the text
-      val deflHex = concat(lit("01"), le16(sz), le16(lit(65535) - sz),
-        textHex)
       def local(name: Column, method: Int, crcV: Column, csize: Column,
-          usize: Column, extraHex: String, dataHex: Column): Column = concat(
+          usize: Column, extraHex: Column, dataHex: Column): Column = concat(
         // sig, version 20, flags 0, method (LE), time 0, date 0
         lit("504B030414000000"), lit("%02X00".format(method)),
         lit("00000000"), le32(crcV), le32(csize), le32(usize),
-        le16(length(name)), le16(lit(extraHex.length / 2)),
-        hex(name.cast(BinaryType)), lit(extraHex), dataHex)
+        le16(length(name)),
+        le16((length(extraHex) / 2).cast(IntegerType)),
+        hex(name.cast(BinaryType)), extraHex, dataHex)
       def central(name: Column, method: Int, crcV: Column, csize: Column,
           usize: Column, off: Column): Column = concat(
         // sig, made-by 20, needed 20, flags 0, method (LE), time, date
@@ -2698,35 +2783,49 @@ $steps,
         lit("00000000"), le32(crcV), le32(csize), le32(usize),
         le16(length(name)), lit("0000" + "0000" + "0000" + "0000"),
         lit("00000000"), le32(off), hex(name.cast(BinaryType)))
-      def eocd(count: Column, cdSize: Column, cdOff: Column,
-          commentHex: String): Column = concat(
-        lit("504B050600000000"), le16(count), le16(count), le32(cdSize),
-        le32(cdOff), le16(lit(commentHex.length / 2)), lit(commentHex))
-      def zipHex(extraHexA: String, commentHex: String, crcBump: Int,
-          countBump: Int): Column = {
-        val crcA = pmod(crc + crcBump, lit(4294967296L))
-        val localALen = lit(30) + lenA + lit(extraHexA.length / 2) + sz
-        val localBLen = lit(30) + lenB + (sz + lit(5))
-        val cdOff = localALen + localBLen
-        val cdSize = lit(92) + lenA + lenB
-        concat(
-          local(nameA, 0, crcA, sz, sz, extraHexA, textHex),
-          local(nameB, 8, crc, sz + lit(5), sz, "", deflHex),
-          central(nameA, 0, crcA, sz, sz, lit(0)),
-          central(nameB, 8, crc, sz + lit(5), sz, localALen),
-          eocd(lit(2 + countBump), cdSize, cdOff, commentHex))
-      }
       val commentHex = tarHexOf("archive comment with PK bait")
-      val blob = when(pmod(col("doc_id"), lit(4)) === 0,
-          unhex(zipHex("", "", 0, 0)))
-        .when(pmod(col("doc_id"), lit(4)) === 1, // comment + local extra
-          unhex(zipHex("0102030405060708", commentHex, 0, 0)))
-        .when(pmod(col("doc_id"), lit(8)) === 2, // flipped entry CRC
-          unhex(zipHex("", "", 1, 0)))
-        .when(pmod(col("doc_id"), lit(8)) === 6, // lying EOCD counts
-          unhex(zipHex("", "", 0, 1)))
+      // STAGED construction (the r14 tarxz discipline, here for the
+      // 64 KB codegen limit: the un-staged 4-lane inline re-generated
+      // the whole archive per lane and blew whole-stage codegen's
+      // method-size cap — the bench's only interpreted-fallback query).
+      // Lane divergence rides parameter COLUMNS (__extraA, __comment,
+      // __crcA, __count); each archive section is a real column.
+      val base = documents(s, dir)
+        .withColumn("__texthex", hex(col("text").cast(BinaryType)))
+        .withColumn("__extraA",
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            lit("0102030405060708")).otherwise(lit("")))
+        .withColumn("__comment",
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            lit(commentHex)).otherwise(lit("")))
+        .withColumn("__crcA", pmod(crc +
+          when(pmod(col("doc_id"), lit(8)) === 2, 1).otherwise(0),
+          lit(4294967296L))) // flipped entry CRC on lane 8k+2
+        .withColumn("__count", lit(2) +
+          when(pmod(col("doc_id"), lit(8)) === 6, 1).otherwise(0))
+        // method-8 payload: one stored-deflate block over the text
+        .withColumn("__defl", concat(lit("01"), le16(sz),
+          le16(lit(65535) - sz), col("__texthex")))
+        .withColumn("__locA", local(nameA, 0, col("__crcA"), sz, sz,
+          col("__extraA"), col("__texthex")))
+        .withColumn("__locB", local(nameB, 8, crc, sz + lit(5), sz,
+          lit(""), col("__defl")))
+        .withColumn("__cenA", central(nameA, 0, col("__crcA"), sz, sz,
+          lit(0)))
+        .withColumn("__cenB", central(nameB, 8, crc, sz + lit(5), sz,
+          (length(col("__locA")) / 2).cast(IntegerType)))
+        .withColumn("__eocd", concat(
+          lit("504B050600000000"), le16(col("__count")),
+          le16(col("__count")), le32(lit(92) + lenA + lenB),
+          le32(((length(col("__locA")) + length(col("__locB"))) / 2)
+            .cast(IntegerType)),
+          le16((length(col("__comment")) / 2).cast(IntegerType)),
+          col("__comment")))
+      val blob = when(pmod(col("doc_id"), lit(4)) <= 2,
+          unhex(concat(col("__locA"), col("__locB"), col("__cenA"),
+            col("__cenB"), col("__eocd"))))
         .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
-      documents(s, dir)
+      base
         .select(col("doc_id"),
           posexplode_outer(graft.functions.ZipEntries.zip_entries(blob)))
         .select(col("doc_id"), col("pos").cast(IntegerType).as("entry_idx"),
@@ -3459,7 +3558,7 @@ $steps,
     * footer cross-checks) — the second Wikipedia-dump codec beside
     * llm_source_bz2. Unlike bzip2, LZMA2 HAS a stored mode
     * (uncompressed chunks), so this lane carries VARIABLE document
-    * text through a fully column-built stream ([[xzStreamHex]]):
+    * text through a fully column-built stream ([[xzStreamStaged]]):
     * constant header, one CRC32-checked block holding the text as a
     * ≤ 64 KiB uncompressed-chunk CHAIN (any document size — the
     * zstRawBlocksHex discipline, single-chunk fast path), then index
@@ -3474,17 +3573,25 @@ $steps,
   val sourceXz = QueryDef(
     "llm_source_xz",
     (s, dir) => {
-      val hexText = hex(col("text").cast(BinaryType))
       val len = octet_length(col("text"))
       // the chunk chain removed r13's interim 60000-byte bound: any
       // non-empty document encodes (empty text has no chunk to carry —
       // explicit NULL on both sides)
       val fits = len >= 1
       val m = pmod(col("doc_id"), lit(3))
-      val blob = when(m === 0 && fits, unhex(xzStreamHex(hexText, 0L)))
-        .when(m === 1 && fits, unhex(xzStreamHex(hexText, 1L)))
+      // STAGED (the tarxz discipline): the un-staged xzStreamHex held
+      // ~200 copies of hex(text) — 60,300 plan nodes, the largest plan
+      // in the suite by 14× (PlanStats, r14). The flipped-check lane
+      // rides a ckDelta COLUMN, so one staged frame serves both lanes.
+      val staged = xzStreamStaged(
+        documents(s, dir)
+          .withColumn("__p", hex(col("text").cast(BinaryType)))
+          .withColumn("__xzmagic", lit("fd377a585a00")),
+        "__p", "__xzmagic",
+        when(m === 1, lit(1L)).otherwise(lit(0L)), "__xz")
+      val blob = when(m <= 1 && fits, unhex(col("__xz")))
         .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
-      documents(s, dir)
+      staged
         .select(col("doc_id"), col("text"),
           graft.functions.XzInflate.xz_inflate(blob).as("__d"))
         .select(col("doc_id"),
@@ -6509,7 +6616,7 @@ $steps,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
-    crawlQuality, crawlMembers,
+    crawlQuality, crawlBr, crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceTarXz, sourceZip, sourceZlib,
     sourceLz4, sourceZst,

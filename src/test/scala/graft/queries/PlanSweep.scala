@@ -374,4 +374,73 @@ class PlanSweepSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"unbounded nested-loop joins:\n${offenders.mkString("\n")}")
   }
+
+  /** Fourth scale-killer signature (r13 verdict #2): PLAN size. The r13
+    * bench timeout was not data — llm_source_tarxz's builder composition
+    * re-inlined the tar-construction subtree ~150-200× per lane,
+    * serializing 78-107 MiB task binaries. No row- or exchange-oriented
+    * gate can see that axis, so the tripwire is the expression-node
+    * count of the OPTIMIZED plan (post-collapse — exactly what gets
+    * serialized per task). Suite max after the r14 staging fixes is
+    * ~4.4k (llm_media_catalog's 14-format union); the bound leaves 2×
+    * headroom. A builder that re-inlines a non-trivial subtree jumps an
+    * order of magnitude past it (tarxz-before-fix measured ~10⁶ nodes;
+    * un-staged llm_source_xz measured 60,300).
+    */
+  private val PlanNodeBound = 10000
+
+  private def exprNodes(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(e => e.collect { case _ => 1L }.sum).sum
+    }.sum
+
+  test("the plan-size detector sees a deliberately re-inlined subtree") {
+    import org.apache.spark.sql.functions._
+    // the tarxz shape in miniature: a ~300-node concat referenced 10×
+    // by a varint-style helper, squared by a second composition layer
+    val big = concat((1 to 100).map(i => substring(col("t"), i, 1)): _*)
+    val tenRefs = concat((1 to 10).map(_ => substring(big, 1, 2)): _*)
+    val squared = concat((1 to 10).map(_ => substring(tenRefs, 1, 2)): _*)
+    val df = noAqe.range(1).select(col("id").cast("string").as("t"))
+      .select(squared.as("boom"))
+    assert(exprNodes(df) > PlanNodeBound,
+      s"sanity: the squared re-inline measures ${exprNodes(df)} nodes")
+  }
+
+  test("no query's optimized plan exceeds the expression-node bound") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val n = exprNodes(fn(noAqe, dir))
+        if (n > PlanNodeBound) Some(s"$name: $n expression nodes") else None
+    }
+    assert(offenders.isEmpty,
+      s"plan-size explosions (> $PlanNodeBound optimized-plan expression " +
+        s"nodes — stage the builder's intermediates as columns; see " +
+        s"LlmQueries.xzStreamStaged):\n${offenders.mkString("\n")}")
+  }
+
+  /** Fifth gate (r13 verdict #3): NO QUERY SHIPS UNBENCHED. tarxz was
+    * registered after r13's quiet anchor and became the round's only
+    * unmeasured query — exactly the one whose plan explosion then timed
+    * out the driver bench. The committed sf0.1 anchor (bench_full.json)
+    * must cover every registered query, so registering a query forces a
+    * fresh anchor lap in the same commit.
+    */
+  test("every registered query has a lap in the committed bench anchor") {
+    val f = new java.io.File("/root/repo/bench_full.json")
+    assert(f.exists, "bench_full.json anchor missing from repo root")
+    val json = scala.io.Source.fromFile(f, "UTF-8").mkString
+    // keys of the "queries" object — a targeted parse keeps the gate
+    // dependency-free (the file is the Bench main's own single-line JSON)
+    val qBlock = json.substring(json.indexOf("\"queries\""))
+    val benched = "\"([A-Za-z0-9_]+)\"\\s*:".r
+      .findAllMatchIn(qBlock).map(_.group(1)).toSet
+    val missing = graft.SparkEntry.queries.keySet.diff(benched)
+    assert(missing.isEmpty,
+      s"queries registered but absent from the committed bench_full.json " +
+        s"anchor (regenerate the anchor in the same commit: " +
+        s"SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.Bench): " +
+        s"${missing.toSeq.sorted.mkString(", ")}")
+  }
 }
