@@ -1286,8 +1286,13 @@ object Workload {
       val items = lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
         // feeds the pair self-join (twice), supports, and the scalar —
-        // stage it so the scan+distinct runs once (q05b discipline)
-        .localCheckpoint(false)
+        // stage it so the scan+distinct runs once (q05b discipline).
+        // EAGER (r14): with the lazy form, the broadcast(nOrd) job and
+        // the main job raced to materialize this checkpoint, and the
+        // loser's late task updates hit already-cleaned accumulators —
+        // 250 of the bench tail's 256 DAGScheduler errors traced here
+        // via the per-query markers. Same total work, one clean job.
+        .localCheckpoint(true)
       val nOrd = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
       val supp = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
       val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
