@@ -107,43 +107,59 @@ object BrotliInflate {
       ((v >>> bitOff) & ((1L << k) - 1)).toInt
     }
     def read1(): Int = read(1)
-    /** Peek up to 4 bits (fewer near stream end, zero-padded). */
-    def peek4(): Int = {
-      var v = 0
-      var i = 0
-      while (i < 4 && pos + i < nBits) {
-        val p = pos + i
-        v |= ((src((p >> 3).toInt) >> (p & 7).toInt) & 1) << i
-        i += 1
+    /** Peek up to `k ≤ 22` bits without consuming (zero-padded past the
+      * stream end — the caller's skip(len) still bounds-checks).
+      */
+    def peekN(k: Int): Int = {
+      val byteIx = (pos >> 3).toInt
+      val bitOff = (pos & 7).toInt
+      var v = 0L
+      var nb = 0
+      val need = bitOff + k
+      val avail = src.length - byteIx
+      while (nb * 8 < need && nb < avail) {
+        v |= (src(byteIx + nb) & 0xffL) << (8 * nb)
+        nb += 1
       }
-      v
+      ((v >>> bitOff) & ((1L << k) - 1)).toInt
     }
+    def peek4(): Int = peekN(4)
     def skip(k: Int): Unit = { if (pos + k > nBits) bad(); pos += k }
     def align(): Unit = { pos = (pos + 7) & ~7L }
     def bytePos: Int = { require((pos & 7) == 0); (pos >> 3).toInt }
   }
 
-  /** Canonical prefix-code decoder: bit-by-bit tree walk (codes ≤ 15
-    * bits). `lens(sym)` = code length, 0 = absent. Degenerate
-    * single-symbol codes decode with zero bits consumed.
+  /** Canonical prefix-code decoder: two-level TABLE decode (the
+    * zlib/libbrotli scheme — an 8-bit root peek resolves every code of
+    * length ≤ 8 in one lookup; longer codes chain to per-prefix
+    * subtables sized 2^(maxLen-8)). `lens(sym)` = code length (≤ 15),
+    * 0 = absent. Entries pack (len << 12 | sym); 0 = invalid. Degenerate
+    * single-symbol codes decode with zero bits; the uniform all-len-8
+    * literal code (the llm_source_br template, near-raw q0/q1 blocks)
+    * short-circuits to bit-reverse(read(8)).
     */
   private final class Huff(lens: Array[Int]) {
     private var single = -1
-    // tree nodes: node i has children at tree(2i), tree(2i+1);
-    // value >= 0 = node index, value < 0 = leaf (-1 - sym), 0 = empty
-    private val tree = new Array[Int](2 * 2 * lens.length + 4)
-    private var nNodes = 1
+    private val uniform8 =
+      lens.length == 256 && lens.forall(_ == 8)
+    private var maxLen = 0
+    private var root: Array[Int] = null
+    private var subs: Array[Array[Int]] = null
     locally {
       var count = 0
       var onlySym = -1
       var i = 0
       while (i < lens.length) {
         if (lens(i) < 0 || lens(i) > 15) bad()
-        if (lens(i) > 0) { count += 1; onlySym = i }
+        if (lens(i) > 0) {
+          count += 1; onlySym = i
+          if (lens(i) > maxLen) maxLen = lens(i)
+        }
         i += 1
       }
       if (count == 0) bad()
       if (count == 1) single = onlySym
+      else if (uniform8) () // complete by construction; no table needed
       else {
         // Kraft completeness in 2^-15 units
         var space = 0L
@@ -153,7 +169,7 @@ object BrotliInflate {
           i += 1
         }
         if (space != (1L << 15)) bad()
-        // canonical codes by (len, sym): next code per length
+        // canonical codes by (len, sym)
         val blCount = new Array[Int](16)
         i = 0
         while (i < lens.length) { if (lens(i) > 0) blCount(lens(i)) += 1; i += 1 }
@@ -161,46 +177,62 @@ object BrotliInflate {
         var code = 0
         var l = 1
         while (l <= 15) { code = (code + blCount(l - 1)) << 1; nextCode(l) = code; l += 1 }
+        root = new Array[Int](256)
+        val subBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
         i = 0
         while (i < lens.length) {
           val len = lens(i)
           if (len > 0) {
             val c = nextCode(len); nextCode(len) += 1
-            // insert MSB-first
-            var node = 0
-            var b = len - 1
-            while (b >= 0) {
-              val bit = (c >> b) & 1
-              val slot = 2 * node + bit
-              if (b == 0) {
-                if (tree(slot) != 0) bad()
-                tree(slot) = -1 - i
-              } else {
-                if (tree(slot) == 0) { tree(slot) = nNodes; nNodes += 1 }
-                else if (tree(slot) < 0) bad()
-                node = tree(slot)
+            val e = (len << 12) | i
+            if (len <= 8) {
+              // every 8-bit extension of the code maps to this entry
+              val base = c << (8 - len)
+              var k = 0
+              while (k < (1 << (8 - len))) { root(base + k) = e; k += 1 }
+            } else {
+              val pfx = c >> (len - 8)
+              val sub = root(pfx) match {
+                case 0 =>
+                  val t = new Array[Int](1 << (maxLen - 8))
+                  subBuf += t; root(pfx) = -subBuf.size; t
+                case r if r < 0 => subBuf(-r - 1)
+                case _ => bad()
               }
-              b -= 1
+              val base = (c & ((1 << (len - 8)) - 1)) << (maxLen - len)
+              var k = 0
+              while (k < (1 << (maxLen - len))) { sub(base + k) = e; k += 1 }
             }
           }
           i += 1
         }
+        subs = subBuf.toArray
       }
     }
     def decode(b: Bits): Int = {
       if (single >= 0) return single
-      var node = 0
-      while (true) {
-        val v = tree(2 * node + b.read1())
-        if (v < 0) return -1 - v
-        if (v == 0) bad()
-        node = v
-      }
-      -1 // unreachable
+      if (uniform8) return Rev8(b.read(8))
+      // root index = the code's first 8 bits MSB-first (the LSB-first
+      // peek bit-reversed); short codes cover every suffix extension
+      val e = root(Rev8(b.peekN(8)))
+      if (e > 0) { b.skip(e >>> 12); return e & 0xfff }
+      if (e == 0) bad()
+      val full = Integer.reverse(b.peekN(maxLen)) >>> (32 - maxLen)
+      val e2 = subs(-e - 1)(full & ((1 << (maxLen - 8)) - 1))
+      if (e2 == 0) bad()
+      b.skip(e2 >>> 12)
+      e2 & 0xfff
     }
   }
 
   // ---- RFC 7932 constant tables ----
+
+  /** Bit-reversal of a byte (the uniform-8 canonical-code fast path). */
+  private val Rev8: Array[Int] = Array.tabulate(256) { v =>
+    var r = 0; var i = 0
+    while (i < 8) { r |= ((v >> i) & 1) << (7 - i); i += 1 }
+    r
+  }
 
   // §3.5 fixed code for code-length code lengths, indexed by 4 peeked
   // LSB-first bits

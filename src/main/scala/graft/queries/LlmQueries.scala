@@ -1978,6 +1978,117 @@ $steps,
     concat(blocks, lit("03"))
   }
 
+  /** Brotli source with the ENTROPY-CODED path on the DuckDB oracle —
+    * the zstd-compressed-lanes discipline extended to the newest codec:
+    * a COMPRESSED meta-block built entirely in column space, so
+    * brotli_inflate's prefix-code/command machinery itself (not just
+    * the uncompressed framing) is cross-engine-checked on VARIABLE
+    * data at every SF. Construction (libbrotli-validated byte-for-byte
+    * at design time; the frozen golden vector is pinned in
+    * BrotliInflateSpec):
+    *
+    *  - byte 0 = 0x0C: window bits 16 + an EMPTY METADATA block, which
+    *    byte-aligns the compressed block so its 128-bit header lands on
+    *    bytes 1..16 and every literal on its own byte;
+    *  - the compressed block: a complex literal prefix code giving all
+    *    256 symbols length 8 (code-length code {8:len1, 16:len1}, then
+    *    sym-16 repeat chain 5→17→65→255 closing the 32768-unit space
+    *    exactly), a single-symbol command code (504: insert code 23,
+    *    copy code 0), a 2-symbol distance code (never read — the single
+    *    insert ends the block), NPOSTFIX/NDIRECT 0, LSB6 context, one
+    *    tree per category;
+    *  - ONE insert-and-copy command: insert code 22 (14-bit extra,
+    *    text padded with spaces to 6210 when shorter) for N ≤ 22593,
+    *    insert code 23 (24-bit extra, padding-free) above — two
+    *    templates whose header bit-counts are both byte-exact, so the
+    *    extra field sits at a constant hex position in each;
+    *  - literals under the all-len-8 canonical code are the IDENTITY
+    *    mapping read MSB-first, so each output byte is the BIT-REVERSED
+    *    input byte: the whole literal section is two builtin calls —
+    *    regexp pair-swap + a 16-char translate (rev4 nibble table) —
+    *    no per-byte loop, no transform.
+    *
+    * Lanes by doc_id % 4: (0) the compressed block above; (1) the same
+    * with one trailing garbage byte — NULL, the family contract;
+    * (2) the UNCOMPRESSED chain ([[brotliRawHex]]) over the same text —
+    * two framings provably landing on the same payload; (3) raw text.
+    */
+  val sourceBr = QueryDef(
+    "llm_source_br",
+    (s, dir) => {
+      def hx2(c: Column): Column = lpad(hex(c), 2, "0")
+      // block bytes 3.. : the constant header/tree sections (every bit
+      // between MLEN and the insert extra) of the two libbrotli-
+      // validated templates: A = insert code 22 (14-bit extra, pad to
+      // 6210, dist tree NSYM=1 so the 112-bit header stays byte-exact),
+      // B = insert code 23 (24-bit extra, no padding needed at
+      // N ≥ 22594, dist tree NSYM=2 → 128 bits)
+      val constMidA = "000000384EDB047C01"
+      val constMidB = "000000384EDB047E0504"
+      val base = documents(s, dir)
+        .withColumn("__n", octet_length(col("text")).cast(LongType))
+        .withColumn("__texthex", hex(col("text").cast(BinaryType)))
+        .withColumn("__L",
+          when(col("__n") <= 22593L, greatest(col("__n"), lit(6210L)))
+            .otherwise(col("__n")))
+        .withColumn("__lit", concat(
+          translate(regexp_replace(col("__texthex"), "(.)(.)", "$2$1"),
+            "0123456789ABCDEF", "084C2A6E195D3B7F"),
+          repeat(lit("04"), (col("__L") - col("__n")).cast(IntegerType))))
+        .withColumn("__hdr", {
+          val lm1 = col("__L") - 1
+          val mlen3 = concat(
+            hx2(pmod(lm1, lit(16)) * 16 + 1),
+            hx2(pmod(floor(lm1 / 16).cast(LongType), lit(256))),
+            hx2(floor(lm1 / 4096).cast(LongType)))
+          val eA = col("__L") - 6210
+          val eB = col("__L") - 22594
+          when(col("__n") <= 22593L, concat(lit("0C"), mlen3,
+            lit(constMidA),
+            hx2(pmod(eA, lit(64)) * 4),
+            hx2(floor(eA / 64).cast(LongType))))
+            .otherwise(concat(lit("0C"), mlen3,
+              lit(constMidB),
+              hx2(pmod(eB, lit(256))),
+              hx2(pmod(floor(eB / 256).cast(LongType), lit(256))),
+              hx2(floor(eB / 65536).cast(LongType))))
+        })
+        .withColumn("__brc", concat(col("__hdr"), col("__lit")))
+        .withColumn("__bru", brotliRawHex(col("__texthex")))
+      val m = pmod(col("doc_id"), lit(4))
+      val fitsC = col("__n") <= 65536
+      val blob = when(m === 0 && fitsC, unhex(col("__brc")))
+        .when(m === 1 && fitsC, // trailing garbage: outer frame valid,
+          // the family contract NULLs the WHOLE row
+          unhex(concat(col("__brc"), lit("55"))))
+        .when(m === 2 && col("__n") >= 1, unhex(col("__bru")))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      base
+        .select(col("doc_id"),
+          graft.functions.BrotliInflate.brotli_inflate(blob).as("__d"))
+        .select(col("doc_id"),
+          octet_length(col("__d")).as("n_bytes"),
+          md5(col("__d")).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, text, strlen(text) AS n,
+               CASE WHEN strlen(text) <= 22593
+                    THEN greatest(strlen(text), 6210)
+                    ELSE strlen(text) END AS l
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 AND n <= 65536
+             THEN CAST(l AS INTEGER)
+             WHEN doc_id % 4 = 2 AND n >= 1
+             THEN CAST(n AS INTEGER) END AS n_bytes,
+        CASE WHEN doc_id % 4 = 0 AND n <= 65536
+             THEN md5(text || repeat(' ', CAST(l - n AS INTEGER)))
+             WHEN doc_id % 4 = 2 AND n >= 1
+             THEN md5(text) END AS fp
+      FROM p ORDER BY doc_id"""))
+
   /** The `Content-Encoding: br` crawl lane (r13 verdict #5): real WARC
     * response bodies are frequently Brotli — until r14 those bytes
     * NULLed before HtmlText ran. One map-only codegen'd chain:
@@ -6616,7 +6727,7 @@ $steps,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
-    crawlQuality, crawlBr, crawlMembers,
+    crawlQuality, crawlBr, sourceBr, crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceTarXz, sourceZip, sourceZlib,
     sourceLz4, sourceZst,

@@ -149,6 +149,18 @@ class BrotliInflateSpec extends SparkSpec {
     assert(java.util.Arrays.equals(inflate(stream).head.get, data))
   }
 
+  test("the llm_source_br compressed-lane template decodes " +
+      "(libbrotli-validated golden)") {
+    // the exact column-space construction llm_source_br emits for
+    // "golden brotli compressed lane vector!", frozen from the design
+    // prototype that libbrotli round-tripped: empty-metadata alignment,
+    // all-len-8 literal code, single command 504, 22594-space padding
+    val got = inflate(fixture("CompressedLane"))
+    assert(got.head.isDefined, "CompressedLane: NULL")
+    assert(java.util.Arrays.equals(got.head.get,
+      fixture("CompressedLane_payload")))
+  }
+
   test("NULL-on-corrupt family contract") {
     val good = fixture("Q1Hello")
     val truncated = good.dropRight(3)
