@@ -420,6 +420,33 @@ class PlanSweepSpec extends SparkSpec {
         s"LlmQueries.xzStreamStaged):\n${offenders.mkString("\n")}")
   }
 
+  /** Sixth gate (r14): generated-code SIZE. llm_source_zip shipped a
+    * plan whose fused Project+Generate doConsume exceeded janino's
+    * 64 KB per-method bytecode limit; whole-stage codegen silently fell
+    * back to interpreted execution — the r14 bench's only fallback, and
+    * invisible to every structural gate (the expression-NODE tripwire
+    * above bounds plan size, not generated-method size, and Generate's
+    * consume path cannot split its generator expression). Running every
+    * query with spark.sql.codegen.fallback=false turns that silent
+    * fallback into a failure here. sf0.001 keeps the full-suite cost
+    * ~2 min; codegen is data-independent, so the smallest SF suffices.
+    */
+  test("every query's generated code compiles (no silent codegen fallback)") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    val dir = "/root/testdata/sf0.001"
+    val failures = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(s, dir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).take(200)}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"codegen fallback (or execution failure) under fallback=false:\n" +
+        failures.mkString("\n"))
+  }
+
   /** Fifth gate (r13 verdict #3): NO QUERY SHIPS UNBENCHED. tarxz was
     * registered after r13's quiet anchor and became the round's only
     * unmeasured query — exactly the one whose plan explosion then timed
