@@ -526,7 +526,22 @@ object BrotliInflate {
   /** Full-stream decode; null on ANY malformation or a static-
     * dictionary reference (the declared bound).
     */
+  /** Diagnostic twin: decodes like [[inflate]] but THROWS on
+    * malformation instead of returning null — test-side triage only.
+    */
+  private[functions] def inflateStrict(src: Array[Byte]): Array[Byte] =
+    inflateImpl(src)
+
   def inflate(src: Array[Byte]): Array[Byte] = try {
+    inflateImpl(src)
+  } catch {
+    case _: Bad => null
+    case _: ArrayIndexOutOfBoundsException => null
+    case _: IllegalArgumentException => null
+    case _: NegativeArraySizeException => null
+  }
+
+  private def inflateImpl(src: Array[Byte]): Array[Byte] = {
     if (src == null || src.length == 0) return null
     val b = new Bits(src)
     val wbits = decodeWindowBits(b)
@@ -621,7 +636,13 @@ object BrotliInflate {
           val maxDist = math.min(window.toLong, outLen.toLong)
           // beyond the window = static dictionary reference: the
           // DECLARED BOUND (Appendix A data unavailable offline)
-          if (distance > maxDist) bad()
+          if (distance > maxDist) {
+            if (sys.env.contains("GRAFT_BROTLI_DEBUG"))
+              System.err.println(s"DBG dist=$distance maxDist=$maxDist " +
+                s"outLen=$outLen copyLen=$copyLen insLen=$insLen cmd=$cmd " +
+                s"rb=${rb.mkString(",")} rbIdx=$rbIdx mlen=$mlen")
+            bad()
+          }
           if (copyLen > mlen) bad()
           ensure(outLen + copyLen)
           var k = 0
@@ -692,11 +713,6 @@ object BrotliInflate {
     if (padBits > 0 && b.read(padBits) != 0) bad()
     if (b.pos != b.nBits) bad()
     java.util.Arrays.copyOf(out, outLen)
-  } catch {
-    case _: Bad => null
-    case _: ArrayIndexOutOfBoundsException => null
-    case _: IllegalArgumentException => null
-    case _: NegativeArraySizeException => null
   }
 
   def brotli_inflate(c: Column): Column =

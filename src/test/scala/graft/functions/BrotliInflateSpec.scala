@@ -161,6 +161,41 @@ class BrotliInflateSpec extends SparkSpec {
       fixture("CompressedLane_payload")))
   }
 
+  test("quality sweep: 72 libbrotli streams (q0-q11 x 6 shapes) pinned") {
+    // every encoder quality emits different structure mixes (uncompressed
+    // blocks, simple codes, full context modeling, block splitting) —
+    // the sweep pins all of them across six payload shapes. Expected
+    // column per line: 'rt' = exact roundtrip; 'null' = the documented
+    // STATIC-DICTIONARY bound — the runs/utf8 shapes hit dictionary
+    // references from exactly q4 up (the encoder's dictionary-matching
+    // activation quality), and both failing distances parse as valid
+    // dictionary refs (transform index < 121) at positions where no
+    // in-window match exists. Nothing may ever decode to WRONG bytes.
+    val in = getClass.getResourceAsStream("/brotli/quality_sweep.txt")
+    assert(in != null)
+    val rows = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    assert(rows.size == 72)
+    assert(rows.count(_.split(" ")(2) == "rt") == 56)
+    val failures = rows.flatMap { line =>
+      val Array(name, q, exp, chex, phex) = line.split(" ", 5)
+      val got = inflate(unhex(chex)).head
+      (exp, got) match {
+        case ("rt", Some(g)) if java.util.Arrays.equals(g, unhex(phex)) =>
+          None
+        case ("null", None) => None
+        case ("null", Some(g)) =>
+          Some(s"$name $q: decoded where the dictionary bound expected NULL" +
+            s" (${if (java.util.Arrays.equals(g, unhex(phex))) "correctly!"
+            else "WRONG BYTES"})")
+        case ("rt", Some(_)) => Some(s"$name $q: WRONG BYTES")
+        case ("rt", None) => Some(s"$name $q: NULL where roundtrip expected")
+        case other => Some(s"$name $q: unexpected $other")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("NULL-on-corrupt family contract") {
     val good = fixture("Q1Hello")
     val truncated = good.dropRight(3)
