@@ -2171,6 +2171,152 @@ $steps,
         md5(e) AS fp
       FROM e ORDER BY doc_id"""))
 
+  /** The COMPLETE realistic crawl line (r14): real WARC response
+    * records hold full HTTP MESSAGES — status line, headers, a body
+    * that rides `Transfer-Encoding: chunked` and/or `Content-Encoding:
+    * gzip|br` — and a consumer must parse the HTTP layer before any
+    * content decoder runs. One map-only codegen'd chain:
+    * gzip_inflate(.warc.gz) → warc_payloads → http_body (functions/
+    * HttpBody: RFC 9112 framing, pinned vs CPython http.client) →
+    * encoding DISPATCH (brotli_inflate / gzip_inflate / identity on the
+    * header value) → html_text → fingerprint. Lanes by doc_id % 5:
+    *  (0) `Content-Length` + `Content-Encoding: br` (column-built
+    *      brotli chain);
+    *  (1) `Transfer-Encoding: chunked`, plain html body in ≤512-byte
+    *      ASCII-hex-sized chunks with a trailer;
+    *  (2) `Content-Length` + `Content-Encoding: gzip` (stored-deflate
+    *      member);
+    *  (3) chunked with a LYING chunk size — the warc/gzip layers are
+    *      valid, the HTTP layer NULLs, nothing reaches the decoders;
+    *  (4) raw text (NULLs at the outer gzip).
+    * All three valid lanes land on the SAME extracted text, so one
+    * closed-form oracle expression covers them; status/encoding pin the
+    * header parse.
+    */
+  val crawlHttp = QueryDef(
+    "llm_crawl_http",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val esc = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val crlfH = "0D0A"
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def asciiHex(c: Column): Column = hex(c.cast(BinaryType))
+      // chunked framing: ≤512-byte chunks, ASCII-hex size lines, a
+      // chunk extension on the first chunk, terminator + trailer
+      def chunkedHex(payloadHex: Column, lie: Column): Column = {
+        val C = 512L
+        val len = (length(payloadHex) / 2).cast(LongType)
+        val nChunks = greatest(
+          floor((len + lit(C - 1)) / lit(C)).cast(LongType), lit(1L))
+        concat(
+          array_join(transform(sequence(lit(0L), nChunks - 1), i => {
+            val off = i * lit(C)
+            val size = least(len - off, lit(C)) + when(i === 0, lie)
+              .otherwise(lit(0L))
+            val ext = when(i === 0, asciiHex(lit(";x=1"))).otherwise(lit(""))
+            concat(asciiHex(hex(size)), ext, lit(crlfH),
+              payloadHex.substr((off * 2 + 1).cast(IntegerType),
+                (least(len - off, lit(C)) * 2).cast(IntegerType)),
+              lit(crlfH))
+          }), ""),
+          lit("30"), lit(crlfH),
+          asciiHex(lit("X-Meta: done")), lit(crlfH), lit(crlfH))
+      }
+      val staged = documents(s, dir)
+        .withColumn("__pagehex", hex(concat(
+          lit("<!DOCTYPE html><html><head><script>var x=1<2;</script>" +
+            "<style>p{}</style></head><body><h1>H</h1><p>"),
+          esc, lit("</p><!-- c --></body></html>")).cast(BinaryType)))
+        .withColumn("__br", brotliRawHex(col("__pagehex")))
+        .withColumn("__gz", {
+          val sl = (length(col("__pagehex")) / 2).cast(IntegerType)
+          concat(lit("1F8B" + "08000000000000" + "03"),
+            lit("01"), le16(sl), le16(lit(65535) - sl), col("__pagehex"),
+            le32(crc32(unhex(col("__pagehex")))), le32(sl))
+        })
+        .withColumn("__http", {
+          val m = pmod(col("doc_id"), lit(5))
+          val brLen = (length(col("__br")) / 2).cast(LongType)
+          val gzLen = (length(col("__gz")) / 2).cast(LongType)
+          when(m === 0, concat(
+            asciiHex(concat(lit("HTTP/1.1 200 OK\r\nServer: g\r\n" +
+              "Content-Encoding: BR\r\nContent-Length: "), brLen,
+              lit("\r\n\r\n"))), col("__br")))
+            .when(m === 1, concat(
+              asciiHex(lit("HTTP/1.1 200 OK\r\n" +
+                "transfer-encoding: chunked\r\n\r\n")),
+              chunkedHex(col("__pagehex"), lit(0L))))
+            .when(m === 2, concat(
+              asciiHex(concat(lit("HTTP/1.1 200 OK\r\n" +
+                "content-encoding: gzip\r\ncontent-length: "), gzLen,
+                lit("\r\n\r\n"))), col("__gz")))
+            .otherwise(concat( // lane 3: the first chunk size lies 16 MB
+              // past the input — the overrun is deterministic at any
+              // document size (a small lie can re-align into valid
+              // framing when the content happens to contain CRLFs)
+              asciiHex(lit("HTTP/1.1 200 OK\r\n" +
+                "Transfer-Encoding: chunked\r\n\r\n")),
+              chunkedHex(col("__pagehex"), lit(16777216L))))
+        })
+        .withColumn("__seg", concat(
+          asciiHex(concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "Content-Length: "), (length(col("__http")) / 2).cast(LongType),
+            lit("\r\n\r\n"))),
+          col("__http"), lit(crlfH), lit(crlfH)))
+      val sl = (length(col("__seg")) / 2).cast(IntegerType)
+      val gz = unhex(concat(lit("1F8B" + "08000000000000" + "03"),
+        lit("01"), le16(sl), le16(lit(65535) - sl),
+        col("__seg"),
+        le32(crc32(unhex(col("__seg")))), le32(sl)))
+      val blob = when(pmod(col("doc_id"), lit(5)) === 4,
+        substring(col("text"), 1, 16).cast(BinaryType)).otherwise(gz)
+      val h = graft.functions.HttpBody.http_body(element_at(
+        graft.functions.WarcRecords.warc_payloads(
+          graft.functions.GzipInflate.gzip_inflate(blob)), 1))
+      val enc = h.getField("content_encoding")
+      val body = h.getField("body")
+      val decoded = when(enc === "br",
+        graft.functions.BrotliInflate.brotli_inflate(body))
+        .when(enc === "gzip", graft.functions.GzipInflate.gzip_inflate(body))
+        .otherwise(body)
+      val txt = graft.functions.HtmlText.html_text(decoded)
+      staged
+        .select(col("doc_id"), h.getField("status").as("__st"),
+          enc.as("__enc"), txt.as("__t"))
+        .select(col("doc_id"),
+          col("__st").as("status"),
+          col("__enc").as("content_encoding"),
+          md5(col("__t").cast(BinaryType)).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH t0 AS (
+        SELECT doc_id,
+               trim(regexp_replace(text, '[\s]+', ' ', 'g')) AS c
+        FROM documents),
+      e AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 <= 2 THEN
+                 CASE WHEN c = '' THEN 'H' ELSE 'H ' || c END
+               END AS e
+        FROM t0)
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 <= 2 THEN 200 END AS status,
+        CASE WHEN doc_id % 5 = 0 THEN 'br'
+             WHEN doc_id % 5 = 2 THEN 'gzip' END AS content_encoding,
+        md5(e) AS fp
+      FROM e ORDER BY doc_id"""))
+
   val crawlQuality = QueryDef(
     "llm_crawl_quality",
     (s, dir) => {
@@ -6727,7 +6873,7 @@ $steps,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
-    crawlQuality, crawlBr, sourceBr, crawlMembers,
+    crawlQuality, crawlBr, crawlHttp, sourceBr, crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceTarXz, sourceZip, sourceZlib,
     sourceLz4, sourceZst,
