@@ -31,15 +31,20 @@ import org.apache.spark.sql.types._
   *    16,15,11,4) with the 16 short codes, NPOSTFIX/NDIRECT direct
   *    and long distance codes.
   *
-  * DECLARED BOUND — static dictionary: RFC 7932 Appendix A's 122,784
-  * dictionary bytes are data, not algorithm; they cannot be derived
-  * and are not reproducible offline, so a distance past the sliding
-  * window (a dictionary-word reference) NULLs the result. Encoders
-  * emit dictionary references only at higher qualities on
-  * dictionary-like text; raw/uncompressed meta-blocks and q0/q1
-  * streams never do. BrotliInflateSpec pins real libbrotli output
-  * (via pyarrow-generated fixtures) at q0/q1/q11 including a
-  * dictionary-referencing stream pinned to NULL as the bound.
+  *  - the static dictionary (§8 / Appendix A+B): a distance past the
+  *    sliding window selects one of 122,784 dictionary bytes' words
+  *    (lengths 4–24, NDBITS-indexed buckets) under one of 121
+  *    transforms (identity, ferment-first/all with the UTF-8 2/3-byte
+  *    rules, omit-first/last-N, prefix/suffix). The word data and the
+  *    transform table live in `BrotliDictData`/`brotli_dict.bin`,
+  *    extracted from the system libbrotli 1.2.0 (`BrotliGetDictionary`
+  *    / `BrotliGetTransforms`) and verified per-transform against
+  *    `BrotliTransformDictionaryWord` at extraction time
+  *    (tools/extract_brotli_dict.py). Dictionary references do NOT
+  *    update the distance ring buffer. This closes the former declared
+  *    bound: real web `.br` at q≥4 emits dictionary references
+  *    constantly, and BrotliInflateSpec's 72-stream quality sweep now
+  *    round-trips all shapes at every quality.
   *
   * Family contract: any malformation — bad window bits, nibble/byte
   * zero-rule violations, over-subscribed or incomplete prefix codes,
@@ -84,8 +89,46 @@ object BrotliInflate {
   /** Family-wide decompression-bomb cap. */
   val MaxOutputBytes: Int = 64 * 1024 * 1024
 
+  /** RFC 7932 Appendix A dictionary data (122,784 bytes), extracted
+    * once from the system libbrotli by tools/extract_brotli_dict.py.
+    */
+  private lazy val DictBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/graft/brotli_dict.bin")
+    require(in != null, "missing resource /graft/brotli_dict.bin")
+    try {
+      val buf = in.readAllBytes()
+      require(buf.length == 122784, s"brotli_dict.bin: ${buf.length} bytes")
+      buf
+    } finally in.close()
+  }
+
+  /** §8 "ferment" (uppercase-like) transform, in place over
+    * `buf[from,to)`: ASCII a–z XOR 32; UTF-8 2-byte sequences XOR the
+    * second byte with 32; 3-byte sequences XOR the third with 5.
+    * `all=false` ferments only the first (possibly multi-byte) char.
+    */
+  private def ferment(buf: Array[Byte], from: Int, to: Int, all: Boolean): Unit = {
+    var i = from
+    var first = true
+    while (i < to && (all || first)) {
+      val c = buf(i) & 0xff
+      if (c < 192) {
+        if (c >= 'a' && c <= 'z') buf(i) = (c ^ 32).toByte
+        i += 1
+      } else if (c < 224) {
+        if (i + 1 < to) buf(i + 1) = (buf(i + 1) ^ 32).toByte
+        i += 2
+      } else {
+        if (i + 2 < to) buf(i + 2) = (buf(i + 2) ^ 5).toByte
+        i += 3
+      }
+      first = false
+    }
+  }
+
   private class Bad extends RuntimeException
   private def bad(): Nothing = throw new Bad
+
 
   /** LSB-first bit reader (RFC 7932 §2). */
   private final class Bits(src: Array[Byte]) {
@@ -125,7 +168,13 @@ object BrotliInflate {
     }
     def peek4(): Int = peekN(4)
     def skip(k: Int): Unit = { if (pos + k > nBits) bad(); pos += k }
-    def align(): Unit = { pos = (pos + 7) & ~7L }
+    /** Round up to the next byte boundary, requiring the skipped
+      * padding bits to be zero (libbrotli PADDING_1/PADDING_2).
+      */
+    def align(): Unit = {
+      val pad = ((8 - (pos & 7)) & 7).toInt
+      if (pad > 0 && read(pad) != 0) bad()
+    }
     def bytePos: Int = { require((pos & 7) == 0); (pos >> 3).toInt }
   }
 
@@ -317,11 +366,14 @@ object BrotliInflate {
         if (c >= 'a' && c <= 'z') 3
         else if (c >= 'A' && c <= 'Z') 2
         else if (c >= '0' && c <= '9') 2
-        else if (i == 127) 0
-        else 1 // space and punctuation
+        else if (i == 127 || i == 32) 0 // space groups with control, NOT punct
+        else 1 // punctuation
       i += 1
     }
-    i = 128
+    // high half (verified against libbrotli's _kBrotliContextLookupTable):
+    // continuation bytes AND 2-byte leads (128..223) → 0; 3-byte-plus
+    // leads (224..255) → 2
+    i = 224
     while (i < 256) { t(i) = 2; i += 1 }
     t
   }
@@ -409,7 +461,9 @@ object BrotliInflate {
         prevSym = sym
       }
     }
-    if (bigSpace < 0) bad()
+    // complex codes require EXACT Kraft space (libbrotli HUFFMAN_SPACE);
+    // single-symbol degenerate codes are only legal via the simple form
+    if (bigSpace != 0) bad()
     new Huff(lens)
   }
 
@@ -560,6 +614,36 @@ object BrotliInflate {
     val rb = Array(16, 15, 11, 4)
     var rbIdx = 4
 
+    // §8: append dictionary word `off..off+wlen` under transform `tId`
+    // (prefix + {identity|omit-first/last-N|ferment} + suffix); returns
+    // the transformed length. Semantics pinned per-transform against
+    // libbrotli's BrotliTransformDictionaryWord at extraction time.
+    def appendDictWord(tId: Int, off: Int, wlen: Int): Int = {
+      val dict = DictBytes
+      val pfx = BrotliDictData.TransformPrefixes(tId)
+      val sfx = BrotliDictData.TransformSuffixes(tId)
+      val typ = BrotliDictData.TransformTypes(tId)
+      val start = outLen
+      ensure(outLen + pfx.length + wlen + sfx.length)
+      var i = 0
+      while (i < pfx.length) {
+        out(outLen) = pfx.charAt(i).toByte; outLen += 1; i += 1
+      }
+      var ws = off
+      var we = off + wlen
+      if (typ >= 12) ws += math.min(typ - 11, wlen) // omit-first-N
+      else if (typ >= 1 && typ <= 9) we -= math.min(typ, wlen) // omit-last-N
+      val mid = outLen
+      var j = ws
+      while (j < we) { out(outLen) = dict(j); outLen += 1; j += 1 }
+      if (typ == 10 || typ == 11) ferment(out, mid, outLen, typ == 11)
+      i = 0
+      while (i < sfx.length) {
+        out(outLen) = sfx.charAt(i).toByte; outLen += 1; i += 1
+      }
+      outLen - start
+    }
+
     // ---- compressed meta-block body (§9.3) ----
     def decodeCompressed(mlenIn: Int): Unit = {
       val bsL = new BlockState(b, decodeVarLen256(b))
@@ -634,27 +718,36 @@ object BrotliInflate {
           }
           if (distance <= 0) bad()
           val maxDist = math.min(window.toLong, outLen.toLong)
-          // beyond the window = static dictionary reference: the
-          // DECLARED BOUND (Appendix A data unavailable offline)
           if (distance > maxDist) {
-            if (sys.env.contains("GRAFT_BROTLI_DEBUG"))
-              System.err.println(s"DBG dist=$distance maxDist=$maxDist " +
-                s"outLen=$outLen copyLen=$copyLen insLen=$insLen cmd=$cmd " +
-                s"rb=${rb.mkString(",")} rbIdx=$rbIdx mlen=$mlen")
-            bad()
+            // beyond the window = static dictionary reference (§8):
+            // word_id selects a bucket word of the COPY length, the
+            // high bits a transform; the ring buffer is NOT updated
+            if (copyLen < 4 || copyLen > 24) bad()
+            val shift = BrotliDictData.SizeBits(copyLen)
+            val wordId = distance.toLong - maxDist - 1
+            val tId = (wordId >> shift).toInt
+            if (tId >= 121) bad()
+            val index = (wordId & ((1L << shift) - 1)).toInt
+            val off = BrotliDictData.Offsets(copyLen) + index * copyLen
+            val tlen = appendDictWord(tId, off, copyLen)
+            if (tlen > mlen) bad()
+            if (outLen > 0) p1 = out(outLen - 1) & 0xff
+            if (outLen > 1) p2 = out(outLen - 2) & 0xff
+            mlen -= tlen
+          } else {
+            if (copyLen > mlen) bad()
+            ensure(outLen + copyLen)
+            var k = 0
+            var srcPos = outLen - distance
+            while (k < copyLen) {
+              out(outLen) = out(srcPos)
+              outLen += 1; srcPos += 1; k += 1
+            }
+            p1 = out(outLen - 1) & 0xff
+            p2 = out(outLen - 2) & 0xff
+            mlen -= copyLen
+            if (pushIt) { rb(rbIdx & 3) = distance; rbIdx += 1 }
           }
-          if (copyLen > mlen) bad()
-          ensure(outLen + copyLen)
-          var k = 0
-          var srcPos = outLen - distance
-          while (k < copyLen) {
-            out(outLen) = out(srcPos)
-            outLen += 1; srcPos += 1; k += 1
-          }
-          p1 = out(outLen - 1) & 0xff
-          p2 = out(outLen - 2) & 0xff
-          mlen -= copyLen
-          if (pushIt) { rb(rbIdx & 3) = distance; rbIdx += 1 }
         }
       }
     }

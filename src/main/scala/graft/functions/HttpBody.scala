@@ -170,7 +170,9 @@ object HttpBody {
             done = true
           } else {
             if (out.size().toLong + sz > MaxBodyBytes) return null
-            if (p + sz + 2 > n) return null
+            // long arithmetic: p near n with sz up to 0xFFFFFFF would
+            // overflow int and skip the bound check
+            if (p.toLong + sz + 2 > n) return null
             out.write(bytes, p, sz)
             p += sz
             if (!(bytes(p) == '\r' && bytes(p + 1) == '\n')) return null

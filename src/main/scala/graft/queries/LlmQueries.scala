@@ -2062,7 +2062,13 @@ $steps,
           // the family contract NULLs the WHOLE row
           unhex(concat(col("__brc"), lit("55"))))
         .when(m === 2 && col("__n") >= 1, unhex(col("__bru")))
-        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+        // malformed lane: 0x11 decodes as the RESERVED window-bits form
+        // (WBITS long-long form value 1), so the stream is invalid no
+        // matter what text follows — without the prefix, a document
+        // whose text is exactly one byte in {'1','3','5','7'} would be
+        // a VALID empty brotli stream and break the oracle's NULL pin
+        .otherwise(concat(unhex(lit("11")),
+          substring(col("text"), 1, 16).cast(BinaryType)))
       base
         .select(col("doc_id"),
           graft.functions.BrotliInflate.brotli_inflate(blob).as("__d"))
@@ -2158,7 +2164,7 @@ $steps,
     Some(raw"""
       WITH t0 AS (
         SELECT doc_id,
-               trim(regexp_replace(text, '[\s]+', ' ', 'g')) AS c
+               trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')) AS c
         FROM documents),
       e AS (
         SELECT doc_id,
@@ -2167,7 +2173,7 @@ $steps,
                END AS e
         FROM t0)
       SELECT doc_id,
-        CAST(len(regexp_split_to_array(e, '[\s]+')) AS INTEGER) AS n_tokens,
+        CAST(len(regexp_split_to_array(e, '[\s\x0b]+')) AS INTEGER) AS n_tokens,
         md5(e) AS fp
       FROM e ORDER BY doc_id"""))
 
@@ -2178,8 +2184,9 @@ $steps,
     * content decoder runs. One map-only codegen'd chain:
     * gzip_inflate(.warc.gz) → warc_payloads → http_body (functions/
     * HttpBody: RFC 9112 framing, pinned vs CPython http.client) →
-    * encoding DISPATCH (brotli_inflate / gzip_inflate / identity on the
-    * header value) → html_text → fingerprint. Lanes by doc_id % 5:
+    * encoding DISPATCH (brotli_inflate / gzip_inflate / zlib_inflate /
+    * identity on the header value) → html_text → fingerprint. Lanes by
+    * doc_id % 6:
     *  (0) `Content-Length` + `Content-Encoding: br` (column-built
     *      brotli chain);
     *  (1) `Transfer-Encoding: chunked`, plain html body in ≤512-byte
@@ -2188,8 +2195,11 @@ $steps,
     *      member);
     *  (3) chunked with a LYING chunk size — the warc/gzip layers are
     *      valid, the HTTP layer NULLs, nothing reaches the decoders;
-    *  (4) raw text (NULLs at the outer gzip).
-    * All three valid lanes land on the SAME extracted text, so one
+    *  (4) raw text (NULLs at the outer gzip);
+    *  (5) `Content-Length` + `Content-Encoding: deflate` (RFC 9110's
+    *      third registered content coding = ZLIB framing, RFC 1950:
+    *      0x78 0x01 header, stored-deflate block, big-endian Adler-32).
+    * All four valid lanes land on the SAME extracted text, so one
     * closed-form oracle expression covers them; status/encoding pin the
     * header parse.
     */
@@ -2244,11 +2254,25 @@ $steps,
             lit("01"), le16(sl), le16(lit(65535) - sl), col("__pagehex"),
             le32(crc32(unhex(col("__pagehex")))), le32(sl))
         })
+        .withColumn("__zl", {
+          // RFC 1950 zlib frame: CMF/FLG 0x7801 ((0x78*256+1) % 31 == 0),
+          // one stored-deflate block, big-endian Adler-32 of the page
+          val sl = (length(col("__pagehex")) / 2).cast(IntegerType)
+          concat(lit("7801"), lit("01"), le16(sl), le16(lit(65535) - sl),
+            col("__pagehex"),
+            lpad(hex(graft.functions.Checksums.adler32_fn(
+              unhex(col("__pagehex")))), 8, "0"))
+        })
         .withColumn("__http", {
-          val m = pmod(col("doc_id"), lit(5))
+          val m = pmod(col("doc_id"), lit(6))
           val brLen = (length(col("__br")) / 2).cast(LongType)
           val gzLen = (length(col("__gz")) / 2).cast(LongType)
-          when(m === 0, concat(
+          val zlLen = (length(col("__zl")) / 2).cast(LongType)
+          when(m === 5, concat(
+            asciiHex(concat(lit("HTTP/1.1 200 OK\r\n" +
+              "Content-Encoding: Deflate\r\ncontent-length: "), zlLen,
+              lit("\r\n\r\n"))), col("__zl")))
+            .when(m === 0, concat(
             asciiHex(concat(lit("HTTP/1.1 200 OK\r\nServer: g\r\n" +
               "Content-Encoding: BR\r\nContent-Length: "), brLen,
               lit("\r\n\r\n"))), col("__br")))
@@ -2278,7 +2302,7 @@ $steps,
         lit("01"), le16(sl), le16(lit(65535) - sl),
         col("__seg"),
         le32(crc32(unhex(col("__seg")))), le32(sl)))
-      val blob = when(pmod(col("doc_id"), lit(5)) === 4,
+      val blob = when(pmod(col("doc_id"), lit(6)) === 4,
         substring(col("text"), 1, 16).cast(BinaryType)).otherwise(gz)
       val h = graft.functions.HttpBody.http_body(element_at(
         graft.functions.WarcRecords.warc_payloads(
@@ -2288,6 +2312,7 @@ $steps,
       val decoded = when(enc === "br",
         graft.functions.BrotliInflate.brotli_inflate(body))
         .when(enc === "gzip", graft.functions.GzipInflate.gzip_inflate(body))
+        .when(enc === "deflate", graft.functions.ZlibInflate.zlib_inflate(body))
         .otherwise(body)
       val txt = graft.functions.HtmlText.html_text(decoded)
       staged
@@ -2302,18 +2327,19 @@ $steps,
     Some(raw"""
       WITH t0 AS (
         SELECT doc_id,
-               trim(regexp_replace(text, '[\s]+', ' ', 'g')) AS c
+               trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')) AS c
         FROM documents),
       e AS (
         SELECT doc_id,
-               CASE WHEN doc_id % 5 <= 2 THEN
+               CASE WHEN doc_id % 6 <= 2 OR doc_id % 6 = 5 THEN
                  CASE WHEN c = '' THEN 'H' ELSE 'H ' || c END
                END AS e
         FROM t0)
       SELECT doc_id,
-        CASE WHEN doc_id % 5 <= 2 THEN 200 END AS status,
-        CASE WHEN doc_id % 5 = 0 THEN 'br'
-             WHEN doc_id % 5 = 2 THEN 'gzip' END AS content_encoding,
+        CASE WHEN doc_id % 6 <= 2 OR doc_id % 6 = 5 THEN 200 END AS status,
+        CASE WHEN doc_id % 6 = 0 THEN 'br'
+             WHEN doc_id % 6 = 2 THEN 'gzip'
+             WHEN doc_id % 6 = 5 THEN 'deflate' END AS content_encoding,
         md5(e) AS fp
       FROM e ORDER BY doc_id"""))
 
@@ -2367,7 +2393,7 @@ $steps,
     Some(raw"""
       WITH t0 AS (
         SELECT doc_id,
-               trim(regexp_replace(text, '[\s]+', ' ', 'g')) AS c
+               trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')) AS c
         FROM documents),
       e AS (
         SELECT doc_id,
@@ -2375,9 +2401,9 @@ $steps,
         FROM t0),
       t AS (
         SELECT doc_id, e,
-          len(regexp_split_to_array(e, '[\s]+')) AS n,
-          length(regexp_replace(e, '[\s]+', '', 'g')) AS letters,
-          len(list_filter(regexp_split_to_array(e, '[\s]+'),
+          len(regexp_split_to_array(e, '[\s\x0b]+')) AS n,
+          length(regexp_replace(e, '[\s\x0b]+', '', 'g')) AS letters,
+          len(list_filter(regexp_split_to_array(e, '[\s\x0b]+'),
             x -> x IN ('the','a','an','and','of','to','in'))) AS stops
         FROM e)
       SELECT doc_id,

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * metadata meta-block layouts used below (it decodes them to the same
   * bytes — asserted at fixture-generation time).
   *
-  * The declared bound: a static-dictionary reference (distance past
-  * the window; RFC 7932 Appendix A's 122,784 data bytes are not
-  * derivable offline) NULLs — pinned with a q11 single-word stream
-  * that libbrotli encodes as a dictionary reference.
+  * Static-dictionary references (distance past the window, §8) decode
+  * via the Appendix A data + Appendix B transforms extracted from the
+  * SAME libbrotli (tools/extract_brotli_dict.py) — pinned here with
+  * q5/q9/q11 English prose, the single-word reference stream, and the
+  * 16 formerly-NULL quality-sweep streams, all now byte-exact.
   */
 class BrotliInflateSpec extends SparkSpec {
   import spark.implicits._
@@ -68,12 +69,21 @@ class BrotliInflateSpec extends SparkSpec {
     pin("Q11Big")
   }
 
-  test("q11 REAL English text NULLs at the dictionary bound") {
+  test("q11 REAL English text decodes THROUGH dictionary references") {
     // libbrotli q11 on natural English emits static-dictionary
-    // references — the declared bound NULLs rather than mis-decoding;
-    // the rot13 twin above proves the NULL is the dictionary, not the
-    // entropy machinery
-    assert(inflate(fixture("Q11Text")).head.isEmpty)
+    // references; the rot13 twin above is the dictionary-free contrast
+    // proving the entropy machinery alone also holds
+    pin("Q11Text")
+  }
+
+  test("q5/q9/q11 dictionary-dense prose decodes byte-exact " +
+      "(words + ferment + omit + prefix/suffix transforms)") {
+    // 4.6 KB of prose built to hit the transform families: sentence-
+    // initial capitals (ferment-first), ALL-CAPS (ferment-all),
+    // quoted/punctuated words (prefix/suffix), plural/-ing/-ed forms
+    // (omit-last); every stream libbrotli-roundtrip-validated at
+    // generation time
+    pin("Q5Eng"); pin("Q9Eng"); pin("Q11Eng")
   }
 
   test("q11 run-free periodic text decodes (copies + ring buffer)") {
@@ -95,10 +105,10 @@ class BrotliInflateSpec extends SparkSpec {
     assert(got.head.isDefined && got.head.get.length == 0)
   }
 
-  test("a static-dictionary reference NULLs (the declared bound)") {
-    // libbrotli q11 encodes the single word "information" as a
-    // dictionary reference — distance past the window
-    assert(inflate(fixture("Q11Dict")).head.isEmpty)
+  test("a pure static-dictionary reference decodes (single word)") {
+    // libbrotli q11 encodes the single word "information" as ONE
+    // dictionary reference — distance past the (empty) window
+    pin("Q11Dict")
   }
 
   test("hand-built uncompressed meta-block layout (libbrotli-validated)") {
@@ -163,20 +173,16 @@ class BrotliInflateSpec extends SparkSpec {
 
   test("quality sweep: 72 libbrotli streams (q0-q11 x 6 shapes) pinned") {
     // every encoder quality emits different structure mixes (uncompressed
-    // blocks, simple codes, full context modeling, block splitting) —
-    // the sweep pins all of them across six payload shapes. Expected
-    // column per line: 'rt' = exact roundtrip; 'null' = the documented
-    // STATIC-DICTIONARY bound — the runs/utf8 shapes hit dictionary
-    // references from exactly q4 up (the encoder's dictionary-matching
-    // activation quality), and both failing distances parse as valid
-    // dictionary refs (transform index < 121) at positions where no
-    // in-window match exists. Nothing may ever decode to WRONG bytes.
+    // blocks, simple codes, full context modeling, block splitting,
+    // static-dictionary references from q4 up on the runs/utf8 shapes) —
+    // the sweep pins all of them across six payload shapes, every one a
+    // byte-exact roundtrip now that the dictionary decodes.
     val in = getClass.getResourceAsStream("/brotli/quality_sweep.txt")
     assert(in != null)
     val rows = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toVector finally in.close()
     assert(rows.size == 72)
-    assert(rows.count(_.split(" ")(2) == "rt") == 56)
+    assert(rows.count(_.split(" ")(2) == "rt") == 72)
     val failures = rows.flatMap { line =>
       val Array(name, q, exp, chex, phex) = line.split(" ", 5)
       val got = inflate(unhex(chex)).head
