@@ -261,8 +261,16 @@ object Bench {
     // position (any contention window now hits a random cross-section),
     // while staying replayable: the same seed reproduces the order.
     val benchSeed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "10").toLong
-    val execOrder = new scala.util.Random(benchSeed)
-      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c — targeted quiet re-laps (regression
+    // adjudication) without the full-suite wall cost; the anchor file is
+    // NEVER written from a subset run (guarded below), so a partial total
+    // cannot clobber the committed full-suite anchor.
+    val onlySet: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => onlySet.isEmpty || onlySet(q._1))
+    val execOrder = new scala.util.Random(benchSeed).shuffle(benched)
     var done = 0
     val results: Seq[(String, Double, Seq[Lap])] =
       execOrder.map { case (name, fn) =>
@@ -361,6 +369,22 @@ object Bench {
     val controlsJson = controls.map { c =>
       s"[${c.pos},${fmt(c.sec)},${c.memMB},${c.diskMB},${fmt(c.gcSec)},${fmt(c.schedSec)},${fmt(c.load1m)},${fmt(c.ownCpu)},${c.busDepth},${c.cleanerRefs}]"
     }.mkString("[", ",", "]")
+    // r14 verdict #5 — WINDOW FLAG: the anchor-vs-driver delta kept
+    // needing manual control-series reading (the r14 driver run sat 15 %
+    // over the committed anchor with a 17.8 s control spike mid-run).
+    // Surface the attribution in the artifact itself: p95/median over
+    // the fixed-control laps — ~1.0 on a quiet machine, >1.5 means some
+    // window of the run was contended and absolute totals from it
+    // should not be compared against quiet anchors.
+    val windowFlag: Double = {
+      val s = controls.map(_.sec).sorted
+      if (s.isEmpty || s(s.size / 2) <= 0) 0.0
+      else {
+        val p95 = s(math.min(s.size - 1,
+          math.ceil(0.95 * s.size).toInt - 1))
+        p95 / s(s.size / 2)
+      }
+    }
     val envJson = {
       val rt = Runtime.getRuntime
       val rev = revisitNames.toSeq.sorted.map("\"" + _ + "\"")
@@ -368,7 +392,7 @@ object Bench {
       val covered =
         okResults.filter(r => revisitNames(r._1)).map(_._2).sum
       val share = if (totalWall > 0) covered / totalWall else 0.0
-      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors},"bench_seed":$benchSeed,"revisit_share_target":$RevisitShare,"revisit_share_actual":${fmt(share)},"revisit":$rev}"""
+      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors},"bench_seed":$benchSeed,"window_flag":${fmt(windowFlag)},"revisit_share_target":$RevisitShare,"revisit_share_actual":${fmt(share)},"revisit":$rev}"""
     }
     val orderJson =
       execOrder.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")
@@ -389,9 +413,9 @@ object Bench {
     // directory merely ENDING in "sf0.1" (alt-sf0.1) clobbered the
     // committed anchor. Normalize and compare the final path segment.
     val isAnchorSf =
-      try java.nio.file.Paths.get(sfDir).normalize()
+      (try java.nio.file.Paths.get(sfDir).normalize()
         .getFileName.toString == "sf0.1"
-      catch { case _: Throwable => false }
+      catch { case _: Throwable => false }) && onlySet.isEmpty
     val benchPath =
       if (isAnchorSf) "/root/repo/bench_full.json"
       else "/root/repo/bench_full_smoke.json"
@@ -428,7 +452,7 @@ object Bench {
     // therefore MINIMAL — no queries map, so it fits any capture window
     // whole and the full-suite total is always recoverable.
     val nOk = finalResults.count(_._2 >= 0)
-    println(s"""{"metric":"bench_total","value":${fmt(total)},"unit":"sec","n":$nOk,"n_failed":${finalResults.size - nOk}}""")
+    println(s"""{"metric":"bench_total","value":${fmt(total)},"unit":"sec","n":$nOk,"n_failed":${finalResults.size - nOk},"window_flag":${fmt(windowFlag)}}""")
     spark.stop()
   }
 }

@@ -1866,6 +1866,24 @@ object ScaleProbe {
     }
     val brSmall = probeHexResource("br")
     val brBig = probeHexResource("br_2mb")
+    // a chunked HTTP/1.1 response around the payload (r14 verdict #6:
+    // the chunked-decode path had no ×10 linearity measurement) — the
+    // body rides 512-byte ASCII-hex-sized chunks with a trailer, the
+    // shape llm_crawl_http's lane 1 exercises
+    val httpBlob = {
+      val sb = new java.lang.StringBuilder
+      sb.append("HTTP/1.1 200 OK\r\nServer: probe\r\n")
+        .append("Transfer-Encoding: chunked\r\n\r\n")
+      var off = 0
+      while (off < payload.length) {
+        val k = math.min(512, payload.length - off)
+        sb.append(Integer.toHexString(k)).append("\r\n")
+          .append(new String(payload, off, k, "ISO-8859-1")).append("\r\n")
+        off += k
+      }
+      sb.append("0\r\nX-Meta: done\r\n\r\n")
+      sb.toString.getBytes("ISO-8859-1")
+    }
     // an HTML page around the payload text (r13: extraction throughput)
     val htmlBlob = ("<!DOCTYPE html><html><head><script>var x=1<2;" +
       "</script><style>p{}</style></head><body><h1>H</h1><p>" +
@@ -1908,6 +1926,8 @@ object ScaleProbe {
       ("br_2mb", brBig,
         c => octet_length(BrotliInflate.brotli_inflate(c))),
       ("html", htmlBlob, c => length(HtmlText.html_text(c))),
+      ("http", httpBlob,
+        c => octet_length(HttpBody.http_body(c).getField("body"))),
       ("png", png, c => PngPixels.png_pixels(c).getField("n_px")),
       ("gif", gif, c => GifPixels.gif_pixels(c).getField("n_px")),
       ("webp", webp, c => WebpPixels.webp_pixels(c).getField("n_px")),

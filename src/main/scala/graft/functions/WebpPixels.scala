@@ -8,14 +8,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 
-/** Lossless-WebP (VP8L) pixel decode — the full public "WebP Lossless
-  * Bitstream Specification", completing the pixel line for the one
-  * format llm_media_catalog could previously only read header-deep
-  * (ImageDims parses the VP8L dims; this decodes the pixels).
+/** WebP pixel decode — BOTH coding modes: lossless `VP8L` (the full
+  * public "WebP Lossless Bitstream Specification", below) and lossy
+  * `VP8 ` (the full RFC 6386 keyframe decoder in [[Vp8Decode]]:
+  * boolean coder, intra prediction, iDCT/WHT, loop filter, fancy
+  * upsampling + fixed-point YUV→RGB — pinned pixel-exact against
+  * WebPDecodeRGBA across 20 feature-forcing vectors).
   *
-  * Container: RIFF/WEBP chunk walk to the `VP8L` chunk (a `VP8X`
-  * extended header is skipped and the scan continues; lossy `VP8 `
-  * stays out of scope → NULL). VP8L payload: the 0x2F signature, then
+  * Container: RIFF/WEBP chunk walk to the first `VP8L` or `VP8 `
+  * chunk (a `VP8X` extended header is skipped and the scan
+  * continues). VP8L payload: the 0x2F signature, then
   * a forward LSB-first bitstream holding 14-bit dims, the transform
   * list, and entropy-coded ARGB data.
   *
@@ -91,7 +93,7 @@ object WebpPixels {
   /** Pixel-count guard: 16M px × 4 B/px = the family's 64 MB policy. */
   val MaxPixels: Long = 16L * 1024 * 1024
 
-  private object Corrupt extends RuntimeException {
+  private[functions] object Corrupt extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
   }
   private def bad(): Nothing = throw Corrupt
@@ -647,13 +649,12 @@ object WebpPixels {
         return decodeVp8l(bytes, dataOff, dataOff + size.toInt)
       }
       // VP8X (extended header) and metadata chunks are walked past;
-      // lossy 'VP8 ' falls out of the loop -> NULL: no independent
-      // VP8 implementation exists in this environment to pin a boolean-
-      // coder decoder against (no libwebp/PIL/JDK support), so the
-      // bound is declared rather than silently wrong — dims-only via
-      // ImageDims (see llm_media_catalog's DECLARED BOUND paragraph)
+      // lossy 'VP8 ' decodes via the RFC 6386 keyframe decoder
+      // ([[Vp8Decode]]), pinned pixel-exact against WebPDecodeRGBA
       if (bytes(p) == 'V' && bytes(p + 1) == 'P' && bytes(p + 2) == '8' &&
-        bytes(p + 3) == ' ') bad()
+        bytes(p + 3) == ' ') {
+        return Vp8Decode.decodeArgb(bytes, dataOff, dataOff + size.toInt)
+      }
       p = dataOff + size.toInt + (size.toInt & 1) // chunks pad to even
       guard += 1
     }

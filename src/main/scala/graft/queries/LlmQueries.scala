@@ -3347,20 +3347,10 @@ $steps,
     * one arithmetic CASE per lane; the junk lane proves disagreement
     * NULLs rather than mislabeling. The format label is the same
     * coalesce over literal tags. (WEBP joined in r12 when WebpPixels
-    * closed the last header-only format.)
-    *
-    * DECLARED BOUND — lossy WebP (`VP8 `): the catalog's webp lane
-    * fires on LOSSLESS (`VP8L`) files only. Lossy bitstreams need the
-    * VP8 boolean arithmetic coder + intra prediction + IDCT + loop
-    * filter, and this environment ships NO independent VP8
-    * implementation (no libwebp/dwebp, no PIL, no JDK support) to pin
-    * pixel-exactness against — an unpinned from-scratch decoder would
-    * break the codec family's every-decoder-pinned discipline, so the
-    * boundary stays explicit rather than silently wrong: lossy files
-    * surface DIMS-ONLY through `image_dims` (the `VP8 ` 14-bit
-    * keyframe header parse — a green cross-engine lane of
-    * llm_multimodal_dims), and their pixel columns are NULL here by
-    * contract, exactly like a corrupt blob is.
+    * closed the last header-only format; LOSSY webp joined in r15 when
+    * Vp8Decode landed — lane 6 carries a real libwebp-encoded `VP8 `
+    * keyframe decoded by the in-engine RFC 6386 decoder, its
+    * WebPDecodeRGBA-exact sums pinned as oracle constants.)
     */
   val mediaCatalog = QueryDef(
     "llm_media_catalog",
@@ -3439,12 +3429,18 @@ $steps,
       val jpegHex = concat(lit("FFD8" + jdqt + jdht + "FFC0000B08"),
         lpad(hex(col("__h")), 4, "0"), lpad(hex(col("__w")), 4, "0"),
         lit("01011100FFDA0008010100003F00"), col("__je"), lit("FFD9"))
-      val blob = when(pmod(col("doc_id"), lit(6)) === 0, unhex(bmpHex))
-        .when(pmod(col("doc_id"), lit(6)) === 1, unhex(pngHex))
-        .when(pmod(col("doc_id"), lit(6)) === 2, unhex(gifHex))
-        .when(pmod(col("doc_id"), lit(6)) === 3, unhex(jpegHex))
-        .when(pmod(col("doc_id"), lit(6)) === 4,
+      // lane 6: a REAL lossy (`VP8 `) keyframe — libwebp-encoded 32x24
+      // flat color at q75 (tools/gen_vp8_fixtures.py), decoded by the
+      // in-engine RFC 6386 decoder; the oracle pins the WebPDecodeRGBA-
+      // exact sums recorded at generation time
+      val lossyWebpHex = "52494646440000005745425056503820380000005003009d012a200018003e91429c4a25a3a2a1a80800b012096500ccfe80005312700000fccaffe76b618831e1ff8b73f6eb9a075e000000"
+      val blob = when(pmod(col("doc_id"), lit(7)) === 0, unhex(bmpHex))
+        .when(pmod(col("doc_id"), lit(7)) === 1, unhex(pngHex))
+        .when(pmod(col("doc_id"), lit(7)) === 2, unhex(gifHex))
+        .when(pmod(col("doc_id"), lit(7)) === 3, unhex(jpegHex))
+        .when(pmod(col("doc_id"), lit(7)) === 4,
           unhex(vp8lFlatHex(col("__w"), col("__h"), rv, gv, bv)))
+        .when(pmod(col("doc_id"), lit(7)) === 6, unhex(lit(lossyWebpHex)))
         .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
       val withP = jbase
         .withColumn("__bmp", graft.functions.BmpPixels.bmp_pixels(blob))
@@ -3478,20 +3474,26 @@ $steps,
                (doc_id + n_chars * 5) % 256 AS bv
         FROM documents)
       SELECT doc_id AS media_id,
-             CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+             CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
-                  WHEN 4 THEN 'webp' END AS format,
-             CASE WHEN doc_id % 6 = 5 THEN NULL ELSE w END AS width,
-             CASE WHEN doc_id % 6 = 5 THEN NULL ELSE h END AS height,
-             CASE WHEN doc_id % 6 = 5 THEN NULL
+                  WHEN 4 THEN 'webp' WHEN 6 THEN 'webp' END AS format,
+             CASE WHEN doc_id % 7 = 5 THEN NULL
+                  WHEN doc_id % 7 = 6 THEN 32 ELSE w END AS width,
+             CASE WHEN doc_id % 7 = 5 THEN NULL
+                  WHEN doc_id % 7 = 6 THEN 24 ELSE h END AS height,
+             CASE WHEN doc_id % 7 = 5 THEN NULL
+                  WHEN doc_id % 7 = 6 THEN CAST(768 AS BIGINT)
                   ELSE CAST(w * h AS BIGINT) END AS n_px,
-             CASE WHEN doc_id % 6 = 5 THEN NULL
+             CASE WHEN doc_id % 7 = 5 THEN NULL
+                  WHEN doc_id % 7 = 6 THEN CAST(53072 AS BIGINT)
                   ELSE CAST(w * h * rv AS BIGINT) END AS sum_r,
-             CASE WHEN doc_id % 6 = 5 THEN NULL
-                  WHEN doc_id % 6 = 3 THEN CAST(w * h * rv AS BIGINT)
+             CASE WHEN doc_id % 7 = 5 THEN NULL
+                  WHEN doc_id % 7 = 6 THEN CAST(107622 AS BIGINT)
+                  WHEN doc_id % 7 = 3 THEN CAST(w * h * rv AS BIGINT)
                   ELSE CAST(w * h * gv AS BIGINT) END AS sum_g,
-             CASE WHEN doc_id % 6 = 5 THEN NULL
-                  WHEN doc_id % 6 = 3 THEN CAST(w * h * rv AS BIGINT)
+             CASE WHEN doc_id % 7 = 5 THEN NULL
+                  WHEN doc_id % 7 = 6 THEN CAST(161720 AS BIGINT)
+                  WHEN doc_id % 7 = 3 THEN CAST(w * h * rv AS BIGINT)
                   ELSE CAST(w * h * bv AS BIGINT) END AS sum_b
       FROM d ORDER BY media_id"""))
 
