@@ -573,7 +573,15 @@ object WebpPixels {
     b.bit() // alpha hint
     if (b.bits(3) != 0) bad() // version
     if (width.toLong * height > MaxPixels) bad()
+    (width, height, decodeVp8lBody(b, width, height))
+  }
 
+  /** The headerless VP8L body (transforms + entropy-coded data +
+    * inverse transforms) — also the coding of an ALPH chunk's
+    * compressed alpha plane, which carries no signature/dims/version.
+    */
+  private def decodeVp8lBody(b: Bits, width: Int, height: Int)
+      : Array[Int] = {
     var xsize = width
     val transforms = scala.collection.mutable.ArrayBuffer.empty[Transform]
     var seen = 0
@@ -623,7 +631,86 @@ object WebpPixels {
       ti -= 1
     }
     if (curX != width) bad()
-    (width, height, px)
+    px
+  }
+
+  /** Decode an ALPH chunk (WebP container spec: 1 header byte —
+    * 2-bit compression method raw|VP8L, 2-bit filter, 2-bit
+    * preprocessing — then the plane) and merge it into `argb`'s alpha
+    * bytes. The VP8L method is the HEADERLESS body coding with the
+    * alpha value in the green channel; filters are the container
+    * spec's horizontal/vertical/gradient predictors (first row falls
+    * back to horizontal, first column to above — the reference
+    * unfilter kernels). DECLARED BOUND: preprocessing=1 (lossy-alpha
+    * level smoothing, emitted only at alpha_quality<100) NULLs — the
+    * smoothing pass is a quality transform, not a bitstream coding,
+    * and decoding without it would silently disagree with the
+    * reference decoder.
+    */
+  private def applyAlpha(bytes: Array[Byte], from: Int, to: Int,
+      w: Int, h: Int, argb: Array[Int]): Unit = {
+    if (to - from < 1 || to > bytes.length) bad()
+    val hdr = bytes(from) & 0xff
+    if ((hdr >> 6) != 0) bad() // reserved bits
+    val method = hdr & 3
+    val filter = (hdr >> 2) & 3
+    val pre = (hdr >> 4) & 3
+    if (pre != 0) bad()
+    val plane: Array[Byte] = method match {
+      case 0 =>
+        if (to - from - 1 < w.toLong * h) bad()
+        java.util.Arrays.copyOfRange(bytes, from + 1, from + 1 + w * h)
+      case 1 =>
+        val px = decodeVp8lBody(new Bits(bytes, from + 1, to), w, h)
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < out.length) { out(i) = ((px(i) >> 8) & 0xff).toByte; i += 1 }
+        out
+      case _ => bad()
+    }
+    if (filter > 0) {
+      var y = 0
+      while (y < h) {
+        if (y == 0 || filter == 1) { // horizontal (filters 2/3 fall back
+          // to horizontal on the first row)
+          var pred = if (y == 0) 0 else plane((y - 1) * w) & 0xff
+          var x = 0
+          while (x < w) {
+            val v = (pred + plane(y * w + x)) & 0xff
+            plane(y * w + x) = v.toByte
+            pred = v
+            x += 1
+          }
+        } else if (filter == 2) { // vertical
+          var x = 0
+          while (x < w) {
+            plane(y * w + x) =
+              ((plane((y - 1) * w + x) + plane(y * w + x)) & 0xff).toByte
+            x += 1
+          }
+        } else { // gradient
+          var left = plane((y - 1) * w) & 0xff
+          var topLeft = left
+          var x = 0
+          while (x < w) {
+            val top = plane((y - 1) * w + x) & 0xff
+            var g = left + top - topLeft
+            if (g < 0) g = 0
+            if (g > 255) g = 255
+            left = (g + plane(y * w + x)) & 0xff
+            plane(y * w + x) = left.toByte
+            topLeft = top
+            x += 1
+          }
+        }
+        y += 1
+      }
+    }
+    var i = 0
+    while (i < argb.length) {
+      argb(i) = (argb(i) & 0x00ffffff) | ((plane(i) & 0xff) << 24)
+      i += 1
+    }
   }
 
   /** Decode to the raw ARGB array — exposed so the spec can pin pixels
@@ -640,6 +727,8 @@ object WebpPixels {
     val riffEnd = math.min(n.toLong, 8 + le32(4)).toInt
     var p = 12
     var guard = 0
+    var alphaOff = -1
+    var alphaEnd = -1
     while (p + 8 <= riffEnd && guard < n / 8 + 1) {
       val size = le32(p + 4)
       val dataOff = p + 8
@@ -649,11 +738,20 @@ object WebpPixels {
         return decodeVp8l(bytes, dataOff, dataOff + size.toInt)
       }
       // VP8X (extended header) and metadata chunks are walked past;
-      // lossy 'VP8 ' decodes via the RFC 6386 keyframe decoder
-      // ([[Vp8Decode]]), pinned pixel-exact against WebPDecodeRGBA
+      // an ALPH chunk (lossy alpha plane) is recorded and merged into
+      // the VP8 decode; lossy 'VP8 ' decodes via the RFC 6386 keyframe
+      // decoder ([[Vp8Decode]]), pinned pixel-exact vs WebPDecodeRGBA
+      if (bytes(p) == 'A' && bytes(p + 1) == 'L' && bytes(p + 2) == 'P' &&
+        bytes(p + 3) == 'H' && alphaOff < 0) {
+        alphaOff = dataOff
+        alphaEnd = dataOff + size.toInt
+      }
       if (bytes(p) == 'V' && bytes(p + 1) == 'P' && bytes(p + 2) == '8' &&
         bytes(p + 3) == ' ') {
-        return Vp8Decode.decodeArgb(bytes, dataOff, dataOff + size.toInt)
+        val r = Vp8Decode.decodeArgb(bytes, dataOff, dataOff + size.toInt)
+        if (alphaOff >= 0) applyAlpha(bytes, alphaOff, alphaEnd, r._1, r._2,
+          r._3)
+        return r
       }
       p = dataOff + size.toInt + (size.toInt & 1) // chunks pad to even
       guard += 1

@@ -131,6 +131,20 @@ class WebpPixelsSpec extends SparkSpec {
   // gen_vp8_fixtures_adv.py; every vector round-trip-validated against
   // libwebp at generation time
   private val lossyVectors = Seq(
+    ("alpha_best", 96, 64, 755761L, 683681L, 757348L,
+      "648294efdec49314a7e56b39c3fc3e00"),
+    ("alpha_blocky", 96, 64, 755864L, 684549L, 756664L,
+      "eff191c6614bd3d8cb508c2ad0e8dc64"),
+    ("alpha_default", 96, 64, 756327L, 683884L, 757088L,
+      "724b5868f0d2be5d352502e85356fcfa"),
+    ("alpha_gfilt", 96, 64, 755233L, 683860L, 756914L,
+      "0d6d02ec83e95dab75e0be72184a8276"),
+    ("alpha_nofilter", 96, 64, 755955L, 685013L, 757037L,
+      "a1aa3edf708e8ef1ebc06dfba60c9e04"),
+    ("alpha_raw", 96, 64, 755233L, 683860L, 756914L,
+      "0d6d02ec83e95dab75e0be72184a8276"),
+    ("alpha_vfilt", 96, 64, 755233L, 683860L, 756914L,
+      "0d6d02ec83e95dab75e0be72184a8276"),
     ("lossy_autofilter", 160, 128, 2596505L, 2598811L, 2606797L,
       "05970af54b0bbb6d6060a9559d9e0903"),
     ("lossy_flat_q75", 32, 24, 53072L, 107622L, 161720L,
@@ -189,9 +203,11 @@ class WebpPixelsSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
   }
 
-  test("lossy VP8: 20 libwebp streams decode RGBA-exact " +
+  test("lossy VP8: 27 libwebp streams decode RGBA-exact " +
       "(qualities 1-100, segments, B_PRED modes, 8 token partitions, " +
-      "simple/normal/none loop filter, sharpness, odd dims)") {
+      "simple/normal/none loop filter, sharpness, odd dims, and " +
+      "VP8X+ALPH alpha: raw + VP8L-coded planes under all four " +
+      "filters — the md5 covers the alpha bytes)") {
     for ((name, w, h, r, g, bl, md5) <- lossyVectors) {
       val (ww, hh, px) = WebpPixels.decodeArgb(res(s"$name.hex"))
       assert((ww, hh) == (w, h), s"$name dims")
