@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.types._
 
-/** REAL pixel decode over baseline JPEG (ITU-T T.81 sequential DCT,
-  * Huffman entropy coding) — the LAST format on the declared-fake
-  * codec line, now implemented from the public specification: marker
+/** REAL pixel decode over baseline AND progressive JPEG (ITU-T T.81
+  * sequential + progressive DCT, Huffman entropy coding), implemented
+  * from the public specification: marker
   * walk, DQT quantization tables, DHT canonical Huffman tables
   * (MSB-first codes, decoded by the per-length count/first-code walk),
   * the interleaved MCU scan with per-component sampling factors
@@ -23,9 +23,18 @@ import org.apache.spark.sql.types._
   * integer fixed point (16-bit constants, round-half-up shift) so the
   * conversion is reproducible arithmetic, not float folklore.
   *
-  * Scope: baseline SOF0 only, 8-bit precision, 1 (grayscale) or 3
-  * (YCbCr) components, sampling factors 1-2. Progressive (SOF2),
-  * arithmetic coding, 12-bit, and hierarchical modes are out of scope
+  * Progressive (SOF2, r15): T.81 Annex G spectral selection +
+  * successive approximation — per-component coefficient buffers
+  * accumulate across scans (interleaved or single-component DC
+  * first/refinement, single-component AC bands with EOB-run coding and
+  * the correction-bit refinement algorithm), with between-scan
+  * DHT/DQT/DRI redefinitions honored, then one dequant+IDCT pass at
+  * EOI; pinned BIT-EXACT against the JDK's libjpeg-derived codec over
+  * its standard 10-scan progression script.
+  *
+  * Scope: SOF0 + SOF2, 8-bit precision, 1 (grayscale) or 3
+  * (YCbCr) components, sampling factors 1-2. Arithmetic coding,
+  * 12-bit, and hierarchical modes are out of scope
   * → NULL ([[ImageDims]] still reports their dimensions). Subsampled
   * chroma upsamples by sample replication — the spec leaves
   * interpolation to the decoder; replication is the deterministic
@@ -224,6 +233,12 @@ object JpegPixels {
     var plane: Array[Byte] = null
     var planeW = 0
     var planeH = 0
+    // progressive state: per-block coefficient store (zigzag index
+    // order), the non-interleaved block grid, and the storage grid
+    var coefs: Array[Int] = null
+    var bw = 0
+    var bh = 0
+    var blocksW = 0
   }
 
   def parse(bytes: Array[Byte]): InternalRow = {
@@ -240,6 +255,7 @@ object JpegPixels {
     var comps: Array[Component] = null
     var restartInterval = 0
     var sosAt = -1
+    var progressive = false
 
     def u16(i: Int): Int =
       ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
@@ -320,14 +336,42 @@ object JpegPixels {
                 return null
               k += 1
             }
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+          case 0xc2 => // SOF2 progressive: same frame header grammar
+            if (comps != null) return null
+            if (len < 8) return null
+            val prec = bytes(seg) & 0xff
+            height = u16(seg + 1)
+            width = u16(seg + 3)
+            val nc = bytes(seg + 5) & 0xff
+            if (prec != 8 || width < 1 || height < 1) return null
+            if (nc != 1 && nc != 3) return null
+            if (len != 8 + 3 * nc) return null
+            if (width.toLong * height > MaxPixels) return null
+            progressive = true
+            comps = Array.fill(nc)(new Component)
+            var k = 0
+            while (k < nc) {
+              val c = comps(k)
+              c.id = bytes(seg + 6 + 3 * k) & 0xff
+              val hv = bytes(seg + 7 + 3 * k) & 0xff
+              c.h = hv >> 4
+              c.v = hv & 0x0f
+              c.tq = bytes(seg + 8 + 3 * k) & 0xff
+              if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3)
+                return null
+              k += 1
+            }
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
               0xcb | 0xcd | 0xce | 0xcf =>
-            return null // non-baseline frame types: out of scope
+            return null // other frame types: out of scope
           case 0xdd => // DRI
             if (len != 4) return null
             restartInterval = u16(seg)
           case 0xda => // SOS
             if (comps == null) return null
+            if (progressive)
+              return parseProgressive(bytes, p, qt, dcT, acT, comps,
+                width, height, restartInterval)
             val ns = bytes(seg) & 0xff
             if (ns != comps.length || len != 6 + 2 * ns) return null
             var k = 0
@@ -539,7 +583,457 @@ object JpegPixels {
       (bytes(bp + 1) & 0xff) != 0xd9) return null
     if (bp + 2 != n) return null
 
-    // --- color conversion + channel sums (CCIR 601 integer form) ---
+    emitSums(comps, width, height, hMax, vMax)
+  }
+
+  /** Progressive (SOF2) decode — T.81 Annex G spectral selection +
+    * successive approximation: coefficients accumulate across scans in
+    * per-component zigzag-order buffers; DC scans (interleaved MCU
+    * order or single-component) carry diffs shifted by Al, then one
+    * refinement bit per block; AC scans are single-component in block
+    * raster order with EOB-run coding, and AC refinement applies the
+    * correction-bit algorithm (new coefficients placed where the
+    * zero-history run expires, ±1<<Al nudges on already-nonzero ones).
+    * Dequantization and the shared LL&M IDCT run once at EOI. Entered
+    * from [[parse]] at the first SOS; takes over the marker walk
+    * (DHT/DQT/DRI redefinitions between scans honored).
+    */
+  private def parseProgressive(bytes: Array[Byte], sosMarker: Int,
+      qt: Array[Array[Int]], dcT: Array[JHuff], acT: Array[JHuff],
+      comps: Array[Component], width: Int, height: Int,
+      restartInterval0: Int): InternalRow = {
+    val n = bytes.length
+    var restartInterval = restartInterval0
+    def u16(i: Int): Int =
+      ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+
+    var hMax = 1
+    var vMax = 1
+    comps.foreach { c =>
+      if (c.h > hMax) hMax = c.h
+      if (c.v > vMax) vMax = c.v
+    }
+    if (comps.length == 1 && (comps(0).h != 1 || comps(0).v != 1))
+      return null
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      c.planeW = mcusX * 8 * c.h
+      c.planeH = mcusY * 8 * c.v
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      val compW = (width * c.h + hMax - 1) / hMax
+      val compH = (height * c.v + vMax - 1) / vMax
+      c.bw = (compW + 7) / 8
+      c.bh = (compH + 7) / 8
+      c.blocksW = mcusX * c.h
+      c.coefs = new Array[Int](c.blocksW * (mcusY * c.v) * 64)
+    }
+
+    // ---- bit reader over an entropy-coded segment ----
+    var bp = 0
+    var bitBuf = 0
+    var bitCnt = 0
+    var hitMarker = false
+    def fillBit(): Int = {
+      if (bitCnt == 0) {
+        if (hitMarker || bp >= n) return -1
+        val b = bytes(bp) & 0xff
+        bp += 1
+        if (b == 0xff) {
+          if (bp >= n) return -1
+          if ((bytes(bp) & 0xff) == 0x00) bp += 1
+          else { hitMarker = true; bp -= 1; return -1 }
+        }
+        bitBuf = b
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeHuff(h: JHuff): Int = {
+      var code = 0
+      var first = 0
+      var index = 0
+      var l = 1
+      while (l <= 16) {
+        val bit = fillBit()
+        if (bit < 0) return -1
+        code |= bit
+        val cnt = h.counts(l)
+        if (code - first < cnt) return h.symbols(index + code - first) & 0xff
+        index += cnt
+        first = (first + cnt) << 1
+        code <<= 1
+        l += 1
+      }
+      -1
+    }
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0
+      var i = 0
+      while (i < s) {
+        val bit = fillBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        i += 1
+      }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    def receive(r: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < r) {
+        val bit = fillBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        i += 1
+      }
+      v
+    }
+
+    var eobrun = 0
+
+    // ---- per-scan decode; returns false on malformation ----
+    def decodeScan(scanComps: Array[Component], ss: Int, se: Int,
+        ah: Int, al: Int): Boolean = {
+      eobrun = 0
+      scanComps.foreach(_.pred = 0)
+      var rstIdx = 0
+      var unitsSince = 0
+      def restartCheck(): Boolean = {
+        if (restartInterval > 0 && unitsSince == restartInterval) {
+          bitCnt = 0
+          if (bp + 2 > n || bytes(bp) != 0xff.toByte ||
+            (bytes(bp + 1) & 0xff) != 0xd0 + rstIdx) return false
+          bp += 2
+          hitMarker = false
+          rstIdx = (rstIdx + 1) & 7
+          unitsSince = 0
+          eobrun = 0
+          scanComps.foreach(_.pred = 0)
+        }
+        true
+      }
+
+      def dcUnit(c: Component, off: Int): Boolean = {
+        if (ah == 0) {
+          val t = decodeHuff(dcT(c.td))
+          if (t < 0 || t > 15) return false
+          val diff = receiveExtend(t)
+          if (diff == Int.MinValue) return false
+          c.pred += diff
+          c.coefs(off) = c.pred << al
+        } else {
+          val bit = fillBit()
+          if (bit < 0) return false
+          if (bit == 1) c.coefs(off) |= 1 << al
+        }
+        true
+      }
+
+      def acFirstUnit(c: Component, off: Int): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        while (k <= se) {
+          val rs = decodeHuff(acT(c.ta))
+          if (rs < 0) return false
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16
+            else {
+              val extra = receive(r)
+              if (extra == Int.MinValue) return false
+              eobrun = (1 << r) - 1 + extra
+              return true
+            }
+          } else {
+            k += r
+            if (k > se) return false
+            val v = receiveExtend(s)
+            if (v == Int.MinValue) return false
+            c.coefs(off + k) = v << al
+            k += 1
+          }
+        }
+        true
+      }
+
+      def acRefineUnit(c: Component, off: Int): Boolean = {
+        val p1 = 1 << al
+        val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var break = false
+          while (k <= se && !break) {
+            val rs = decodeHuff(acT(c.ta))
+            if (rs < 0) return false
+            var r = rs >> 4
+            val s = rs & 0x0f
+            var newval = 0
+            if (s != 0) {
+              if (s != 1) return false
+              val bit = fillBit()
+              if (bit < 0) return false
+              newval = if (bit == 1) p1 else m1
+            } else if (r != 15) {
+              val extra = receive(r)
+              if (extra == Int.MinValue) return false
+              eobrun = (1 << r) + extra
+              break = true
+            }
+            if (!break) {
+              // advance over r zero-HISTORY coeffs, correcting nonzero
+              var placedOrEnd = false
+              while (!placedOrEnd && k <= se) {
+                val cur = c.coefs(off + k)
+                if (cur != 0) {
+                  val bit = fillBit()
+                  if (bit < 0) return false
+                  if (bit == 1 && (cur & p1) == 0)
+                    c.coefs(off + k) = cur + (if (cur >= 0) p1 else m1)
+                  k += 1
+                } else {
+                  if (r == 0) placedOrEnd = true
+                  else { r -= 1; k += 1 }
+                }
+              }
+              if (newval != 0) {
+                if (k > se) return false
+                c.coefs(off + k) = newval
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val cur = c.coefs(off + k)
+            if (cur != 0) {
+              val bit = fillBit()
+              if (bit < 0) return false
+              if (bit == 1 && (cur & p1) == 0)
+                c.coefs(off + k) = cur + (if (cur >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+
+      if (ss == 0 && scanComps.length > 1) {
+        // interleaved DC scan over the full MCU grid
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            if (!restartCheck()) return false
+            var k = 0
+            while (k < scanComps.length) {
+              val c = scanComps(k)
+              var v = 0
+              while (v < c.v) {
+                var h = 0
+                while (h < c.h) {
+                  val off =
+                    ((my * c.v + v) * c.blocksW + mx * c.h + h) * 64
+                  if (!dcUnit(c, off)) return false
+                  h += 1
+                }
+                v += 1
+              }
+              k += 1
+            }
+            unitsSince += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component scan (DC or AC) in block raster order
+        val c = scanComps(0)
+        var by = 0
+        while (by < c.bh) {
+          var bx = 0
+          while (bx < c.bw) {
+            if (!restartCheck()) return false
+            val off = (by * c.blocksW + bx) * 64
+            val ok =
+              if (ss == 0) dcUnit(c, off)
+              else if (ah == 0) acFirstUnit(c, off)
+              else acRefineUnit(c, off)
+            if (!ok) return false
+            unitsSince += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      true
+    }
+
+    // ---- marker loop from the first SOS to EOI ----
+    var p = sosMarker
+    var done = false
+    while (!done) {
+      if (p + 2 > n || bytes(p) != 0xff.toByte) return null
+      val m = bytes(p + 1) & 0xff
+      if (m == 0xff) p += 1 // fill byte
+      else if (m == 0xd9) { done = true; p += 2 }
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) return null
+      else {
+        val len = u16(p + 2)
+        if (len < 2 || p + 2 + len > n) return null
+        val seg = p + 4
+        val segEnd = p + 2 + len
+        m match {
+          case 0xc4 => // DHT between scans
+            var q = seg
+            while (q < segEnd) {
+              val tc = (bytes(q) & 0xff) >> 4
+              val th = bytes(q) & 0x0f
+              if (tc > 1 || th > 3) return null
+              if (q + 17 > segEnd) return null
+              val counts = new Array[Int](17)
+              var total = 0
+              var k = 1
+              while (k <= 16) {
+                counts(k) = bytes(q + k) & 0xff
+                total += counts(k)
+                k += 1
+              }
+              if (q + 17 + total > segEnd) return null
+              val syms = java.util.Arrays.copyOfRange(bytes, q + 17,
+                q + 17 + total)
+              val h = new JHuff(counts, syms)
+              if (!h.valid) return null
+              if (tc == 0) dcT(th) = h else acT(th) = h
+              q += 17 + total
+            }
+            if (q != segEnd) return null
+            p = segEnd
+          case 0xdb => // DQT between scans (last definition wins)
+            var q = seg
+            while (q < segEnd) {
+              val pq = (bytes(q) & 0xff) >> 4
+              val tq = bytes(q) & 0x0f
+              if (pq != 0 || tq > 3) return null
+              if (q + 65 > segEnd) return null
+              val tab = new Array[Int](64)
+              var k = 0
+              while (k < 64) { tab(k) = bytes(q + 1 + k) & 0xff; k += 1 }
+              qt(tq) = tab
+              q += 65
+            }
+            if (q != segEnd) return null
+            p = segEnd
+          case 0xdd =>
+            if (len != 4) return null
+            restartInterval = u16(seg)
+            p = segEnd
+          case 0xda => // a scan
+            val ns = bytes(seg) & 0xff
+            if (ns < 1 || ns > comps.length || len != 6 + 2 * ns)
+              return null
+            val scanComps = new Array[Component](ns)
+            var prevIdx = -1
+            var k = 0
+            while (k < ns) {
+              val cid = bytes(seg + 1 + 2 * k) & 0xff
+              val idx = comps.indexWhere(_.id == cid)
+              if (idx <= prevIdx) return null // frame order, no dups
+              prevIdx = idx
+              val c = comps(idx)
+              val tt = bytes(seg + 2 + 2 * k) & 0xff
+              c.td = tt >> 4
+              c.ta = tt & 0x0f
+              if (c.td > 3 || c.ta > 3) return null
+              scanComps(k) = c
+              k += 1
+            }
+            val ss = bytes(segEnd - 3) & 0xff
+            val se = bytes(segEnd - 2) & 0xff
+            val ahal = bytes(segEnd - 1) & 0xff
+            val ah = ahal >> 4
+            val al = ahal & 0x0f
+            if (ss > 63 || se > 63 || se < ss || al > 13) return null
+            if (ss == 0 && se != 0) return null // DC scans cover only 0
+            if (ss > 0 && ns != 1) return null // AC scans: one component
+            if (ah != 0 && ah != al + 1) return null
+            // table presence: DC-first needs a DC table; AC needs AC
+            k = 0
+            while (k < ns) {
+              val c = scanComps(k)
+              if (ss == 0 && ah == 0 && dcT(c.td) == null) return null
+              if (ss > 0 && acT(c.ta) == null) return null
+              if (qt(c.tq) == null) return null
+              k += 1
+            }
+            bp = segEnd
+            bitBuf = 0
+            bitCnt = 0
+            hitMarker = false
+            if (!decodeScan(scanComps, ss, se, ah, al)) return null
+            bitCnt = 0
+            p = bp // positioned at the next marker (or its FF)
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 |
+              0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return null // a second frame
+          case _ => p = segEnd // APPn/COM
+        }
+      }
+    }
+    if (p != n) return null // trailing bytes after EOI
+
+    // ---- dequantize + IDCT every covered block ----
+    val block = new Array[Long](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qt(c.tq)
+      if (q == null) return null
+      var by = 0
+      while (by < c.bh) {
+        var bx = 0
+        while (bx < c.bw) {
+          val off = (by * c.blocksW + bx) * 64
+          var k = 0
+          while (k < 64) {
+            block(ZigZag(k)) = c.coefs(off + k).toLong * q(k)
+            k += 1
+          }
+          idct(block)
+          val x0 = bx * 8
+          val y0 = by * 8
+          var yy = 0
+          while (yy < 8) {
+            val row = (y0 + yy) * c.planeW + x0
+            var xx = 0
+            while (xx < 8) {
+              var v = block(yy * 8 + xx) + 128
+              if (v < 0) v = 0
+              if (v > 255) v = 255
+              c.plane(row + xx) = v.toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    emitSums(comps, width, height, hMax, vMax)
+  }
+
+  /** Color conversion + channel sums (CCIR 601 integer form) — shared
+    * by the baseline and progressive paths.
+    */
+  private def emitSums(comps: Array[Component], width: Int, height: Int,
+      hMax: Int, vMax: Int): InternalRow = {
     var sumR = 0L
     var sumG = 0L
     var sumB = 0L
@@ -565,8 +1059,6 @@ object JpegPixels {
           val yv = yc.plane((y * yc.v / vMax) * yc.planeW + x * yc.h / hMax) & 0xff
           val cbv = (cb.plane((y * cb.v / vMax) * cb.planeW + x * cb.h / hMax) & 0xff) - 128
           val crv = (cr.plane((y * cr.v / vMax) * cr.planeW + x * cr.h / hMax) & 0xff) - 128
-          // round(1.402·2^16)=91881, round(0.344136·2^16)=22554,
-          // round(0.714136·2^16)=46802, round(1.772·2^16)=116130
           var r = ((yv.toLong << 16) + 91881L * crv + 32768L) >> 16
           var g = ((yv.toLong << 16) - 22554L * cbv - 46802L * crv + 32768L) >> 16
           var b = ((yv.toLong << 16) + 116130L * cbv + 32768L) >> 16

@@ -3350,7 +3350,9 @@ $steps,
     * closed the last header-only format; LOSSY webp joined in r15 when
     * Vp8Decode landed — lane 6 carries a real libwebp-encoded `VP8 `
     * keyframe decoded by the in-engine RFC 6386 decoder, its
-    * WebPDecodeRGBA-exact sums pinned as oracle constants.)
+    * WebPDecodeRGBA-exact sums pinned as oracle constants; lane 7 a
+    * real PROGRESSIVE SOF2 JPEG decoded by the Annex G path, its
+    * JDK-decoder-exact sum pinned likewise.)
     */
   val mediaCatalog = QueryDef(
     "llm_media_catalog",
@@ -3434,13 +3436,18 @@ $steps,
       // in-engine RFC 6386 decoder; the oracle pins the WebPDecodeRGBA-
       // exact sums recorded at generation time
       val lossyWebpHex = "52494646440000005745425056503820380000005003009d012a200018003e91429c4a25a3a2a1a80800b012096500ccfe80005312700000fccaffe76b618831e1ff8b73f6eb9a075e000000"
-      val blob = when(pmod(col("doc_id"), lit(7)) === 0, unhex(bmpHex))
-        .when(pmod(col("doc_id"), lit(7)) === 1, unhex(pngHex))
-        .when(pmod(col("doc_id"), lit(7)) === 2, unhex(gifHex))
-        .when(pmod(col("doc_id"), lit(7)) === 3, unhex(jpegHex))
-        .when(pmod(col("doc_id"), lit(7)) === 4,
+      // lane 7: a REAL progressive (SOF2) JPEG — JDK-encoded 24x16
+      // grayscale gradient (10-scan progression script); the oracle
+      // pins the JDK-decoder-exact sum recorded at generation time
+      val progJpegHex = "ffd8ffe000104a46494600010200000100010000ffdb00430006040506050406060506070706080a100a0a09090a140e0f0c1017141818171416161a1d251f1a1b231c1616202c20232627292a29191f2d302d283025282928ffc2000b080010001801011100ffc4001500010100000000000000000000000000000706ffda00080101000000012ea2500da250ffc4001810000203000000000000000000000000000031020405ffda00080101000105028151e438151e43ffc400161001010100000000000000000000000000011000ffda0008010100063f028537ffc400161001010100000000000000000000000000310010ffda0008010100013f2151635163ffda0008010100000010b7ffc40018100002030000000000000000000000000000011031a1ffda0008010100013f10a63eb4531f5a3fffd9"
+      val blob = when(pmod(col("doc_id"), lit(8)) === 0, unhex(bmpHex))
+        .when(pmod(col("doc_id"), lit(8)) === 1, unhex(pngHex))
+        .when(pmod(col("doc_id"), lit(8)) === 2, unhex(gifHex))
+        .when(pmod(col("doc_id"), lit(8)) === 3, unhex(jpegHex))
+        .when(pmod(col("doc_id"), lit(8)) === 4,
           unhex(vp8lFlatHex(col("__w"), col("__h"), rv, gv, bv)))
-        .when(pmod(col("doc_id"), lit(7)) === 6, unhex(lit(lossyWebpHex)))
+        .when(pmod(col("doc_id"), lit(8)) === 6, unhex(lit(lossyWebpHex)))
+        .when(pmod(col("doc_id"), lit(8)) === 7, unhex(lit(progJpegHex)))
         .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
       val withP = jbase
         .withColumn("__bmp", graft.functions.BmpPixels.bmp_pixels(blob))
@@ -3474,26 +3481,33 @@ $steps,
                (doc_id + n_chars * 5) % 256 AS bv
         FROM documents)
       SELECT doc_id AS media_id,
-             CASE doc_id % 7 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+             CASE doc_id % 8 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
                   WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
-                  WHEN 4 THEN 'webp' WHEN 6 THEN 'webp' END AS format,
-             CASE WHEN doc_id % 7 = 5 THEN NULL
-                  WHEN doc_id % 7 = 6 THEN 32 ELSE w END AS width,
-             CASE WHEN doc_id % 7 = 5 THEN NULL
-                  WHEN doc_id % 7 = 6 THEN 24 ELSE h END AS height,
-             CASE WHEN doc_id % 7 = 5 THEN NULL
-                  WHEN doc_id % 7 = 6 THEN CAST(768 AS BIGINT)
+                  WHEN 4 THEN 'webp' WHEN 6 THEN 'webp'
+                  WHEN 7 THEN 'jpeg' END AS format,
+             CASE WHEN doc_id % 8 = 5 THEN NULL
+                  WHEN doc_id % 8 = 6 THEN 32
+                  WHEN doc_id % 8 = 7 THEN 24 ELSE w END AS width,
+             CASE WHEN doc_id % 8 = 5 THEN NULL
+                  WHEN doc_id % 8 = 6 THEN 24
+                  WHEN doc_id % 8 = 7 THEN 16 ELSE h END AS height,
+             CASE WHEN doc_id % 8 = 5 THEN NULL
+                  WHEN doc_id % 8 = 6 THEN CAST(768 AS BIGINT)
+                  WHEN doc_id % 8 = 7 THEN CAST(384 AS BIGINT)
                   ELSE CAST(w * h AS BIGINT) END AS n_px,
-             CASE WHEN doc_id % 7 = 5 THEN NULL
-                  WHEN doc_id % 7 = 6 THEN CAST(53072 AS BIGINT)
+             CASE WHEN doc_id % 8 = 5 THEN NULL
+                  WHEN doc_id % 8 = 6 THEN CAST(53072 AS BIGINT)
+                  WHEN doc_id % 8 = 7 THEN CAST(31120 AS BIGINT)
                   ELSE CAST(w * h * rv AS BIGINT) END AS sum_r,
-             CASE WHEN doc_id % 7 = 5 THEN NULL
-                  WHEN doc_id % 7 = 6 THEN CAST(107622 AS BIGINT)
-                  WHEN doc_id % 7 = 3 THEN CAST(w * h * rv AS BIGINT)
+             CASE WHEN doc_id % 8 = 5 THEN NULL
+                  WHEN doc_id % 8 = 6 THEN CAST(107622 AS BIGINT)
+                  WHEN doc_id % 8 = 7 THEN CAST(31120 AS BIGINT)
+                  WHEN doc_id % 8 = 3 THEN CAST(w * h * rv AS BIGINT)
                   ELSE CAST(w * h * gv AS BIGINT) END AS sum_g,
-             CASE WHEN doc_id % 7 = 5 THEN NULL
-                  WHEN doc_id % 7 = 6 THEN CAST(161720 AS BIGINT)
-                  WHEN doc_id % 7 = 3 THEN CAST(w * h * rv AS BIGINT)
+             CASE WHEN doc_id % 8 = 5 THEN NULL
+                  WHEN doc_id % 8 = 6 THEN CAST(161720 AS BIGINT)
+                  WHEN doc_id % 8 = 7 THEN CAST(31120 AS BIGINT)
+                  WHEN doc_id % 8 = 3 THEN CAST(w * h * rv AS BIGINT)
                   ELSE CAST(w * h * bv AS BIGINT) END AS sum_b
       FROM d ORDER BY media_id"""))
 

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * pins exactly). Hand-built DC-only streams additionally pin the
   * restart-marker cadence (DRI + RST sequence checks + predictor
   * resets) and the 4:2:0 MCU interleave, and the strict NULL contract
-  * covers progressive frames, undefined tables, invalid Huffman codes,
-  * coefficient overruns, truncation, missing EOI and trailing bytes.
+  * covers malformed scan headers, undefined tables, invalid Huffman
+  * codes, coefficient overruns, truncation, missing EOI and trailing
+  * bytes. PROGRESSIVE (SOF2) streams — the JDK writer's standard
+  * 10-scan progression script — round-trip bit-exact since r15.
   */
 class JpegPixelsSpec extends SparkSpec {
   import spark.implicits._
@@ -39,11 +41,13 @@ class JpegPixelsSpec extends SparkSpec {
 
   // --- JDK encoders ---
   private def jdkEncode(img: java.awt.image.BufferedImage, quality: Float,
-      force444: Boolean): Array[Byte] = {
+      force444: Boolean, progressive: Boolean = false): Array[Byte] = {
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     var md: javax.imageio.metadata.IIOMetadata = null
     if (force444) {
       val itype =
@@ -130,6 +134,82 @@ class JpegPixelsSpec extends SparkSpec {
         math.abs(mb - sb) <= npx, s"420 w=$w h=$h q=$q: " +
         s"${mr - sr}/${mg - sg}/${mb - sb}")
     }
+  }
+
+  private def hasSof2(jpg: Array[Byte]): Boolean =
+    jpg.sliding(2).exists(p => p(0) == 0xff.toByte && p(1) == 0xc2.toByte)
+
+  private def gradientImage(w: Int, h: Int, gray: Boolean)
+      : java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / math.max(1, w - 1)
+      val g = (y * 255) / math.max(1, h - 1)
+      val b = ((x + y) * 255) / math.max(1, w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  test("PROGRESSIVE grayscale: BIT-EXACT against the JDK decoder " +
+      "(DC first+refine, AC spectral bands, successive approximation)") {
+    for ((w, h, q, seed) <- Seq((16, 16, 0.9f, 31), (24, 17, 0.5f, 32),
+      (61, 43, 0.75f, 33), (100, 80, 0.3f, 34), (8, 8, 1.0f, 35))) {
+      val jpg = jdkEncode(randomImage(w, h, gray = true, seed), q,
+        force444 = false, progressive = true)
+      assert(hasSof2(jpg), "JDK writer must emit SOF2")
+      val (sr, sg, sb) = jdkSums(jpg)
+      assert(px(jpg) == Seq(Some((w, h, w.toLong * h, sr, sg, sb))),
+        s"prog gray w=$w h=$h q=$q")
+    }
+    // smooth gradients: DC-dominated scans, EOB-run-heavy AC scans
+    for ((w, h, q) <- Seq((64, 48, 0.8f), (33, 29, 0.4f))) {
+      val jpg = jdkEncode(gradientImage(w, h, gray = true), q,
+        force444 = false, progressive = true)
+      val (sr, sg, sb) = jdkSums(jpg)
+      assert(px(jpg) == Seq(Some((w, h, w.toLong * h, sr, sg, sb))),
+        s"prog gray gradient w=$w h=$h q=$q")
+    }
+  }
+
+  test("PROGRESSIVE 4:4:4 color: BIT-EXACT against the JDK decoder") {
+    for ((w, h, q, seed) <- Seq((24, 19, 0.9f, 41), (40, 33, 0.6f, 42),
+      (64, 48, 0.75f, 43), (8, 8, 1.0f, 44))) {
+      val jpg = jdkEncode(randomImage(w, h, gray = false, seed), q,
+        force444 = true, progressive = true)
+      assert(hasSof2(jpg))
+      val (sr, sg, sb) = jdkSums(jpg)
+      assert(px(jpg) == Seq(Some((w, h, w.toLong * h, sr, sg, sb))),
+        s"prog color444 w=$w h=$h q=$q")
+    }
+    val jpg = jdkEncode(gradientImage(48, 40, gray = false), 0.7f,
+      force444 = true, progressive = true)
+    val (sr, sg, sb) = jdkSums(jpg)
+    assert(px(jpg) == Seq(Some((48, 40, 48L * 40, sr, sg, sb))))
+  }
+
+  test("PROGRESSIVE 4:2:0 color: sums within the upsampling freedom") {
+    for ((w, h, q, seed) <- Seq((40, 33, 0.9f, 51), (64, 48, 0.75f, 52))) {
+      val jpg = jdkEncode(randomImage(w, h, gray = false, seed), q,
+        force444 = false, progressive = true)
+      assert(hasSof2(jpg))
+      val (sr, sg, sb) = jdkSums(jpg)
+      val Seq(Some((pw, ph, npx, mr, mg, mb))) = px(jpg)
+      assert(pw == w && ph == h && npx == w.toLong * h)
+      assert(math.abs(mr - sr) <= npx && math.abs(mg - sg) <= npx &&
+        math.abs(mb - sb) <= npx, s"prog420 w=$w h=$h q=$q: " +
+        s"${mr - sr}/${mg - sg}/${mb - sb}")
+    }
+  }
+
+  test("PROGRESSIVE NULL contract: truncation and table gaps") {
+    val good = jdkEncode(randomImage(32, 24, gray = true, 61), 0.8f,
+      force444 = false, progressive = true)
+    assert(px(good.take(good.length / 2)) == Seq(None), "truncated")
+    assert(px(good.dropRight(2)) == Seq(None), "missing EOI")
+    assert(px(good :+ 0x00.toByte) == Seq(None), "trailing byte")
   }
 
   // --- hand-built DC-only streams (trivial tables: DC category t is
@@ -227,6 +307,8 @@ class JpegPixelsSpec extends SparkSpec {
     val goodHex = preEntropy + entropy
     val good = hx(goodHex + "FFD9")
     assert(px(good) == Seq(Some((8, 8, 64L, 64L * 72, 64L * 72, 64L * 72))))
+    // SOF2 with a BASELINE-SHAPED scan header (Ss=0,Se=63): invalid in
+    // a progressive frame (DC scans cover coefficient 0 only)
     val progressive = hx(goodHex.replace("FFC0 000B", "FFC2 000B") + "FFD9")
     // DC code 1100 = category 12: not among the 12 defined symbols
     val badHuff = hx(preEntropy + "CF" + "FFD9")
