@@ -73,7 +73,11 @@ object HttpBody {
   val Schema: StructType = StructType(Seq(
     StructField("status", IntegerType, nullable = false),
     StructField("content_encoding", StringType, nullable = true),
-    StructField("body", BinaryType, nullable = false)))
+    StructField("body", BinaryType, nullable = false),
+    // the raw Content-Type value, LOWERCASED like content_encoding
+    // (charset/media-type tokens are case-insensitive per RFC 9110);
+    // null when the header is absent
+    StructField("content_type", StringType, nullable = true)))
 
   /** Family-wide decompression/dechunk bomb cap. */
   val MaxBodyBytes: Int = 64 * 1024 * 1024
@@ -106,6 +110,7 @@ object HttpBody {
     if (status < 100 || status > 599) return null
 
     var contentEncoding: String = null
+    var contentType: String = null
     var contentLength = -1L
     var chunked = false
     var headerDone = false
@@ -124,6 +129,7 @@ object HttpBody {
         val value = h.substring(c + 1).trim
         name match {
           case "content-encoding" => contentEncoding = value.toLowerCase
+          case "content-type" => contentType = value.toLowerCase
           case "content-length" =>
             contentLength =
               try java.lang.Long.parseLong(value)
@@ -193,7 +199,9 @@ object HttpBody {
       status,
       if (contentEncoding == null) null
       else UTF8String.fromString(contentEncoding),
-      body))
+      body,
+      if (contentType == null) null
+      else UTF8String.fromString(contentType)))
   }
 
   def http_body(c: Column): Column =

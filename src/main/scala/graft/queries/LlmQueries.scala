@@ -2343,6 +2343,146 @@ $steps,
         md5(e) AS fp
       FROM e ORDER BY doc_id"""))
 
+
+  /** CHARSET dispatch on the crawl line (r15): real HTTP bodies carry
+    * their text encoding in `Content-Type` (`charset=`), and a crawl
+    * consumer must TRANSCODE to UTF-8 before extraction — latin-1 and
+    * UTF-16 bodies fed to a UTF-8 extractor silently mangle every
+    * non-ASCII byte. One map-only chain: gzip_inflate(.warc.gz) →
+    * warc_payloads → http_body (which now surfaces `content_type`,
+    * lowercased) → charset EXTRACT (`charset="?token`, quoted and
+    * unquoted, case-normalized) → DISPATCH through Spark's builtin
+    * decode()/encode() (ISO-8859-1 / UTF-16LE / UTF-8 / absent-header
+    * UTF-8 default) → html_text → token metrics. Lanes by doc_id % 4:
+    *  (0) `Charset=ISO-8859-1` (case-mixed header): the page carries a
+    *      fixed latin-1 marker ("café über" as E9/FC BYTES) plus the
+    *      ASCII-sanitized document text;
+    *  (1) `charset=utf-16le` (no space): the same ASCII page expanded
+    *      to UTF-16LE in column space (00 interleave);
+    *  (2) `charset="utf-8"` (QUOTED token): the full document text;
+    *  (3) no Content-Type header → NULL content_type, UTF-8 default.
+    * All four lanes land on closed-form oracle text; lanes 0/1 prove
+    * the transcode actually ran (the latin-1 marker bytes are invalid
+    * UTF-8, and UTF-16LE doubles every byte).
+    */
+  val crawlCharset = QueryDef(
+    "llm_crawl_charset",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val crlfH = "0D0A"
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def le32(c: Column): Column = {
+        val x = lpad(hex(c), 8, "0")
+        concat(substring(x, 7, 2), substring(x, 5, 2),
+          substring(x, 3, 2), substring(x, 1, 2))
+      }
+      def asciiHex(c: Column): Column = hex(c.cast(BinaryType))
+      // ASCII-sanitized, html-escaped document text (lanes 0/1 need a
+      // deterministic single-byte/UTF-16 expansion)
+      val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "")
+      val escA = replace(replace(replace(ascii,
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val escFull = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      // "café über" in LATIN-1: 636166E9 20 FC626572
+      val markerL1 = "636166E920FC626572"
+      val pre = "<html><head><script>var x=1<2;</script></head>" +
+        "<body><h1>H</h1><p>"
+      val post = "</p><!-- c --></body></html>"
+      val staged = documents(s, dir)
+        // lane 0 page: latin-1 bytes = ascii parts + the marker hex
+        .withColumn("__pg0", concat(asciiHex(lit(pre)), lit(markerL1),
+          asciiHex(concat(lit(" "), escA, lit(post)))))
+        // lane 1 page: ASCII page expanded to UTF-16LE (interleave 00)
+        .withColumn("__pgA", asciiHex(concat(lit(pre), lit("marker "),
+          escA, lit(post))))
+        .withColumn("__pg1", regexp_replace(col("__pgA"), "(..)", "$100"))
+        // lane 2 page: full UTF-8 text
+        .withColumn("__pg2", hex(concat(lit(pre), lit("marker "), escFull,
+          lit(post)).cast(BinaryType)))
+        .withColumn("__http", {
+          val m = pmod(col("doc_id"), lit(4))
+          def resp(ct: String, pageHex: Column): Column = concat(
+            asciiHex(concat(
+              lit("HTTP/1.1 200 OK\r\nServer: g\r\n" + ct +
+                "Content-Length: "),
+              (length(pageHex) / 2).cast(LongType), lit("\r\n\r\n"))),
+            pageHex)
+          when(m === 0,
+            resp("Content-Type: Text/HTML; Charset=ISO-8859-1\r\n",
+              col("__pg0")))
+            .when(m === 1,
+              resp("content-type: text/html;charset=utf-16le\r\n",
+                col("__pg1")))
+            .when(m === 2,
+              resp("Content-Type: text/html; charset=\"utf-8\"\r\n",
+                col("__pg2")))
+            .otherwise(resp("", col("__pg2")))
+        })
+        .withColumn("__seg", concat(
+          asciiHex(concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+            "Content-Length: "), (length(col("__http")) / 2).cast(LongType),
+            lit("\r\n\r\n"))),
+          col("__http"), lit(crlfH), lit(crlfH)))
+      val sl = (length(col("__seg")) / 2).cast(IntegerType)
+      val gz = unhex(concat(lit("1F8B" + "08000000000000" + "03"),
+        lit("01"), le16(sl), le16(lit(65535) - sl),
+        col("__seg"),
+        le32(crc32(unhex(col("__seg")))), le32(sl)))
+      val h = graft.functions.HttpBody.http_body(element_at(
+        graft.functions.WarcRecords.warc_payloads(
+          graft.functions.GzipInflate.gzip_inflate(gz)), 1))
+      val ct = h.getField("content_type")
+      val body = h.getField("body")
+      val cs = regexp_extract(ct, "charset=\"?([a-z0-9_-]+)", 1)
+      val decoded = when(cs === "iso-8859-1", decode(body, "ISO-8859-1"))
+        .when(cs === "utf-16le", decode(body, "UTF-16LE"))
+        .otherwise(decode(body, "UTF-8"))
+      val txt = graft.functions.HtmlText.html_text(
+        encode(decoded, "UTF-8"))
+      staged
+        .select(col("doc_id"), ct.as("__ct"), txt.as("__t"))
+        .select(col("doc_id"),
+          col("__ct").as("content_type"),
+          TextAnalysis.tokenCountFromTokens(
+            TextAnalysis.tokenArray(col("__t"))).as("n_tokens"),
+          md5(col("__t").cast(BinaryType)).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH t0 AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text, '[^ -~]',
+                 '', 'g'), '[\s]+', ' ', 'g')) AS a,
+               trim(regexp_replace(text, '[\s]+', ' ', 'g')) AS c
+        FROM documents),
+      e AS (
+        SELECT doc_id,
+          CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN CASE WHEN a = '' THEN 'H café über'
+                             ELSE 'H café über ' || a END
+            WHEN 1 THEN CASE WHEN a = '' THEN 'H marker'
+                             ELSE 'H marker ' || a END
+            ELSE CASE WHEN c = '' THEN 'H marker'
+                      ELSE 'H marker ' || c END
+          END AS e,
+          CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 'text/html; charset=iso-8859-1'
+            WHEN 1 THEN 'text/html;charset=utf-16le'
+            WHEN 2 THEN 'text/html; charset="utf-8"'
+          END AS ct
+        FROM t0)
+      SELECT doc_id, ct AS content_type,
+        CAST(len(regexp_split_to_array(e, '[\s]+')) AS INTEGER)
+          AS n_tokens,
+        md5(e) AS fp
+      FROM e ORDER BY doc_id"""))
+
   val crawlQuality = QueryDef(
     "llm_crawl_quality",
     (s, dir) => {
@@ -6915,7 +7055,7 @@ $steps,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
-    crawlQuality, crawlBr, crawlHttp, sourceBr, crawlMembers,
+    crawlQuality, crawlBr, crawlHttp, crawlCharset, sourceBr, crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceTarXz, sourceZip, sourceZlib,
     sourceLz4, sourceZst,

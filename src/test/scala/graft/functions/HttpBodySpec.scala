@@ -74,6 +74,20 @@ class HttpBodySpec extends SparkSpec {
     assert(java.util.Arrays.equals(GzipInflate.gunzip(body), out))
   }
 
+  test("content_type surfaces lowercased; absent header yields NULL") {
+    val withCt = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: Text/HTML; Charset=ISO-8859-1\r\n" +
+      "Content-Length: 2\r\n\r\nhi").getBytes("ISO-8859-1")
+    val noCt = ("HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi")
+      .getBytes("ISO-8859-1")
+    val rows = Seq(withCt, noCt).toDF("b")
+      .select(HttpBody.http_body(col("b")).as("h"))
+      .select(col("h.content_type"), col("h.status")).collect()
+    assert(rows(0).getString(0) == "text/html; charset=iso-8859-1")
+    assert(rows(0).getInt(1) == 200)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("the dechunk bomb cap is wired") {
     // a chunked stream declaring a size past the 7-hex-digit guard
     val raw = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
