@@ -18,8 +18,12 @@ import org.apache.spark.sql.types._
   *
   * Decode path: 8-byte PNG signature → chunk walk (big-endian u32
   * length + 4-char type; IHDR must be first per the spec) → IHDR
-  * accepted iff bit depth 8, colour type 2 (truecolour RGB), deflate
-  * compression, filter method 0, no interlace → ALL IDAT chunk payloads
+  * accepted for colour types 0 (grayscale, depths 1/2/4/8),
+  * 2 (truecolour RGB, 8), 3 (palette via PLTE, depths 1/2/4/8),
+  * 4 (gray+alpha, 8) and 6 (RGBA, 8), deflate compression, filter
+  * method 0, interlace 0 or 1 (Adam7 — seven independently filtered
+  * sub-images; sums are position-free so no re-weave is needed);
+  * 16-bit depth stays out of scope → NULL. ALL IDAT chunk payloads are
   * concatenated (the spec: the zlib stream spans consecutive IDATs) →
   * zlib header checked (CM=8, window bits valid, no preset dict,
   * FCHECK: CMF·256+FLG ≡ 0 mod 31) → the deflate stream inflated
@@ -96,9 +100,9 @@ object PngPixels {
     StructField("sum_b", LongType, nullable = true)))
 
   /** Static parse kernel shared by eval and generated code. Returns null
-    * for anything that is not a well-formed 8-bit RGB PNG whose raw
-    * pixel stream decodes to exactly the declared size with defined
-    * filter types.
+    * for anything that is not a well-formed PNG (color types 0/2/3/4/6,
+    * depths 1-8, optional Adam7) whose raw pixel stream decodes to
+    * exactly the declared size with defined filter types.
     */
   def parse(bytes: Array[Byte]): InternalRow = {
     if (bytes == null) return null
@@ -113,6 +117,11 @@ object PngPixels {
     var width = 0L
     var height = 0L
     var haveIhdr = false
+    var ihColor = 0
+    var ihDepth = 0
+    var ihInterlace = 0
+    var plteOff = -1
+    var plteLen = 0
     // IDAT spans recorded as (offset, length) pairs; count first
     var idatTotal = 0L
     var spanOff = new Array[Int](4)
@@ -147,10 +156,19 @@ object PngPixels {
         val compression = bytes(dataOff + 10) & 0xff
         val filterMethod = bytes(dataOff + 11) & 0xff
         val interlace = bytes(dataOff + 12) & 0xff
+        val depthOk = colorType match {
+          case 0 | 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+            bitDepth == 8
+          case 2 | 4 | 6 => bitDepth == 8
+          case _ => false
+        }
         if (width < 1 || height < 1 || width > 0x7fffffffL ||
-          height > 0x7fffffffL || bitDepth != 8 || colorType != 2 ||
-          compression != 0 || filterMethod != 0 || interlace != 0)
+          height > 0x7fffffffL || !depthOk ||
+          compression != 0 || filterMethod != 0 || interlace > 1)
           return null
+        ihColor = colorType
+        ihDepth = bitDepth
+        ihInterlace = interlace
         haveIhdr = true
       } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         if (nSpans == spanOff.length) {
@@ -161,6 +179,13 @@ object PngPixels {
         spanLen(nSpans) = len.toInt
         nSpans += 1
         idatTotal += len
+      } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+        // PLTE: before any IDAT, once, length a multiple of 3 (<= 256
+        // entries); forbidden for grayscale color types
+        if (nSpans > 0 || plteOff >= 0 || len == 0 || len % 3 != 0 ||
+          len > 768 || ihColor == 0 || ihColor == 4) return null
+        plteOff = dataOff
+        plteLen = len.toInt
       } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
         done = true
       }
@@ -168,19 +193,45 @@ object PngPixels {
       guard += 1
     }
     if (!haveIhdr || nSpans == 0) return null
+    if (ihColor == 3 && plteOff < 0) return null // palette required
 
-    // raw scanline stream size: height rows of [filter byte][3w bytes].
-    // Compressed blocks EXPAND, so the old stored-only raw<=idatTotal
-    // bound cannot hold; the zip-bomb guard is the named MaxRawBytes
-    // cap — decode work is O(declared raw size), never O(compression
-    // ratio). Checked divisionally BEFORE the product is formed:
-    // height·rowBytes with lying u31 dims can exceed Long range, but
-    // after these guards raw <= MaxRawBytes, overflow-free.
+    // raw scanline stream size. channels x depth gives bits per pixel;
+    // each scanline is [filter byte][ceil(w'*bits/8) bytes]; Adam7
+    // interlace is SEVEN sub-images, each filtered independently
+    // (empty passes contribute no bytes at all).
+    val channels = ihColor match {
+      case 0 => 1
+      case 2 => 3
+      case 3 => 1
+      case 4 => 2
+      case _ => 4
+    }
+    val bitsPerPx = channels * ihDepth
+    def rowBytesFor(w0: Long): Long = 1L + (w0 * bitsPerPx + 7) / 8
+    // Adam7 pass geometry (ISO 15948 8.2)
+    val XS = Array(0, 4, 0, 2, 0, 1, 0)
+    val YS = Array(0, 0, 4, 0, 2, 0, 1)
+    val XP = Array(8, 8, 4, 4, 2, 2, 1)
+    val YP = Array(8, 8, 8, 4, 4, 2, 2)
+    // pass list: (passW, passH) — one entry (w, h) when non-interlaced
+    val passes: Array[(Long, Long)] =
+      if (ihInterlace == 0) Array((width, height))
+      else Array.tabulate(7) { i =>
+        val pw = if (width > XS(i)) (width - XS(i) + XP(i) - 1) / XP(i) else 0L
+        val ph = if (height > YS(i)) (height - YS(i) + YP(i) - 1) / YP(i) else 0L
+        (pw, ph)
+      }
     if (idatTotal < 2) return null // zlib header
-    if (height > MaxRawBytes) return null
-    val rowBytes = 1L + 3L * width // <= ~6.4e9, fits
-    if (rowBytes > MaxRawBytes / height) return null
-    val raw = height * rowBytes
+    var raw = 0L
+    passes.foreach { case (pw, ph) =>
+      if (pw > 0 && ph > 0) {
+        val rb = rowBytesFor(pw)
+        if (ph > MaxRawBytes || rb > MaxRawBytes / ph) return null
+        raw += ph * rb
+        if (raw > MaxRawBytes) return null
+      }
+    }
+    if (raw == 0) return null
 
     // --- concatenate IDAT payloads (the zlib stream) ---
     val z = new Array[Byte](idatTotal.toInt)
@@ -199,77 +250,123 @@ object PngPixels {
     if ((flg & 0x20) != 0) return null // FDICT: preset dict unsupported
     if ((cmf * 256 + flg) % 31 != 0) return null // FCHECK
 
-    // --- full DEFLATE decode (graft.functions.Inflate: stored, fixed-
-    // and dynamic-Huffman blocks per RFC 1951) — must produce EXACTLY
-    // the declared raw size, and the zlib trailer (the last 4 bytes of
-    // the concatenated IDAT stream, big-endian per RFC 1950) must be
-    // the Adler-32 of the decompressed scanlines
+    // --- full DEFLATE decode — must produce EXACTLY the declared raw
+    // size; the trailing 4 IDAT bytes must be the Adler-32 of it ---
     val out = new Array[Byte](raw.toInt)
     val infl = Inflate.inflateTracked(z, 2, out)
     if (infl < 0 || (infl & 0xffffffffL).toInt != out.length) return null
-    // STRICT extent: the deflate stream must end exactly at the Adler
-    // trailer — slack bytes between terminator and trailer are rejected
-    // like any real zlib decoder does (r11 advice)
     if ((infl >>> 32).toInt != z.length - 4) return null
     if (z.length < 6 ||
       Checksums.adler32(out, 0, out.length) != be32(z, z.length - 4))
       return null
 
-    // --- un-filter (ALL five standard types, RFC 2083 §6) + sums ---
-    // Reconstruction is byte arithmetic mod 256: None/Sub/Up/Average/
-    // Paeth are all deterministic functions of (raw, left, up,
-    // upper-left) — nothing on the filter axis is stubbed; only an
-    // undefined filter type (> 4) is corrupt → NULL.
-    val w = width.toInt
-    val h = height.toInt
-    val rowLen = w * 3
-    var prev = new Array[Int](rowLen) // zeros: the spec's virtual row -1
-    var cur = new Array[Int](rowLen)
+    // --- un-filter + per-channel sums, pass by pass. Sums are
+    // position-free, so interlaced passes need no re-weave: every pass
+    // pixel is a distinct image pixel. ---
+    val bpp = math.max(1, bitsPerPx / 8) // filter byte distance
+    val grayScale = ihDepth match { // gray sample -> 0..255
+      case 1 => 255
+      case 2 => 85
+      case 4 => 17
+      case _ => 1
+    }
+    val maxIdx = plteLen / 3
     var sumR = 0L
     var sumG = 0L
     var sumB = 0L
-    var row = 0
     var q = 0
-    while (row < h) {
-      val ft = out(q) & 0xff
-      if (ft > 4) return null // undefined filter type: corrupt
-      q += 1
-      var x = 0
-      while (x < rowLen) {
-        val rawv = out(q + x) & 0xff
-        val left = if (x >= 3) cur(x - 3) else 0
-        val up = prev(x)
-        val rec = ft match {
-          case 0 => rawv
-          case 1 => rawv + left
-          case 2 => rawv + up
-          case 3 => rawv + ((left + up) >> 1)
-          case _ => // Paeth predictor
-            val ul = if (x >= 3) prev(x - 3) else 0
-            val p = left + up - ul
-            val pa = math.abs(p - left)
-            val pb = math.abs(p - up)
-            val pc = math.abs(p - ul)
-            val pred =
-              if (pa <= pb && pa <= pc) left
-              else if (pb <= pc) up
-              else ul
-            rawv + pred
+    var pi = 0
+    while (pi < passes.length) {
+      val (pwL, phL) = passes(pi)
+      if (pwL > 0 && phL > 0) {
+        val pw = pwL.toInt
+        val ph = phL.toInt
+        val rowLen = (rowBytesFor(pwL) - 1).toInt
+        val prev = new Array[Int](rowLen) // zeros: virtual row -1
+        val cur = new Array[Int](rowLen)
+        var row = 0
+        while (row < ph) {
+          val ft = out(q) & 0xff
+          if (ft > 4) return null // undefined filter type: corrupt
+          q += 1
+          var x = 0
+          while (x < rowLen) {
+            val rawv = out(q + x) & 0xff
+            val left = if (x >= bpp) cur(x - bpp) else 0
+            val up = prev(x)
+            val rec = ft match {
+              case 0 => rawv
+              case 1 => rawv + left
+              case 2 => rawv + up
+              case 3 => rawv + ((left + up) >> 1)
+              case _ => // Paeth predictor
+                val ul = if (x >= bpp) prev(x - bpp) else 0
+                val p = left + up - ul
+                val pa = math.abs(p - left)
+                val pb = math.abs(p - up)
+                val pc = math.abs(p - ul)
+                val pred =
+                  if (pa <= pb && pa <= pc) left
+                  else if (pb <= pc) up
+                  else ul
+                rawv + pred
+            }
+            cur(x) = rec & 0xff
+            x += 1
+          }
+          // sample extraction for this scanline
+          ihColor match {
+            case 2 => // RGB8
+              var px = 0
+              while (px < pw * 3) {
+                sumR += cur(px); sumG += cur(px + 1); sumB += cur(px + 2)
+                px += 3
+              }
+            case 6 => // RGBA8 (alpha ignored by the family RGB contract)
+              var px = 0
+              while (px < pw * 4) {
+                sumR += cur(px); sumG += cur(px + 1); sumB += cur(px + 2)
+                px += 4
+              }
+            case 4 => // gray+alpha 8
+              var px = 0
+              while (px < pw * 2) {
+                val v = cur(px)
+                sumR += v; sumG += v; sumB += v
+                px += 2
+              }
+            case _ => // gray (0) or palette (3) at depth 1/2/4/8
+              var i = 0
+              while (i < pw) {
+                val v =
+                  if (ihDepth == 8) cur(i)
+                  else {
+                    val perByte = 8 / ihDepth
+                    val b0 = cur(i / perByte)
+                    val shift = 8 - ihDepth * (i % perByte + 1)
+                    (b0 >> shift) & ((1 << ihDepth) - 1)
+                  }
+                if (ihColor == 0) {
+                  val g = v * grayScale
+                  sumR += g; sumG += g; sumB += g
+                } else {
+                  if (v >= maxIdx) return null // index past the palette
+                  sumR += bytes(plteOff + 3 * v) & 0xff
+                  sumG += bytes(plteOff + 3 * v + 1) & 0xff
+                  sumB += bytes(plteOff + 3 * v + 2) & 0xff
+                }
+                i += 1
+              }
+          }
+          System.arraycopy(cur, 0, prev, 0, rowLen)
+          q += rowLen
+          row += 1
         }
-        cur(x) = rec & 0xff
-        x += 1
       }
-      var px = 0
-      while (px < rowLen) {
-        sumR += cur(px)
-        sumG += cur(px + 1)
-        sumB += cur(px + 2)
-        px += 3
-      }
-      val t = prev; prev = cur; cur = t
-      q += rowLen
-      row += 1
+      pi += 1
     }
+    val w = width.toInt
+    val h = height.toInt
     new GenericInternalRow(Array[Any](w, h, width * height, sumR, sumG, sumB))
   }
 
