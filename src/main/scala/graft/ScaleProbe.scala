@@ -1866,6 +1866,9 @@ object ScaleProbe {
     }
     val brSmall = probeHexResource("br")
     val brBig = probeHexResource("br_2mb")
+    // q11 English prose: the static-DICTIONARY decode path (r15) —
+    // word + transform references dominate this stream
+    val brDict = probeHexResource("br_dict")
     // a chunked HTTP/1.1 response around the payload (r14 verdict #6:
     // the chunked-decode path had no ×10 linearity measurement) — the
     // body rides 512-byte ASCII-hex-sized chunks with a trailer, the
@@ -1924,6 +1927,8 @@ object ScaleProbe {
       ("xz_2mb", xzBig, c => octet_length(XzInflate.xz_inflate(c))),
       ("br", brSmall, c => octet_length(BrotliInflate.brotli_inflate(c))),
       ("br_2mb", brBig,
+        c => octet_length(BrotliInflate.brotli_inflate(c))),
+      ("br_dict", brDict,
         c => octet_length(BrotliInflate.brotli_inflate(c))),
       ("html", htmlBlob, c => length(HtmlText.html_text(c))),
       ("http", httpBlob,
