@@ -23,7 +23,8 @@ import org.apache.spark.sql.types._
   * 4 (gray+alpha, 8) and 6 (RGBA, 8), deflate compression, filter
   * method 0, interlace 0 or 1 (Adam7 — seven independently filtered
   * sub-images; sums are position-free so no re-weave is needed);
-  * 16-bit depth stays out of scope → NULL. ALL IDAT chunk payloads are
+  * depth 16 (types 0/2/4/6) projects to 8 bits via the HIGH byte —
+  * the libpng strip-16 convention. ALL IDAT chunk payloads are
   * concatenated (the spec: the zlib stream spans consecutive IDATs) →
   * zlib header checked (CM=8, window bits valid, no preset dict,
   * FCHECK: CMF·256+FLG ≡ 0 mod 31) → the deflate stream inflated
@@ -101,7 +102,7 @@ object PngPixels {
 
   /** Static parse kernel shared by eval and generated code. Returns null
     * for anything that is not a well-formed PNG (color types 0/2/3/4/6,
-    * depths 1-8, optional Adam7) whose raw pixel stream decodes to
+    * depths 1-16, optional Adam7) whose raw pixel stream decodes to
     * exactly the declared size with defined filter types.
     */
   def parse(bytes: Array[Byte]): InternalRow = {
@@ -157,9 +158,11 @@ object PngPixels {
         val filterMethod = bytes(dataOff + 11) & 0xff
         val interlace = bytes(dataOff + 12) & 0xff
         val depthOk = colorType match {
-          case 0 | 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+          case 0 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+            bitDepth == 8 || bitDepth == 16
+          case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
             bitDepth == 8
-          case 2 | 4 | 6 => bitDepth == 8
+          case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
           case _ => false
         }
         if (width < 1 || height < 1 || width > 0x7fffffffL ||
@@ -314,26 +317,41 @@ object PngPixels {
             cur(x) = rec & 0xff
             x += 1
           }
-          // sample extraction for this scanline
+          // sample extraction for this scanline; depth 16 projects to
+          // 8 bits via the HIGH byte (the libpng strip-16 convention —
+          // samples are big-endian, so the high byte leads)
+          val step = if (ihDepth == 16) 2 else 1
           ihColor match {
-            case 2 => // RGB8
+            case 2 => // RGB 8/16
               var px = 0
-              while (px < pw * 3) {
-                sumR += cur(px); sumG += cur(px + 1); sumB += cur(px + 2)
-                px += 3
+              val lim = pw * 3 * step
+              while (px < lim) {
+                sumR += cur(px); sumG += cur(px + step)
+                sumB += cur(px + 2 * step)
+                px += 3 * step
               }
-            case 6 => // RGBA8 (alpha ignored by the family RGB contract)
+            case 6 => // RGBA 8/16 (alpha ignored by the RGB contract)
               var px = 0
-              while (px < pw * 4) {
-                sumR += cur(px); sumG += cur(px + 1); sumB += cur(px + 2)
-                px += 4
+              val lim = pw * 4 * step
+              while (px < lim) {
+                sumR += cur(px); sumG += cur(px + step)
+                sumB += cur(px + 2 * step)
+                px += 4 * step
               }
-            case 4 => // gray+alpha 8
+            case 4 => // gray+alpha 8/16
               var px = 0
-              while (px < pw * 2) {
+              val lim = pw * 2 * step
+              while (px < lim) {
                 val v = cur(px)
                 sumR += v; sumG += v; sumB += v
-                px += 2
+                px += 2 * step
+              }
+            case _ if ihColor == 0 && ihDepth == 16 => // gray 16
+              var i = 0
+              while (i < pw) {
+                val v = cur(i * 2)
+                sumR += v; sumG += v; sumB += v
+                i += 1
               }
             case _ => // gray (0) or palette (3) at depth 1/2/4/8
               var i = 0

@@ -168,7 +168,7 @@ class PngPixelsSpec extends SparkSpec {
     // rgba/interlaced are IN scope since r15 — these lanes stay NULL
     // because okData's raw size doesn't match the RGBA / Adam7 layout
     val rgba = mk(okData, ihdrChunk(colorType = "06"))
-    val depth16 = mk(okData, ihdrChunk(depth = "10")) // 16-bit: out of scope
+    val depth16 = mk(okData, ihdrChunk(depth = "10")) // raw-size mismatch
     val interlaced = mk(okData, ihdrChunk(interlace = "01"))
     val ihdrNotFirst = hx(sig + chunk("67414D41", "00000000") + ihdr2x2 +
       chunk("49444154", okData) + iend)
@@ -256,26 +256,30 @@ class PngPixelsSpec extends SparkSpec {
       val ras = img.getRaster
       val nb = ras.getNumBands
       val ss = ras.getSampleModel.getSampleSize(0)
-      val scale = 255 / ((1 << ss) - 1)
+      // depth < 8 scales up; depth 16 projects via the HIGH byte (the
+      // strip-16 convention the decoder documents)
+      def proj(v: Int): Int =
+        if (ss == 16) v >> 8 else v * (255 / ((1 << ss) - 1))
       for (y <- 0 until h; x <- 0 until w) {
         if (nb <= 2) {
-          val v = ras.getSample(x, y, 0) * scale
+          val v = proj(ras.getSample(x, y, 0))
           sr += v; sg += v; sb += v
         } else {
-          sr += ras.getSample(x, y, 0)
-          sg += ras.getSample(x, y, 1)
-          sb += ras.getSample(x, y, 2)
+          sr += proj(ras.getSample(x, y, 0))
+          sg += proj(ras.getSample(x, y, 1))
+          sb += proj(ras.getSample(x, y, 2))
         }
       }
     }
     (w, h, sr, sg, sb)
   }
 
-  test("r15 battery: gray 1/2/4/8, palette 1/2/4/8, gray+alpha, RGBA, " +
-      "and Adam7 interlace all match the JDK decoder") {
+  test("r15 battery: gray 1/2/4/8/16, palette 1/2/4/8, gray+alpha, " +
+      "RGBA 8/16, and Adam7 interlace all match the JDK decoder") {
     val names = Seq("rgba8", "gray8", "gray4", "gray2", "gray1", "graya8",
       "pal8", "pal4", "pal2", "pal1", "rgb8_adam7", "rgba8_adam7",
-      "gray8_adam7", "pal8_adam7", "tiny_adam7")
+      "gray8_adam7", "pal8_adam7", "tiny_adam7", "rgb16", "gray16",
+      "rgba16_adam7")
     for (name <- names) {
       val png = res(name)
       val (w, h, sr, sg, sb) = jdkPngSums(png)

@@ -17,7 +17,7 @@ def chunk(typ, data):
 def build_png(w, h, color, depth, pixfn, interlace=0, palette=None,
               filters=None):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    bits = channels * depth
+    bits = channels * depth  # depth 16: pixfn yields 16-bit samples
     def scan(pw, ph, coords):
         # coords: list of (x, y) image positions per pass row-major
         out = bytearray()
@@ -31,7 +31,11 @@ def build_png(w, h, color, depth, pixfn, interlace=0, palette=None,
             bitpos = 0
             for (x, y) in rowpix:
                 for samp in pixfn(x, y):
-                    if depth == 8:
+                    if depth == 16:
+                        rawrow[bitpos // 8] = (samp >> 8) & 0xff
+                        rawrow[bitpos // 8 + 1] = samp & 0xff
+                        bitpos += 16
+                    elif depth == 8:
                         rawrow[bitpos // 8] = samp & 0xff
                         bitpos += 8
                     else:
@@ -102,6 +106,9 @@ VECTORS = [
     ('gray8_adam7', 10, 10, 0, 8, lambda x, y: ((x*29+y*3) % 256,), 1, None, [3]),
     ('pal8_adam7', 7, 5, 3, 8, lambda x, y: ((3*x+y) % 256,), 1, PAL256, [1]),
     ('tiny_adam7', 3, 2, 2, 8, lambda x, y: (x*80 % 256, y*90 % 256, 7), 1, None, [0]),
+    ('rgb16', 14, 9, 2, 16, lambda x, y: (x*4799 % 65536, y*9973 % 65536, (x*y*311) % 65536), 0, None, [0,1,2,3,4]),
+    ('gray16', 12, 8, 0, 16, lambda x, y: ((x*9241+y*337) % 65536,), 0, None, [2,4]),
+    ('rgba16_adam7', 11, 7, 6, 16, lambda x, y: (x*4799 % 65536, y*9973 % 65536, (x+y)*55 % 65536, 65535), 1, None, [3,1]),
 ]
 
 for name, w, h, color, depth, fn, il, pal, filts in VECTORS:
