@@ -949,6 +949,79 @@ object LlmQueries {
                   ELSE CAST(3 AS INTEGER) END AS n_tracks
       FROM documents ORDER BY media_id"""))
 
+  /** MP3 header decode over the binary media column (functions/AudioMeta's
+    * MPEG-1/2/2.5 Layer III branch, round 16 — ISO/IEC 11172-3 / 13818-3
+    * frame headers, ID3v2 syncsafe skip, Xing/Info VBR tags): the
+    * dominant real-world audio format joining the WAV/FLAC rung under
+    * the same discipline. The query CONSTRUCTS spec-conformant MP3 files
+    * from document fields (lanes per doc_id mod: a CBR MPEG-1 stereo
+    * 128 kbps file of N whole 417-byte frames plus trailing junk — the
+    * fixed-frame-size estimate must floor through the junk like ffprobe;
+    * an ID3v2-prefixed MPEG-2 mono file whose Xing tag carries the VBR
+    * frame count — the syncsafe skip, the 9-byte MPEG-2-mono side-info
+    * offset and the big-endian FRAMES field are all load-bearing; a
+    * free-format header where metadata parses but frames must be NULL;
+    * a reserved sample-rate index and raw text that must yield
+    * whole-struct NULLs) and parses them back with the expression.
+    * Headers + zero-fill payloads only. The oracle never parses — it
+    * recomputes every field ARITHMETICALLY from doc_id/n_chars;
+    * hand-computed real frame math is additionally pinned in
+    * AudioMetaSpec.
+    */
+  val multimodalAudioMp3 = QueryDef(
+    "llm_multimodal_audio_mp3",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      // CBR MPEG-1 Layer III 44.1 kHz stereo 128 kbps: frame size
+      // floor(144*128000/44100) = 417 bytes (header + 413 pad bytes)
+      val cbrFrameHex = "FFFB9000" + "55" * 413
+      // ID3v2.4 header, no footer, syncsafe size 10 + 10-byte body
+      val id3Hex = "49443304" + "0000" + "0000000A" + "00" * 10
+      val base = documents(s, dir)
+        .withColumn("__nf", pmod(col("n_chars"), lit(20)) + 1)
+        .withColumn("__vbr", pmod(col("n_chars"), lit(90000)) + 1)
+      val cbr = concat(expr(s"repeat('$cbrFrameHex', __nf)"), lit("202020"))
+      // MPEG-2 mono 22.05 kHz 64 kbps: frame size floor(72*64000/22050)
+      // = 208; side info 9 bytes; Xing flags=1 + BE32 frame count
+      val xing = concat(lit(id3Hex),
+        lit("FFF380C0" + "00" * 9 + "58696E67" + "00000001"),
+        lpad(hex(col("__vbr")), 8, "0"),
+        lit("00" * (208 - 4 - 9 - 12)))
+      val freeFmt = lit("FFFB0000" + "00" * 16)
+      val badRate = lit("FFFB9C00" + "00" * 500)
+      val m = pmod(col("doc_id"), lit(4))
+      val media = when(m === 0, unhex(cbr))
+        .when(m === 1, unhex(xing))
+        .when(pmod(col("doc_id"), lit(8)) === 2, unhex(freeFmt))
+        .when(pmod(col("doc_id"), lit(8)) === 6, unhex(badRate))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      base
+        .select(col("doc_id").as("media_id"),
+          graft.functions.AudioMeta.audio_meta(media).as("__m"))
+        .select(col("media_id"), col("__m.codec").as("codec"),
+          col("__m.channels").as("channels"),
+          col("__m.sample_rate").as("sample_rate"),
+          col("__m.bits").as("bits"), col("__m.n_frames").as("n_frames"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 8 IN (3, 6, 7) THEN NULL
+                  ELSE 'mp3' END AS codec,
+             CASE WHEN doc_id % 8 IN (3, 6, 7) THEN NULL
+                  WHEN doc_id % 4 = 1 THEN CAST(1 AS INTEGER)
+                  ELSE CAST(2 AS INTEGER) END AS channels,
+             CASE WHEN doc_id % 8 IN (3, 6, 7) THEN NULL
+                  WHEN doc_id % 4 = 1 THEN CAST(22050 AS INTEGER)
+                  ELSE CAST(44100 AS INTEGER) END AS sample_rate,
+             CAST(NULL AS INTEGER) AS bits,
+             CASE WHEN doc_id % 4 = 0
+                    THEN CAST((n_chars % 20 + 1) * 1152 AS BIGINT)
+                  WHEN doc_id % 4 = 1
+                    THEN CAST((n_chars % 90000 + 1) * 576 AS BIGINT)
+                  ELSE NULL END AS n_frames
+      FROM documents ORDER BY media_id"""))
+
   /** RFC 3986 URL normalization over a synthetic crawl column
     * (functions/UrlNormalize — syntax-based §6.2.2 + http scheme-based
     * §6.2.3 rules, codegen'd): the crawl-curation rung of the header-
@@ -7053,6 +7126,7 @@ $steps,
     textTokens, textTokensBpeReal, textBpeSequence, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
+    multimodalAudioMp3,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
     crawlQuality, crawlBr, crawlHttp, crawlCharset, sourceBr, crawlMembers,

@@ -22,7 +22,8 @@ class AudioMetaSpec extends SparkSpec {
         col("m.bits"), col("m.n_frames"))
       .collect().map { r =>
         if (r.isNullAt(0) && r.isNullAt(1)) None
-        else Some((r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        else Some((r.getString(0), r.getInt(1), r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3), // -1 = NULL bits (mp3)
           if (r.isNullAt(4)) None else Some(r.getLong(4))))
       }.toSeq
 
@@ -118,6 +119,63 @@ class AudioMetaSpec extends SparkSpec {
     assert(meta(truncRiff, aviForm, dataBeforeFmt, zeroChannels, zeroAlign,
       shortFmt, raggedData, noData, text,
       Array.empty[Byte]) == Seq.fill(10)(None))
+  }
+
+  // --- MP3 (ISO/IEC 11172-3 / 13818-3 Layer III) ---
+  // Spec values are HAND-COMPUTED from the public tables (no mp3 tool
+  // exists in this environment): MPEG1 Layer III frame size =
+  // 144*bitrate/rate + pad; MPEG2/2.5 = 72*bitrate/rate + pad.
+
+  test("CBR MPEG1 Layer III: header fields + frame-count estimate") {
+    // 0xFFFB = sync + MPEG1 + Layer III + no CRC; 0x90 = bitrate idx 9
+    // (128 kbps) + rate idx 0 (44100) + no pad; 0x00 = stereo.
+    // frameSize = 144*128000/44100 = 417 (floor). Three whole frames plus
+    // 5 trailing junk bytes (an ID3v1 stub) -> 3*1152 = 3456 samples.
+    val frame = hx("FFFB9000") ++ Array.fill(413)(0x55.toByte)
+    val cbr = frame ++ frame ++ frame ++ Array.fill(5)(0x20.toByte)
+    assert(meta(cbr) == Seq(Some(("mp3", 2, 44100, -1, Some(3456L)))))
+  }
+
+  test("ID3v2 skip + Xing VBR frame count (MPEG2 mono)") {
+    // ID3v2.4, no footer, syncsafe size 10 -> audio at offset 20.
+    val id3 = hx("494433 0400 00 0000000A") ++ Array.fill(10)(0.toByte)
+    // 0xFFF3 = MPEG2 + Layer III + no CRC; 0x80 = idx 8 (64 kbps) +
+    // rate idx 0 (22050); 0xC0 = mono. frameSize = 72*64000/22050 = 208.
+    // Side info (MPEG2 mono) = 9 bytes, then Xing flags=1 frames=100.
+    val xing = hx("FFF380C0") ++ Array.fill(9)(0.toByte) ++
+      "Xing".getBytes("US-ASCII") ++ hx("00000001 00000064") ++
+      Array.fill(208 - 4 - 9 - 12)(0.toByte)
+    assert(meta(id3 ++ xing) ==
+      Seq(Some(("mp3", 1, 22050, -1, Some(57600L)))))
+  }
+
+  test("Xing behind a CRC-16: protection bit shifts the tag offset") {
+    // 0xFFF2 = MPEG2 + Layer III + CRC PRESENT; tag sits at 4+2+9.
+    val f = hx("FFF280C0 BEEF") ++ Array.fill(9)(0.toByte) ++
+      "Info".getBytes("US-ASCII") ++ hx("00000001 00000007") ++
+      Array.fill(208 - 6 - 9 - 12)(0.toByte)
+    assert(meta(f) == Seq(Some(("mp3", 1, 22050, -1, Some(4032L)))))
+  }
+
+  test("free-format bitrate: metadata parses, frames NULL") {
+    // bitrate index 0 -> frame size not derivable from the header
+    val f = hx("FFFB0000") ++ Array.fill(64)(0.toByte)
+    assert(meta(f) == Seq(Some(("mp3", 2, 44100, -1, None))))
+  }
+
+  test("malformed mp3 shapes yield NULL") {
+    val rsvdLayer = hx("FFF99000") ++ Array.fill(500)(0.toByte) // layer 00
+    val rsvdVer = hx("FFEB9000") ++ Array.fill(500)(0.toByte)   // ver 01
+    val badRate = hx("FFFB9C00") ++ Array.fill(500)(0.toByte)   // rate idx 3
+    val badBitrate = hx("FFFBF000") ++ Array.fill(500)(0.toByte) // idx 15
+    val shortFrame = hx("FFFB9000") ++ Array.fill(50)(0.toByte) // < 417
+    val id3Trunc = hx("494433 0400 00 7F7F7F7F") // declared size >> blob
+    val id3NonSyncsafe = hx("494433 0400 00 00000080") ++
+      Array.fill(200)(0.toByte) // size byte with high bit set
+    val id3ThenJunk = hx("494433 0400 00 00000002 0000") ++
+      hx("41414141") ++ Array.fill(500)(0.toByte) // no sync at offset 12
+    assert(meta(rsvdLayer, rsvdVer, badRate, badBitrate, shortFrame,
+      id3Trunc, id3NonSyncsafe, id3ThenJunk) == Seq.fill(8)(None))
   }
 
   test("null input yields NULL") {
