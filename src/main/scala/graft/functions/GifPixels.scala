@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   * descriptor (LE dims, global-color-table flag/size) → optional GCT →
   * block walk (extensions skipped by their sub-block framing) → the
   * FIRST image descriptor (optional local color table overrides the
-  * GCT; a SECOND image — animation — is out of scope → NULL) → LZW
+  * GCT; LATER images — animation frames — are walked structurally and
+  * counted by [[GifFrames]], their pixels never decoded: disposal/
+  * compositing is out of scope by declaration, the decoded pixels are
+  * always the first frame's) → LZW
   * data: sub-blocks concatenated, codes read LSB-first at variable
   * width (min-code-size+1 … 12 bits), the standard dictionary decoder
   * (clear resets, end terminates, the `code == next` self-referencing
@@ -90,8 +93,27 @@ object GifPixels {
     StructField("sum_g", LongType, nullable = true),
     StructField("sum_b", LongType, nullable = true)))
 
-  /** Static parse kernel shared by eval and generated code. */
+  /** Static parse kernel shared by eval and generated code: the
+    * pixel-schema projection of [[full]] (first-frame pixels).
+    */
   def parse(bytes: Array[Byte]): InternalRow = {
+    val f = full(bytes)
+    if (f == null) null
+    else new GenericInternalRow(f.values.take(6))
+  }
+
+  /** Frame-count kernel for [[GifFrames]]: the same strict decode (the
+    * first frame's pixels are fully validated), surfacing slot 6.
+    */
+  def frameCount(bytes: Array[Byte]): java.lang.Integer = {
+    val f = full(bytes)
+    if (f == null) null else f.values(6).asInstanceOf[java.lang.Integer]
+  }
+
+  /** The real kernel: first-frame decode + structural animation walk.
+    * Returns (w, h, n_px, sum_r, sum_g, sum_b, n_frames) or null.
+    */
+  private def full(bytes: Array[Byte]): GenericInternalRow = {
     if (bytes == null) return null
     val n = bytes.length
     if (n < 6 + 7 + 1) return null
@@ -180,8 +202,13 @@ object GifPixels {
     }
     p = q
 
-    // --- after the image: extensions allowed, then the trailer ---
+    // --- after the first image: more frames (animation) are WALKED
+    // structurally (descriptor + optional LCT + LZW sub-block framing —
+    // never decoded: work stays bounded by the first frame), extensions
+    // skipped, then the trailer. Disposal/compositing is out of scope by
+    // declaration: the decoded pixels are the FIRST frame's.
     var sawTrailer = false
+    var frames = 1
     while (!sawTrailer) {
       if (p >= n) return null
       val b = bytes(p) & 0xff
@@ -197,7 +224,30 @@ object GifPixels {
           p += 1 + l2
           if (p > n) return null
         }
-      } else return null // a second image (animation) or junk
+      } else if (b == 0x2c) { // a later animation frame
+        if (frames >= 65536) return null // structural guard
+        if (p + 9 > n) return null
+        val fw = u16(p + 4); val fh = u16(p + 6)
+        if (fw < 1 || fh < 1) return null
+        val fPacked = bytes(p + 8) & 0xff
+        p += 9
+        if ((fPacked & 0x80) != 0) { // local color table
+          p += 3 * (1 << ((fPacked & 0x07) + 1))
+          if (p > n) return null
+        }
+        if (p >= n) return null
+        val mcs = bytes(p) & 0xff
+        p += 1
+        if (mcs < 2 || mcs > 8) return null
+        var l2 = -1
+        while (l2 != 0) { // LZW data sub-blocks, skipped by framing
+          if (p >= n) return null
+          l2 = bytes(p) & 0xff
+          p += 1 + l2
+          if (p > n) return null
+        }
+        frames += 1
+      } else return null // junk
     }
     if (p != n) return null // trailing bytes after the trailer
 
@@ -287,9 +337,51 @@ object GifPixels {
       }
     }
     if (count != npx) return null
-    new GenericInternalRow(Array[Any](w, h, npx, sumR, sumG, sumB))
+    new GenericInternalRow(Array[Any](w, h, npx, sumR, sumG, sumB, frames))
   }
 
   def gif_pixels(c: Column): Column =
     GraftColumnBridge.column(GifPixels(GraftColumnBridge.expression(c)))
+
+  def gif_frames(c: Column): Column =
+    GraftColumnBridge.column(GifFrames(GraftColumnBridge.expression(c)))
+}
+
+/** Frame count of a GIF (1 for stills, N for animations) under the same
+  * strict decode as [[GifPixels]] — the first frame's pixel stream is
+  * fully validated, later frames are walked by their sub-block framing.
+  * NULL for anything GifPixels would reject.
+  */
+case class GifFrames(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"GifFrames requires BINARY input, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = GifPixels.frameCount(input.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.intValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Integer ${ev.value}$$box =
+        graft.functions.GifPixels.frameCount($c);
+      ${ev.isNull} = ${ev.value}$$box == null;
+      ${ev.value} = ${ev.isNull} ? -1 : ${ev.value}$$box.intValue();
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): GifFrames =
+    copy(child = newChild)
+
+  override def prettyName: String = "gif_frames"
 }

@@ -61,6 +61,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "gif_pixels", exprs => GifPixels(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
+      "gif_frames", exprs => GifFrames(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
       "jpeg_pixels", exprs => JpegPixels(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "webp_pixels", exprs => WebpPixels(exprs.head), "scala_udf")
@@ -189,6 +191,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("gif_pixels"),
       new ExpressionInfo(classOf[GifPixels].getName, "gif_pixels"),
       (exprs: Seq[Expression]) => GifPixels(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("gif_frames"),
+      new ExpressionInfo(classOf[GifFrames].getName, "gif_frames"),
+      (exprs: Seq[Expression]) => GifFrames(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("jpeg_pixels"),
       new ExpressionInfo(classOf[JpegPixels].getName, "jpeg_pixels"),

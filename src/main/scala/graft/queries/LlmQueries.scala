@@ -3445,6 +3445,102 @@ $steps,
                   END AS sum_b
       FROM documents ORDER BY media_id"""))
 
+  /** Animated GIF decode (round 16 — GifPixels' structural animation
+    * walk + the GifFrames count expression): first-frame pixels stay
+    * exact while LATER frames are walked by their sub-block framing and
+    * counted, never decoded (bounded work — a 1000-frame animation
+    * costs one frame's LZW plus a byte walk). Lanes per doc_id mod:
+    * a still (n_frames 1); a two-frame animation with a graphic-control
+    * extension between frames (the GIF89a shape every real encoder
+    * emits); a three-frame animation behind a NETSCAPE looping
+    * application extension whose LAST frame carries a local color
+    * table (walked, never read); a corrupt animation whose second
+    * frame's sub-blocks truncate (whole-struct NULL — corrupt later
+    * frames must not pass on first-frame validity); raw text. The
+    * oracle recomputes everything arithmetically from doc_id/n_chars;
+    * javax.imageio frame counts are pinned in GifPixelsSpec.
+    */
+  val multimodalGifAnim = QueryDef(
+    "llm_multimodal_gif_anim",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val w = (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)
+      val h = (pmod(col("n_chars"), lit(4)) + 1).cast(IntegerType)
+      val rCh = pmod(col("doc_id") * 5, lit(256))
+      val gCh = pmod(col("n_chars") * 7, lit(256))
+      val bCh = pmod(col("doc_id") + col("n_chars") * 2, lit(256))
+      val base = documents(s, dir)
+        .withColumn("__w", w).withColumn("__h", h)
+        .withColumn("__npx", w * h)
+        .withColumn("__rgb", concat(lpad(hex(rCh), 2, "0"),
+          lpad(hex(gCh), 2, "0"), lpad(hex(bCh), 2, "0")))
+      val sig = lit("474946383961")
+      val lsd = concat(le16(col("__w")), le16(col("__h")), lit("860000"))
+      val gct128 = expr("repeat(__rgb, 128)")
+      val gce = lit("21F904040A000000")
+      val netscape = lit("21FF0B4E45545343415045322E300301000000")
+      def imgDesc(packed: String): Column = concat(lit("2C00000000"),
+        le16(col("__w")), le16(col("__h")), lit(packed))
+      // CLEAR-per-literal LZW at mcs 7: every code is one byte
+      val lzwGood = concat(lit("07"),
+        lpad(hex(col("__npx") * 2 + 1), 2, "0"),
+        expr("repeat('8005', __npx)"), lit("8100"))
+      val lzwTrunc = lit("07" + "FF" + "8005") // declared 255, bytes absent
+      val frame = concat(imgDesc("00"), lzwGood)
+      val frameLct = concat(imgDesc("86"), gct128, lzwGood)
+      val m = pmod(col("doc_id"), lit(4))
+      val blob = when(m === 0,
+          unhex(concat(sig, lsd, gct128, frame, lit("3B"))))
+        .when(m === 1,
+          unhex(concat(sig, lsd, gct128, frame, gce, frame, lit("3B"))))
+        .when(pmod(col("doc_id"), lit(8)) === 2,
+          unhex(concat(sig, lsd, gct128, netscape, frame, gce, frame,
+            frameLct, lit("3B"))))
+        .when(pmod(col("doc_id"), lit(8)) === 6, // frame 2 truncates
+          unhex(concat(sig, lsd, gct128, frame, imgDesc("00"), lzwTrunc,
+            lit("3B"))))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      base
+        .select(col("doc_id").as("media_id"),
+          graft.functions.GifPixels.gif_frames(blob).as("n_frames"),
+          graft.functions.GifPixels.gif_pixels(blob).as("__p"))
+        .select(col("media_id"), col("n_frames"),
+          col("__p.width").as("width"), col("__p.height").as("height"),
+          col("__p.n_px").as("n_px"), col("__p.sum_r").as("sum_r"),
+          col("__p.sum_g").as("sum_g"), col("__p.sum_b").as("sum_b"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 + 1 AS INTEGER) AS w,
+               CAST(n_chars % 4 + 1 AS INTEGER) AS h,
+               (doc_id * 5) % 256 AS rv,
+               (n_chars * 7) % 256 AS gv,
+               (doc_id + n_chars * 2) % 256 AS bv,
+               CASE WHEN doc_id % 8 IN (3, 6, 7) THEN NULL
+                    WHEN doc_id % 4 = 0 THEN 1
+                    WHEN doc_id % 4 = 1 THEN 2
+                    ELSE 3 END AS nf
+        FROM documents)
+      SELECT doc_id AS media_id,
+             CAST(nf AS INTEGER) AS n_frames,
+             CASE WHEN nf IS NULL THEN NULL ELSE w END AS width,
+             CASE WHEN nf IS NULL THEN NULL ELSE h END AS height,
+             CASE WHEN nf IS NULL THEN NULL
+                  ELSE CAST(w * h AS BIGINT) END AS n_px,
+             CASE WHEN nf IS NULL THEN NULL
+                  ELSE CAST(w * h * rv AS BIGINT) END AS sum_r,
+             CASE WHEN nf IS NULL THEN NULL
+                  ELSE CAST(w * h * gv AS BIGINT) END AS sum_g,
+             CASE WHEN nf IS NULL THEN NULL
+                  ELSE CAST(w * h * bv AS BIGINT) END AS sum_b
+      FROM d ORDER BY media_id"""))
+
   /** Lossless-WebP (VP8L) pixel decode (functions/WebpPixels — the FULL
     * public VP8L bitstream: prefix codes incl. meta groups, color
     * cache, LZ77 plane codes, all four transforms; pixel-exact against
@@ -7135,7 +7231,7 @@ $steps,
     sourceLz4, sourceZst,
     sourceZstDict, sourceBz2, sourceXz,
     sourceZstBlocks, sourceJsonlZst,
-    multimodalPixelsGif, multimodalPixelsWebp,
+    multimodalPixelsGif, multimodalGifAnim, multimodalPixelsWebp,
     multimodalPixelsJpeg, mediaCatalog,
     multimodalPixels, multimodalPixelsPng, wordpieceVocab, wordpieceTokens,
     annBruteForce, annFiltered, annQuantized, annLsh, annIvf, annIvfCells,

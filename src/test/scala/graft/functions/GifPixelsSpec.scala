@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * (3) the strict NULL contract: bad signature, missing palette, pixel
   * index outside the palette, a code past `next`, a non-literal first
   * code, pixel count off by one in both directions, truncated stream,
-  * missing trailer, trailing bytes, a second image (animation — out of
-  * scope), raw text.
+  * missing trailer, trailing bytes, raw text. Animated GIFs (round 16)
+  * decode the FIRST frame and count the rest — frame counts and
+  * first-frame pixels pinned vs javax.imageio's reader, corrupt later
+  * frames still NULL the whole file.
   */
 class GifPixelsSpec extends SparkSpec {
   import spark.implicits._
@@ -125,13 +127,66 @@ class GifPixelsSpec extends SparkSpec {
     val truncated = gif2x2(" 01 8C")
     val noTrailer = gif2x2(" 02 8C53", tail = "")
     val trailingJunk = gif2x2(" 02 8C53", tail = "3B 00")
-    // a second image descriptor after the first (animation)
-    val twoImages = gif2x2(" 02 8C53",
-      tail = "2C 0000 0000 0200 0200 00 02 02 8C53 00 3B")
     val text = "certainly not a gif".getBytes("UTF-8")
     assert(px(badSig, noPalette, idxPastPalette, tooMany, tooFew,
       codePastNext, nonLiteralFirst, truncated, noTrailer, trailingJunk,
-      twoImages, text, Array.empty[Byte]) == Seq.fill(13)(None))
+      text, Array.empty[Byte]) == Seq.fill(12)(None))
+  }
+
+  private def frames(payloads: Array[Byte]*): Seq[Option[Int]] =
+    payloads.toSeq.toDF("b")
+      .select(GifPixels.gif_frames(col("b")).as("f"))
+      .collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+
+  test("animated GIF: first-frame pixels decode, later frames counted") {
+    // two identical 2x2 frames, all-index-1 pixels -> first frame sums
+    // (1,2,3)*4; a GCE extension between them (realistic GIF89a shape)
+    val twoFrames = gif2x2(" 02 8C53",
+      tail = "21F9 04 04 0A00 00 00" + // graphic control ext
+        " 2C 0000 0000 0200 0200 00 02 02 8C53 00 3B")
+    // a NETSCAPE looping application extension before frame 2, and a
+    // LOCAL color table on frame 2 (walked, never read)
+    val looped = gif2x2(" 02 8C53",
+      tail = "21FF 0B 4E45545343415045322E30 03 010000 00" +
+        " 2C 0000 0000 0200 0200 81" + " 0A141E 010203 6400C8 050607" +
+        " 02 02 8C53 00 3B")
+    assert(px(twoFrames, looped) == Seq(
+      Some((2, 2, 4L, 4L, 8L, 12L)), Some((2, 2, 4L, 4L, 8L, 12L))))
+    assert(frames(gif2x2(" 02 8C53"), twoFrames, looped) ==
+      Seq(Some(1), Some(2), Some(2)))
+    // corrupt SECOND frames still NULL the whole file: zero dims, a bad
+    // min-code-size, truncated sub-blocks, a truncated local table
+    val zeroDim = gif2x2(" 02 8C53",
+      tail = "2C 0000 0000 0000 0200 00 02 02 8C53 00 3B")
+    val badMcs = gif2x2(" 02 8C53",
+      tail = "2C 0000 0000 0200 0200 00 01 02 8C53 00 3B")
+    val truncSub = gif2x2(" 02 8C53",
+      tail = "2C 0000 0000 0200 0200 00 02 FF 8C53")
+    val truncLct = gif2x2(" 02 8C53",
+      tail = "2C 0000 0000 0200 0200 82 0A141E")
+    assert(px(zeroDim, badMcs, truncSub, truncLct) == Seq.fill(4)(None))
+    assert(frames(zeroDim, badMcs, truncSub, truncLct) == Seq.fill(4)(None))
+  }
+
+  test("animated frame count + first frame pinned vs javax.imageio") {
+    val twoFrames = gif2x2(" 02 8C53",
+      tail = "21F9 04 04 0A00 00 00" +
+        " 2C 0000 0000 0200 0200 00 02 02 8C53 00 3B")
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(twoFrames))
+    val rd = javax.imageio.ImageIO.getImageReaders(in).next()
+    rd.setInput(in)
+    assert(rd.getNumImages(true) == 2)
+    val img = rd.read(0)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+    }
+    rd.dispose()
+    assert(px(twoFrames) == Seq(Some((2, 2, 4L, sr, sg, sb))))
+    assert(frames(twoFrames) == Seq(Some(2)))
   }
 
   test("null input yields NULL; SQL surface registered") {
