@@ -19,6 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * and u32 duration at +16 of the payload; version 1 → u64 times with the
   * u32 timescale between) and counts `trak` children. Per the spec,
   * all-ones duration means "unknown" and surfaces as NULL duration.
+  * Round 16 adds the EBML container (Matroska/WebM, RFC 8794 + the
+  * public Matroska element registry): varint ID/size walk through the
+  * EBML header (DocType → brand), Segment → Info (TimestampScale ns per
+  * tick → ticks-per-second timescale; float Duration → whole ticks) and
+  * Tracks (TrackEntry count), stopping at the first Cluster.
   *
   * Header-prefix parse by design: `mdat` payloads are never read — at
   * 100 TB the engine extracts brand/timescale/duration/track-count from
@@ -80,6 +85,10 @@ object VideoMeta {
     if (bytes == null) return null
     val n = bytes.length.toLong
     if (n < 16) return null
+    // EBML (Matroska/WebM, RFC 8794): the 0x1A45DFA3 header magic
+    if ((bytes(0) & 0xff) == 0x1a && (bytes(1) & 0xff) == 0x45 &&
+        (bytes(2) & 0xff) == 0xdf && (bytes(3) & 0xff) == 0xa3)
+      return parseEbml(bytes)
     var p = 0L
     var guard = 0
     var brand: UTF8String = null
@@ -180,6 +189,203 @@ object VideoMeta {
     new GenericInternalRow(Array[Any](
       brand, timescale.toInt,
       if (durationKnown) duration else null, tracks))
+  }
+
+  // --- EBML (Matroska/WebM, RFC 8794 + the public Matroska element
+  // registry). Header-prefix discipline like the MP4 walk: the walk
+  // STOPS at the first Cluster (media payloads are never read), so
+  // brand/timescale/duration/track-count come from the first KB.
+  // Mapping into the shared schema: brand = the EBML DocType ("webm" /
+  // "matroska"), timescale = ticks-per-second derived from Matroska's
+  // TimestampScale (ns per tick, default 1_000_000 → 1000 ticks/s;
+  // a scale that does not divide 1e9 evenly is outside this probe's
+  // integer contract → whole-struct NULL, a declared bound), duration
+  // = the Duration float rounded to whole ticks (absent → NULL, the
+  // same "unknown" surface as MP4's all-ones sentinel), n_tracks =
+  // TrackEntry count under Tracks.
+
+  private val EbmlHeader = 0x1A45DFA3L
+  private val EbmlDocType = 0x4282L
+  private val MkvSegment = 0x18538067L
+  private val MkvInfo = 0x1549A966L
+  private val MkvTimestampScale = 0x2AD7B1L
+  private val MkvDuration = 0x4489L
+  private val MkvTracks = 0x1654AE6BL
+  private val MkvTrackEntry = 0xAEL
+  private val MkvCluster = 0x1F43B675L
+
+  /** Read an EBML element ID at p: 1-4 bytes, marker bit KEPT (the
+    * registry writes IDs with it). Returns (value, width) packed as
+    * value<<4 | width, or -1 on malformed/truncated input.
+    */
+  private def ebmlId(b: Array[Byte], p: Long, end: Long): Long = {
+    if (p >= end) return -1
+    val b0 = b(p.toInt) & 0xff
+    if (b0 == 0) return -1
+    val w = java.lang.Integer.numberOfLeadingZeros(b0) - 24 + 1
+    if (w > 4 || p + w > end) return -1
+    var v = b0.toLong
+    var i = 1
+    while (i < w) { v = (v << 8) | (b(p.toInt + i) & 0xff); i += 1 }
+    (v << 4) | w
+  }
+
+  /** Read an EBML size at p: 1-8 bytes, marker bit STRIPPED. Returns
+    * value<<4 | width; all-VINT_DATA-ones means "unknown size" and is
+    * surfaced as value -2 (allowed for Segment only). -1 = malformed.
+    */
+  private def ebmlSize(b: Array[Byte], p: Long, end: Long): Long = {
+    if (p >= end) return -1
+    val b0 = b(p.toInt) & 0xff
+    if (b0 == 0) return -1
+    val w = java.lang.Integer.numberOfLeadingZeros(b0) - 24 + 1
+    if (w > 8 || p + w > end) return -1
+    var v = (b0 & (0xff >>> w)).toLong
+    var allOnes = (b0 & (0xff >>> w)) == (0xff >>> w)
+    var i = 1
+    while (i < w) {
+      val x = b(p.toInt + i) & 0xff
+      allOnes &&= x == 0xff
+      v = (v << 8) | x
+      i += 1
+    }
+    if (allOnes) return (-2L << 4) | w // unknown size
+    if (v > Int.MaxValue) return -1    // far beyond any header prefix
+    (v << 4) | w
+  }
+
+  /** EBML walk: header DocType → Segment → Info (TimestampScale,
+    * Duration) + Tracks (TrackEntry count), stopping at Cluster.
+    */
+  private def parseEbml(bytes: Array[Byte]): InternalRow = {
+    val n = bytes.length.toLong
+    // EBML header: id already matched; a known size is mandatory here
+    val hs = ebmlSize(bytes, 4, n)
+    if (hs < 0 || (hs >> 4) < 0) return null
+    val hLen = hs >> 4
+    var p = 4 + (hs & 0xf)
+    val hEnd = p + hLen
+    if (hEnd > n) return null
+    var docType: UTF8String = null
+    var guard = 0
+    while (guard < 1024 && p < hEnd) {
+      val id = ebmlId(bytes, p, hEnd)
+      if (id < 0) return null
+      p += id & 0xf
+      val sz = ebmlSize(bytes, p, hEnd)
+      if (sz < 0 || (sz >> 4) < 0) return null // unknown size: not here
+      p += sz & 0xf
+      val len = sz >> 4
+      if (p + len > hEnd) return null
+      if ((id >> 4) == EbmlDocType) {
+        var i = 0 // DocType is ASCII per the spec
+        while (i < len) {
+          val c = bytes((p + i).toInt) & 0xff
+          if (c < 0x20 || c > 0x7e) return null
+          i += 1
+        }
+        docType = UTF8String.fromBytes(bytes, p.toInt, len.toInt)
+      }
+      p += len
+      guard += 1
+    }
+    if (docType == null || p != hEnd) return null
+    // Segment (unknown size allowed: streamed files end at EOF)
+    val sid = ebmlId(bytes, p, n)
+    if (sid < 0 || (sid >> 4) != MkvSegment) return null
+    p += sid & 0xf
+    val ssz = ebmlSize(bytes, p, n)
+    if (ssz == -1L) return null // malformed (unknown size -2 is allowed)
+    p += ssz & 0xf
+    val segEnd = if ((ssz >> 4) == -2L) n else p + (ssz >> 4)
+    if (segEnd > n) return null
+    var tsScale = 1000000L // Matroska default: ns per tick
+    var haveInfo = false
+    var durTicks: Any = null
+    var tracks = 0
+    guard = 0
+    var done = false
+    while (guard < 1024 && p < segEnd && !done) {
+      val id = ebmlId(bytes, p, segEnd)
+      if (id < 0) return null
+      val idv = id >> 4
+      if (idv == MkvCluster) {
+        // media starts: the header prefix ends here (an unknown-size
+        // cluster is fine — it is never skipped, the walk stops)
+        done = true
+      } else {
+      p += id & 0xf
+      val sz = ebmlSize(bytes, p, segEnd)
+      if (sz < 0 || (sz >> 4) < 0) return null // unknown-size children: out
+      p += sz & 0xf
+      val len = sz >> 4
+      if (p + len > segEnd) return null
+      if (idv == MkvInfo) {
+        haveInfo = true
+        val iEnd = p + len
+        var q = p
+        var g2 = 0
+        while (g2 < 1024 && q < iEnd) {
+          val cid = ebmlId(bytes, q, iEnd)
+          if (cid < 0) return null
+          q += cid & 0xf
+          val csz = ebmlSize(bytes, q, iEnd)
+          if (csz < 0 || (csz >> 4) < 0) return null
+          q += csz & 0xf
+          val clen = csz >> 4
+          if (q + clen > iEnd) return null
+          if ((cid >> 4) == MkvTimestampScale) {
+            if (clen < 1 || clen > 8) return null
+            var v = 0L
+            var i = 0
+            while (i < clen) { v = (v << 8) | (bytes((q + i).toInt) & 0xff); i += 1 }
+            if (v < 1) return null
+            tsScale = v
+          } else if ((cid >> 4) == MkvDuration) {
+            val d =
+              if (clen == 4) java.lang.Float.intBitsToFloat(
+                be32(bytes, q.toInt).toInt).toDouble
+              else if (clen == 8) java.lang.Double.longBitsToDouble(
+                be64(bytes, q.toInt))
+              else return null
+            if (d.isNaN || d.isInfinite || d < 0 ||
+                d > 9.2e18) return null
+            durTicks = Math.round(d)
+          }
+          q += clen
+          g2 += 1
+        }
+        if (q != iEnd) return null
+      } else if (idv == MkvTracks) {
+        val tEnd = p + len
+        var q = p
+        var g2 = 0
+        while (g2 < 1024 && q < tEnd) {
+          val cid = ebmlId(bytes, q, tEnd)
+          if (cid < 0) return null
+          q += cid & 0xf
+          val csz = ebmlSize(bytes, q, tEnd)
+          if (csz < 0 || (csz >> 4) < 0) return null
+          q += csz & 0xf
+          val clen = csz >> 4
+          if (q + clen > tEnd) return null
+          if ((cid >> 4) == MkvTrackEntry) tracks += 1
+          q += clen
+          g2 += 1
+        }
+        if (q != tEnd) return null
+      }
+      p += len
+      }
+      guard += 1
+    }
+    if (!haveInfo) return null
+    // ticks-per-second only when TimestampScale divides 1e9 evenly —
+    // the integer-timescale contract of the shared schema
+    if (1000000000L % tsScale != 0) return null
+    val ticksPerSec = 1000000000L / tsScale
+    new GenericInternalRow(Array[Any](
+      docType, ticksPerSec.toInt, durTicks, tracks))
   }
 
   private def be32(b: Array[Byte], i: Int): Long =

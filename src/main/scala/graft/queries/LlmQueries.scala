@@ -949,6 +949,83 @@ object LlmQueries {
                   ELSE CAST(3 AS INTEGER) END AS n_tracks
       FROM documents ORDER BY media_id"""))
 
+  /** WebM/Matroska (EBML) header decode over the binary media column
+    * (functions/VideoMeta's RFC 8794 branch, round 16): the streaming-era
+    * container joining the MP4 rung under the same discipline. The query
+    * CONSTRUCTS spec-conformant EBML from document fields (lanes per
+    * doc_id mod: a webm with an explicit 1e6 TimestampScale, a FLOAT32
+    * Duration built by column arithmetic on the IEEE 754 bit layout
+    * (values pinned to [2^16, 2^17) so the exponent is constant and the
+    * mantissa is a shift — exact by construction), and doc_id%3+1
+    * TrackEntries; a matroska with an UNKNOWN-SIZE Segment, the default
+    * TimestampScale (element absent), a FLOAT64 Duration, a Void element
+    * the walk must skip, and an unknown-size Cluster + garbage the walk
+    * must stop at; a webm at a 1 ns scale with Duration/Tracks absent
+    * (NULL duration, 0 tracks beside live fields); a TimestampScale of 3
+    * — outside the integer ticks-per-second contract — and raw text that
+    * must yield whole-struct NULLs). The oracle never parses — it
+    * recomputes every field ARITHMETICALLY from doc_id/n_chars;
+    * hand-written EBML bytes are additionally pinned in VideoMetaSpec.
+    */
+  val multimodalVideoWebm = QueryDef(
+    "llm_multimodal_video_webm",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      val hdrWebm = "1A45DFA387" + "4282847765626D"
+      val hdrMkv = "1A45DFA38B" + "4282886D6174726F736B61"
+      val trackE = "AE83D78101"
+      val d = pmod(col("n_chars"), lit(60000)) + 65536
+      // IEEE 754 by column arithmetic: exponent fixed at 2^16, mantissa
+      // is (d - 65536) shifted into place — exact for integers < 2^17
+      val f32 = lpad(hex(lit(0x47800000L) + (d - 65536) * 128L), 8, "0")
+      val f64 = lpad(hex(lit(0x40F0000000000000L) +
+        (d - 65536).cast(LongType) * lit(68719476736L)), 16, "0")
+      val k = pmod(col("doc_id"), lit(3)) + 1
+      val lane0 = concat(lit(hdrWebm + "18538067"),
+        lpad(hex(lit(128 + 24) + k * 5), 2, "0"),
+        lit("1549A9668E" + "2AD7B1830F4240" + "448984"), f32,
+        lit("1654AE6B"), lpad(hex(lit(128) + k * 5), 2, "0"),
+        expr(s"repeat('$trackE', __k)"))
+      val lane1 = concat(lit(hdrMkv + "18538067" + "01FFFFFFFFFFFFFF" +
+        "EC820000" + "1549A9668B" + "448988"), f64,
+        lit("1654AE6B8A" + trackE + trackE +
+          "1F43B675" + "01FFFFFFFFFFFFFF" + "DEADBEEF"))
+      val lane2 = lit(hdrWebm + "185380678D" + "1549A96688" +
+        "2AD7B1843B9ACA00")
+      val lane6 = lit(hdrWebm + "185380678A" + "1549A96685" + "2AD7B18103")
+      val m = pmod(col("doc_id"), lit(4))
+      val blob = when(m === 0, unhex(lane0))
+        .when(m === 1, unhex(lane1))
+        .when(pmod(col("doc_id"), lit(8)) === 2, unhex(lane2))
+        .when(pmod(col("doc_id"), lit(8)) === 6, unhex(lane6))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      documents(s, dir)
+        .withColumn("__k", k)
+        .select(col("doc_id").as("media_id"),
+          graft.functions.VideoMeta.video_meta(blob).as("__m"))
+        .select(col("media_id"), col("__m.brand").as("brand"),
+          col("__m.timescale").as("timescale"),
+          col("__m.duration").as("duration"),
+          col("__m.n_tracks").as("n_tracks"))
+        .orderBy("media_id")
+    },
+    Some("""
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 8 IN (3, 6, 7) THEN NULL
+                  WHEN doc_id % 4 = 1 THEN 'matroska'
+                  ELSE 'webm' END AS brand,
+             CASE WHEN doc_id % 8 IN (3, 6, 7) THEN NULL
+                  WHEN doc_id % 8 = 2 THEN CAST(1 AS INTEGER)
+                  ELSE CAST(1000 AS INTEGER) END AS timescale,
+             CASE WHEN doc_id % 4 IN (0, 1) AND doc_id % 8 NOT IN (3, 7)
+                    THEN CAST(n_chars % 60000 + 65536 AS BIGINT)
+                  ELSE NULL END AS duration,
+             CASE WHEN doc_id % 8 IN (3, 6, 7) THEN NULL
+                  WHEN doc_id % 4 = 0 THEN CAST(doc_id % 3 + 1 AS INTEGER)
+                  WHEN doc_id % 4 = 1 THEN CAST(2 AS INTEGER)
+                  ELSE CAST(0 AS INTEGER) END AS n_tracks
+      FROM documents ORDER BY media_id"""))
+
   /** MP3 header decode over the binary media column (functions/AudioMeta's
     * MPEG-1/2/2.5 Layer III branch, round 16 — ISO/IEC 11172-3 / 13818-3
     * frame headers, ID3v2 syncsafe skip, Xing/Info VBR tags): the
@@ -7222,7 +7299,7 @@ $steps,
     textTokens, textTokensBpeReal, textBpeSequence, textQuality, textLangId, textProfile,
     textFingerprint, winnowFingerprint, textRollhash,
     multimodalBinary, multimodalDims, multimodalAudio, multimodalVideo,
-    multimodalAudioMp3,
+    multimodalAudioMp3, multimodalVideoWebm,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
     crawlQuality, crawlBr, crawlHttp, crawlCharset, sourceBr, crawlMembers,

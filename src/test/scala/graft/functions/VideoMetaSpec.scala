@@ -120,6 +120,71 @@ class VideoMetaSpec extends SparkSpec {
       Array.empty[Byte]) == Seq.fill(13)(None))
   }
 
+  // --- EBML (Matroska/WebM, RFC 8794) ---
+
+  private def f32h(v: Float): String =
+    "%08X".format(java.lang.Float.floatToIntBits(v))
+  private def f64h(v: Double): String =
+    "%016X".format(java.lang.Double.doubleToLongBits(v))
+
+  // EBML header with just a DocType (the only child this probe reads)
+  private def ebmlHdr(docType: String): String = {
+    val dt = docType.getBytes("US-ASCII").map("%02X".format(_)).mkString
+    "1A45DFA3 " + "%02X".format(0x80 | (3 + docType.length)) +
+      " 4282 " + "%02X".format(0x80 | docType.length) + dt
+  }
+  private val trackEntry = "AE 83 D78101" // TrackNumber 1
+
+  test("WebM: DocType + TimestampScale + float32 Duration + 2 tracks") {
+    // Info: TimestampScale 1e6 (default spelled out) + Duration 90000.0f
+    val info = "1549A966 8E" + " 2AD7B1 83 0F4240" + " 4489 84 " +
+      f32h(90000.0f)
+    val tracks = "1654AE6B 8A " + trackEntry + trackEntry
+    val v = hx(ebmlHdr("webm") + " 18538067 A2 " + info + tracks)
+    assert(meta(v) == Seq(Some(("webm", 1000, Some(90000L), 2))))
+  }
+
+  test("Matroska: unknown-size Segment, default scale, double Duration," +
+      " Void skipped, walk stops at an unknown-size Cluster") {
+    val info = "1549A966 8B" + " 4489 88 " + f64h(48000.0)
+    val tracks = "1654AE6B 85 " + trackEntry
+    val v = hx(ebmlHdr("matroska") + " 18538067 01FFFFFFFFFFFFFF" +
+      " EC 82 0000" + // Void element, skipped by size
+      info + tracks +
+      " 1F43B675 01FFFFFFFFFFFFFF DEADBEEF") // cluster: never entered
+    assert(meta(v) == Seq(Some(("matroska", 1000, Some(48000L), 1))))
+  }
+
+  test("EBML: 1 ns TimestampScale; absent Duration/Tracks") {
+    val info = "1549A966 88" + " 2AD7B1 84 3B9ACA00" // 1e9 ns -> 1 tick/s
+    val v = hx(ebmlHdr("webm") + " 18538067 8D " + info)
+    assert(meta(v) == Seq(Some(("webm", 1, None, 0))))
+  }
+
+  test("malformed EBML yields NULL") {
+    val noDocType = hx("1A45DFA3 84 EC 82 0000" +
+      " 18538067 8D 1549A966 88 2AD7B1 84 3B9ACA00")
+    // TimestampScale 3 does not divide 1e9 — outside the integer contract
+    val ts3 = hx(ebmlHdr("webm") +
+      " 18538067 8A 1549A966 85 2AD7B1 81 03")
+    val zeroTs = hx(ebmlHdr("webm") +
+      " 18538067 8A 1549A966 85 2AD7B1 81 00")
+    // Duration with a 3-byte float is not a float width
+    val badDur = hx(ebmlHdr("webm") +
+      " 18538067 8B 1549A966 86 4489 83 000000")
+    // negative Duration
+    val negDur = hx(ebmlHdr("webm") +
+      " 18538067 8C 1549A966 87 4489 84 " + f32h(-5.0f))
+    val noInfo = hx(ebmlHdr("webm") + " 18538067 85 " + trackEntry)
+    // child size overruns its parent
+    val overrun = hx(ebmlHdr("webm") + " 18538067 84 1549A966 8E 00")
+    // unknown-size Info (only Segment/Cluster may be unknown)
+    val unkInfo = hx(ebmlHdr("webm") + " 18538067 8C 1549A966 01FFFFFFFFFFFFFF")
+    val truncated = hx("1A45DFA3 87 4282")
+    assert(meta(noDocType, ts3, zeroTs, badDur, negDur, noInfo, overrun,
+      unkInfo, truncated) == Seq.fill(9)(None))
+  }
+
   test("null input yields NULL") {
     val out = Seq((1L, null: Array[Byte])).toDF("id", "b")
       .select(VideoMeta.video_meta(col("b")).as("m")).collect()
