@@ -63,6 +63,11 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "gif_frames", exprs => GifFrames(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
+      "whatwg_decode", exprs => WhatwgDecode(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "whatwg_encoding",
+      exprs => WhatwgEncoding(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
       "jpeg_pixels", exprs => JpegPixels(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction(
       "webp_pixels", exprs => WebpPixels(exprs.head), "scala_udf")
@@ -195,6 +200,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("gif_frames"),
       new ExpressionInfo(classOf[GifFrames].getName, "gif_frames"),
       (exprs: Seq[Expression]) => GifFrames(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("whatwg_decode"),
+      new ExpressionInfo(classOf[WhatwgDecode].getName, "whatwg_decode"),
+      (exprs: Seq[Expression]) => WhatwgDecode(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("whatwg_encoding"),
+      new ExpressionInfo(classOf[WhatwgEncoding].getName, "whatwg_encoding"),
+      (exprs: Seq[Expression]) => WhatwgEncoding(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("jpeg_pixels"),
       new ExpressionInfo(classOf[JpegPixels].getName, "jpeg_pixels"),

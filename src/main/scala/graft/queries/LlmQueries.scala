@@ -2515,6 +2515,122 @@ $steps,
     * the transcode actually ran (the latin-1 marker bytes are invalid
     * UTF-8, and UTF-16LE doubles every byte).
     */
+  /** WHATWG charset sniffing on the crawl line (functions/WhatwgDecode,
+    * round 16): what a BROWSER does to the fetched bytes — the HTML5
+    * rules the plain label-match path (llm_crawl_charset) cannot see.
+    * Lanes per doc_id mod, each marker chosen so the WRONG rule
+    * mismatches: (0) a page LABELED iso-8859-1 whose 0x93/0x94 bytes
+    * must decode as curly quotes — only the windows-1252 PROMOTION
+    * produces them (ISO-8859-1 proper maps 0x80–0x9F to control chars);
+    * (1) a charset-less Content-Type whose encoding arrives ONLY via a
+    * `<meta http-equiv>` pragma labeled latin1, behind a comment
+    * containing a DECOY charset the prescan must skip; (2) no label and
+    * a UTF-8 BOM that must be consumed; (6) a latin-1 LABEL beaten by a
+    * UTF-16LE BOM — BOM outranks transport; (3,7) nothing anywhere —
+    * the utf-8 default. The sniffed encoding is surfaced per row, so
+    * the oracle pins WHICH rule fired, not just the decoded text.
+    */
+  val crawlCharsetSniff = QueryDef(
+    "llm_crawl_charset_sniff",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def asciiHex(c: Column): Column = hex(c.cast(BinaryType))
+      val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "")
+      val escA = replace(replace(replace(ascii,
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val escFull = replace(replace(replace(col("text"),
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val pre = "<html><head><script>var x=1<2;</script></head>" +
+        "<body><h1>H</h1><p>"
+      val preMeta = "<html><head><!-- charset=utf-16le -->" +
+        "<meta http-equiv=\"Content-Type\" " +
+        "content=\"text/html; charset=latin1\"></head>" +
+        "<body><h1>H</h1><p>"
+      val post = "</p><!-- c --></body></html>"
+      // “marker” in windows-1252: the 0x93/0x94 curly-quote bytes
+      val markerHex = "936D61726B657294"
+      val staged = documents(s, dir)
+        .withColumn("__pg0", concat(asciiHex(lit(pre)), lit(markerHex),
+          asciiHex(concat(lit(" "), escA, lit(post)))))
+        .withColumn("__pg1", concat(asciiHex(lit(preMeta)), lit(markerHex),
+          asciiHex(concat(lit(" "), escA, lit(post)))))
+        .withColumn("__pg2", concat(lit("EFBBBF"),
+          hex(concat(lit(pre + "marker "), escFull, lit(post))
+            .cast(BinaryType))))
+        .withColumn("__pgA",
+          asciiHex(concat(lit(pre + "marker "), escA, lit(post))))
+        .withColumn("__pg6", concat(lit("FFFE"),
+          regexp_replace(col("__pgA"), "(..)", "$100")))
+        .withColumn("__pg3",
+          hex(concat(lit(pre + "marker "), escFull, lit(post))
+            .cast(BinaryType)))
+        .withColumn("__http", {
+          val m = pmod(col("doc_id"), lit(4))
+          def resp(ct: String, pageHex: Column): Column = concat(
+            asciiHex(concat(
+              lit("HTTP/1.1 200 OK\r\nServer: g\r\n" + ct +
+                "Content-Length: "),
+              (length(pageHex) / 2).cast(LongType), lit("\r\n\r\n"))),
+            pageHex)
+          when(m === 0,
+            resp("Content-Type: text/html; charset=ISO-8859-1\r\n",
+              col("__pg0")))
+            .when(m === 1,
+              resp("Content-Type: text/html\r\n", col("__pg1")))
+            .when(pmod(col("doc_id"), lit(8)) === 2,
+              resp("", col("__pg2")))
+            .when(pmod(col("doc_id"), lit(8)) === 6,
+              resp("Content-Type: text/html; charset=iso-8859-1\r\n",
+                col("__pg6")))
+            .otherwise(resp("", col("__pg3")))
+        })
+      val h = graft.functions.HttpBody.http_body(unhex(col("__http")))
+      val body = h.getField("body")
+      val label = coalesce(regexp_extract(h.getField("content_type"),
+        "charset=\"?([a-z0-9_.:-]+)", 1), lit(""))
+      val enc = graft.functions.WhatwgDecode.whatwg_encoding(body, label)
+      val decoded = graft.functions.WhatwgDecode.whatwg_decode(body, label)
+      val txt = graft.functions.HtmlText.html_text(
+        encode(decoded, "UTF-8"))
+      staged
+        .select(col("doc_id"), enc.as("__e"), txt.as("__t"))
+        .select(col("doc_id"),
+          col("__e").as("encoding"),
+          TextAnalysis.tokenCountFromTokens(
+            TextAnalysis.tokenArray(col("__t"))).as("n_tokens"),
+          md5(col("__t").cast(BinaryType)).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some(raw"""
+      WITH t0 AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text, '[^ -~]',
+                 '', 'g'), '[\s]+', ' ', 'g')) AS a,
+               trim(regexp_replace(text, '[\s]+', ' ', 'g')) AS c
+        FROM documents),
+      e AS (
+        SELECT doc_id,
+          CASE
+            WHEN doc_id % 4 IN (0, 1) THEN
+              CASE WHEN a = '' THEN 'H “marker”'
+                   ELSE 'H “marker” ' || a END
+            WHEN doc_id % 8 = 6 THEN
+              CASE WHEN a = '' THEN 'H marker' ELSE 'H marker ' || a END
+            ELSE CASE WHEN c = '' THEN 'H marker'
+                      ELSE 'H marker ' || c END
+          END AS e,
+          CASE WHEN doc_id % 4 IN (0, 1) THEN 'windows-1252'
+               WHEN doc_id % 8 = 6 THEN 'utf-16le'
+               ELSE 'utf-8' END AS enc
+        FROM t0)
+      SELECT doc_id, enc AS encoding,
+        CAST(len(regexp_split_to_array(e, '[\s]+')) AS INTEGER)
+          AS n_tokens,
+        md5(e) AS fp
+      FROM e ORDER BY doc_id"""))
+
   val crawlCharset = QueryDef(
     "llm_crawl_charset",
     (s, dir) => {
@@ -7302,7 +7418,8 @@ $steps,
     multimodalAudioMp3, multimodalVideoWebm,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
-    crawlQuality, crawlBr, crawlHttp, crawlCharset, sourceBr, crawlMembers,
+    crawlQuality, crawlBr, crawlHttp, crawlCharset, crawlCharsetSniff,
+    sourceBr, crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceTarXz, sourceZip, sourceZlib,
     sourceLz4, sourceZst,
