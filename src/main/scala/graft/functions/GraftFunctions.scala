@@ -65,6 +65,8 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "whatwg_decode", exprs => WhatwgDecode(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
+      "pdf_text", exprs => PdfText(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
       "whatwg_encoding",
       exprs => WhatwgEncoding(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
@@ -204,6 +206,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("whatwg_decode"),
       new ExpressionInfo(classOf[WhatwgDecode].getName, "whatwg_decode"),
       (exprs: Seq[Expression]) => WhatwgDecode(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("pdf_text"),
+      new ExpressionInfo(classOf[PdfText].getName, "pdf_text"),
+      (exprs: Seq[Expression]) => PdfText(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("whatwg_encoding"),
       new ExpressionInfo(classOf[WhatwgEncoding].getName, "whatwg_encoding"),
