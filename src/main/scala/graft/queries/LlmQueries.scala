@@ -2515,6 +2515,128 @@ $steps,
     * the transcode actually ran (the latin-1 marker bytes are invalid
     * UTF-8, and UTF-16LE doubles every byte).
     */
+  /** PDF text extraction on the source line (functions/PdfText, round
+    * 16 — the full ISO 32000-1 classic-xref pipeline: header, xref
+    * table, trailer, catalog, page tree, content streams, text
+    * operators, font encodings): the single biggest real-world document
+    * format an LLM crawl pipeline ingests. The query CONSTRUCTS
+    * complete spec-conformant PDFs from document fields IN COLUMN SPACE
+    * — including the xref table, whose 10-digit byte offsets are
+    * computed by column arithmetic over the variable-length parts (a
+    * wrong offset anywhere makes the whole parse NULL, so the xref
+    * math is load-bearing per row). Lanes per doc_id mod: (0) an
+    * uncompressed content stream showing the PDF-escaped ASCII text via
+    * Tj; (1) a FLATE content stream (stored-block zlib with the
+    * engine's own Adler-32) whose TJ array carries a −250 kerning gap
+    * and a T* line break — filter, indirect framing and the word-gap
+    * rule all load-bearing; (2) WinAnsi octal escapes \223/\224 around
+    * a marker — the curly-quote decode again, now through PDF string
+    * syntax; (6) an /Encrypt trailer that must NULL; (3,7) raw text.
+    * The oracle never parses — it recomputes the extracted text
+    * closed-form from the documents table; hand-built operator/
+    * encoding/strict-probe vectors are additionally pinned in
+    * PdfTextSpec.
+    */
+  val sourcePdf = QueryDef(
+    "llm_source_pdf",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      def asciiHex(c: Column): Column = hex(c.cast(BinaryType))
+      def le16(c: Column): Column = {
+        val x = lpad(hex(c), 4, "0")
+        concat(substring(x, 3, 2), substring(x, 1, 2))
+      }
+      val hdr = "%PDF-1.4\n"
+      val obj1 = "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+      val obj2 = "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+      val obj3 = "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+        " /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+      val obj5 = "5 0 obj\n<< /Type /Font /Subtype /Type1" +
+        " /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n"
+      val o1 = hdr.length
+      val o2 = o1 + obj1.length
+      val o3 = o2 + obj2.length
+      val o4 = o3 + obj3.length
+      /** Whole-PDF hex: fixed scaffold + per-lane stream, xref offsets
+        * by column arithmetic.
+        */
+      def pdfHex(filterDict: String, streamLen: Column,
+          streamHex: Column, trailerExtra: String): Column = {
+        val pre4 = s"4 0 obj\n<< $filterDict/Length "
+        val mid4 = " >>\nstream\n"
+        val post4 = "\nendstream\nendobj\n"
+        val o5 = lit(o4 + pre4.length + mid4.length + post4.length) +
+          length(streamLen.cast(StringType)) + streamLen
+        val xr = o5 + lit(obj5.length)
+        def ent(o: Column) =
+          concat(lpad(o.cast(StringType), 10, "0"), lit(" 00000 n \n"))
+        val xrefBlock = concat(
+          lit("xref\n0 6\n0000000000 65535 f \n"),
+          ent(lit(o1)), ent(lit(o2)), ent(lit(o3)), ent(lit(o4)), ent(o5),
+          lit(s"trailer\n<< /Size 6 /Root 1 0 R $trailerExtra>>\n" +
+            "startxref\n"),
+          xr.cast(StringType), lit("\n%%EOF"))
+        concat(
+          asciiHex(lit(hdr + obj1 + obj2 + obj3 + pre4)),
+          asciiHex(streamLen.cast(StringType)),
+          asciiHex(lit(mid4)),
+          streamHex,
+          asciiHex(lit(post4 + obj5)),
+          asciiHex(xrefBlock))
+      }
+      val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "")
+      val esc = replace(replace(replace(ascii,
+        lit("\\"), lit("\\\\")), lit("("), lit("\\(")),
+        lit(")"), lit("\\)"))
+      // lane 0: plain Tj
+      val c0 = concat(lit("BT /F1 12 Tf ("), esc, lit(") Tj ET"))
+      // lane 1: TJ with a word gap + T* line break, Flate-compressed
+      val c1 = concat(lit("BT /F1 9 Tf [("), esc,
+        lit(") -250 (tail)] TJ T* (line2) Tj ET"))
+      val c1len = octet_length(c1)
+      val zlibHex = concat(lit("780101"), le16(c1len),
+        le16(lit(65535) - c1len), asciiHex(c1),
+        lpad(hex(graft.functions.Checksums.adler32_fn(
+          c1.cast(BinaryType))), 8, "0"))
+      // lane 2: WinAnsi octal curly quotes around a marker
+      val c2 = concat(lit("BT /F1 9 Tf (\\223marker\\224 "), esc,
+        lit(") Tj ET"))
+      val m = pmod(col("doc_id"), lit(4))
+      val blob = when(m === 0,
+          unhex(pdfHex("", octet_length(c0), asciiHex(c0), "")))
+        .when(m === 1,
+          unhex(pdfHex("/Filter /FlateDecode ", c1len + 11, zlibHex, "")))
+        .when(pmod(col("doc_id"), lit(8)) === 2,
+          unhex(pdfHex("", octet_length(c2), asciiHex(c2), "")))
+        .when(pmod(col("doc_id"), lit(8)) === 6, // encrypted: strict NULL
+          unhex(pdfHex("", octet_length(c0), asciiHex(c0),
+            "/Encrypt 5 0 R ")))
+        .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
+      val txt = graft.functions.PdfText.pdf_text(blob)
+      documents(s, dir)
+        .select(col("doc_id"), txt.as("__t"))
+        .select(col("doc_id"),
+          length(col("__t")).as("n_chars_pdf"),
+          md5(col("__t").cast(BinaryType)).as("fp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               regexp_replace(text, '[^ -~]', '', 'g') AS a
+        FROM documents),
+      e AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 4 = 0 THEN a
+               WHEN doc_id % 4 = 1 THEN a || ' tail' || chr(10) || 'line2'
+               WHEN doc_id % 8 = 2 THEN '“marker” ' || a
+          END AS e
+        FROM d)
+      SELECT doc_id,
+             CAST(length(e) AS INTEGER) AS n_chars_pdf,
+             md5(e) AS fp
+      FROM e ORDER BY doc_id"""))
+
   /** WHATWG charset sniffing on the crawl line (functions/WhatwgDecode,
     * round 16): what a BROWSER does to the fetched bytes — the HTML5
     * rules the plain label-match path (llm_crawl_charset) cannot see.
@@ -7419,6 +7541,7 @@ $steps,
     urlNormalize, crawlDedup, crawlRobots, crawlDedupStream, textNfc,
     textUnigram, sourceGzip, sourceWarc, crawlPipeline, crawlText,
     crawlQuality, crawlBr, crawlHttp, crawlCharset, crawlCharsetSniff,
+    sourcePdf,
     sourceBr, crawlMembers,
     sourceTar,
     sourceTarGz, sourceTarZst, sourceTarXz, sourceZip, sourceZlib,
