@@ -74,9 +74,11 @@ object HttpBody {
     StructField("status", IntegerType, nullable = false),
     StructField("content_encoding", StringType, nullable = true),
     StructField("body", BinaryType, nullable = false),
-    // the raw Content-Type value, LOWERCASED like content_encoding
-    // (charset/media-type tokens are case-insensitive per RFC 9110);
-    // null when the header is absent
+    // the Content-Type value with ONLY its case-insensitive tokens
+    // lowercased (RFC 9110: media type, parameter names, and the
+    // charset value); other parameter VALUES — e.g. a multipart
+    // boundary — are case-sensitive and keep their original case.
+    // Null when the header is absent.
     StructField("content_type", StringType, nullable = true)))
 
   /** Family-wide decompression/dechunk bomb cap. */
@@ -129,7 +131,7 @@ object HttpBody {
         val value = h.substring(c + 1).trim
         name match {
           case "content-encoding" => contentEncoding = value.toLowerCase
-          case "content-type" => contentType = value.toLowerCase
+          case "content-type" => contentType = canonContentType(value)
           case "content-length" =>
             contentLength =
               try java.lang.Long.parseLong(value)
@@ -202,6 +204,43 @@ object HttpBody {
       body,
       if (contentType == null) null
       else UTF8String.fromString(contentType)))
+  }
+
+  /** RFC 9110-aware Content-Type canonicalization: the media type,
+    * parameter names and the `charset` value are case-insensitive and
+    * lowercase here; any OTHER parameter value (a multipart boundary,
+    * most importantly) is case-sensitive and preserved byte-for-byte —
+    * including `;` inside quoted strings, which must not split params
+    * (r16, from the r15 advisor).
+    */
+  private def canonContentType(v: String): String = {
+    val out = new java.lang.StringBuilder(v.length)
+    val name = new java.lang.StringBuilder
+    var i = 0
+    var lowering = true // media type first
+    var afterEq = false
+    var inQ = false
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (inQ) {
+        out.append(if (lowering) Character.toLowerCase(c) else c)
+        if (c == '"') inQ = false
+      } else if (c == ';') {
+        out.append(';'); name.setLength(0); afterEq = false; lowering = true
+      } else if (c == '=' && !afterEq) {
+        out.append('=')
+        afterEq = true
+        lowering = name.toString.trim.equalsIgnoreCase("charset")
+      } else if (c == '"') {
+        inQ = true
+        out.append('"')
+      } else {
+        if (!afterEq) name.append(c)
+        out.append(if (lowering) Character.toLowerCase(c) else c)
+      }
+      i += 1
+    }
+    out.toString
   }
 
   def http_body(c: Column): Column =

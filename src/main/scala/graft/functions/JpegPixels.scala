@@ -230,6 +230,7 @@ object JpegPixels {
     var td = 0
     var ta = 0
     var pred = 0
+    var dcSeen = false // progressive: this component's DC scan arrived
     var plane: Array[Byte] = null
     var planeW = 0
     var planeH = 0
@@ -604,6 +605,11 @@ object JpegPixels {
       restartInterval0: Int): InternalRow = {
     val n = bytes.length
     var restartInterval = restartInterval0
+    // T.81-conformance latch: a quant table is frozen once any scan has
+    // referenced it — libjpeg/the JDK latch tables at the component's
+    // first scan, so a mid-frame redefinition must NULL, not silently
+    // dequantize differently at EOI
+    val qtUsed = new Array[Boolean](4)
     def u16(i: Int): Int =
       ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
 
@@ -914,12 +920,13 @@ object JpegPixels {
             }
             if (q != segEnd) return null
             p = segEnd
-          case 0xdb => // DQT between scans (last definition wins)
-            var q = seg
+          case 0xdb => // DQT between scans: only tables no scan has
+            var q = seg   // used yet may (re)define
             while (q < segEnd) {
               val pq = (bytes(q) & 0xff) >> 4
               val tq = bytes(q) & 0x0f
               if (pq != 0 || tq > 3) return null
+              if (qtUsed(tq)) return null // frozen by a prior scan
               if (q + 65 > segEnd) return null
               val tab = new Array[Int](64)
               var k = 0
@@ -969,6 +976,11 @@ object JpegPixels {
               if (ss == 0 && ah == 0 && dcT(c.td) == null) return null
               if (ss > 0 && acT(c.ta) == null) return null
               if (qt(c.tq) == null) return null
+              // scan-order discipline (Annex G): nothing precedes the
+              // component's DC-first scan — not AC, not refinement
+              if ((ss > 0 || ah != 0) && !c.dcSeen) return null
+              qtUsed(c.tq) = true
+              if (ss == 0) c.dcSeen = true
               k += 1
             }
             bp = segEnd

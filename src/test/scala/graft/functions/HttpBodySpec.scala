@@ -88,6 +88,20 @@ class HttpBodySpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("content_type: case-sensitive parameter values survive") {
+    // RFC 9110: media type / param names / charset value fold to
+    // lowercase, but a multipart BOUNDARY is case-sensitive — and a
+    // quoted value may contain ';' without splitting parameters
+    val ct = "Multipart/Form-Data; Boundary=\"AaB;03x\"; Charset=UTF-8"
+    val raw = ("HTTP/1.1 200 OK\r\nContent-Type: " + ct +
+      "\r\nContent-Length: 2\r\n\r\nhi").getBytes("ISO-8859-1")
+    val rows = Seq(raw).toDF("b")
+      .select(HttpBody.http_body(col("b")).getField("content_type"))
+      .collect()
+    assert(rows(0).getString(0) ==
+      "multipart/form-data; boundary=\"AaB;03x\"; charset=utf-8")
+  }
+
   test("the dechunk bomb cap is wired") {
     // a chunked stream declaring a size past the 7-hex-digit guard
     val raw = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +

@@ -210,6 +210,45 @@ class JpegPixelsSpec extends SparkSpec {
     assert(px(good.take(good.length / 2)) == Seq(None), "truncated")
     assert(px(good.dropRight(2)) == Seq(None), "missing EOI")
     assert(px(good :+ 0x00.toByte) == Seq(None), "trailing byte")
+
+    // mid-frame DQT redefining a table a scan already used: libjpeg/
+    // the JDK latch tables at the first scan, so this must NULL rather
+    // than dequantize differently at EOI (r16, from the r15 advisor)
+    def hx(s: String) = s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    val redef = {
+      val eoiAt = good.length - 2
+      good.take(eoiAt) ++ hx("FFDB 0043 00" + "10" * 64) ++
+        good.drop(eoiAt)
+    }
+    assert(px(redef) == Seq(None), "mid-frame DQT redefinition")
+    // an UNUSED table id may still be defined between scans
+    val defNew = {
+      val eoiAt = good.length - 2
+      good.take(eoiAt) ++ hx("FFDB 0043 03" + "10" * 64) ++
+        good.drop(eoiAt)
+    }
+    assert(px(defNew).head.isDefined, "unused-table DQT is fine")
+  }
+
+  test("PROGRESSIVE scan order: AC or refinement before DC is NULL") {
+    val good = jdkEncode(randomImage(32, 24, gray = true, 62), 0.8f,
+      force444 = false, progressive = true)
+    // find the scans; the JDK's progression script opens with the DC
+    // scan — dropping it makes the first remaining scan AC-first
+    def scanOffsets(b: Array[Byte]): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var p = 2
+      while (p + 4 <= b.length) {
+        if ((b(p) & 0xff) == 0xff && (b(p + 1) & 0xff) == 0xda) out += p
+        p += 1
+      }
+      out.toSeq
+    }
+    val scans = scanOffsets(good)
+    assert(scans.length >= 2)
+    val acFirst = good.take(scans.head) ++ good.drop(scans(1))
+    assert(px(acFirst) == Seq(None))
   }
 
   // --- hand-built DC-only streams (trivial tables: DC category t is

@@ -305,10 +305,64 @@ class PngPixelsSpec extends SparkSpec {
       png
     }
     val noPlte = dropChunk(pal, "PLTE")
-    // pal2 uses a 2-entry palette but depth-2 indices can reach 3
-    // -> regenerate-free overrun probe: shrink pal4's PLTE to 4 entries
-    // is structural; simplest: truncate PLTE length via a rebuilt chunk
     assert(px(noPlte) == Seq(None))
+
+    // ---- palette index overrun: shrink pal4's PLTE below the max
+    // index actually used (found via the JDK raster), rebuilding the
+    // chunk with a real CRC so ONLY the overrun trips the NULL ----
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val len = Array((data.length >> 24).toByte, (data.length >> 16).toByte,
+        (data.length >> 8).toByte, data.length.toByte)
+      val body = typ.getBytes("ISO-8859-1") ++ data
+      val crc = new java.util.zip.CRC32
+      crc.update(body)
+      val c = crc.getValue
+      len ++ body ++ Array((c >> 24).toByte, (c >> 16).toByte,
+        (c >> 8).toByte, c.toByte)
+    }
+    def replaceChunk(png: Array[Byte], typ: String,
+        repl: Array[Byte]): Array[Byte] = {
+      var p = 8
+      while (p + 8 <= png.length) {
+        val len = ((png(p) & 0xff) << 24) | ((png(p + 1) & 0xff) << 16) |
+          ((png(p + 2) & 0xff) << 8) | (png(p + 3) & 0xff)
+        val t = new String(png, p + 4, 4, "ISO-8859-1")
+        if (t == typ) return png.take(p) ++ repl ++ png.drop(p + 12 + len)
+        p += 12 + len
+      }
+      fail(s"no $typ chunk")
+    }
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pal))
+    val ras = img.getRaster
+    var maxIdx = 0
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      maxIdx = math.max(maxIdx, ras.getSample(x, y, 0))
+    assert(maxIdx >= 1) // the fixture uses more than one palette entry
+    // keep exactly maxIdx entries: the max index in use is now out of
+    // range, everything else about the file stays valid
+    val shrunk = replaceChunk(pal, "PLTE",
+      chunk("PLTE", Array.fill(3 * maxIdx)(0x10.toByte)))
+    assert(px(shrunk) == Seq(None))
+
+    // ---- PLTE attached to a GRAYSCALE image (forbidden for color
+    // types 0/4 by the spec): insert a valid 2-entry PLTE before IDAT ----
+    val gray = res("gray8")
+    def insertBeforeIdat(png: Array[Byte], ins: Array[Byte]): Array[Byte] = {
+      var p = 8
+      while (p + 8 <= png.length) {
+        val len = ((png(p) & 0xff) << 24) | ((png(p + 1) & 0xff) << 16) |
+          ((png(p + 2) & 0xff) << 8) | (png(p + 3) & 0xff)
+        val t = new String(png, p + 4, 4, "ISO-8859-1")
+        if (t == "IDAT") return png.take(p) ++ ins ++ png.drop(p)
+        p += 12 + len
+      }
+      fail("no IDAT")
+    }
+    val grayWithPlte = insertBeforeIdat(gray,
+      chunk("PLTE", Array.fill(6)(0x20.toByte)))
+    assert(px(gray).head.isDefined) // the base fixture itself decodes
+    assert(px(grayWithPlte) == Seq(None))
   }
 
 }
