@@ -80,7 +80,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.setLevelAndFilter(spark.sparkContext, "WARN")
     val work = new WorkListener
     spark.sparkContext.addSparkListener(work)
     def fmt(v: Double): String =
@@ -350,6 +350,63 @@ object Bench {
         else (name, math.min(v, extra.map(_.sec).min), laps ++ extra)
       }
     sampleControl(done + 1) // bracket the revisit block too
+    // r14 verdict #5 — WINDOW FLAG: the anchor-vs-driver delta kept
+    // needing manual control-series reading (the r14 driver run sat 15 %
+    // over the committed anchor with a 17.8 s control spike mid-run).
+    // Surface the attribution in the artifact itself: p95/median over
+    // the fixed-control laps — ~1.0 on a quiet machine, >1.5 means some
+    // window of the run was contended and absolute totals from it
+    // should not be compared against quiet anchors.
+    val windowFlag: Double = {
+      val s = controls.map(_.sec).sorted
+      if (s.isEmpty || s(s.size / 2) <= 0) 0.0
+      else {
+        val p95 = s(math.min(s.size - 1,
+          math.ceil(0.95 * s.size).toInt - 1))
+        p95 / s(s.size / 2)
+      }
+    }
+    // r15 verdict #8 — AUTO-QUIET RE-LAP: the r15 driver bench ran in a
+    // contended window (window_flag 2.77) and the artifact still led
+    // with the inflated total. When the flag fires, the queries sitting
+    // far above the COMMITTED anchor are re-lapped once more at the very
+    // end (a third time window) and a corrected secondary total is
+    // emitted beside the honest primary — the flag attributes, the
+    // requiet quantifies.
+    val prevAnchor: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/root/repo/bench_full.json")), "UTF-8")
+        val qAt = txt.indexOf("\"queries\":{")
+        if (qAt < 0) Map.empty
+        else {
+          val endAt = txt.indexOf("}", qAt)
+          val body = txt.substring(qAt + 11, endAt)
+          "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val requieted: Map[String, Double] =
+      if (windowFlag <= 1.5 || prevAnchor.isEmpty || onlySet.nonEmpty)
+        Map.empty
+      else {
+        val fnByName = SparkEntry.queries
+        val worst = finalResults
+          .filter { case (name, v, _) =>
+            v > 0.5 && prevAnchor.get(name).exists(pv =>
+              pv > 0 && v > 1.5 * pv)
+          }
+          .sortBy(-_._2).take(24)
+        worst.map { case (name, v, _) =>
+          System.err.println(s"[bench] requiet $name")
+          val best =
+            try math.min(lap(() => fnByName(name)(spark, sfDir)).sec,
+              lap(() => fnByName(name)(spark, sfDir)).sec)
+            catch { case _: Throwable => v }
+          name -> math.min(v, best)
+        }.toMap
+      }
+    if (requieted.nonEmpty) sampleControl(done + 2)
     // Emission maps are name-sorted regardless of execution order (stable
     // cross-round diffs); the executed order is recorded separately.
     val sorted = finalResults.sortBy(_._1)
@@ -369,22 +426,6 @@ object Bench {
     val controlsJson = controls.map { c =>
       s"[${c.pos},${fmt(c.sec)},${c.memMB},${c.diskMB},${fmt(c.gcSec)},${fmt(c.schedSec)},${fmt(c.load1m)},${fmt(c.ownCpu)},${c.busDepth},${c.cleanerRefs}]"
     }.mkString("[", ",", "]")
-    // r14 verdict #5 — WINDOW FLAG: the anchor-vs-driver delta kept
-    // needing manual control-series reading (the r14 driver run sat 15 %
-    // over the committed anchor with a 17.8 s control spike mid-run).
-    // Surface the attribution in the artifact itself: p95/median over
-    // the fixed-control laps — ~1.0 on a quiet machine, >1.5 means some
-    // window of the run was contended and absolute totals from it
-    // should not be compared against quiet anchors.
-    val windowFlag: Double = {
-      val s = controls.map(_.sec).sorted
-      if (s.isEmpty || s(s.size / 2) <= 0) 0.0
-      else {
-        val p95 = s(math.min(s.size - 1,
-          math.ceil(0.95 * s.size).toInt - 1))
-        p95 / s(s.size / 2)
-      }
-    }
     val envJson = {
       val rt = Runtime.getRuntime
       val rev = revisitNames.toSeq.sorted.map("\"" + _ + "\"")
@@ -392,7 +433,10 @@ object Bench {
       val covered =
         okResults.filter(r => revisitNames(r._1)).map(_._2).sum
       val share = if (totalWall > 0) covered / totalWall else 0.0
-      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors},"bench_seed":$benchSeed,"window_flag":${fmt(windowFlag)},"revisit_share_target":$RevisitShare,"revisit_share_actual":${fmt(share)},"revisit":$rev}"""
+      val rq = requieted.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"heap_max_mb":${rt.maxMemory >> 20},"cpus":"$cpus","avail_procs":${rt.availableProcessors},"bench_seed":$benchSeed,"window_flag":${fmt(windowFlag)},"revisit_share_target":$RevisitShare,"revisit_share_actual":${fmt(share)},"revisit":$rev,"requieted":$rq}"""
     }
     val orderJson =
       execOrder.map(q => "\"" + q._1 + "\"").mkString("[", ",", "]")
@@ -452,7 +496,12 @@ object Bench {
     // therefore MINIMAL — no queries map, so it fits any capture window
     // whole and the full-suite total is always recoverable.
     val nOk = finalResults.count(_._2 >= 0)
-    println(s"""{"metric":"bench_total","value":${fmt(total)},"unit":"sec","n":$nOk,"n_failed":${finalResults.size - nOk},"window_flag":${fmt(windowFlag)}}""")
+    // requieted_total: the corrected secondary total after the
+    // auto-quiet pass (== the primary total when the flag never fired)
+    val requietedTotal = finalResults
+      .filter(_._2 >= 0)
+      .map { case (name, v, _) => requieted.getOrElse(name, v) }.sum
+    println(s"""{"metric":"bench_total","value":${fmt(total)},"unit":"sec","n":$nOk,"n_failed":${finalResults.size - nOk},"window_flag":${fmt(windowFlag)},"requieted_total":${fmt(requietedTotal)}}""")
     spark.stop()
   }
 }

@@ -20,7 +20,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    LogHygiene.setLevelAndFilter(s.sparkContext, "WARN")
     s
   }
 }
