@@ -235,7 +235,9 @@ object ScaleProbe {
       return
     }
     if (mode == "media") {
-      mediaProbe(spark, if (args.length > 1) args(1).toLong else 20000L)
+      mediaProbe(spark, if (args.length > 1) args(1).toLong else 20000L,
+        if (args.length > 2) args(2).split(",").toSet
+        else Set.empty[String])
       spark.stop()
       return
     }
@@ -1700,7 +1702,8 @@ object ScaleProbe {
     * of the same blob (expressions cache nothing), so rows/s and MB/s
     * are honest per-core decode rates.
     */
-  private def mediaProbe(spark: SparkSession, baseRows: Long): Unit = {
+  private def mediaProbe(spark: SparkSession, baseRows: Long,
+      only: Set[String] = Set.empty): Unit = {
     import graft.functions._
     val payload = ("the quick brown fox jumps over the lazy dog — " * 200)
       .getBytes("UTF-8") // ~9.4 KB, compressible
@@ -1887,6 +1890,34 @@ object ScaleProbe {
       sb.append("0\r\nX-Meta: done\r\n\r\n")
       sb.toString.getBytes("ISO-8859-1")
     }
+    // a complete single-page PDF around the payload text (r16: the
+    // pdf_text lane — xref walk + content interpreter + WinAnsi decode
+    // throughput over a ~1 MB content stream)
+    val pdfBlob = {
+      val ascii = new String(payload, "ISO-8859-1")
+        .map(ch => if (ch >= ' ' && ch <= '~') ch else ' ')
+        .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      val content = s"BT /F1 12 Tf ($ascii) Tj ET"
+      val objs = Seq(
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+          " /Resources << /Font << /F1 5 0 R >> >> >>",
+        s"<< /Length ${content.length} >>\nstream\n$content\nendstream",
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica" +
+          " /Encoding /WinAnsiEncoding >>")
+      val sb = new StringBuilder("%PDF-1.4\n")
+      val offs = objs.indices.map { i =>
+        val o = sb.length
+        sb.append(s"${i + 1} 0 obj\n${objs(i)}\nendobj\n"); o
+      }
+      val xref = sb.length
+      sb.append(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+      offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n" +
+        s"startxref\n$xref\n%%EOF")
+      sb.toString.getBytes("ISO-8859-1")
+    }
     // an HTML page around the payload text (r13: extraction throughput)
     val htmlBlob = ("<!DOCTYPE html><html><head><script>var x=1<2;" +
       "</script><style>p{}</style></head><body><h1>H</h1><p>" +
@@ -1931,6 +1962,9 @@ object ScaleProbe {
       ("br_dict", brDict,
         c => octet_length(BrotliInflate.brotli_inflate(c))),
       ("html", htmlBlob, c => length(HtmlText.html_text(c))),
+      ("pdf", pdfBlob, c => length(PdfText.pdf_text(c))),
+      ("sniff", htmlBlob,
+        c => length(WhatwgDecode.whatwg_decode(c, lit("iso-8859-1")))),
       ("http", httpBlob,
         c => octet_length(HttpBody.http_body(c).getField("body"))),
       ("png", png, c => PngPixels.png_pixels(c).getField("n_px")),
@@ -1938,7 +1972,8 @@ object ScaleProbe {
       ("webp", webp, c => WebpPixels.webp_pixels(c).getField("n_px")),
       ("jpeg_gray", jpegG, c => JpegPixels.jpeg_pixels(c).getField("n_px")),
       ("jpeg_rgb", jpegC, c => JpegPixels.jpeg_pixels(c).getField("n_px")))
-    cases.foreach { case (name, blob, decode) =>
+    cases.filter(c => only.isEmpty || only(c._1))
+        .foreach { case (name, blob, decode) =>
       val mb = blob.length / 1048576.0
       // the 2 MB shard lane runs 100× fewer rows (same order of decoded
       // bytes as the small lanes at their row counts)
