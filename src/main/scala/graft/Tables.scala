@@ -13,6 +13,51 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Targeted compute fanout (r16, guide §2.5 "input skew: one huge
+    * unsplittable file" + §1.2 "choose a partitioning that avoids
+    * skew"): round-robin repartition to the session's parallelism,
+    * placed by the ~25 builders whose next stage is CPU-dominated
+    * per-row work (codec decode, text scoring, pair fanout + hashing,
+    * vector math). Rationale, measured this round: the testdata tables
+    * are single-file single-ROW-GROUP parquet, so a scan — and under a
+    * broadcast join everything pipelined on top of it — yields ONE
+    * non-empty partition no matter what `maxPartitionBytes` says; the
+    * suite's decode/score/pair stages were running on one core of a
+    * 32-core machine. A BLANKET repartition in `load` was measured and
+    * rejected: it multiplied task counts for the ~190 tiny-job queries
+    * (32 tasks/stage × many stages: stream replays +11 s) and lost more
+    * than it won. The fanout therefore goes only where per-row CPU ≫
+    * per-row shuffle cost — the same placement rule that holds at
+    * 100 TB, where rebalancing unsplittable/hot-skewed payloads before
+    * an expensive map stage is one extra cheap pass that unlocks the
+    * cluster (the guide's §8 fingerprint pass does exactly this).
+    * `graft.fanout.parts` overrides the width (0 disables — a cluster
+    * whose scans already carry file-count parallelism sets 0);
+    * deterministic: round-robin repartition local-sorts its input first
+    * (SPARK-23207), so row→partition assignment is reproducible, and
+    * every query's semantics are partition-independent anyway (the
+    * oracle-hash discipline).
+    */
+  def fanout(spark: SparkSession, df: DataFrame): DataFrame = {
+    val parts = spark.conf.getOption("graft.fanout.parts").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (parts <= 1) df else df.repartition(parts)
+  }
+
+  /** Keyed variant of [[fanout]]: hash-repartition on `keys`. Preferred
+    * when a downstream join/agg is keyed on the same columns — the
+    * exchange then doubles as that operator's required distribution
+    * (one shuffle, guide §2.4 "two operations keyed the same way share
+    * one exchange") and, unlike round-robin, needs no
+    * sort-before-repartition pass on the input.
+    */
+  def fanoutBy(spark: SparkSession, df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val parts = spark.conf.getOption("graft.fanout.parts").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (parts <= 1) df else df.repartition(parts, keys: _*)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

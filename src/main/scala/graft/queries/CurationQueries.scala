@@ -278,7 +278,9 @@ object CurationQueries {
   val bigramLm = QueryDef(
     "llm_bigram_lm",
     (s, dir) => {
-      val docs = documents(s, dir)
+      // r16 fanout: the per-char explode below is the suite's heaviest
+      // map stage; single-row-group input pins it to one core otherwise
+      val docs = graft.Tables.fanout(s, documents(s, dir))
       // split to a code-point array ONCE, then O(1) element access per
       // bigram — text.substr(i, 2) inside the transform would re-scan the
       // UTF-8 string from the start per position (variable-length
@@ -342,7 +344,7 @@ object CurationQueries {
   val lmSurprisal = QueryDef(
     "llm_lm_surprisal",
     (s, dir) => graft.llm.TextAnalysis
-      .trigramSurprisal(documents(s, dir))
+      .trigramSurprisal(graft.Tables.fanout(s, documents(s, dir)))
       .orderBy("doc_id"),
     Some("""
       WITH h3 AS (

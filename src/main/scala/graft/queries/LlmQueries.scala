@@ -15,6 +15,18 @@ import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
   */
 object LlmQueries {
 
+  /** documents() with the r16 compute fanout (Tables.fanout): used by the
+    * builders whose next stage is per-row CPU (codec decode, hashing,
+    * text scoring, multimodal pixels) — single-row-group input otherwise
+    * pins them to one core. Iterative/many-small-job consumers
+    * (wordpiece/bpe training, incremental dedup, sampling ranks) keep the
+    * plain accessor: for them the added 32-task stages cost more than the
+    * parallelism wins (measured both ways this round).
+    */
+  private def docsPar(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.fanoutBy(s, documents(s, dir), col("doc_id"))
+
   /** Exact dedup: hash-groupBy on content, deterministic survivor. */
   val dedupExact = QueryDef(
     "llm_dedup_exact",
@@ -42,7 +54,7 @@ object LlmQueries {
   val dedupMinhash = QueryDef(
     "llm_dedup_minhash",
     (s, dir) => {
-      val docs = documents(s, dir)
+      val docs = docsPar(s, dir)
       // the signature stage feeds BOTH the candidate join and the per-doc
       // profile — materialize it once (localCheckpoint truncates lineage;
       // (doc_id, 64 longs) per row is the standard LSH index size) rather
@@ -345,7 +357,7 @@ object LlmQueries {
       val seq = graft.functions.BpeTokens
         .bpe_tokens(col("text"), TextAnalysis.DefaultBpeRanks)
       val toks = split(seq, "")
-      documents(s, dir)
+      docsPar(s, dir)
         .select(col("doc_id"),
           TextAnalysis.bpeTokenCountReal(col("text")).as("n_bpe_real"),
           concat_ws("|", slice(toks, 1, 40)).as("head_tokens"))
@@ -458,7 +470,7 @@ object LlmQueries {
     */
   val textProfile = QueryDef(
     "llm_text_profile",
-    (s, dir) => TextAnalysis.profile(documents(s, dir))
+    (s, dir) => TextAnalysis.profile(docsPar(s, dir))
       .orderBy("doc_id"),
     Some("""
       WITH t AS (
@@ -535,7 +547,7 @@ object LlmQueries {
       .mkString("\n               + ")
     QueryDef(
       "llm_winnow_fingerprint",
-      (s, dir) => TextAnalysis.winnowFingerprints(documents(s, dir))
+      (s, dir) => TextAnalysis.winnowFingerprints(docsPar(s, dir))
         .orderBy("doc_id", "pos"),
       Some(s"""
       WITH toks AS (
@@ -2175,7 +2187,7 @@ $steps,
       // N ≥ 22594, dist tree NSYM=2 → 128 bits)
       val constMidA = "000000384EDB047C01"
       val constMidB = "000000384EDB047E0504"
-      val base = documents(s, dir)
+      val base = docsPar(s, dir)
         .withColumn("__n", octet_length(col("text")).cast(LongType))
         .withColumn("__texthex", hex(col("text").cast(BinaryType)))
         .withColumn("__L",
@@ -2278,7 +2290,7 @@ $steps,
       }
       // staged construction (the tarxz discipline): page -> brotli
       // chain -> warc segment -> gzip member, each a real column
-      val staged = documents(s, dir)
+      val staged = docsPar(s, dir)
         .withColumn("__pagehex", hex(concat(
           lit("<!DOCTYPE html><html><head><script>var x=1<2;</script>" +
             "<style>p{}</style></head><body><h1>H</h1><p>"),
@@ -2392,7 +2404,7 @@ $steps,
           lit("30"), lit(crlfH),
           asciiHex(lit("X-Meta: done")), lit(crlfH), lit(crlfH))
       }
-      val staged = documents(s, dir)
+      val staged = docsPar(s, dir)
         .withColumn("__pagehex", hex(concat(
           lit("<!DOCTYPE html><html><head><script>var x=1<2;</script>" +
             "<style>p{}</style></head><body><h1>H</h1><p>"),
@@ -2613,7 +2625,7 @@ $steps,
             "/Encrypt 5 0 R ")))
         .otherwise(substring(col("text"), 1, 16).cast(BinaryType))
       val txt = graft.functions.PdfText.pdf_text(blob)
-      documents(s, dir)
+      docsPar(s, dir)
         .select(col("doc_id"), txt.as("__t"))
         .select(col("doc_id"),
           length(col("__t")).as("n_chars_pdf"),
@@ -2673,7 +2685,7 @@ $steps,
       val post = "</p><!-- c --></body></html>"
       // “marker” in windows-1252: the 0x93/0x94 curly-quote bytes
       val markerHex = "936D61726B657294"
-      val staged = documents(s, dir)
+      val staged = docsPar(s, dir)
         .withColumn("__pg0", concat(asciiHex(lit(pre)), lit(markerHex),
           asciiHex(concat(lit(" "), escA, lit(post)))))
         .withColumn("__pg1", concat(asciiHex(lit(preMeta)), lit(markerHex),
@@ -2782,7 +2794,7 @@ $steps,
       val pre = "<html><head><script>var x=1<2;</script></head>" +
         "<body><h1>H</h1><p>"
       val post = "</p><!-- c --></body></html>"
-      val staged = documents(s, dir)
+      val staged = docsPar(s, dir)
         // lane 0 page: latin-1 bytes = ascii parts + the marker hex
         .withColumn("__pg0", concat(asciiHex(lit(pre)), lit(markerL1),
           asciiHex(concat(lit(" "), escA, lit(post)))))
@@ -3090,7 +3102,7 @@ $steps,
     */
   private def tarHexStaged(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val base = documents(s, dir)
+    val base = docsPar(s, dir)
       .withColumn("__name", concat(lit("doc"), col("doc_id"), lit(".txt")))
       .withColumn("__sz", octet_length(col("text")))
       .withColumn("__szoct", lpad(conv(col("__sz"), 10, 8), 11, "0"))
@@ -5575,7 +5587,7 @@ $steps,
     */
   val repetitionReport = QueryDef(
     "llm_repetition_report",
-    (s, dir) => documents(s, dir)
+    (s, dir) => docsPar(s, dir)
       .select(col("doc_id"), TextAnalysis.tokenArray(col("text")).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         TextAnalysis.bigramsFromTokens(col("__toks")).as("__bg"))
@@ -5621,7 +5633,7 @@ $steps,
     */
   val piiReport = QueryDef(
     "llm_pii_report",
-    (s, dir) => documents(s, dir)
+    (s, dir) => docsPar(s, dir)
       .select(col("doc_id"),
         TextAnalysis.piiMatchCount(col("text"),
           TextAnalysis.PiiEmailPattern).as("n_emails"),
@@ -5985,7 +5997,7 @@ $steps,
         case Some((`snap`, df)) => df
         case stale =>
           val df = Dedup.connectedComponentsAdaptive(
-            Dedup.jaccardPairsExact(documents(s, dir), 0.8))
+            Dedup.jaccardPairsExact(docsPar(s, dir), 0.8))
             .localCheckpoint(true)
           componentsMemo.put((s, dir), (snap, df))
           stale.foreach { case (_, old) => unpersistCheckpoint(old) }
@@ -6004,7 +6016,7 @@ $steps,
     "llm_dedup_clusters",
     (s, dir) => {
       val comps = Dedup.connectedComponentsAdaptive(
-        Dedup.jaccardPairsExact(documents(s, dir), 0.8))
+        Dedup.jaccardPairsExact(docsPar(s, dir), 0.8))
       val sizes = comps.groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"))
       comps.join(sizes, Seq("cluster_id"))
@@ -6736,7 +6748,7 @@ $steps,
   val annQuantized = QueryDef(
     "llm_ann_quantized",
     (s, dir) => {
-      val emb = embeddings(s, dir)
+      val emb = graft.Tables.fanout(s, embeddings(s, dir))
       Similarity.quantizedTopK(emb.filter(col("vec_id") < 10), emb, 5)
         .orderBy("query_id", "rank")
     },

@@ -586,8 +586,12 @@ object Workload {
   val q16 = QueryDef(
     "q16_basket_pairs",
     (s, dir) => {
-      val li = graft.operators.PairFanout.guard(s, lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")), "l_orderkey")
+      // r16: fanout before the CPU-heavy pair stage — under a broadcast
+      // self-join the whole pair pipeline otherwise runs at the scan's
+      // parallelism (ONE non-empty partition on single-row-group input)
+      val li = graft.operators.PairFanout.guard(s, Tables.fanoutBy(s,
+        lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey")), "l_orderkey")
       val a = li.select(col("l_orderkey"), col("l_partkey").as("product_a"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("product_b"))
       a.join(b, Seq("l_orderkey"))
@@ -1516,12 +1520,19 @@ object Workload {
   val q37 = QueryDef(
     "q37_part_pagerank",
     (s, dir) => {
-      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      // r16 fanout: the pair enumeration below runs BEFORE the distinct's
+      // exchange, i.e. at scan parallelism (1 non-empty partition on
+      // single-row-group input) — repartition the slim projection first
+      val li = Tables.fanoutBy(s,
+        lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
       val half = a.join(b, Seq("l_orderkey"))
         .filter(col("pa") < col("pb"))
         .select(col("pa"), col("pb")).distinct()
+        // r16: half feeds deg/edges/oriented 3-5x — stage it once
+        .localCheckpoint(false)
       // Per-iteration SMJs re-exchange the staged edge list: under AQE a
       // localCheckpoint surfaces UnknownPartitioning, so pre-partitioning
       // edges by src here cannot be reused by the joins (measured: no
@@ -1531,7 +1542,11 @@ object Workload {
       val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
         .union(half.select(col("pb").as("src"), col("pa").as("dst")))
         .localCheckpoint(false)
+      // r16: deg feeds every iteration's join-back AND the n broadcast —
+      // unstaged it re-aggregated the edge list ~8× across the unrolled
+      // loop (no automatic subplan reuse); stage it once
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
       val n = deg.agg(count(lit(1)).as("n"))
       var ranks = deg.crossJoin(broadcast(n))
         .select(col("src").as("node"), col("deg"),
@@ -1703,15 +1718,20 @@ object Workload {
   val q39 = QueryDef(
     "q39_graph_triangles",
     (s, dir) => {
-      val li = lineitem(s, dir)
+      // r16 fanout: pair enumeration + orientation feed the first
+      // exchange, so they inherit scan parallelism (1) without this
+      val li = Tables.fanoutBy(s, lineitem(s, dir)
         .join(ordersLatestYear(s, dir).select("o_orderkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_partkey"))
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
       val half = a.join(b, Seq("l_orderkey"))
         .filter(col("pa") < col("pb"))
         .select(col("pa"), col("pb")).distinct()
+        // r16: half feeds deg/edges/oriented 3-5x — stage it once
+        .localCheckpoint(false)
       val deg = half.select(col("pa").as("n"))
         .union(half.select(col("pb").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
@@ -1727,9 +1747,13 @@ object Workload {
       val tri = wedges.join(
         oriented.select(col("u").as("ta"), col("v").as("tc")),
         Seq("ta", "tc"))
-      val credits = tri.select(col("ta").as("node"))
-        .union(tri.select(col("tb").as("node")))
-        .union(tri.select(col("tc").as("node")))
+      // r16: credit fan-back via explode, not a 3-way union — Spark has
+      // no automatic subplan reuse, so union(tri.ta, tri.tb, tri.tc)
+      // executed the ENTIRE wedge+confirm join pipeline THREE times
+      // (stage trace: 3× the two heaviest stages). explode(array(...))
+      // emits the same three credit rows from ONE execution.
+      val credits = tri.select(
+        explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
       credits.groupBy("node").agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("node"))
         .limit(20)
@@ -1809,7 +1833,11 @@ object Workload {
   val q40 = QueryDef(
     "q40_graph_triangles_approx",
     (s, dir) => {
-      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      // r16 fanout: the pair stream + md5 coin run below the distinct's
+      // exchange — measured 5.8 s on 2 non-empty tasks before this
+      val li = Tables.fanoutBy(s,
+        lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
       // deterministic p=1/4 coin on the edge identity (not on either
@@ -2005,8 +2033,12 @@ object Workload {
   val q43 = QueryDef(
     "q43_item_similarity",
     (s, dir) => {
+      // r16: li feeds n/a/b (3 consumers) and co feeds both union arms —
+      // stage each once (the q05b discipline; unstaged, the scan+distinct
+      // and the whole pair agg executed 2-3x)
       val li = graft.operators.PairFanout.guard(s, lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct(), "l_orderkey")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(false), "l_orderkey")
       val n = li.groupBy(col("l_partkey").as("p"))
         .agg(count(lit(1)).as("np"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
@@ -2014,6 +2046,7 @@ object Workload {
       val co = a.join(b, Seq("l_orderkey"))
         .filter(col("pa") < col("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       val sym = co.select(col("pa").as("item"), col("pb").as("nb"), col("c"))
         .unionByName(
           co.select(col("pb").as("item"), col("pa").as("nb"), col("c")))
@@ -2719,17 +2752,26 @@ object Workload {
       val half = a.join(b, Seq("l_orderkey"))
         .filter(col("pa") < col("pb"))
         .select(col("pa"), col("pb")).distinct()
+        // r16: half feeds both edge-union arms — stage it once
+        .localCheckpoint(false)
       val edges = half.select(col("pa").as("src"), col("pb").as("dst"))
         .union(half.select(col("pb").as("src"), col("pa").as("dst")))
         .localCheckpoint(false)
       val d0 = edges.agg(min(col("src")).as("n"))
         .select(col("n"), lit(0).as("d"))
+      // r16: each relax level is consumed TWICE (the union branch and
+      // the frontier join) — without staging, level i re-executes level
+      // i−1 twice, an EXPONENTIAL 2^i re-execution of the lower rounds
+      // (Spark has no automatic subplan reuse). Stage each round once —
+      // exactly the per-superstep materialization a BSP/Pregel engine
+      // does anyway.
       def relax(dist: DataFrame): DataFrame = {
         val f = dist.select(col("n").as("fn"), col("d").as("fd"))
         dist.select(col("n"), col("d"))
           .union(edges.join(f, col("src") === col("fn"))
             .select(col("dst").as("n"), (col("fd") + 1).as("d")))
           .groupBy(col("n")).agg(min(col("d")).as("d"))
+          .localCheckpoint(false)
       }
       val d3 = relax(relax(relax(d0)))
       d3.groupBy(col("d"))

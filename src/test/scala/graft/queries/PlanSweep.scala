@@ -167,11 +167,12 @@ class PlanSweepSpec extends SparkSpec {
     // — both sides series-sized at scale (the candidate step a PAA/LSH
     // prune would bound at large entity counts), deliberately unhinted.
     "q60_nation_series_similarity" -> Set("SortMergeJoin"),
-    // BFS min-relax rounds: edges×frontier equi joins over the
-    // checkpoint-staged (stats-opaque) edge list — the pagerank/CC
-    // iterate class, |edges|-sized one side and reached-set-sized the
-    // other at scale, deliberately unhinted.
-    "q55_graph_bfs_levels" -> Set("SortMergeJoin"),
+    // q55_graph_bfs_levels left the list in r16: each relax round is now
+    // checkpoint-staged (the 2^i re-execution fix), and the staged
+    // round's LogicalRDD CARRIES the origin stats — at sf0.001 the
+    // frontier estimate is tiny so the edges×frontier join broadcasts;
+    // at scale the same estimates grow and the planner reverts to the
+    // shuffle join on its own. Adaptive, not pinned.
     // PCA power iterations: the per-round qpos×d re-aggregation join is
     // |rows·dim| × |rows| over the checkpoint-staged (stats-opaque)
     // quantized frame — the pagerank/kmeans iterate class, deliberately
