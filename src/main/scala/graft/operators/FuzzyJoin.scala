@@ -32,13 +32,20 @@ object FuzzyJoin {
     */
   def deletionKeys(df: DataFrame, id: Column, str: Column): DataFrame =
     df.select(id.as("__id"), str.as("__s"))
-      .select(col("__id"), col("__s"), explode(concat(
+      // r16: array_distinct BEFORE the explode — a run of r repeated
+      // characters yields the same deletion r times (real entity strings
+      // are full of digit/letter runs), and duplicate (string, key) rows
+      // multiply candidate-pair sightings m_a·m_b-fold in the key join,
+      // each paying a levenshtein verify. Dedup is map-side (no extra
+      // exchange) and removes only duplicate SIGHTINGS — the verified
+      // pair set is unchanged (the final distinct collapsed them anyway).
+      .select(col("__id"), col("__s"), explode(array_distinct(concat(
         array(col("__s")),
         when(length(col("__s")) >= 1, expr(
           "transform(sequence(1, length(__s)), " +
             "i -> concat(substring(__s, 1, i - 1), " +
             "substring(__s, i + 1, 2147483647)))"))
-          .otherwise(array()))).as("__k"))
+          .otherwise(array())))).as("__k"))
 
   /** Distinct id-ordered pairs with Levenshtein(a, b) ≤ 1 (including 0:
     * distinct ids carrying identical strings are the classic duplicate
@@ -75,8 +82,12 @@ object FuzzyJoin {
   def pairsWithin1(df: DataFrame, id: Column, str: Column,
       hashedKeys: Boolean = true): DataFrame = {
     // slim (id, string) rows, deduped so repeated input rows cannot
-    // duplicate output pairs (the old per-row form deduped at the end)
+    // duplicate output pairs (the old per-row form deduped at the end).
+    // r16: staged once — rows feeds dist0 (both sides), both dist1
+    // join-backs, and strings; unstaged, the scan+distinct re-executed
+    // ~5× (stage trace)
     val rows = df.select(id.as("__id"), str.as("__s")).distinct()
+      .localCheckpoint(false)
     val strings = rows.select(col("__s")).distinct()
     // exact-duplicate pairs: per-string id self-join — equi on the
     // string, output-sized
@@ -90,14 +101,23 @@ object FuzzyJoin {
     // candidate pair appears once per shared key), so the distinct's
     // shuffle carries only verified pairs, not the distance-2 noise
     val rawKeys = deletionKeys(strings, col("__s"), col("__s"))
-    val keys =
+    val keys0 =
       if (hashedKeys) rawKeys.select(col("__s"), xxhash64(col("__k")).as("__k"))
       else rawKeys
+    // r16: explicit key-hash fanout — the verify below is the plan's CPU
+    // (one banded levenshtein per candidate SIGHTING, ~1M at sf0.1) and
+    // it runs inside the join stage, whose parallelism AQE had coalesced
+    // to 2 byte-light partitions. A user repartition is exempt from AQE
+    // coalescing and both join sides share the one exchange.
+    val keys = graft.Tables.fanoutBy(df.sparkSession, keys0, col("__k"))
     val sa = keys.select(col("__s").as("sa"), col("__k"))
     val sb = keys.select(col("__s").as("sb"), col("__k"))
+    // levenshtein with threshold 1 (banded DP, O(len) not O(len²)):
+    // returns the distance when ≤ 1, −1 beyond, so `=== 1` is the same
+    // predicate as unbounded levenshtein === 1 at a fraction of the cost
     val strPairs = sa.join(sb, Seq("__k"))
       .filter(col("sa") < col("sb") &&
-        levenshtein(col("sa"), col("sb")) === 1)
+        levenshtein(col("sa"), col("sb"), 1) === 1)
       .select("sa", "sb").distinct()
     // id expansion of each verified string pair (output-bound); pair
     // orientation follows the IDS, so the strings swap with them

@@ -64,6 +64,27 @@ object JoinMv {
       aOrd: Seq[String], aServing: Column,
       bBase: DataFrame, bBatch: DataFrame, bKey: Seq[String],
       bOrd: Seq[String], bServing: Column,
+      joinCols: Seq[String]): DataFrame =
+    maintainMerged(view,
+      aBase, CdcMerge.merge(aBase, aBatch, aKey, aOrd), aBatch, aKey,
+      aServing,
+      bBase, CdcMerge.merge(bBase, bBatch, bKey, bOrd), bBatch, bKey,
+      bServing, joinCols)
+
+  /** [[maintain]] with the MERGED side tables passed in instead of
+    * recomputed (r16): a caller that advances its side tables with
+    * [[CdcMerge.merge]] anyway (the streaming Maintainer, which also
+    * checkpoints them) was paying the table-sized merge a second time
+    * inside every maintain step. `aCur`/`bCur` MUST equal
+    * `CdcMerge.merge(aBase, aBatch, ...)` / `(bBase, bBatch, ...)` —
+    * the delta rule reads both the pre-merge base (old versions) and
+    * the merged current rows (new versions).
+    */
+  def maintainMerged(view: DataFrame,
+      aBase: DataFrame, aCur: DataFrame, aBatch: DataFrame,
+      aKey: Seq[String], aServing: Column,
+      bBase: DataFrame, bCur: DataFrame, bBatch: DataFrame,
+      bKey: Seq[String], bServing: Column,
       joinCols: Seq[String]): DataFrame = {
     val jCols = joinCols.map(col)
 
@@ -84,8 +105,6 @@ object JoinMv {
           .select(jCols: _*))
     }
 
-    val aCur = CdcMerge.merge(aBase, aBatch, aKey, aOrd)
-    val bCur = CdcMerge.merge(bBase, bBatch, bKey, bOrd)
     // staged: j feeds THREE consumers (the pass-through anti and both
     // recompute semis), and each unstaged reference re-expands the whole
     // affectedJ tree — merges included — blowing the plan up to ~70

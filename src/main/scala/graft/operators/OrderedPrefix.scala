@@ -67,7 +67,11 @@ object OrderedPrefix {
     val gKeys = gCols :+ col("__b")
     // feeds BOTH the bucket-count frame and the rank join — without
     // staging, everything upstream of `df` executes twice (the
-    // q05b/spendDeciles ReuseExchange lesson)
+    // q05b/spendDeciles ReuseExchange lesson). r16 note: pre-keying this
+    // checkpoint on the window key (fanoutBy(gKeys)) was measured and
+    // REVERTED — the checkpointed RDD's partitioning is not credited by
+    // the planner here, so the window re-exchanged anyway and every
+    // consumer paid an extra shuffle (q35 0.75→1.75 s).
     val base = df.withColumn("__b", bucket).localCheckpoint(false)
     val counts = sumExpr match {
       case Some(s) =>

@@ -802,7 +802,9 @@ object Workload {
   val q22 = QueryDef(
     "q22_cube_region_year",
     (s, dir) => {
-      lineitem(s, dir)
+      // r16 fanout: the CUBE's Expand (4 sets) + partial agg run above
+      // the broadcast joins at scan parallelism (1 task) without it
+      Tables.fanoutBy(s, lineitem(s, dir), col("l_orderkey"))
         .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
@@ -1025,7 +1027,9 @@ object Workload {
   val q28 = QueryDef(
     "q28_grouping_sets",
     (s, dir) => {
-      val joined = lineitem(s, dir)
+      // r16 fanout: the Expand (3 grouping sets) + partial agg run above
+      // the broadcast-join pipeline at scan parallelism without it
+      val joined = Tables.fanoutBy(s, lineitem(s, dir), col("l_orderkey"))
         .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(nation(s, dir), col("c_nationkey") === col("n_nationkey"))
@@ -3744,8 +3748,13 @@ object Workload {
       var edges = half.select(col("pa").as("src"), col("pb").as("dst"))
         .union(half.select(col("pb").as("src"), col("pa").as("dst")))
         .localCheckpoint(true)
+      // r16: converge on the EDGE count, not a distinct node count — a
+      // removed node always owned ≥1 edge (it is in `edges` because it
+      // has edges), so "edge count unchanged ⟺ no node removed" and the
+      // per-round distinct shuffle goes away; edges is checkpointed, so
+      // the count is a scan of materialized blocks.
       var prevAlive = -1L
-      var alive = edges.select(col("src")).distinct().count()
+      var alive = edges.count()
       var rounds = 0
       while (rounds < 8 && alive != prevAlive) {
         val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -3758,7 +3767,7 @@ object Workload {
             col("dst") === col("node2"), "left_semi")
           .localCheckpoint(true)
         prevAlive = alive
-        alive = edges.select(col("src")).distinct().count()
+        alive = edges.count()
         rounds += 1
       }
       edges.groupBy("src").agg(count(lit(1)).as("core_deg"))

@@ -57,9 +57,14 @@ object StreamingJoinMv {
         case (Some(a), Some(b)) =>
           val v = view match {
             case Some(v0) =>
-              JoinMv.maintain(v0,
-                a, aBatch.getOrElse(empty(a)), aKey, aOrd, aServing,
-                b, bBatch.getOrElse(empty(b)), bKey, bOrd, bServing,
+              // r16: pass the just-checkpointed merged snapshots as the
+              // current side tables — maintain() would otherwise rerun
+              // the table-sized CdcMerge a second time per batch. The
+              // untouched side's snapshot IS its merge with an empty
+              // batch (anti join of nothing, recompact of nothing).
+              JoinMv.maintainMerged(v0,
+                a, aSnap.get, aBatch.getOrElse(empty(a)), aKey, aServing,
+                b, bSnap.get, bBatch.getOrElse(empty(b)), bKey, bServing,
                 joinCols)
             case None =>
               // first moment both sides exist: from-scratch join of the

@@ -92,6 +92,25 @@ class JoinMvSpec extends SparkSpec {
     assert(got.contains((40L, 5L, "a5", 300L, "b40")))
   }
 
+  test("maintainMerged(precomputed merges) equals maintain (r16 path)") {
+    val aBase = aDf(Seq((1L, 10L, "a1", 100L), (2L, 20L, "a2", 100L),
+      (3L, 30L, "a3", 100L)))
+    val aBatch = aDf(Seq((1L, 20L, "a1v2", 300L), (4L, 40L, "a4", 300L)))
+    val bBase = bDf(Seq((10L, "b10", 1L, false), (20L, "b20", 1L, false),
+      (30L, "b30", 1L, false), (40L, "b40", 1L, false)))
+    val bBatch = bDf(Seq((20L, "b20v2", 2L, false)))
+    val view = scratch(aBase, bBase)
+    val direct = JoinMv.maintain(view,
+      aBase, aBatch, Seq("aid"), Seq("ts"), aServ,
+      bBase, bBatch, Seq("j"), Seq("ver"), bServ, Seq("j"))
+    val merged = JoinMv.maintainMerged(view,
+      aBase, CdcMerge.merge(aBase, aBatch, Seq("aid"), Seq("ts")), aBatch,
+      Seq("aid"), aServ,
+      bBase, CdcMerge.merge(bBase, bBatch, Seq("j"), Seq("ver")), bBatch,
+      Seq("j"), bServ, Seq("j"))
+    assert(rows(direct) == rows(merged))
+  }
+
   test("untouched join groups pass through without recompute") {
     val aBase = aDf(Seq((1L, 10L, "a1", 100L), (2L, 20L, "a2", 100L)))
     val aBatch = aDf(Seq((2L, 20L, "a2v2", 200L))) // touches group 20 only
